@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place that encodes how a Graft session is configured.
+  *
+  * Local runs use `local[N]` (one JVM); on a real cluster the same settings
+  * apply minus master. Scale-relevant choices:
+  *   - AQE on: runtime coalescing of shuffle partitions + skew-join splitting,
+  *     which is what keeps the declared query set viable at 100 TB without
+  *     hand-tuning per-query partition counts.
+  *   - shuffle.partitions sized to cores locally; on a cluster this would be
+  *     2-3x total executor cores (AQE coalesces down, never up past this).
+  *   - UTC session timezone: required for oracle (DuckDB) parity on
+  *     timestamp-derived columns.
+  *   - zstd parquet output: matches the reference sink
+  *     (/root/reference/src/lib.rs:279-282).
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builder(s"local[$cores]", math.max(cores, 4)).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
