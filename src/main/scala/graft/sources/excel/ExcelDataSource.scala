@@ -1,0 +1,133 @@
+package graft.sources.excel
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 `format("excel")` — the Spark-native equivalent of the
+  * reference's xlsx scan (R1, /root/reference/src/lib.rs:30-65).
+  *
+  * Read options (reference CLI flags, /root/reference/src/main.rs:7-36):
+  *   - `path`            xlsx file
+  *   - `sheetName`       wins over sheetIndex (/root/reference/src/lib.rs:105-124)
+  *   - `sheetIndex`      0-based; OOB -> error
+  *   - `skipRows`        header offset within the used range
+  *
+  * Schema: every column nullable StringType (/root/reference/src/lib.rs:229-234),
+  * names inferred from the header row on the driver. Column pruning is
+  * pushed into the reader (pruned sheet columns are never materialized).
+  *
+  * Scale: one InputPartition per sheet — matches the reference's single
+  * reader thread; at 100 TB the unit of parallelism is many files, which
+  * the conversion entry point (ExcelToParquet) handles by fanning out one
+  * task per file.
+  */
+class ExcelDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "excel"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val lay = ExcelRead.layout(ExcelDataSource.readOptions(options))
+    StructType(lay.names.map(StructField(_, StringType, nullable = true)))
+  }
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform], properties: JMap[String, String]): Table =
+    new ExcelTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object ExcelDataSource {
+  def readOptions(options: CaseInsensitiveStringMap): ExcelRead.Options = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("excel source requires a path"))
+    ExcelRead.Options(
+      path = path,
+      sheetName = Option(options.get("sheetName")),
+      sheetIndex = Option(options.get("sheetIndex")).map(_.toInt),
+      skipRows = Option(options.get("skipRows")).map(_.toInt).getOrElse(0))
+  }
+}
+
+final class ExcelTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"excel:${options.get("path")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new ExcelScanBuilder(tableSchema, new CaseInsensitiveStringMap(
+      (options.asScala ++ scanOptions.asScala).asJava))
+}
+
+final class ExcelScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new ExcelScan(fullSchema, required, options)
+}
+
+final class ExcelScan(fullSchema: StructType, required: StructType, options: CaseInsensitiveStringMap)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ExcelScan ${options.get("path")} [${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val o = ExcelDataSource.readOptions(options)
+    Array(ExcelInputPartition(
+      o.path, o.sheetName, o.sheetIndex, o.skipRows,
+      required.fieldNames.map(fullSchema.fieldIndex)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ExcelReaderFactory
+}
+
+final case class ExcelInputPartition(
+    path: String,
+    sheetName: Option[String],
+    sheetIndex: Option[Int],
+    skipRows: Int,
+    requiredPositions: Array[Int]) extends InputPartition
+
+final class ExcelReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ExcelInputPartition]
+    val opts = ExcelRead.Options(p.path, p.sheetName, p.sheetIndex, p.skipRows)
+    // Layout re-derivation on the executor is one header-prefix scan —
+    // cheap, and avoids serializing driver state into the partition.
+    val lay = ExcelRead.layout(opts)
+    val outPos = Array.fill(lay.numCols)(-1)
+    p.requiredPositions.zipWithIndex.foreach { case (pos, out) => outPos(pos) = out }
+    val rows = ExcelRead.rows(opts, lay, outPos, p.requiredPositions.length)
+
+    new PartitionReader[InternalRow] {
+      private var current: Array[String] = _
+      override def next(): Boolean = {
+        if (rows.hasNext) { current = rows.next(); true } else false
+      }
+      override def get(): InternalRow = {
+        val vals = new Array[Any](current.length)
+        var i = 0
+        while (i < current.length) {
+          if (current(i) != null) vals(i) = UTF8String.fromString(current(i))
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = rows.close()
+    }
+  }
+}

@@ -1,0 +1,131 @@
+package graft.sources.excel
+
+import scala.collection.mutable
+
+/** Conversion semantics shared by schema inference (driver) and the
+  * partition reader (executor): header resolution + sparse-cell → fixed
+  * width row pivot, replicating the reference's ConversionContext
+  * (/root/reference/src/lib.rs:156-223,403-439).
+  *
+  * Key semantics:
+  *   - header row = used-range start row + skipRows (relative, not
+  *     absolute; /root/reference/src/lib.rs:162);
+  *   - rows at/before the header are consumed, not emitted;
+  *   - a data row materializes only if at least one of its cells exists in
+  *     the file (fully blank rows are dropped, /root/reference/src/lib.rs:412-418);
+  *   - within a row: absent cell -> null, present-but-empty cell -> ""
+  *     (/root/reference/src/lib.rs:398,426-432);
+  *   - deliberate deviation (documented in SURVEY §1.3): a sheet with no
+  *     rows past the header yields an empty result with the inferred
+  *     schema, where the reference writes no output file at all.
+  */
+object ExcelRead {
+
+  final case class Options(
+      path: String,
+      sheetName: Option[String],
+      sheetIndex: Option[Int],
+      skipRows: Int)
+
+  final case class SheetLayout(
+      target: String,
+      startRow: Int,
+      startCol: Int,
+      numCols: Int,
+      headerRowIdx: Int,
+      names: Seq[String])
+
+  /** Driver-side: resolve sheet, used range, and header names. */
+  def layout(opts: Options): SheetLayout = {
+    val wb = new XlsxParser.Workbook(opts.path)
+    try {
+      val sheet = wb.resolveSheet(opts.sheetName, opts.sheetIndex)
+      val dim = wb.dimensions(sheet.target)
+        .getOrElse(XlsxParser.Dimensions(0, 0, 0, 0)) // empty sheet
+      val headerRowIdx = dim.startRow + opts.skipRows
+      val headerCells = mutable.Map.empty[Int, String]
+      val it = wb.cells(sheet.target)
+      try {
+        var done = false
+        while (!done && it.hasNext) {
+          val c = it.next()
+          if (c.row > headerRowIdx) done = true
+          else if (c.row == headerRowIdx) headerCells(c.col) = c.text
+        }
+      } finally it.close()
+      val raw = (0 until dim.numCols).map { i =>
+        headerCells.get(dim.startCol + i).filter(_.nonEmpty)
+      }
+      SheetLayout(sheet.target, dim.startRow, dim.startCol, dim.numCols,
+        headerRowIdx, HeaderNames.build(raw))
+    } finally wb.close()
+  }
+
+  /** Executor-side: stream data rows as fixed-width arrays (null = absent
+    * cell). `outPos(i)` gives the output slot for sheet position i, or -1
+    * if the column was pruned; `outWidth` is the projected row width.
+    */
+  def rows(opts: Options, lay: SheetLayout, outPos: Array[Int], outWidth: Int): RowIterator =
+    new RowIterator(opts, lay, outPos, outWidth)
+
+  final class RowIterator(
+      opts: Options, lay: SheetLayout, outPos: Array[Int], outWidth: Int)
+      extends Iterator[Array[String]] with AutoCloseable {
+
+    private val wb = new XlsxParser.Workbook(opts.path)
+    private val cells = wb.cells(lay.target)
+    private var pendingRow = -1
+    private var pending: Array[String] = _
+    private var nextRow: Array[String] = _
+    private var carried: XlsxParser.Cell = _
+    private var exhausted = false
+
+    private def put(c: XlsxParser.Cell): Unit = {
+      val pos = c.col - lay.startCol
+      if (pos >= 0 && pos < lay.numCols && outPos(pos) >= 0)
+        pending(outPos(pos)) = c.text
+    }
+
+    private def advance(): Unit = {
+      nextRow = null
+      while (nextRow == null && !exhausted) {
+        val c =
+          if (carried != null) { val x = carried; carried = null; x }
+          else if (cells.hasNext) cells.next()
+          else { // flush last pending row
+            exhausted = true
+            if (pending != null) { nextRow = pending; pending = null }
+            close()
+            return
+          }
+        if (c.row > lay.headerRowIdx) {
+          if (pending == null) {
+            pending = new Array[String](outWidth)
+            pendingRow = c.row
+            put(c)
+          } else if (c.row == pendingRow) {
+            put(c)
+          } else { // row change: emit previous, start new
+            nextRow = pending
+            pending = new Array[String](outWidth)
+            pendingRow = c.row
+            put(c)
+          }
+        }
+      }
+    }
+
+    advance()
+
+    override def hasNext: Boolean = nextRow != null
+    override def next(): Array[String] = {
+      val r = nextRow
+      if (r == null) throw new NoSuchElementException
+      advance()
+      r
+    }
+    override def close(): Unit = {
+      try cells.close() finally wb.close()
+    }
+  }
+}

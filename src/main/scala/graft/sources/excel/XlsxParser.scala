@@ -1,0 +1,330 @@
+package graft.sources.excel
+
+import java.io.InputStream
+import java.util.zip.ZipFile
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import scala.collection.mutable
+
+/** Streaming xlsx (SpreadsheetML) reader built on java.util.zip + StAX —
+  * the Spark-side equivalent of the reference's calamine-based cell stream
+  * (/root/reference/src/lib.rs:42-53). One pass over the worksheet XML
+  * yields sparse cells (row, col, text) with memory O(row), never O(file).
+  *
+  * String semantics replicate `cell_to_string`
+  * (/root/reference/src/lib.rs:387-400):
+  *   numeric (incl. date-serial) -> Rust f64 Display via [[RustDouble]];
+  *   bool -> "true"/"false"; error -> calamine debug name ("Div0", "NA", …);
+  *   inline/shared strings -> as-is; ISO date cells (t="d") -> literal text;
+  *   explicitly-present empty cell -> "" (cells absent from the XML simply
+  *   don't appear — the consumer maps them to NULL, /root/reference/src/lib.rs:426-432).
+  */
+object XlsxParser {
+
+  final case class SheetMeta(name: String, target: String)
+
+  final case class Cell(row: Int, col: Int, text: String)
+
+  /** Used-range bounds, 0-based inclusive (calamine `dimensions()`). */
+  final case class Dimensions(startRow: Int, startCol: Int, endRow: Int, endCol: Int) {
+    def numCols: Int = endCol - startCol + 1
+  }
+
+  private val xif: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, true)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty("javax.xml.stream.isSupportingExternalEntities", false)
+    f
+  }
+
+  /** "BC" -> 54 (0-based). */
+  def colIndex(ref: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+
+  /** "BC12" -> (11, 54) 0-based (row, col). */
+  def cellRef(ref: String): (Int, Int) = {
+    val letters = ref.takeWhile(_.isLetter)
+    val digits = ref.drop(letters.length)
+    (digits.toInt - 1, colIndex(letters))
+  }
+
+  def mapError(e: String): String = e match {
+    case "#DIV/0!"       => "Div0"
+    case "#N/A"          => "NA"
+    case "#NAME?"        => "Name"
+    case "#NULL!"        => "Null"
+    case "#NUM!"         => "Num"
+    case "#REF!"         => "Ref"
+    case "#VALUE!"       => "Value"
+    case "#GETTING_DATA" => "GettingData"
+    case other           => other
+  }
+
+  /** Workbook-level metadata: sheet list in workbook order with resolved
+    * worksheet part paths, and the shared-strings table.
+    */
+  final class Workbook(val path: String) extends AutoCloseable {
+    private val zip = new ZipFile(path)
+
+    val sheets: Seq[SheetMeta] = {
+      val rels: Map[String, String] = entryStream("xl/_rels/workbook.xml.rels") match {
+        case Some(in) =>
+          val r = xif.createXMLStreamReader(in)
+          val m = mutable.Map.empty[String, String]
+          try {
+            while (r.hasNext) {
+              if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship") {
+                val id = r.getAttributeValue(null, "Id")
+                val target = r.getAttributeValue(null, "Target")
+                if (id != null && target != null) m(id) = target
+              }
+            }
+          } finally { r.close(); in.close() }
+          m.toMap
+        case None => Map.empty
+      }
+      entryStream("xl/workbook.xml") match {
+        case Some(in) =>
+          val r = xif.createXMLStreamReader(in)
+          val out = mutable.ArrayBuffer.empty[SheetMeta]
+          try {
+            while (r.hasNext) {
+              if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+                val name = r.getAttributeValue(null, "name")
+                var rid: String = null
+                var i = 0
+                while (i < r.getAttributeCount) {
+                  if (r.getAttributeLocalName(i) == "id") rid = r.getAttributeValue(i)
+                  i += 1
+                }
+                val target = rels.get(rid) match {
+                  case Some(t) if t.startsWith("/") => t.drop(1)
+                  case Some(t)                      => s"xl/$t"
+                  case None                         => s"xl/worksheets/sheet${out.size + 1}.xml"
+                }
+                out += SheetMeta(name, target)
+              }
+            }
+          } finally { r.close(); in.close() }
+          out.toSeq
+        case None => throw new IllegalArgumentException(s"$path: xl/workbook.xml missing — not an xlsx file")
+      }
+    }
+
+    lazy val sharedStrings: IndexedSeq[String] = entryStream("xl/sharedStrings.xml") match {
+      case None => IndexedSeq.empty
+      case Some(in) =>
+        val r = xif.createXMLStreamReader(in)
+        val out = mutable.ArrayBuffer.empty[String]
+        val sb = new StringBuilder
+        var inT = false
+        try {
+          while (r.hasNext) {
+            r.next() match {
+              case XMLStreamConstants.START_ELEMENT =>
+                r.getLocalName match {
+                  case "si" => sb.clear()
+                  case "t"  => inT = true
+                  case _    =>
+                }
+              case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+                if (inT) sb.append(r.getText)
+              case XMLStreamConstants.END_ELEMENT =>
+                r.getLocalName match {
+                  case "t"  => inT = false
+                  case "si" => out += sb.toString
+                  case _    =>
+                }
+              case _ =>
+            }
+          }
+        } finally { r.close(); in.close() }
+        out.toIndexedSeq
+    }
+
+    /** Sheet selection with the reference's precedence: name wins over
+      * index; default = first sheet; OOB index / no sheets -> error
+      * (/root/reference/src/lib.rs:105-124).
+      */
+    def resolveSheet(name: Option[String], index: Option[Int]): SheetMeta = {
+      name match {
+        case Some(n) =>
+          sheets.find(_.name == n).getOrElse(
+            throw new IllegalArgumentException(s"Worksheet '$n' not found"))
+        case None =>
+          index match {
+            case Some(i) =>
+              if (i < 0 || i >= sheets.length)
+                throw new IllegalArgumentException(s"Sheet index $i out of bounds (${sheets.length} sheets)")
+              sheets(i)
+            case None =>
+              sheets.headOption.getOrElse(
+                throw new IllegalArgumentException("No worksheets found"))
+          }
+      }
+    }
+
+    private def entryStream(name: String): Option[InputStream] =
+      Option(zip.getEntry(name)).map(zip.getInputStream)
+
+    /** Streaming cell iterator over one worksheet part. Must be closed
+      * (or fully consumed).
+      */
+    def cells(target: String): CellIterator = {
+      val in = entryStream(target).getOrElse(
+        throw new IllegalArgumentException(s"$path: missing worksheet part $target"))
+      new CellIterator(xif.createXMLStreamReader(in), in, sharedStrings)
+    }
+
+    /** Used-range: from the <dimension> element when it carries a full
+      * range; otherwise computed with a dedicated scan pass (mirrors
+      * calamine, which trusts the dimension record when present).
+      */
+    def dimensions(target: String): Option[Dimensions] = {
+      val in = entryStream(target).getOrElse(
+        throw new IllegalArgumentException(s"$path: missing worksheet part $target"))
+      val r = xif.createXMLStreamReader(in)
+      var dim: Option[Dimensions] = None
+      var sawData = false
+      try {
+        var done = false
+        while (!done && r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT if r.getLocalName == "dimension" =>
+              val ref = r.getAttributeValue(null, "ref")
+              if (ref != null && ref.contains(":")) {
+                val Array(a, b) = ref.split(":", 2)
+                val (r0, c0) = cellRef(a)
+                val (r1, c1) = cellRef(b)
+                dim = Some(Dimensions(r0, c0, r1, c1))
+              }
+              done = true
+            case XMLStreamConstants.START_ELEMENT if r.getLocalName == "sheetData" =>
+              done = true // no dimension element before data
+              sawData = true
+            case _ =>
+          }
+        }
+      } finally { r.close(); in.close() }
+      if (dim.isDefined) dim
+      else {
+        // fallback: full scan for bounds
+        var r0, c0 = Int.MaxValue
+        var r1, c1 = Int.MinValue
+        val it = cells(target)
+        try {
+          while (it.hasNext) {
+            val c = it.next()
+            r0 = math.min(r0, c.row); c0 = math.min(c0, c.col)
+            r1 = math.max(r1, c.row); c1 = math.max(c1, c.col)
+          }
+        } finally it.close()
+        if (r0 == Int.MaxValue) None else Some(Dimensions(r0, c0, r1, c1))
+      }
+    }
+
+    override def close(): Unit = zip.close()
+  }
+
+  /** One-pass StAX cell stream: emits cells in document order (row-major —
+    * guaranteed by the SpreadsheetML spec for <sheetData>).
+    */
+  final class CellIterator(r: XMLStreamReader, in: InputStream, shared: IndexedSeq[String])
+      extends Iterator[Cell] with AutoCloseable {
+
+    private var nextCell: Cell = _
+    private var finished = false
+    private var curRow = -1     // 0-based row of the current <row> element
+    private var lastCol = -1    // last seen col in current row (for cells w/o r=)
+
+    private def advance(): Unit = {
+      nextCell = null
+      while (nextCell == null && !finished) {
+        if (!r.hasNext) { finished = true; close() }
+        else r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "row" =>
+                val ra = r.getAttributeValue(null, "r")
+                curRow = if (ra != null) ra.toInt - 1 else curRow + 1
+                lastCol = -1
+              case "c" => parseCell()
+              case _ =>
+            }
+          case XMLStreamConstants.END_DOCUMENT => finished = true; close()
+          case _ =>
+        }
+      }
+    }
+
+    /** Parse one <c> element completely (reader positioned on its start). */
+    private def parseCell(): Unit = {
+      val ref = r.getAttributeValue(null, "r")
+      val t = r.getAttributeValue(null, "t")
+      val (row, col) = if (ref != null) cellRef(ref) else (curRow, lastCol + 1)
+      lastCol = col
+      var v: String = null
+      var is: String = null
+      val sb = new StringBuilder
+      var inV = false
+      var inT = false
+      var depth = 1
+      while (depth > 0 && r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            depth += 1
+            r.getLocalName match {
+              case "v" => inV = true; sb.clear()
+              case "t" => inT = true
+              case "is" => sb.clear()
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inV || inT) sb.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            depth -= 1
+            r.getLocalName match {
+              case "v"  => inV = false; v = sb.toString
+              case "t"  => inT = false
+              case "is" => is = sb.toString
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+      val text: String = t match {
+        case "s"         => if (v == null) "" else shared(v.trim.toInt)
+        case "str"       => if (v == null) "" else v
+        case "inlineStr" => if (is == null) "" else is
+        case "b"         => if (v != null && (v.trim == "1" || v.trim.equalsIgnoreCase("true"))) "true" else "false"
+        case "e"         => if (v == null) "" else mapError(v.trim)
+        case "d"         => if (v == null) "" else v.trim // ISO datetime/duration: literal text
+        case _ => // numeric (or date-serial — both print as the raw f64)
+          if (v == null || v.trim.isEmpty) "" // explicitly-present empty cell
+          else RustDouble.format(v.trim.toDouble)
+      }
+      nextCell = Cell(row, col, text)
+    }
+
+    advance()
+
+    override def hasNext: Boolean = nextCell != null
+    override def next(): Cell = {
+      val c = nextCell
+      if (c == null) throw new NoSuchElementException
+      advance()
+      c
+    }
+    override def close(): Unit = {
+      try r.close() finally in.close()
+    }
+  }
+}
