@@ -1,0 +1,385 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{MinHashFns, SimHash64, RollingHash64, TextFns, VectorFns}
+
+/** LLM-training-pipeline operators (SURVEY §2.2 Q21–Q26 + north-star
+  * extensions): deduplication (exact / fingerprint / MinHash-LSH /
+  * SimHash / n-gram Jaccard / embedding cosine), similarity search
+  * (brute-force + LSH-bucketed ANN), and text analysis (language ID,
+  * quality scoring, token counting, fingerprinting).
+  *
+  * Exact/deterministic operators carry DuckDB oracles; approximate ones
+  * (MinHash-LSH, SimHash, ANN) are rows-only here and their
+  * recall/consistency contracts are asserted in LlmOpsSpec.
+  */
+object LlmOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** DuckDB SQL fragment: distinct word-3-gram shingle list of `text`. */
+  private val duckShingles =
+    """list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |               FOR i IN range(1, greatest(len(w)-1, 1))])""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------ exact dedup
+    // Hash-groupBy on the full text: the shuffle carries (text, doc_id)
+    // once per doc; at scale you'd group by a 128-bit fingerprint instead
+    // (q22_dedup_fingerprint) so the shuffle carries 16 bytes, not 500.
+    QueryDef(
+      "q22_dedup_exact",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(col("text"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy("keep_id"),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    // ------------------------------------- fingerprint dedup (md5 + roll)
+    QueryDef(
+      "q22_dedup_fingerprint",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+          .groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select(col("keep_id"), col("n_copies"), col("fp"))
+          .orderBy("keep_id"),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS fp
+             |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
+
+    // --------------------------------------- exact n-gram Jaccard pairs
+    // Scalable formulation: explode distinct shingles -> self-join on the
+    // shingle -> |A∩B| per pair -> Jaccard from set sizes. Shuffle is
+    // O(total shingles), not O(n²) docs. At 100 TB you'd additionally cap
+    // ultra-frequent shingles (they only generate candidate pairs whose
+    // Jaccard is then verified anyway — dropping the top-0.1% most common
+    // shingles is the standard prefix-filtering refinement).
+    QueryDef(
+      "q23_jaccard_pairs",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), TextFns.shingles(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+        val ex = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        val inter = ex.as("x").join(ex.as("y"),
+            col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+          .withColumn("jaccard",
+            round(col("n_inter").cast("double") /
+              (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"), 6))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |s AS (SELECT doc_id, $duckShingles AS sh FROM d WHERE len(w) >= 3)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
+              |FROM s a JOIN s b ON a.doc_id < b.doc_id
+              |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.8
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      bench = true),
+
+    // --------------------------------------------- MinHash + LSH near-dup
+    // 128-hash signatures, 16 bands x 8 rows (S-curve threshold ≈ 0.71).
+    // Candidates from band-bucket self-joins, then exact-Jaccard verify.
+    // Approximate (rows-only): recall contract vs q23_jaccard_pairs is
+    // asserted in LlmOpsSpec.
+    QueryDef(
+      "q23_minhash_lsh",
+      (s, dir) => {
+        val k = 128; val bands = 16; val rows = 8
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), TextFns.shingles(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sig = docs.select(col("doc_id"), col("sh"),
+          MinHashFns.bandKeys(MinHashFns.signature(col("sh"), k), bands, rows).as("bk"))
+        val buckets = sig.select(col("doc_id"), col("sh"),
+          posexplode(col("bk")).as(Seq("band", "key")))
+        val cand = buckets.as("x").join(buckets.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        cand
+          .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("jaccard",
+            round(col("n_inter").cast("double") /
+              (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"), 6))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      None,
+      bench = true),
+
+    // ------------------------------------------------- SimHash near-dup
+    // 64-bit SimHash over tokens; Hamming ≤ 7 pairs found EXACTLY by
+    // pigeonhole banding: the hash splits into 8 8-bit chunks, and two
+    // hashes differing in ≤ 7 bits must agree on at least one chunk
+    // (8 differences can't cover 8 chunks with ≤7 flipped bits).
+    // Candidates equi-join on (chunk_idx, chunk_value), then exact
+    // Hamming verification — same verify-after-bucket shape as MinHash.
+    QueryDef(
+      "q23_simhash",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), SimHash64.simhash64(TextFns.tokens(col("text"))).as("h"))
+        val chunks = docs.select(col("doc_id"), col("h"),
+          explode(array((0 until 8).map(i =>
+            struct(lit(i).as("ci"), shiftright(col("h"), i * 8).bitwiseAND(lit(0xffL)).as("ck"))): _*)).as("c"))
+        val cand = chunks.as("x").join(chunks.as("y"),
+            col("x.c.ci") === col("y.c.ci") && col("x.c.ck") === col("y.c.ck") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.h").as("h_a"), col("y.h").as("h_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        cand
+          .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+          .filter(col("hamming") <= 7)
+          .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // ------------------------------------------- embedding cosine pairs
+    // Exact cosine near-dup via index-explode join (distributed
+    // dot-product: shuffle on vector index, partial sums per pair) —
+    // the scalable exact formulation. DECIMAL accumulation makes the
+    // sum order-independent, so it hash-matches the oracle.
+    QueryDef(
+      "q24_cosine_pairs",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val unpacked = e.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
+        val prods = unpacked.as("a").join(unpacked.as("b"),
+            col("a.i") === col("b.i") && col("a.vec_id") < col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          .agg(sum((col("a.x") * col("b.x")).cast("decimal(30,15)")).as("dot"))
+        val norms = e.select(col("vec_id"),
+          sqrt(VectorFns.normSq(col("embedding"))).as("nrm"))
+        prods
+          .join(norms.select(col("vec_id").as("vec_a"), col("nrm").as("nrm_a")), "vec_a")
+          .join(norms.select(col("vec_id").as("vec_b"), col("nrm").as("nrm_b")), "vec_b")
+          .withColumn("cosine",
+            round(col("dot").cast("double") / (col("nrm_a") * col("nrm_b")), 6))
+          .filter(col("cosine") >= 0.4)
+          .select(col("vec_a"), col("vec_b"), col("cosine"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some("""WITH prods AS (
+             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |         (SELECT sum(CAST(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE) AS DECIMAL(30,15)))
+             |          FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z) AS dot
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+             |norms AS (
+             |  SELECT vec_id, sqrt((SELECT sum(CAST(z.x AS DOUBLE) * CAST(z.x AS DOUBLE))
+             |                       FROM (SELECT unnest(embedding) AS x) z)) AS nrm
+             |  FROM embeddings)
+             |SELECT p.vec_a, p.vec_b,
+             |       round(CAST(p.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+             |FROM prods p
+             |JOIN norms na ON p.vec_a = na.vec_id
+             |JOIN norms nb ON p.vec_b = nb.vec_id
+             |WHERE round(CAST(p.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= 0.4
+             |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // ------------------------------------------ brute-force cosine top-k
+    // Query vector broadcast against the table; zip_with/aggregate dot
+    // product inside codegen; TakeOrderedAndProject keeps it a per-
+    // partition heap, no global sort.
+    QueryDef(
+      "q24_cosine_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(VectorFns.cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT e.vec_id,
+             |  round(
+             |    (SELECT sum(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE))
+             |     FROM (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z)
+             |    / (sqrt((SELECT sum(CAST(z.x AS DOUBLE) * CAST(z.x AS DOUBLE))
+             |             FROM (SELECT unnest(e.embedding) AS x) z))
+             |     * sqrt((SELECT sum(CAST(z.y AS DOUBLE) * CAST(z.y AS DOUBLE))
+             |             FROM (SELECT unnest(q.qv) AS y) z))), 6) AS sim
+             |FROM embeddings e, q WHERE e.vec_id <> 0
+             |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin),
+      bench = true),
+
+    // ------------------------------------------------ LSH-bucketed ANN
+    // Scale path for top-k: multi-table multiprobe sign-LSH. 8 independent
+    // tables of 6 sign bits each (one 48-bit signature, sliced); the query
+    // probes each table's exact bucket plus all 1-bit flips (7 probes x 8
+    // tables). Candidates = vectors sharing any probed bucket; only those
+    // are ranked. At billions of vectors the per-table key would widen to
+    // ~24 bits; the structure (explode tables -> equi-join on (table, key)
+    // -> dedup -> rank) is unchanged. Approximate (rows-only); recall
+    // asserted in LlmOpsSpec against q24_cosine_topk.
+    QueryDef(
+      "q24_ann_lsh",
+      (s, dir) => {
+        val nTables = 8; val bits = 6
+        val mask = (1L << bits) - 1
+        def tableKey(sig: Column, tbl: Int): Column =
+          shiftright(sig, tbl * bits).bitwiseAND(lit(mask))
+        val e = t(s, dir, "embeddings")
+          .withColumn("sig", VectorFns.signBits(col("embedding"), nTables * bits))
+        val dataKeys = e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding"),
+            explode(array((0 until nTables).map(tbl =>
+              struct(lit(tbl).as("t"), tableKey(col("sig"), tbl).as("k"))): _*)).as("tk"))
+        val probeCols = for {
+          tbl <- 0 until nTables
+          flip <- -1 until bits
+        } yield {
+          val key = tableKey(col("sig"), tbl)
+          struct(lit(tbl).as("t"),
+            (if (flip < 0) key else key.bitwiseXOR(lit(1L << flip))).as("k"))
+        }
+        val probes = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), explode(array(probeCols: _*)).as("tk"))
+        dataKeys
+          .join(broadcast(probes), dataKeys("tk") === probes("tk"))
+          .select(col("vec_id"),
+            round(VectorFns.cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .dropDuplicates("vec_id")
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      None),
+
+    // ----------------------------------------------------- text analysis
+    QueryDef(
+      "q25_text_stats",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(size(TextFns.tokens(col("text"))).cast("long")).as("total_tokens"),
+            max(length(col("text")).cast("long")).as("max_len"))
+          .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+             |       sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+             |       max(CAST(length(text) AS BIGINT)) AS max_len
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      "q25_quality",
+      (s, dir) => {
+        val toks = TextFns.tokens(col("text"))
+        val enStops = TextFns.langStopwords.toMap.apply("en")
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            TextFns.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+            round(length(col("text")).cast("double") / size(toks).cast("double"), 6).as("avg_token_len"),
+            round(TextFns.punctRatio(col("text")), 6).as("punct_ratio"),
+            round(TextFns.stopwordCount(col("text"), enStops).cast("double") /
+              size(toks).cast("double"), 6).as("stopword_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+              |  round(CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len,
+              |  round(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) /
+              |        CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+              |  round(CAST(len(list_filter(string_split(text, ' '),
+              |          x -> x IN (${TextFns.langStopwords.toMap.apply("en").map(w => s"'$w'").mkString(",")}))) AS DOUBLE) /
+              |        CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic: stopword-vote argmax, first-match tie-break.
+    QueryDef(
+      "q25_langid",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextFns.langId(col("text")).as("lang_pred"))
+          .groupBy(col("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang_pred"),
+      Some {
+        val sets = TextFns.langStopwords.map { case (lang, ws) =>
+          lang -> s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
+        }
+        val best = s"greatest(${sets.map(_._2).mkString(", ")})"
+        val cases = sets.map { case (lang, e) => s"WHEN $e = best AND best > 0 THEN '$lang'" }
+        s"""WITH scored AS (SELECT doc_id, $best AS best,
+           |  CASE ${cases.mkString(" ")} ELSE 'und' END AS lang_pred
+           |  FROM documents)
+           |SELECT lang_pred, count(*) AS n_docs FROM scored
+           |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+      }),
+
+    // Rolling-hash fingerprint (custom codegen expression) — rows-only;
+    // determinism + distinctness asserted in LlmOpsSpec.
+    QueryDef(
+      "q25_fingerprint",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            RollingHash64.rolling_hash64(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      None),
+
+    // ------------------------------------------------ multimodal columns
+    // Opaque binary payload + typed metadata struct, written and read
+    // back through the zstd parquet sink — the schema/partitioning
+    // plumbing for image/audio columns (decode itself is environment-
+    // dependent and stubbed; see graft.operators.Multimodal).
+    QueryDef(
+      "q26_multimodal",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val assets = docs.select(
+          col("doc_id").as("asset_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          struct(
+            lit("text/plain").as("mime"),
+            col("n_chars").cast("int").as("w"),
+            lit(0).as("h")).as("meta"))
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_q26_assets.parquet"
+        assets.write.mode("overwrite").option("compression", "zstd").parquet(out)
+        s.read.parquet(out)
+          .select(col("asset_id"),
+            length(col("payload")).cast("long").as("payload_bytes"),
+            col("meta.mime").as("mime"),
+            col("meta.w").cast("long").as("w"))
+          .orderBy("asset_id")
+      },
+      Some("""SELECT doc_id AS asset_id,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+             |       'text/plain' AS mime,
+             |       CAST(n_chars AS BIGINT) AS w
+             |FROM documents ORDER BY asset_id""".stripMargin))
+  )
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's private[sql] Column <-> Expression conversions for
+  * graft's native Catalyst expressions (Spark 4 removed the public
+  * `new Column(expr)` / `col.expr` surface; `classic.ExpressionUtils` is
+  * the supported internal path).
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
