@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{MinHashFns, SimHash64, RollingHash64, TextFns, VectorFns}
+import graft.functions.{MinHashSignature, SimHash64, RollingHash64, TextFns, VectorFns, WordShingles}
 
 /** LLM-training-pipeline operators (SURVEY §2.2 Q21–Q26 + north-star
   * extensions): deduplication (exact / fingerprint / MinHash-LSH /
@@ -41,7 +41,8 @@ object LlmOps {
           .select(col("keep_id"), col("n_copies"))
           .orderBy("keep_id"),
       Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin),
+      bench = true),
 
     // ------------------------------------- fingerprint dedup (md5 + roll)
     QueryDef(
@@ -67,7 +68,7 @@ object LlmOps {
       "q23_jaccard_pairs",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-          .select(col("doc_id"), TextFns.shingles(col("text"), 3).as("sh"))
+          .select(col("doc_id"), WordShingles.word_shingles(col("text"), 3).as("sh"))
           .filter(size(col("sh")) > 0)
         val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
         val ex = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -104,12 +105,12 @@ object LlmOps {
     QueryDef(
       "q23_minhash_lsh",
       (s, dir) => {
-        val k = 128; val bands = 16; val rows = 8
+        val bands = 16; val rows = 8
         val docs = t(s, dir, "documents")
-          .select(col("doc_id"), TextFns.shingles(col("text"), 3).as("sh"))
+          .select(col("doc_id"), WordShingles.word_shingles(col("text"), 3).as("sh"))
           .filter(size(col("sh")) > 0)
         val sig = docs.select(col("doc_id"), col("sh"),
-          MinHashFns.bandKeys(MinHashFns.signature(col("sh"), k), bands, rows).as("bk"))
+          MinHashSignature.minhash_band_keys(col("sh"), bands, rows).as("bk"))
         val buckets = sig.select(col("doc_id"), col("sh"),
           posexplode(col("bk")).as(Seq("band", "key")))
         val cand = buckets.as("x").join(buckets.as("y"),

@@ -334,7 +334,8 @@ object Relational {
           .limit(10)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin),
+      bench = true),
 
     // --------------------------------------------------------------- set ops
     QueryDef(

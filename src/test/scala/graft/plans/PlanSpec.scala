@@ -1,0 +1,97 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Physical-plan shape assertions: these are the properties that keep the
+  * declared queries viable at 100 TB — filter pushdown into the parquet
+  * scan, column pruning, broadcast joins on dimension tables, partial
+  * aggregation, and heap-based top-k. A regression here won't fail a
+  * correctness test but would be a scale disaster, so it fails the build.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q04: filters push down to the parquet scan") {
+    val p = plan("q04_filter_pushdown")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("l_shipdate") && p.contains("l_discount") && p.contains("l_quantity"))
+    // the scan must not read the full 11-column lineitem schema
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"column pruning failed: $readSchema")
+  }
+
+  test("q03: projection prunes the scan to 3 columns") {
+    val p = plan("q03_project_rename")
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_returnflag"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q05: dimension joins broadcast") {
+    val p = plan("q05_join_star")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q08: aggregation is partial (map-side) before the shuffle") {
+    val p = plan("q08_agg_tpch_q1")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial"), "expected partial aggregation before exchange")
+  }
+
+  test("q13: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q13_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q07: range join is an equi-join on bucket keys, not nested loop") {
+    val p = plan("q07_join_range")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join fell back to a quadratic join strategy")
+  }
+
+  test("whole-stage codegen covers the agg pipeline") {
+    // AQE finalizes the plan only on execution; codegen'd operators are
+    // then marked '*(id)' in the executed plan tree
+    val df = SparkEntry.queries("q08_agg_tpch_q1")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"),
+      s"no WholeStageCodegen spans in:\n$p")
+  }
+
+  test("excel scan prunes pushed columns") {
+    // DSv2 SupportsPushDownRequiredColumns: reading 1 of 4 columns must
+    // reach the reader (ExcelScan description carries required fields)
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_plan_fixture.xlsx").toString
+    import graft.sources.excel.XlsxWriter
+    import graft.sources.excel.XlsxWriter._
+    XlsxWriter.write(path, Seq(Sheet.dense("s",
+      Seq(Some(XShared("a")), Some(XShared("b")), Some(XShared("c"))) +:
+        (1 to 3).map(i => Seq(Some(XNum(i)), Some(XNum(i)), Some(XNum(i)))))))
+    val df = spark.read.format("excel").load(path).select("b")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("ExcelScan") && p.contains("[b]"), p)
+  }
+}
