@@ -35,9 +35,7 @@ object ExcelToParquet {
   /** Convert one workbook sheet to a zstd parquet file; returns row count. */
   def convert(spark: SparkSession, opts: Options): Long = {
     val lower = opts.input.toLowerCase
-    if (lower.endsWith(".xlsb"))
-      throw new UnsupportedOperationException("xlsb: planned") // SURVEY §7.5 descope contract
-    if (!lower.endsWith(".xlsx"))
+    if (!lower.endsWith(".xlsx") && !lower.endsWith(".xlsb"))
       throw new IllegalArgumentException(
         s"Unsupported file extension for input: ${opts.input} (expected .xlsx or .xlsb)")
     val df = read(spark, opts)

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.excel.XlsxWriter
+import graft.sources.excel.{XlsbWriter, XlsxWriter}
 import graft.sources.excel.XlsxWriter._
 
 /** Excel-conversion queries: exercise the DSv2 excel source end-to-end
@@ -28,7 +28,37 @@ object Conversion {
     p.toString
   }
 
+  /** The same logical fixture in BIFF12 binary form (xlsb decoder R2). */
+  private def xlsbFixturePath(): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q02_fixture.xlsb")
+    if (!Files.exists(p)) {
+      XlsbWriter.write(p.toString, Seq(Sheet.dense("data",
+        Seq(Some(XShared("id")), Some(XShared("name")), Some(XShared("amount")), Some(XShared("flag"))) +:
+        Seq(
+          Seq(Some(XNum(1)), Some(XStr("alpha")), Some(XNum(1.5)), Some(XBool(true))),
+          Seq(Some(XNum(2)), Some(XShared("beta")), Some(XNum(2.0)), Some(XBool(false))),
+          Seq(Some(XNum(3)), Some(XStr("gamma")), None, Some(XEmpty)),
+          Seq(Some(XNum(4)), Some(XErr("#DIV/0!")), Some(XNum(-0.25)), None)))))
+    }
+    p.toString
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q02_xlsb_roundtrip",
+      (s, _) => {
+        val path = xlsbFixturePath()
+        s.read.format("excel").load(path)
+          .orderBy(col("id").cast("int"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('1', 'alpha', '1.5',   'true'),
+             |  ('2', 'beta',  '2',     'false'),
+             |  ('3', 'gamma', NULL,    ''),
+             |  ('4', 'Div0',  '-0.25', NULL)
+             |) AS t(id, name, amount, flag)
+             |ORDER BY CAST(id AS INTEGER)""".stripMargin)),
+
     QueryDef(
       "q02_excel_roundtrip",
       (s, _) => {

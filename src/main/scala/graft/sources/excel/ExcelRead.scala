@@ -37,7 +37,7 @@ object ExcelRead {
 
   /** Driver-side: resolve sheet, used range, and header names. */
   def layout(opts: Options): SheetLayout = {
-    val wb = new XlsxParser.Workbook(opts.path)
+    val wb = WorkbookSource.open(opts.path)
     try {
       val sheet = wb.resolveSheet(opts.sheetName, opts.sheetIndex)
       val dim = wb.dimensions(sheet.target)
@@ -72,7 +72,7 @@ object ExcelRead {
       opts: Options, lay: SheetLayout, outPos: Array[Int], outWidth: Int)
       extends Iterator[Array[String]] with AutoCloseable {
 
-    private val wb = new XlsxParser.Workbook(opts.path)
+    private val wb = WorkbookSource.open(opts.path)
     private val cells = wb.cells(lay.target)
     private var pendingRow = -1
     private var pending: Array[String] = _

@@ -1,0 +1,16 @@
+package graft.sources.excel
+
+/** Format-independent workbook access: the conversion semantics in
+  * ExcelRead run identically over xlsx (XML) and xlsb (BIFF12) parts.
+  */
+trait WorkbookSource extends AutoCloseable {
+  def resolveSheet(name: Option[String], index: Option[Int]): XlsxParser.SheetMeta
+  def dimensions(target: String): Option[XlsxParser.Dimensions]
+  def cells(target: String): Iterator[XlsxParser.Cell] with AutoCloseable
+}
+
+object WorkbookSource {
+  def open(path: String): WorkbookSource =
+    if (path.toLowerCase.endsWith(".xlsb")) new XlsbParser.Workbook(path)
+    else new XlsxParser.Workbook(path)
+}

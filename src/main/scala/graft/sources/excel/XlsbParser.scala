@@ -1,0 +1,176 @@
+package graft.sources.excel
+
+import java.util.zip.ZipFile
+
+import scala.collection.mutable
+
+import Biff12._
+
+/** Streaming xlsb (BIFF12) reader — second decoder behind the same DSv2
+  * source (R2, /root/reference/src/lib.rs:68-102). The container is a ZIP
+  * with binary parts (workbook.bin, worksheets/sheetN.bin,
+  * sharedStrings.bin); record layouts follow the public MS-XLSB spec.
+  * Cell stringification matches the xlsx path exactly (Rust float
+  * formatting, bool words, calamine error names, null-vs-"" semantics).
+  */
+object XlsbParser {
+
+  import XlsxParser.{Cell, Dimensions, SheetMeta}
+
+  final class Workbook(val path: String) extends WorkbookSource {
+    private val zip = new ZipFile(path)
+
+    private def entryStream(name: String) =
+      Option(zip.getEntry(name)).map(zip.getInputStream)
+
+    val sheets: Seq[SheetMeta] = {
+      val rels: Map[String, String] = entryStream("xl/_rels/workbook.bin.rels")
+        .map(XlsxParser.parseRels)
+        .getOrElse(Map.empty)
+      val in = entryStream("xl/workbook.bin").getOrElse(
+        throw new IllegalArgumentException(s"$path: xl/workbook.bin missing — not an xlsb file"))
+      val out = mutable.ArrayBuffer.empty[SheetMeta]
+      val r = new Reader(in)
+      try {
+        r.foreach { rec =>
+          if (rec.id == BrtBundleSh) {
+            val c = new Cursor(rec.payload)
+            c.skip(8) // hsState(4) + iTabID(4)
+            val relId = c.nullableWideString()
+            val name = c.wideString()
+            val target = relId.flatMap(rels.get) match {
+              case Some(t) if t.startsWith("/") => t.drop(1)
+              case Some(t)                      => s"xl/$t"
+              case None => s"xl/worksheets/sheet${out.size + 1}.bin"
+            }
+            out += SheetMeta(name, target)
+          }
+        }
+      } finally r.close()
+      out.toSeq
+    }
+
+    lazy val sharedStrings: IndexedSeq[String] =
+      entryStream("xl/sharedStrings.bin") match {
+        case None => IndexedSeq.empty
+        case Some(in) =>
+          val out = mutable.ArrayBuffer.empty[String]
+          val r = new Reader(in)
+          try {
+            r.foreach { rec =>
+              if (rec.id == BrtSSTItem) {
+                val c = new Cursor(rec.payload)
+                c.skip(1) // richStr flags
+                out += c.wideString()
+              }
+            }
+          } finally r.close()
+          out.toIndexedSeq
+      }
+
+    override def resolveSheet(name: Option[String], index: Option[Int]): SheetMeta =
+      name match {
+        case Some(n) =>
+          sheets.find(_.name == n).getOrElse(
+            throw new IllegalArgumentException(s"Worksheet '$n' not found"))
+        case None => index match {
+          case Some(i) =>
+            if (i < 0 || i >= sheets.length)
+              throw new IllegalArgumentException(
+                s"Sheet index $i out of bounds (${sheets.length} sheets)")
+            sheets(i)
+          case None =>
+            sheets.headOption.getOrElse(
+              throw new IllegalArgumentException("No worksheets found"))
+        }
+      }
+
+    override def dimensions(target: String): Option[Dimensions] = {
+      val in = entryStream(target).getOrElse(
+        throw new IllegalArgumentException(s"$path: missing worksheet part $target"))
+      val r = new Reader(in)
+      try {
+        var dim: Option[Dimensions] = None
+        var scanning = true
+        while (scanning && r.hasNext) {
+          val rec = r.next()
+          if (rec.id == BrtWsDim) {
+            val c = new Cursor(rec.payload)
+            val r0 = c.i32(); val r1 = c.i32(); val c0 = c.i32(); val c1 = c.i32()
+            dim = Some(Dimensions(r0, c0, r1, c1))
+            scanning = false
+          } else if (rec.id == BrtBeginSheetData) scanning = false
+        }
+        dim.orElse {
+          // no BrtWsDim: fall back to a full scan for bounds
+          var r0, c0 = Int.MaxValue
+          var r1, c1 = Int.MinValue
+          val it = cells(target)
+          try it.foreach { cell =>
+            r0 = math.min(r0, cell.row); c0 = math.min(c0, cell.col)
+            r1 = math.max(r1, cell.row); c1 = math.max(c1, cell.col)
+          } finally it.close()
+          if (r0 == Int.MaxValue) None else Some(Dimensions(r0, c0, r1, c1))
+        }
+      } finally r.close()
+    }
+
+    override def cells(target: String): Iterator[Cell] with AutoCloseable = {
+      val in = entryStream(target).getOrElse(
+        throw new IllegalArgumentException(s"$path: missing worksheet part $target"))
+      new CellIterator(new Reader(in), sharedStrings)
+    }
+
+    override def close(): Unit = zip.close()
+  }
+
+  final class CellIterator(r: Reader, shared: IndexedSeq[String])
+      extends Iterator[Cell] with AutoCloseable {
+
+    private var curRow = -1
+    private var nextCell: Cell = _
+    private var finished = false
+
+    private def advance(): Unit = {
+      nextCell = null
+      while (nextCell == null && !finished) {
+        if (!r.hasNext) { finished = true; close(); return }
+        val rec = r.next()
+        rec.id match {
+          case BrtRowHdr =>
+            curRow = new Cursor(rec.payload).i32()
+          case BrtCellBlank | BrtCellRk | BrtCellError | BrtCellBool |
+               BrtCellReal | BrtCellSt | BrtCellIsst | BrtFmlaString |
+               BrtFmlaNum | BrtFmlaBool | BrtFmlaError =>
+            val c = new Cursor(rec.payload)
+            val col = c.i32()
+            c.skip(4) // iStyleRef (3 bytes) + fPhShow/reserved (1 byte)
+            val text = rec.id match {
+              case BrtCellBlank => ""
+              case BrtCellRk    => RustDouble.format(decodeRk(c.i32()))
+              case BrtCellError | BrtFmlaError => errorName(c.u8())
+              case BrtCellBool | BrtFmlaBool => if (c.u8() != 0) "true" else "false"
+              case BrtCellReal | BrtFmlaNum  => RustDouble.format(c.f64())
+              case BrtCellSt | BrtFmlaString => c.wideString()
+              case BrtCellIsst =>
+                val idx = c.i32()
+                if (idx >= 0 && idx < shared.length) shared(idx) else ""
+            }
+            nextCell = Cell(curRow, col, text)
+          case BrtEndSheetData => finished = true; close()
+          case _ => // skip structural records
+        }
+      }
+    }
+
+    advance()
+    override def hasNext: Boolean = nextCell != null
+    override def next(): Cell = {
+      val cell = nextCell
+      if (cell == null) throw new NoSuchElementException
+      advance()
+      cell
+    }
+    override def close(): Unit = r.close()
+  }
+}

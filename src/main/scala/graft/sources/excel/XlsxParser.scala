@@ -68,29 +68,33 @@ object XlsxParser {
     case other           => other
   }
 
+  /** Parse an OPC relationships part (XML, shared by xlsx and xlsb
+    * containers) into Id -> Target.
+    */
+  def parseRels(in: InputStream): Map[String, String] = {
+    val r = xif.createXMLStreamReader(in)
+    val m = mutable.Map.empty[String, String]
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship") {
+          val id = r.getAttributeValue(null, "Id")
+          val target = r.getAttributeValue(null, "Target")
+          if (id != null && target != null) m(id) = target
+        }
+      }
+    } finally { r.close(); in.close() }
+    m.toMap
+  }
+
   /** Workbook-level metadata: sheet list in workbook order with resolved
     * worksheet part paths, and the shared-strings table.
     */
-  final class Workbook(val path: String) extends AutoCloseable {
+  final class Workbook(val path: String) extends WorkbookSource {
     private val zip = new ZipFile(path)
 
     val sheets: Seq[SheetMeta] = {
-      val rels: Map[String, String] = entryStream("xl/_rels/workbook.xml.rels") match {
-        case Some(in) =>
-          val r = xif.createXMLStreamReader(in)
-          val m = mutable.Map.empty[String, String]
-          try {
-            while (r.hasNext) {
-              if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship") {
-                val id = r.getAttributeValue(null, "Id")
-                val target = r.getAttributeValue(null, "Target")
-                if (id != null && target != null) m(id) = target
-              }
-            }
-          } finally { r.close(); in.close() }
-          m.toMap
-        case None => Map.empty
-      }
+      val rels: Map[String, String] =
+        entryStream("xl/_rels/workbook.xml.rels").map(parseRels).getOrElse(Map.empty)
       entryStream("xl/workbook.xml") match {
         case Some(in) =>
           val r = xif.createXMLStreamReader(in)

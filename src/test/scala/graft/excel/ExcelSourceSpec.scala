@@ -171,14 +171,10 @@ class ExcelSourceSpec extends AnyFunSuite {
     assert(back.orderBy(back("id").cast("int")).collect().head == Row("1", "0.5"))
   }
 
-  test("xlsb and unknown extensions follow the CLI error contract") {
-    val e1 = intercept[UnsupportedOperationException] {
-      graft.ExcelToParquet.convert(spark, graft.ExcelToParquet.Options("f.xlsb", "o"))
-    }
-    assert(e1.getMessage.contains("xlsb"))
-    val e2 = intercept[IllegalArgumentException] {
+  test("unknown extensions follow the CLI error contract") {
+    val e = intercept[IllegalArgumentException] {
       graft.ExcelToParquet.convert(spark, graft.ExcelToParquet.Options("f.csv", "o"))
     }
-    assert(e2.getMessage.contains("Unsupported"))
+    assert(e.getMessage.contains("Unsupported"))
   }
 }
