@@ -43,6 +43,33 @@ object ExcelToParquet {
     spark.read.parquet(opts.output).count()
   }
 
+  /** Fan out many independent file conversions. Each conversion is its
+    * own Spark job (the per-sheet scan is one task), so driver-side
+    * concurrency is what fills the cluster: jobs are submitted from a
+    * bounded pool and Spark's scheduler interleaves their tasks across
+    * executors. Returns (input, rowCount-or-error) per file.
+    */
+  def convertMany(
+      spark: SparkSession,
+      jobs: Seq[Options],
+      parallelism: Int = 8): Seq[(String, Either[String, Long])] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, jobs.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    try {
+      val futures = jobs.map { opts =>
+        Future {
+          opts.input -> (try Right(convert(spark, opts))
+          catch { case e: Throwable => Left(e.getMessage) })
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
+  }
+
   def main(args: Array[String]): Unit = {
     var input: Option[String] = None
     var output: Option[String] = None

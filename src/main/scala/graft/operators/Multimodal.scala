@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads with a typed metadata struct, plus a partition-wise decode /
+  * feature-extract operator.
+  *
+  * The Spark-side shape is real and load-bearing: schema, per-partition
+  * batching (mapPartitions — the Scala analogue of mapInPandas), output
+  * encoder, and the parquet round-trip. The CODEC itself is a clearly
+  * marked deterministic stub — this container ships no image/audio
+  * libraries, so `decodeStub` derives features from the raw bytes
+  * (length, head byte, simple checksum); swapping in a real decoder
+  * changes only the function body, not the distributed plumbing.
+  */
+object Multimodal {
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("w", IntegerType, nullable = true),
+      StructField("h", IntegerType, nullable = true))), nullable = true)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = true),
+    StructField("head_byte", LongType, nullable = true),
+    StructField("byte_sum_mod", LongType, nullable = true)))
+
+  /** STUB decode: deterministic features from raw bytes. A real
+    * implementation would decode the payload (image resize, audio
+    * resample, frame sample) here — per partition, streaming, no
+    * driver-side collection.
+    */
+  def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
+    if (payload == null || payload.isEmpty) (0L, -1L, 0L)
+    else {
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) { sum += payload(i) & 0xffL; i += 1 }
+      (payload.length.toLong, (payload(0) & 0xffL), sum % 256L)
+    }
+  }
+
+  /** Partition-wise feature extraction over an asset DataFrame
+    * (asset_id, payload, meta). One pass per partition; output rows
+    * carry the extracted features.
+    */
+  def extractFeatures(assets: DataFrame): DataFrame = {
+    val enc = Encoders.row(featureSchema)
+    assets.select(col("asset_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val (n, head, sum) = decodeStub(payload)
+          Row(id, n, head, sum)
+        }
+      }(enc)
+  }
+
+  /** Build an asset table from documents (text payload stands in for a
+    * real media payload) — used by q26 and the specs.
+    */
+  def assetsFromDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(
+        col("doc_id").as("asset_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          lit("text/plain").as("mime"),
+          col("n_chars").cast("int").as("w"),
+          lit(0).as("h")).as("meta"))
+}

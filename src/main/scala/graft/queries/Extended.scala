@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Coverage extensions: as-of join, the remaining array/map/JSON function
+  * families, and the SQL entry surface (spark.sql over temp views).
+  */
+object Extended {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------- as-of join
+    // Most recent order date per user at each event's timestamp, via the
+    // union-sort window trick (one shuffle on the key; see AsOfJoin).
+    QueryDef(
+      "q07_asof_join",
+      (s, dir) => {
+        val events = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val orders = Tables.load(s, dir, "orders")
+        AsOfJoin(events, orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightVals = Seq("o_orderdate" -> "last_order_date"))
+          .select(col("event_id"), col("user_id"), col("last_order_date"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  (SELECT max(o_orderdate) FROM orders
+             |   WHERE o_custkey = user_id AND o_orderdate <= ts) AS last_order_date
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // -------------------------------------------- explode + array_contains
+    QueryDef(
+      "q18_explode_tokens",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token").asc)
+          .limit(20),
+      Some("""SELECT token, count(*) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin)),
+
+    QueryDef(
+      "q18_array_contains",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            array_contains(split(col("text"), " "), "the").as("has_the"),
+            array_position(split(col("text"), " "), "the").cast("long").as("first_the"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  list_contains(string_split(text, ' '), 'the') AS has_the,
+             |  CAST(coalesce(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS first_the
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------- from_json / map functions
+    QueryDef(
+      "q19_from_json_map",
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .select(col("event_id"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")).as("m"))
+          .select(col("event_id"),
+            element_at(map_keys(col("m")), 1).as("first_key"),
+            element_at(col("m"), "k").cast("long").as("k_val"),
+            size(col("m")).cast("long").as("n_keys"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, 'k' AS first_key,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+             |  CAST(1 AS BIGINT) AS n_keys
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // -------------------------------------------------- SQL entry surface
+    // TPC-H Q3 shape through spark.sql over temp views — same Catalyst
+    // plan as the DSL path, proving the SQL front door.
+    QueryDef(
+      "q05_sql_tpch_q3",
+      (s, dir) => {
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer_v")
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""
+          SELECT o_orderkey,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
+                 o_orderdate
+          FROM customer_v JOIN orders_v ON c_custkey = o_custkey
+                          JOIN lineitem_v ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+            AND l_shipdate > TIMESTAMP '1998-01-01'
+          GROUP BY o_orderkey, o_orderdate
+          ORDER BY revenue DESC, o_orderkey ASC
+          LIMIT 10""")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
+             |  o_orderdate
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |              JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01'
+             |GROUP BY o_orderkey, o_orderdate
+             |ORDER BY revenue DESC, o_orderkey ASC
+             |LIMIT 10""".stripMargin),
+      bench = true)
+  )
+}

@@ -381,6 +381,22 @@ object LlmOps {
              |       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
              |       'text/plain' AS mime,
              |       CAST(n_chars AS BIGINT) AS w
+             |FROM documents ORDER BY asset_id""".stripMargin)),
+
+    // Partition-wise decode/feature-extract over binary payloads
+    // (graft.operators.Multimodal; codec stubbed, plumbing real). The
+    // fixture payloads are ASCII text, so the byte-level features have an
+    // exact SQL formulation for the oracle.
+    QueryDef(
+      "q26_multimodal_decode",
+      (s, dir) =>
+        graft.operators.Multimodal.extractFeatures(
+          graft.operators.Multimodal.assetsFromDocuments(s, dir))
+          .orderBy("asset_id"),
+      Some("""SELECT doc_id AS asset_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS head_byte,
+             |  CAST(list_sum([ascii(x) FOR x IN string_split(text, '')]) % 256 AS BIGINT) AS byte_sum_mod
              |FROM documents ORDER BY asset_id""".stripMargin))
   )
 }
