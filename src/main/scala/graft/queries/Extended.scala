@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, SaltedJoin}
 
 /** Coverage extensions: as-of join, the remaining array/map/JSON function
   * families, and the SQL entry surface (spark.sql over temp views).
@@ -32,6 +32,29 @@ object Extended {
              |  (SELECT max(o_orderdate) FROM orders
              |   WHERE o_custkey = user_id AND o_orderdate <= ts) AS last_order_date
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------ salted skew join
+    // events.event_type has 5 hot keys (~n/5 rows each) — the shape where
+    // a plain shuffle join sends each hot key to one reducer. SaltedJoin
+    // spreads each key over 8 salts; the result is exactly the plain
+    // join, which is what the oracle checks.
+    QueryDef(
+      "q06_join_salted",
+      (s, dir) => {
+        val events = Tables.load(s, dir, "events")
+        val dim = events.select(col("event_type").as("t_type")).distinct()
+          .withColumn("type_len", length(col("t_type")).cast("long"))
+        SaltedJoin(events, dim, "event_type", "t_type", salts = 8)
+          .groupBy(col("event_type"), col("type_len"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(27, 2)))
+              .cast("double").as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(length(event_type) AS BIGINT) AS type_len,
+             |       count(*) AS n_events,
+             |       CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // -------------------------------------------- explode + array_contains
     QueryDef(

@@ -37,6 +37,42 @@ object Streaming {
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Custom keyed state (flatMapGroupsWithState): per-user counts and an
+    // exact cents total — batch-equivalent on bounded input.
+    QueryDef(
+      "q20_stream_stateful",
+      (s, dir) => graft.streaming.StreamOps.statefulCounts(s, dir),
+      Some("""SELECT user_id, count(*) AS n_events,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Session windows (30-minute gap) in batch form; the same
+    // session_window call runs under streaming with a watermark. Oracle is
+    // the classic gaps-and-islands formulation.
+    QueryDef(
+      "q20_session_windows",
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("session_window.start").as("s_start"), col("n_events"))
+          .orderBy("user_id", "s_start"),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |numbered AS (
+             |  SELECT user_id, ts,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                     ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flagged)
+             |SELECT user_id, min(ts) AS s_start, count(*) AS n_events
+             |FROM numbered GROUP BY user_id, sid
+             |ORDER BY user_id, s_start""".stripMargin)),
+
     // Typed Aggregator top-k: top-3 order prices per customer, exploded to
     // rows so the oracle compare stays scalar-typed.
     QueryDef(

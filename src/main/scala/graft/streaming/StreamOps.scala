@@ -88,4 +88,35 @@ object StreamOps {
     runToMemory(spark, dedup, s"dedup_${System.nanoTime()}", "complete")
       .orderBy("event_type")
   }
+
+  final case class Ev(user_id: Long, value: Double)
+  final case class UserState(n: Long, cents: Long)
+
+  /** Custom keyed state via flatMapGroupsWithState: per-user event count
+    * and an exact money total held in a mutable state object (cents as a
+    * long — order-independent, so batch-equivalent). The state API is
+    * what arbitrary stateful pipelines (sessionization, CDC merge,
+    * feature windows) build on at scale; state lives in the state store,
+    * partitioned by key, not on the driver.
+    */
+  def statefulCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ds = eventsStream(spark, sfDir)
+      .select(col("user_id"), col("value")).as[Ev]
+    val out = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Ev], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          var n = prev.n
+          var cents = prev.cents
+          events.foreach { e => n += 1; cents += math.round(e.value * 100) }
+          state.update(UserState(n, cents))
+          Iterator((user, n, cents))
+      }
+      .toDF("user_id", "n_events", "total_cents")
+    runToMemory(spark, out, s"stateful_${System.nanoTime()}", "update")
+      .orderBy("user_id")
+  }
 }
