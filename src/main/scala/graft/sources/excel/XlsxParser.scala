@@ -126,31 +126,28 @@ object XlsxParser {
     lazy val sharedStrings: IndexedSeq[String] = entryStream("xl/sharedStrings.xml") match {
       case None => IndexedSeq.empty
       case Some(in) =>
-        val r = xif.createXMLStreamReader(in)
+        val rd = new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8)
+        val fx = new FastXml(rd)
         val out = mutable.ArrayBuffer.empty[String]
         val sb = new StringBuilder
         var inT = false
         try {
-          while (r.hasNext) {
-            r.next() match {
-              case XMLStreamConstants.START_ELEMENT =>
-                r.getLocalName match {
-                  case "si" => sb.clear()
-                  case "t"  => inT = true
-                  case _    =>
-                }
-              case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
-                if (inT) sb.append(r.getText)
-              case XMLStreamConstants.END_ELEMENT =>
-                r.getLocalName match {
-                  case "t"  => inT = false
-                  case "si" => out += sb.toString
-                  case _    =>
-                }
+          var e = fx.next(inT)
+          while (e != FastXml.EVENT_EOF) {
+            e match {
+              case FastXml.EVENT_START =>
+                if (fx.nameIs("si")) sb.setLength(0)
+                else if (fx.nameIs("t") && !fx.selfClosing) inT = true
+              case FastXml.EVENT_TEXT =>
+                if (inT) sb.append(fx.text)
+              case FastXml.EVENT_END =>
+                if (fx.nameIs("t")) inT = false
+                else if (fx.nameIs("si")) out += sb.toString
               case _ =>
             }
+            e = fx.next(inT)
           }
-        } finally { r.close(); in.close() }
+        } finally rd.close()
         out.toIndexedSeq
     }
 
@@ -185,7 +182,8 @@ object XlsxParser {
     def cells(target: String): CellIterator = {
       val in = entryStream(target).getOrElse(
         throw new IllegalArgumentException(s"$path: missing worksheet part $target"))
-      new CellIterator(xif.createXMLStreamReader(in), in, sharedStrings)
+      val rd = new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8)
+      new CellIterator(new FastXml(rd), rd, sharedStrings)
     }
 
     /** Used-range: from the <dimension> element when it carries a full
@@ -238,10 +236,11 @@ object XlsxParser {
     override def close(): Unit = zip.close()
   }
 
-  /** One-pass StAX cell stream: emits cells in document order (row-major —
+  /** One-pass cell stream over the sheet XML (FastXml scanner — see that
+    * class for why not StAX). Emits cells in document order (row-major —
     * guaranteed by the SpreadsheetML spec for <sheetData>).
     */
-  final class CellIterator(r: XMLStreamReader, in: InputStream, shared: IndexedSeq[String])
+  final class CellIterator(fx: FastXml, rd: java.io.Reader, shared: IndexedSeq[String])
       extends Iterator[Cell] with AutoCloseable {
 
     private var nextCell: Cell = _
@@ -252,27 +251,23 @@ object XlsxParser {
     private def advance(): Unit = {
       nextCell = null
       while (nextCell == null && !finished) {
-        if (!r.hasNext) { finished = true; close() }
-        else r.next() match {
-          case XMLStreamConstants.START_ELEMENT =>
-            r.getLocalName match {
-              case "row" =>
-                val ra = r.getAttributeValue(null, "r")
-                curRow = if (ra != null) ra.toInt - 1 else curRow + 1
-                lastCol = -1
-              case "c" => parseCell()
-              case _ =>
-            }
-          case XMLStreamConstants.END_DOCUMENT => finished = true; close()
+        fx.next(false) match {
+          case FastXml.EVENT_START =>
+            if (fx.nameIs("row")) {
+              val ra = fx.attr("r")
+              curRow = if (ra != null) ra.toInt - 1 else curRow + 1
+              lastCol = -1
+            } else if (fx.nameIs("c")) parseCell()
+          case FastXml.EVENT_EOF => finished = true; close()
           case _ =>
         }
       }
     }
 
-    /** Parse one <c> element completely (reader positioned on its start). */
+    /** Parse one <c> element completely (scanner positioned on its start). */
     private def parseCell(): Unit = {
-      val ref = r.getAttributeValue(null, "r")
-      val t = r.getAttributeValue(null, "t")
+      val ref = fx.attr("r")
+      val t = fx.attr("t")
       val (row, col) = if (ref != null) cellRef(ref) else (curRow, lastCol + 1)
       lastCol = col
       var v: String = null
@@ -280,34 +275,34 @@ object XlsxParser {
       val sb = new StringBuilder
       var inV = false
       var inT = false
-      var depth = 1
-      while (depth > 0 && r.hasNext) {
-        r.next() match {
-          case XMLStreamConstants.START_ELEMENT =>
-            depth += 1
-            r.getLocalName match {
-              case "v" => inV = true; sb.clear()
-              case "t" => inT = true
-              case "is" => sb.clear()
-              case _ =>
-            }
-          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
-            if (inV || inT) sb.append(r.getText)
-          case XMLStreamConstants.END_ELEMENT =>
-            depth -= 1
-            r.getLocalName match {
-              case "v"  => inV = false; v = sb.toString
-              case "t"  => inT = false
-              case "is" => is = sb.toString
-              case _ =>
-            }
-          case _ =>
+      var sawIs = false
+      if (!fx.selfClosing) {
+        var depth = 1
+        while (depth > 0) {
+          fx.next(inV || inT) match {
+            case FastXml.EVENT_START =>
+              if (!fx.selfClosing) {
+                depth += 1
+                if (fx.nameIs("v")) { inV = true; sb.setLength(0) }
+                else if (fx.nameIs("t")) inT = true
+                else if (fx.nameIs("is")) { sawIs = true; sb.setLength(0) }
+              } else if (fx.nameIs("is")) sawIs = true
+            case FastXml.EVENT_TEXT =>
+              if (inV || inT) sb.append(fx.text)
+            case FastXml.EVENT_END =>
+              depth -= 1
+              if (fx.nameIs("v")) { inV = false; v = sb.toString }
+              else if (fx.nameIs("t")) inT = false
+              else if (fx.nameIs("is")) is = sb.toString
+            case FastXml.EVENT_EOF => depth = 0
+            case _ =>
+          }
         }
       }
       val text: String = t match {
         case "s"         => if (v == null) "" else shared(v.trim.toInt)
         case "str"       => if (v == null) "" else v
-        case "inlineStr" => if (is == null) "" else is
+        case "inlineStr" => if (is == null && !sawIs) "" else if (is == null) "" else is
         case "b"         => if (v != null && (v.trim == "1" || v.trim.equalsIgnoreCase("true"))) "true" else "false"
         case "e"         => if (v == null) "" else mapError(v.trim)
         case "d"         => if (v == null) "" else v.trim // ISO datetime/duration: literal text
@@ -327,8 +322,6 @@ object XlsxParser {
       advance()
       c
     }
-    override def close(): Unit = {
-      try r.close() finally in.close()
-    }
+    override def close(): Unit = rd.close()
   }
 }
