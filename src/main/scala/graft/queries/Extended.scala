@@ -33,6 +33,28 @@ object Extended {
              |   WHERE o_custkey = user_id AND o_orderdate <= ts) AS last_order_date
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // ---------------------------------------------------- grouping sets
+    // Direct GROUPING SETS (rollup/cube are in q10_*): two unrelated
+    // groupings in one pass over lineitem.
+    QueryDef(
+      "q10_grouping_sets",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+        s.sql("""
+          SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                 coalesce(l_linestatus, 'ALL') AS status,
+                 count(*) AS n_rows
+          FROM lineitem_gs
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY flag, status""")
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             |       coalesce(l_linestatus, 'ALL') AS status,
+             |       count(*) AS n_rows
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY flag, status""".stripMargin)),
+
     // ------------------------------------------------ salted skew join
     // events.event_type has 5 hot keys (~n/5 rows each) — the shape where
     // a plain shuffle join sends each hot key to one reducer. SaltedJoin
