@@ -80,6 +80,15 @@ class PlanSpec extends AnyFunSuite {
       s"no WholeStageCodegen spans in:\n$p")
   }
 
+  test("near-dup pipeline: no quadratic join strategies anywhere") {
+    Seq("q23_jaccard_pairs", "q23_minhash_lsh", "q23_simhash", "q24_cosine_pairs")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"$q plans a quadratic join:\n$p")
+      }
+  }
+
   test("excel scan prunes pushed columns") {
     // DSv2 SupportsPushDownRequiredColumns: reading 1 of 4 columns must
     // reach the reader (ExcelScan description carries required fields)
