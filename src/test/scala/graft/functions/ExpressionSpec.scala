@@ -58,6 +58,16 @@ class ExpressionSpec extends AnyFunSuite {
     m(1L).zip(m(3L)).foreach { case (x, y) => assert(y <= x) }
   }
 
+  test("composed HOF MinHash (reference implementation) keeps MinHash properties") {
+    // MinHashFns is the readable built-in composition the native
+    // expression replaced; keep its behavior pinned
+    val a = (1 to 60).map(i => s"sh$i")
+    val df = Seq((1L, a), (2L, a)).toDF("id", "sh")
+      .select(col("id"), MinHashFns.signature(col("sh"), 8).as("sig"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(m(1L).length == 8 && m(1L) == m(2L))
+  }
+
   test("band keys derive from signature slices consistently") {
     val sh = (1 to 50).map(i => s"s$i")
     val df = Seq(Tuple1(sh)).toDF("sh").select(
