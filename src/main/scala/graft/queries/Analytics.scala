@@ -1,0 +1,359 @@
+package graft.queries
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Round-2 analytics surface: pivot/unpivot, deterministic sampling,
+  * moment statistics / correlation / percentiles, partitioned and
+  * bucketed storage layouts, extended window functions, conditional /
+  * null-handling functions, and CSV/JSON source round-trips.
+  *
+  * Determinism follows the QueryDef contract: decimal-cast sums for
+  * order-independence, explicit ORDER BY on unique key prefixes, and
+  * content-hash (md5) sampling instead of RNG sampling so both engines
+  * select identical rows.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(38, scale))).cast("double")
+
+  private def tmp(name: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"), name).toString
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ----------------------------------------------------------- pivot
+    // Explicit pivot values keep the plan a single pass (no extra
+    // distinct-values job) and make the output schema static — which is
+    // also what you want at 100 TB (a pivot over unknown cardinality is
+    // a driver-side OOM waiting to happen).
+    QueryDef(
+      "q27_pivot",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(dsum(col("l_quantity"), 2))
+          .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,2)) END) AS DOUBLE) AS qty_f,
+             |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,2)) END) AS DOUBLE) AS qty_o
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // --------------------------------------------------------- unpivot
+    QueryDef(
+      "q27_unpivot",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            col("o_totalprice"), col("o_custkey").cast("double").as("o_custkey_d"))
+          .unpivot(
+            Array(col("o_orderkey")),
+            Array(col("o_totalprice"), col("o_custkey_d")),
+            "metric", "value")
+          .orderBy("o_orderkey", "metric"),
+      Some("""SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value FROM orders
+             |UNION ALL
+             |SELECT o_orderkey, 'o_custkey_d' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders
+             |ORDER BY o_orderkey, metric""".stripMargin)),
+
+    // --------------------------------------- deterministic hash sampling
+    // Content-hash Bernoulli sampling (~1/16 via the first md5 nibble):
+    // unlike rand()-based TABLESAMPLE it is reproducible across engines,
+    // partitionings and retries — the property that matters when a 100 TB
+    // sample feeds a training-data audit that must be re-runnable.
+    QueryDef(
+      "q28_sample_hash",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+          .agg(
+            count(lit(1)).as("n_sampled"),
+            dsum(col("o_totalprice"), 2).as("sample_total"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key")),
+      Some("""SELECT count(*) AS n_sampled,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sample_total,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+             |FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""".stripMargin)),
+
+    // ------------------------------------ stratified top-n-per-stratum
+    // Deterministic stratified sample: n rows per stratum chosen by md5
+    // rank (uniform within stratum, reproducible). The window ranks
+    // within each stratum only — shuffle is by stratum key, no global
+    // sort, so it scales to arbitrary table sizes.
+    QueryDef(
+      "q28_sample_stratified",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_sampled"),
+            dsum(col("o_totalprice"), 2).as("sample_total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT o_orderpriority, o_totalprice,
+             |         row_number() OVER (PARTITION BY o_orderpriority
+             |           ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+             |  FROM orders)
+             |SELECT o_orderpriority, count(*) AS n_sampled,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sample_total
+             |FROM ranked WHERE rn <= 20
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ------------------------------------------- moment statistics
+    // Mean/variance/stddev/skewness from exact decimal power sums: the
+    // double->decimal cast of each term rounds identically in both
+    // engines, and decimal accumulation is order-independent, so the
+    // derived doubles are bit-deterministic. One partial-aggregated pass
+    // (map-side combine), no second pass over the data.
+    QueryDef(
+      "q29_summary_stats",
+      (s, dir) => {
+        val x = col("l_quantity")
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(x.cast(DecimalType(38, 2))).as("s1"),
+            sum((x * x).cast(DecimalType(38, 4))).as("s2"),
+            sum((x * x * x).cast(DecimalType(38, 6))).as("s3"))
+          .select(
+            col("l_returnflag"), col("n_rows"),
+            round(col("s1").cast("double") / col("n_rows"), 6).as("mean_qty"),
+            round(col("s2").cast("double") / col("n_rows") -
+              pow(col("s1").cast("double") / col("n_rows"), 2), 6).as("var_qty"),
+            round(
+              (col("s3").cast("double") / col("n_rows") -
+                lit(3.0) * (col("s1").cast("double") / col("n_rows")) * (col("s2").cast("double") / col("n_rows")) +
+                lit(2.0) * pow(col("s1").cast("double") / col("n_rows"), 3)) /
+              pow(col("s2").cast("double") / col("n_rows") -
+                pow(col("s1").cast("double") / col("n_rows"), 2), 1.5), 6).as("skew_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH sums AS (
+             |  SELECT l_returnflag, count(*) AS n_rows,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS s1,
+             |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS s2,
+             |    CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s3
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n_rows,
+             |  round(s1 / n_rows, 6) AS mean_qty,
+             |  round(s2 / n_rows - (s1 / n_rows) ^ 2, 6) AS var_qty,
+             |  round((s3 / n_rows - 3.0 * (s1 / n_rows) * (s2 / n_rows) + 2.0 * (s1 / n_rows) ^ 3) /
+             |        ((s2 / n_rows - (s1 / n_rows) ^ 2) ^ 1.5), 6) AS skew_qty
+             |FROM sums ORDER BY l_returnflag""".stripMargin)),
+
+    // ------------------------------------------------- correlation
+    QueryDef(
+      "q29_corr",
+      (s, dir) => {
+        val x = col("l_quantity"); val y = col("l_extendedprice")
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(x.cast(DecimalType(38, 2))).cast("double").as("sx"),
+            sum(y.cast(DecimalType(38, 2))).cast("double").as("sy"),
+            sum((x * x).cast(DecimalType(38, 4))).cast("double").as("sxx"),
+            sum((y * y).cast(DecimalType(38, 4))).cast("double").as("syy"),
+            sum((x * y).cast(DecimalType(38, 4))).cast("double").as("sxy"))
+          .select(col("l_returnflag"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+               sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH sums AS (
+             |  SELECT l_returnflag,
+             |    CAST(count(*) AS DOUBLE) AS n,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sy,
+             |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+             |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+             |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag,
+             |  round((n * sxy - sx * sy) /
+             |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+             |FROM sums ORDER BY l_returnflag""".stripMargin)),
+
+    // ------------------------------------------------- percentiles
+    // Exact linear-interpolation percentiles (Spark `percentile` ==
+    // DuckDB `quantile_cont`), plus the approx-sketch contract: the
+    // t-digest estimate must land within 5% of the exact median.
+    QueryDef(
+      "q29_percentiles",
+      (s, dir) => {
+        val pct = expr("percentile(l_quantity, array(0.25, 0.5, 0.75))")
+        val apx = expr("approx_percentile(l_quantity, 0.5, 10000)")
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(pct.as("pct"), apx.as("apx"))
+          .select(col("l_returnflag"),
+            round(element_at(col("pct"), 1), 6).as("p25"),
+            round(element_at(col("pct"), 2), 6).as("p50"),
+            round(element_at(col("pct"), 3), 6).as("p75"),
+            (abs(col("apx") - element_at(col("pct"), 2)) <=
+              element_at(col("pct"), 2) * 0.05).as("approx_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+             |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+             |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+             |  true AS approx_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ----------------------------------- partitioned layout + pruning
+    // Hive-style partitioned parquet: the read side must prune to the
+    // single l_returnflag=R directory (PlanSpec asserts PartitionFilters)
+    // — the layout that turns a 100 TB scan into a 30 TB one for free.
+    QueryDef(
+      "q30_partitioned_write",
+      (s, dir) => {
+        val out = tmp("graft_q30_part.parquet")
+        t(s, dir, "lineitem")
+          .write.mode("overwrite").partitionBy("l_returnflag")
+          .option("compression", "zstd").parquet(out)
+        s.read.parquet(out)
+          .filter(col("l_returnflag") === "R")
+          .agg(count(lit(1)).as("n_rows"),
+            dsum(col("l_extendedprice"), 2).as("sum_price"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin)),
+
+    // --------------------------------------- bucketed co-located join
+    // Both sides bucketed 8 ways on the join key: the join runs
+    // shuffle-free (PlanSpec asserts no Exchange above either scan) —
+    // the pre-partitioning pattern that amortizes one shuffle across
+    // every downstream join at scale.
+    QueryDef(
+      "q30_bucketed_join",
+      (s, dir) => {
+        // DROP TABLE only clears the catalog entry; a stale warehouse
+        // directory from a previous session makes saveAsTable throw
+        // LOCATION_ALREADY_EXISTS, so remove the physical location too.
+        def dropHard(table: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $table")
+          val loc = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), table)
+          loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        }
+        dropHard("graft_orders_b")
+        dropHard("graft_customer_b")
+        t(s, dir, "orders")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("graft_orders_b")
+        t(s, dir, "customer")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("graft_customer_b")
+        s.table("graft_orders_b")
+          .join(s.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice"), 2).as("total_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---------------------------------------- extended window functions
+    QueryDef(
+      "q31_window_extras",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cum_dist"),
+            lag(col("o_totalprice"), 1, -1.0).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1, -1.0).over(w).as("next_price"),
+            first(col("o_totalprice")).over(w).as("first_price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  ntile(4) OVER w AS quartile,
+             |  round(percent_rank() OVER w, 6) AS pct_rank,
+             |  round(cume_dist() OVER w, 6) AS cum_dist,
+             |  coalesce(lag(o_totalprice, 1) OVER w, -1.0) AS prev_price,
+             |  coalesce(lead(o_totalprice, 1) OVER w, -1.0) AS next_price,
+             |  first_value(o_totalprice) OVER w AS first_price
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------- conditional / null-handling funcs
+    QueryDef(
+      "q31_conditional",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            when(col("l_quantity") >= 40, "bulk")
+              .when(col("l_quantity") >= 10, "standard")
+              .otherwise("small").as("tier"),
+            coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_or_flag"),
+            greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+            least(col("l_tax"), col("l_discount")).as("min_rate"),
+            (col("l_returnflag") === "R").as("is_return"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CASE WHEN l_quantity >= 40 THEN 'bulk'
+             |       WHEN l_quantity >= 10 THEN 'standard'
+             |       ELSE 'small' END AS tier,
+             |  coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_flag,
+             |  greatest(l_tax, l_discount) AS max_rate,
+             |  least(l_tax, l_discount) AS min_rate,
+             |  l_returnflag = 'R' AS is_return
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ------------------------------------------- CSV source round-trip
+    // Spark-native CSV scan: write the table out with headers, read it
+    // back through the csv source with an explicit schema (inference is
+    // a second full pass — never at 100 TB), verify against the origin.
+    QueryDef(
+      "q32_csv_roundtrip",
+      (s, dir) => {
+        val out = tmp("graft_q32_supplier_csv")
+        val src = t(s, dir, "supplier")
+        src.write.mode("overwrite").option("header", "true").csv(out)
+        s.read.schema(src.schema).option("header", "true").csv(out)
+          .orderBy("s_suppkey")
+      },
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
+    // ------------------------------------------ JSON source round-trip
+    QueryDef(
+      "q32_json_roundtrip",
+      (s, dir) => {
+        val out = tmp("graft_q32_part_json")
+        val src = t(s, dir, "part")
+        src.write.mode("overwrite").json(out)
+        s.read.schema(src.schema).json(out)
+          .orderBy("p_partkey")
+      },
+      Some("SELECT * FROM part ORDER BY p_partkey"))
+  )
+}

@@ -106,7 +106,9 @@ object Conversion {
         graft.ExcelToParquet.convert(s, graft.ExcelToParquet.Options(src, out))
         s.read.parquet(out).agg(count(lit(1)).as("n_rows"))
       },
-      None,
+      // The bench fixture is deterministic (200k data rows), so the
+      // end-to-end conversion row count is oracle-checkable.
+      Some("SELECT CAST(200000 AS BIGINT) AS n_rows"),
       bench = true),
 
     // Conversion through the parquet sink and back (R1+R10 end-to-end):
@@ -123,7 +125,7 @@ object Conversion {
             sum(col("id").cast("long")).as("id_sum"))
       },
       Some("""SELECT count(*) AS n_rows, count(amount) AS n_amount_present,
-             |       sum(CAST(id AS BIGINT)) AS id_sum
+             |       CAST(sum(CAST(id AS BIGINT)) AS BIGINT) AS id_sum
              |FROM (VALUES
              |  ('1', 'alpha', '1.5',   'true'),
              |  ('2', 'beta',  '2',     'false'),

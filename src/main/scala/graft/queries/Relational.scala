@@ -233,10 +233,22 @@ object Relational {
     QueryDef(
       "q09_approx_distinct",
       (s, dir) =>
+        // The correctness contract of an approximate sketch is its error
+        // bound, so the query emits the exact counts plus booleans
+        // asserting HLL++ landed within the declared 2% rsd (x2.5 slack);
+        // both are deterministic given the fixed table, so the oracle can
+        // hash-check them. The raw sketch values stay engine-internal.
         t(s, dir, "lineitem").agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")),
-      None),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          (abs(approx_count_distinct(col("l_partkey"), 0.02) - countDistinct(col("l_partkey")))
+            .cast("double") / countDistinct(col("l_partkey")) <= 0.05).as("parts_ok"),
+          (abs(approx_count_distinct(col("l_orderkey"), 0.02) - countDistinct(col("l_orderkey")))
+            .cast("double") / countDistinct(col("l_orderkey")) <= 0.05).as("orders_ok")),
+      Some("""SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             |       true AS parts_ok, true AS orders_ok
+             |FROM lineitem""".stripMargin)),
 
     // ----------------------------------------------------------------- rollup
     // COALESCE folds the rollup's grouping NULLs into 'ALL' so NULL-ordering
@@ -482,7 +494,7 @@ object Relational {
           .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n_events"))
           .orderBy("event_type"),
       Some("""SELECT event_type,
-             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  count(*) AS n_events
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 

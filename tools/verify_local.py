@@ -55,6 +55,18 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: columns oracle={want_cols} spark={got_cols}")
             continue
+        # Type-strict compare: the driver goes through pandas, where e.g.
+        # DuckDB HUGEINT (sum of BIGINT) becomes float64 and hash-mismatches
+        # Spark's int64 even when values are equal. Catch that class here.
+        def norm_type(t):
+            s = str(t).upper()
+            return "TIMESTAMP" if s.startswith("TIMESTAMP") else s
+        want_types = [norm_type(want.types[want.columns.index(c)]) for c in want_cols]
+        got_types = [norm_type(got.types[got.columns.index(c)]) for c in got_cols]
+        if want_types != got_types:
+            failures.append(name)
+            print(f"FAIL {name}: types oracle={want_types} spark={got_types} cols={want_cols}")
+            continue
         if len(want_rows) != len(got_rows):
             failures.append(name)
             print(f"FAIL {name}: rows oracle={len(want_rows)} spark={len(got_rows)}")
