@@ -64,6 +64,37 @@ object Multimodal {
       }(enc)
   }
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("frame_len", LongType, nullable = false),
+    StructField("head_byte", LongType, nullable = false)))
+
+  /** Frame sampling: split each payload into `nFrames` contiguous byte
+    * ranges ("frames") and emit one feature row per frame — the video
+    * frame-sample / audio chunking shape. The STUB "decode" reports each
+    * frame's length and first byte; a real codec would decode the slice.
+    * mapPartitions + iterator flatMap: streaming per partition, output
+    * fan-out nFrames×, no driver-side collection.
+    */
+  def sampleFrames(assets: DataFrame, nFrames: Int): DataFrame = {
+    val enc = Encoders.row(frameSchema)
+    assets.select(col("asset_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          val len = payload.length
+          (0 until nFrames).iterator.map { f =>
+            val start = f.toLong * len / nFrames
+            val end = (f + 1).toLong * len / nFrames
+            val head = if (end > start) payload(start.toInt) & 0xffL else -1L
+            Row(id, f.toLong, end - start, head)
+          }
+        }
+      }(enc)
+  }
+
   /** Build an asset table from documents (text payload stands in for a
     * real media payload) — used by q26 and the specs.
     */

@@ -354,6 +354,93 @@ object Analytics {
         s.read.schema(src.schema).json(out)
           .orderBy("p_partkey")
       },
-      Some("SELECT * FROM part ORDER BY p_partkey"))
+      Some("SELECT * FROM part ORDER BY p_partkey")),
+
+    // ------------------------------------------- ORC source round-trip
+    // Spark's other columnar built-in; same pushdown/pruning properties
+    // as parquet. Round-trip the supplier table through it.
+    QueryDef(
+      "q32_orc_roundtrip",
+      (s, dir) => {
+        val out = tmp("graft_q32_supplier_orc")
+        val src = t(s, dir, "supplier")
+        src.write.mode("overwrite").orc(out)
+        s.read.schema(src.schema).orc(out)
+          .orderBy("s_suppkey")
+      },
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
+    // ----------------------------------------------- fixed-width histogram
+    // Histogram with data-independent bucket bounds: a single partial-
+    // aggregated pass (no pre-scan for min/max, which would be a second
+    // full read at 100 TB; fixed bounds also keep buckets stable across
+    // runs and partitions).
+    QueryDef(
+      "q29_histogram",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select((floor(col("l_extendedprice") / 10000)).cast("long").as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"))
+          .orderBy("bucket"),
+      Some("""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+             |       count(*) AS n_rows
+             |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // ------------------------------------------------ column profiling
+    // Per-column data-quality profile (null count, distinct count,
+    // min/max) in ONE scan: each per-column aggregate is a column of a
+    // single agg row, then unpivoted to (column, metric) rows. The
+    // alternative — one query per column — re-reads the table N times.
+    // Values are canonicalized to strings via DECIMAL(18,2) for doubles
+    // so both engines format identically.
+    QueryDef(
+      "q29_profile",
+      (s, dir) => {
+        def prof(c: String, valExpr: Column): Seq[Column] = Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__distinct"),
+          min(valExpr).as(s"${c}__min"),
+          max(valExpr).as(s"${c}__max"))
+        val aggs =
+          prof("c_name", col("c_name")) ++
+          prof("c_nationkey", col("c_nationkey").cast("string")) ++
+          prof("c_acctbal", col("c_acctbal").cast(DecimalType(18, 2)).cast("string")) ++
+          prof("c_mktsegment", col("c_mktsegment"))
+        val one = t(s, dir, "customer").agg(aggs.head, aggs.tail: _*)
+        val cols = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        val rows = cols.map(c => struct(
+          lit(c).as("col_name"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__distinct").as("n_distinct"),
+          col(s"${c}__min").as("min_val"),
+          col(s"${c}__max").as("max_val")))
+        one.select(explode(array(rows: _*)).as("p"))
+          .select(col("p.col_name"), col("p.n_nulls"), col("p.n_distinct"),
+            col("p.min_val"), col("p.max_val"))
+          .orderBy("col_name")
+      },
+      Some("""WITH one AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    count(DISTINCT c_name) AS d1, min(c_name) AS mn1, max(c_name) AS mx1,
+             |    CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |    count(DISTINCT c_nationkey) AS d2,
+             |    min(CAST(c_nationkey AS VARCHAR)) AS mn2, max(CAST(c_nationkey AS VARCHAR)) AS mx2,
+             |    CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             |    count(DISTINCT c_acctbal) AS d3,
+             |    min(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)) AS mn3,
+             |    max(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)) AS mx3,
+             |    CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+             |    count(DISTINCT c_mktsegment) AS d4, min(c_mktsegment) AS mn4, max(c_mktsegment) AS mx4
+             |  FROM customer)
+             |SELECT 'c_acctbal' AS col_name, n3 AS n_nulls, d3 AS n_distinct, mn3 AS min_val, mx3 AS max_val FROM one
+             |UNION ALL
+             |SELECT 'c_mktsegment', n4, d4, mn4, mx4 FROM one
+             |UNION ALL
+             |SELECT 'c_name', n1, d1, mn1, mx1 FROM one
+             |UNION ALL
+             |SELECT 'c_nationkey', n2, d2, mn2, mx2 FROM one
+             |ORDER BY col_name""".stripMargin))
   )
 }

@@ -156,6 +156,41 @@ object Extended {
              |GROUP BY o_orderkey, o_orderdate
              |ORDER BY revenue DESC, o_orderkey ASC
              |LIMIT 10""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // ----------------------------------------- subquery SQL surface
+    // Correlated EXISTS (Catalyst rewrites it to a left-semi join — no
+    // per-row subquery execution), uncorrelated scalar subquery (computed
+    // once, broadcast as a literal), and correlated NOT IN via anti join.
+    // The DECIMAL-cast avg keeps the scalar deterministic on both engines.
+    QueryDef(
+      "q05_sql_subqueries",
+      (s, dir) => {
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer_sq")
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders_sq")
+        s.sql("""
+          SELECT c_custkey, c_mktsegment
+          FROM customer_sq c
+          WHERE EXISTS (SELECT 1 FROM orders_sq o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 300000)
+            AND c_acctbal > (SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
+                             FROM customer_sq)
+            AND c_custkey NOT IN (SELECT o_custkey FROM orders_sq
+                                  WHERE o_orderpriority = '1-URGENT'
+                                    AND o_totalprice > 400000)
+          ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_mktsegment
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_totalprice > 300000)
+             |  AND c_acctbal > (SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
+             |                   FROM customer)
+             |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+             |                        WHERE o_orderpriority = '1-URGENT'
+             |                          AND o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin))
   )
 }

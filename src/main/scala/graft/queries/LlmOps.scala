@@ -1,10 +1,12 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{MinHashSignature, SimHash64, RollingHash64, TextFns, VectorFns, WordShingles}
+import graft.operators.DedupCluster
 
 /** LLM-training-pipeline operators (SURVEY §2.2 Q21–Q26 + north-star
   * extensions): deduplication (exact / fingerprint / MinHash-LSH /
@@ -57,6 +59,72 @@ object LlmOps {
       .select(col("vec_id"),
         round(VectorFns.cosine(col("embedding"), col("qv")), 6).as("sim"))
       .dropDuplicates("vec_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** MinHash-LSH candidate pairs, exact-Jaccard verified (>= `minJ`) —
+    * the scale path shared by q23_minhash_lsh and the cluster assignment
+    * in q23_dedup_clusters. Output equals the exact ground truth because
+    * candidates are verified and the 16x8 band config misses a true
+    * J>=0.8 pair with probability < 1e-10.
+    */
+  def minhashVerifiedPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
+    val bands = 16; val rows = 8
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), WordShingles.word_shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = docs.select(col("doc_id"), col("sh"),
+      MinHashSignature.minhash_band_keys(col("sh"), bands, rows).as("bk"))
+    val buckets = sig.select(col("doc_id"), col("sh"),
+      posexplode(col("bk")).as(Seq("band", "key")))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** IVF (inverted-file) ANN: vectors are assigned to their nearest
+    * "centroid" cell offline; a query ranks only the vectors in its
+    * `nProbe` closest cells. Centroids here are a deterministic sample
+    * (every 40th vector) standing in for k-means output — at scale the
+    * centroid training is an offline job and the serving path below is
+    * unchanged: broadcast the (small) centroid set, assign via argmax
+    * cosine, equi-join the probed cells.
+    */
+  def ivfTopK(s: SparkSession, dir: String, k: Int, nProbe: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val data = e.filter(col("vec_id") =!= 0)
+    val cents = data.filter(col("vec_id") % 40 === 1)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cell_sim").desc, col("cell_id"))
+    val assigned = data.crossJoin(broadcast(cents))
+      .withColumn("cell_sim", VectorFns.cosine(col("embedding"), col("cv")))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    // the centroid table is small by construction, so the global window
+    // ranking the probe cells is a single tiny partition — not a scale risk
+    val probeW = Window.orderBy(col("q_sim").desc, col("cell_id"))
+    val probes = cents.crossJoin(broadcast(q))
+      .withColumn("q_sim", VectorFns.cosine(col("cv"), col("qv")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select(col("cell_id"), col("qv"))
+    assigned.join(broadcast(probes), "cell_id")
+      .select(col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("qv")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -197,30 +265,8 @@ object LlmOps {
     // asserted in LlmOpsSpec.
     QueryDef(
       "q23_minhash_lsh",
-      (s, dir) => {
-        val bands = 16; val rows = 8
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id"), WordShingles.word_shingles(col("text"), 3).as("sh"))
-          .filter(size(col("sh")) > 0)
-        val sig = docs.select(col("doc_id"), col("sh"),
-          MinHashSignature.minhash_band_keys(col("sh"), bands, rows).as("bk"))
-        val buckets = sig.select(col("doc_id"), col("sh"),
-          posexplode(col("bk")).as(Seq("band", "key")))
-        val cand = buckets.as("x").join(buckets.as("y"),
-            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
-          .dropDuplicates("doc_a", "doc_b")
-        cand
-          .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-          .withColumn("jaccard",
-            round(col("n_inter").cast("double") /
-              (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"), 6))
-          .filter(col("jaccard") >= 0.8)
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) =>
+        minhashVerifiedPairs(s, dir, 0.8).orderBy("doc_a", "doc_b"),
       // Candidates are exact-verified, so false positives are impossible
       // and the only failure mode is a missed band collision (<1e-10 per
       // true pair at this config) — the output equals the exact ground
@@ -256,6 +302,40 @@ object LlmOps {
           .orderBy("doc_a", "doc_b")
       },
       Some(duckSimHashPairsSql)),
+
+    // --------------------------------------- near-dup cluster assignment
+    // The step after pair finding that real dedup pipelines need: group
+    // transitively-connected near-dups and keep one doc per group.
+    // Edges = MinHash-LSH exact-verified pairs (the scale path); cluster
+    // id = min doc_id in the connected component, computed by distributed
+    // label propagation (operators/DedupCluster). The DuckDB oracle walks
+    // the same graph with a recursive CTE over the exact-Jaccard pairs.
+    QueryDef(
+      "q23_dedup_clusters",
+      (s, dir) => {
+        val vertices = t(s, dir, "documents").select(col("doc_id").as("node"))
+        val edges = minhashVerifiedPairs(s, dir, 0.8)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        DedupCluster.connectedComponents(vertices, edges)
+          .select(col("node").as("doc_id"), col("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+           |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |s AS (SELECT doc_id, $duckShingles AS sh FROM d WHERE len(w) >= 3),
+           |pairs AS (
+           |  SELECT a.doc_id AS pa, b.doc_id AS pb
+           |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.8),
+           |und AS (SELECT pa AS a, pb AS b FROM pairs
+           |        UNION ALL SELECT pb, pa FROM pairs),
+           |reach(node, label) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT u.b, r.label FROM und u JOIN reach r ON r.node = u.a)
+           |SELECT node AS doc_id, min(label) AS cluster_id
+           |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------- embedding cosine pairs
     // Exact cosine near-dup via index-explode join (distributed
@@ -360,6 +440,34 @@ object LlmOps {
       },
       Some("SELECT CAST(10 AS BIGINT) AS n_exact, true AS recall_ok")),
 
+    // ------------------------------------------------------- IVF ANN
+    // The other standard ANN family (ivfTopK above). On unclustered
+    // gaussian test vectors IVF recall is structurally ~ nProbe/nCells
+    // (there is no cluster structure to exploit), so the oracle-checked
+    // contract is the one IVF actually guarantees: exactly k results,
+    // every reported sim equal to the true cosine (verified in-query
+    // against the brute-force ranking), and the probed cells covering a
+    // bounded fraction of the data. Recall itself is measured in
+    // LlmOpsSpec and documented, not hash-pinned.
+    QueryDef(
+      "q24_ann_ivf",
+      (s, dir) => {
+        val ivf = ivfTopK(s, dir, 10, 4)
+        val exact = t(s, dir, "embeddings")
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(
+            t(s, dir, "embeddings").filter(col("vec_id") === 0)
+              .select(col("embedding").as("qv"))))
+          .select(col("vec_id").as("e_id"),
+            round(VectorFns.cosine(col("embedding"), col("qv")), 6).as("e_sim"))
+        ivf.join(exact, col("vec_id") === col("e_id"))
+          .agg(
+            count(lit(1)).as("n_results"),
+            (count(lit(1)) === 10).as("size_ok"),
+            (count(when(col("sim") === col("e_sim"), 1)) === count(lit(1))).as("sims_exact"))
+      },
+      Some("SELECT CAST(10 AS BIGINT) AS n_results, true AS size_ok, true AS sims_exact")),
+
     // ----------------------------------------------------- text analysis
     QueryDef(
       "q25_text_stats",
@@ -445,6 +553,114 @@ object LlmOps {
       Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
              |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
 
+    // ------------------------------------------------------ PII scrub
+    // Regex-redaction pass a training pipeline runs before anything else:
+    // emails -> [EMAIL], digit runs -> #. The PII-bearing contact string
+    // is synthesized deterministically from customer fields (the corpus
+    // itself ships no PII) so the redaction has nonzero effect and both
+    // engines see identical input. Pure regexp_replace — codegen'd,
+    // embarrassingly parallel, no shuffle.
+    QueryDef(
+      "q25_pii_scrub",
+      (s, dir) => {
+        val contact = concat(
+          col("c_name"), lit(" <"),
+          lower(regexp_replace(col("c_name"), "Customer#", "user")),
+          lit("@example.com> tel:"),
+          col("c_nationkey").cast("string"), lit("-"),
+          col("c_custkey").cast("string"))
+        t(s, dir, "customer")
+          .select(col("c_custkey"),
+            regexp_replace(
+              regexp_replace(contact,
+                "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
+              "[0-9]+", "#").as("redacted"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      c_name || ' <' || lower(regexp_replace(c_name, 'Customer#', 'user'))
+             |             || '@example.com> tel:' || CAST(c_nationkey AS VARCHAR)
+             |             || '-' || CAST(c_custkey AS VARCHAR),
+             |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+             |    '[0-9]+', '#', 'g') AS redacted
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------- quality filtering
+    // The filter stage the quality scores feed: drop too-short docs and
+    // docs with no stopword signal, report kept/total per language.
+    // Filter + partial agg — one scan, one small shuffle.
+    QueryDef(
+      "q25_quality_filter",
+      (s, dir) => {
+        val toks = TextFns.tokens(col("text"))
+        val enStops = TextFns.langStopwords.toMap.apply("en")
+        val keep = (size(toks) >= 20) &&
+          (TextFns.stopwordCount(col("text"), enStops).cast("double") /
+            size(toks).cast("double") >= 0.02)
+        t(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_total"),
+            count(when(keep, 1)).as("n_kept"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_total,
+             |  CAST(count(*) FILTER (
+             |    len(string_split(text, ' ')) >= 20 AND
+             |    CAST(len([t FOR t IN string_split(text, ' ')
+             |              IF t IN ('the','a','of','and','to','in','is','it')]) AS DOUBLE)
+             |      / len(string_split(text, ' ')) >= 0.02) AS BIGINT) AS n_kept
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // --------------------------------------------------- top n-grams
+    // Corpus-level n-gram document frequency (contamination analysis,
+    // boilerplate detection): explode per-doc distinct shingles, count,
+    // top-20 with deterministic tie-break. Partial aggregation makes the
+    // shuffle carry one (shingle, count) per partition, and the top-k is
+    // TakeOrderedAndProject — no global sort.
+    QueryDef(
+      "q25_top_ngrams",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(WordShingles.word_shingles(col("text"), 3)).as("shingle"))
+          .groupBy(col("shingle"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("n_docs").desc, col("shingle"))
+          .limit(20),
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |s AS (SELECT doc_id, $duckShingles AS sh FROM d WHERE len(w) >= 3)
+              |SELECT sh2 AS shingle, count(*) AS n_docs
+              |FROM (SELECT unnest(sh) AS sh2 FROM s)
+              |GROUP BY shingle ORDER BY n_docs DESC, shingle LIMIT 20""".stripMargin)),
+
+    // --------------------------------------------- contamination check
+    // Benchmark-contamination scan: count documents containing each probe
+    // string from a (small, broadcast) eval set. The probe set rides a
+    // broadcast cross join; the scan is one pass over the corpus with no
+    // shuffle on the documents side.
+    QueryDef(
+      "q25_contamination",
+      (s, dir) => {
+        val probeStrings = Seq(
+          "table key filter", "row column sort", "stream table hash",
+          "quantum flux capacitor")
+        val probes = s.createDataFrame(
+          probeStrings.map(Tuple1(_))).toDF("probe")
+        t(s, dir, "documents")
+          .crossJoin(broadcast(probes))
+          .groupBy(col("probe"))
+          .agg(count(when(col("text").contains(col("probe")), 1)).as("n_docs"))
+          .orderBy("probe")
+      },
+      Some("""SELECT p.probe,
+             |  CAST(count(*) FILTER (contains(d.text, p.probe)) AS BIGINT) AS n_docs
+             |FROM (VALUES ('table key filter'), ('row column sort'),
+             |             ('stream table hash'), ('quantum flux capacitor')) p(probe)
+             |CROSS JOIN documents d
+             |GROUP BY p.probe ORDER BY p.probe""".stripMargin)),
+
     // ------------------------------------------------ multimodal columns
     // Opaque binary payload + typed metadata struct, written and read
     // back through the zstd parquet sink — the schema/partitioning
@@ -490,6 +706,23 @@ object LlmOps {
              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS head_byte,
              |  CAST(list_sum([ascii(x) FOR x IN string_split(text, '')]) % 256 AS BIGINT) AS byte_sum_mod
-             |FROM documents ORDER BY asset_id""".stripMargin))
+             |FROM documents ORDER BY asset_id""".stripMargin)),
+
+    // ------------------------------------------------- frame sampling
+    // Video/audio frame-sample plumbing: 3 deterministic byte-range
+    // frames per asset, one feature row each (operators/Multimodal
+    // .sampleFrames). The ASCII test payload lets DuckDB replicate the
+    // byte arithmetic with string functions.
+    QueryDef(
+      "q26_frame_sample",
+      (s, dir) =>
+        graft.operators.Multimodal.sampleFrames(
+          graft.operators.Multimodal.assetsFromDocuments(s, dir), 3)
+          .orderBy("asset_id", "frame_idx"),
+      Some("""SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx,
+             |  ((f+1) * length(text)) // 3 - (f * length(text)) // 3 AS frame_len,
+             |  CAST(ascii(substring(text, CAST((f * length(text)) // 3 AS INTEGER) + 1, 1)) AS BIGINT) AS head_byte
+             |FROM documents, (SELECT unnest([0, 1, 2]) AS f)
+             |ORDER BY asset_id, frame_idx""".stripMargin))
   )
 }

@@ -73,6 +73,26 @@ object Streaming {
              |FROM numbered GROUP BY user_id, sid
              |ORDER BY user_id, s_start""".stripMargin)),
 
+    // Stream-stream inner join with two-sided watermarks (see
+    // StreamOps.streamStreamJoin); oracle is the batch time-range join.
+    QueryDef(
+      "q20_stream_join",
+      (s, dir) => graft.streaming.StreamOps.streamStreamJoin(s, dir),
+      Some("""SELECT a.user_id AS user_id, count(*) AS n_pairs
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id
+             | AND a.event_type = 'click' AND b.event_type = 'purchase'
+             | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+             |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin)),
+
+    // Stream-static enrichment join against a broadcast dimension.
+    QueryDef(
+      "q20_stream_static_join",
+      (s, dir) => graft.streaming.StreamOps.streamStaticJoin(s, dir),
+      Some("""SELECT c_mktsegment, count(*) AS n_events
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // Typed Aggregator top-k: top-3 order prices per customer, exploded to
     // rows so the oracle compare stays scalar-typed.
     QueryDef(

@@ -119,4 +119,44 @@ object StreamOps {
     runToMemory(spark, out, s"stateful_${System.nanoTime()}", "update")
       .orderBy("user_id")
   }
+
+  /** Stream-stream inner join: purchases within 1 hour after a click by
+    * the same user. Both sides carry watermarks and the join condition
+    * bounds event time on both sides — that pair is what lets the state
+    * store evict rows (without it, stream-stream join state grows
+    * forever). Inner-join matches emit eagerly in append mode, so the
+    * bounded input drains completely under processAllAvailable.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsStream(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    runToMemory(spark, joined, s"ssjoin_${System.nanoTime()}", "append")
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  /** Stream-static join: the streaming fact joined to a broadcast
+    * dimension table — the enrichment shape. The static side is planned
+    * per micro-batch; broadcast keeps the stream side shuffle-free.
+    */
+  def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = graft.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = eventsStream(spark, sfDir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"))
+    runToMemory(spark, joined, s"ssdim_${System.nanoTime()}", "complete")
+      .orderBy("c_mktsegment")
+  }
 }
