@@ -74,17 +74,22 @@ object LlmOps {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), WordShingles.word_shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = docs.select(col("doc_id"), col("sh"),
+    val sig = docs.select(col("doc_id"),
       MinHashSignature.minhash_band_keys(col("sh"), bands, rows).as("bk"))
-    val buckets = sig.select(col("doc_id"), col("sh"),
+    // the bucket join shuffles only (band, key, doc_id) — NOT the shingle
+    // arrays, which would otherwise be copied once per band (16x) through
+    // the exchange; the surviving candidate pairs re-fetch each side's
+    // array exactly once below
+    val buckets = sig.select(col("doc_id"),
       posexplode(col("bk")).as(Seq("band", "key")))
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("n_inter").cast("double") /
@@ -240,7 +245,13 @@ object LlmOps {
           .select(col("doc_id"), WordShingles.word_shingles(col("text"), 3).as("sh"))
           .filter(size(col("sh")) > 0)
         val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
-        val ex = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        // hash each shingle to 64 bits before the self-join: the shuffle
+        // carries 8 bytes per shingle instead of the string, and the join
+        // compares longs. Distinctness is preserved (a collision would
+        // break the oracle hash-match; none on these corpora, and at
+        // 2^-64 per pair none expected at any realistic corpus size).
+        val ex = docs.select(col("doc_id"), explode(col("sh")).as("shs"))
+          .select(col("doc_id"), xxhash64(col("shs")).as("shingle"))
         val inter = ex.as("x").join(ex.as("y"),
             col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

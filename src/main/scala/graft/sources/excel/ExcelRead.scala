@@ -73,7 +73,7 @@ object ExcelRead {
       extends Iterator[Array[String]] with AutoCloseable {
 
     private val wb = WorkbookSource.open(opts.path)
-    private val cells = wb.cells(lay.target)
+    private val cells = wb.cellsForScan(lay.target)
     private var pendingRow = -1
     private var pending: Array[String] = _
     private var nextRow: Array[String] = _

@@ -7,6 +7,12 @@ trait WorkbookSource extends AutoCloseable {
   def resolveSheet(name: Option[String], index: Option[Int]): XlsxParser.SheetMeta
   def dimensions(target: String): Option[XlsxParser.Dimensions]
   def cells(target: String): Iterator[XlsxParser.Cell] with AutoCloseable
+
+  /** Cell stream for full-sheet scans; formats with a parallel fast path
+    * (xlsx) override this. Semantics identical to [[cells]].
+    */
+  def cellsForScan(target: String): Iterator[XlsxParser.Cell] with AutoCloseable =
+    cells(target)
 }
 
 object WorkbookSource {

@@ -186,6 +186,48 @@ object XlsxParser {
       new CellIterator(new FastXml(rd), rd, sharedStrings)
     }
 
+    /** Scan-path cell stream: big sheets go through the pipelined
+      * chunk-parallel parser (see [[ParallelCells]]), small ones through
+      * the serial scanner (thread-pool setup would dominate). The
+      * parallel path needs explicit r= row attributes; sniff the first
+      * row tag and fall back if they're missing.
+      */
+    override def cellsForScan(target: String): Iterator[Cell] with AutoCloseable = {
+      val entry = zip.getEntry(target)
+      if (entry == null)
+        throw new IllegalArgumentException(s"$path: missing worksheet part $target")
+      if (entry.getSize < (4L << 20) || !firstRowHasRef(target)) cells(target)
+      else {
+        val rd = new java.io.InputStreamReader(
+          zip.getInputStream(entry), java.nio.charset.StandardCharsets.UTF_8)
+        val workers = math.min(8, Runtime.getRuntime.availableProcessors())
+        new ParallelCells(rd, sharedStrings, workers)
+      }
+    }
+
+    /** Does the first `<row` tag carry an r= attribute? (64 KiB sniff.) */
+    private def firstRowHasRef(target: String): Boolean = {
+      val in = entryStream(target).getOrElse(return false)
+      val rd = new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8)
+      try {
+        val buf = new Array[Char](64 * 1024)
+        var len = 0
+        var n = rd.read(buf, len, buf.length - len)
+        while (n > 0 && len + n < buf.length) {
+          len += n
+          n = rd.read(buf, len, buf.length - len)
+        }
+        if (n > 0) len += n
+        val s = new String(buf, 0, len)
+        val tag = s.indexOf("<row")
+        if (tag < 0) false
+        else {
+          val close = s.indexOf('>', tag)
+          close > 0 && s.substring(tag, close).contains(" r=")
+        }
+      } finally rd.close()
+    }
+
     /** Used-range: from the <dimension> element when it carries a full
       * range; otherwise computed with a dedicated scan pass (mirrors
       * calamine, which trusts the dimension record when present).
@@ -240,7 +282,9 @@ object XlsxParser {
     * class for why not StAX). Emits cells in document order (row-major —
     * guaranteed by the SpreadsheetML spec for <sheetData>).
     */
-  final class CellIterator(fx: FastXml, rd: java.io.Reader, shared: IndexedSeq[String])
+  final class CellIterator(
+      fx: FastXml, rd: java.io.Reader, shared: IndexedSeq[String],
+      strictRowRefs: Boolean = false)
       extends Iterator[Cell] with AutoCloseable {
 
     private var nextCell: Cell = _
@@ -255,6 +299,9 @@ object XlsxParser {
           case FastXml.EVENT_START =>
             if (fx.nameIs("row")) {
               val ra = fx.attr("r")
+              if (ra == null && strictRowRefs)
+                throw new IllegalStateException(
+                  "chunked xlsx scan requires r= attributes on every <row>")
               curRow = if (ra != null) ra.toInt - 1 else curRow + 1
               lastCol = -1
             } else if (fx.nameIs("c")) parseCell()
