@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{MinHashBandKeys, MinHashSignature, RollingHash64, SimHash64, WordShingles}
+
+/** SQL registration of graft's native Catalyst expressions, so the whole
+  * operator surface is reachable from `spark.sql(...)` — not only the
+  * Scala Column API:
+  *
+  *   SELECT graft_simhash64(split(text, ' ')) FROM docs
+  *
+  * Two entry points with identical registrations:
+  *   - [[GraftExtensions]] for `spark.sql.extensions` /
+  *     `builder.withExtensions` (new sessions);
+  *   - [[GraftFunctions.register]] for an already-running session.
+  */
+object GraftFunctions {
+
+  private def lit(e: Expression, what: String): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$what must be a literal integer")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal integer, got $other")
+    }
+  }
+
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(s"$name expects $n arguments, got ${args.length}")
+
+  /** (name, builder) for every exposed function. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_word_shingles" -> { args =>
+      arity("graft_word_shingles", args, 2)
+      WordShingles(args.head, lit(args(1), "n"))
+    },
+    "graft_simhash64" -> { args =>
+      arity("graft_simhash64", args, 1)
+      SimHash64(args.head)
+    },
+    "graft_rolling_hash64" -> { args =>
+      arity("graft_rolling_hash64", args, 1)
+      RollingHash64(args.head)
+    },
+    "graft_minhash_signature" -> { args =>
+      arity("graft_minhash_signature", args, 2)
+      MinHashSignature(args.head, lit(args(1), "k"))
+    },
+    "graft_minhash_band_keys" -> { args =>
+      arity("graft_minhash_band_keys", args, 3)
+      MinHashBandKeys(args.head, lit(args(1), "bands"), lit(args(2), "rows"))
+    })
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  /** Register into a live session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = org.apache.spark.sql.GraftColumnBridge.functionRegistry(spark)
+    builders.foreach { case (name, b) =>
+      reg.registerFunction(FunctionIdentifier(name), info(name), b)
+    }
+  }
+}
+
+/** `spark.sql.extensions`-compatible installer:
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        b))
+    }
+}

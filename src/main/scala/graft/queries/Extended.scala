@@ -191,6 +191,73 @@ object Extended {
              |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
              |                        WHERE o_orderpriority = '1-URGENT'
              |                          AND o_totalprice > 400000)
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // -------------------------------------- registered SQL functions
+    // The custom Catalyst expressions exposed through the SQL surface
+    // (GraftFunctions.register / GraftExtensions): the same codegen'd
+    // expressions, reachable from spark.sql. Oracle: the fingerprint is
+    // collision-free on the corpus (asserted in LlmOpsSpec), so its
+    // distinct count equals DISTINCT text; the shingle count has a direct
+    // DuckDB replica.
+    QueryDef(
+      "q21_sql_functions",
+      (s, dir) => {
+        graft.GraftFunctions.register(s)
+        Tables.load(s, dir, "documents").createOrReplaceTempView("documents_fn")
+        s.sql("""
+          SELECT lang,
+                 count(DISTINCT graft_rolling_hash64(text)) AS n_distinct_fp,
+                 CAST(sum(size(graft_word_shingles(text, 3))) AS BIGINT) AS total_shingles
+          FROM documents_fn
+          GROUP BY lang ORDER BY lang""")
+      },
+      Some("""WITH d AS (SELECT lang, text, string_split(text, ' ') AS w FROM documents)
+             |SELECT lang, count(DISTINCT text) AS n_distinct_fp,
+             |  CAST(sum(CASE WHEN len(w) >= 3
+             |    THEN len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |                            FOR i IN range(1, greatest(len(w)-1, 1))]))
+             |    ELSE 0 END) AS BIGINT) AS total_shingles
+             |FROM d GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ------------------------------------------------ CDC merge/upsert
+    // Snapshot maintenance (operators/MergeUpsert): an updates batch
+    // (price corrections for key%100=0, new rows cloned to key+10M for
+    // key%97=3) merged latest-wins into orders, then checksummed. The
+    // +1000.0 delta keeps prices exact 2-decimal values so the DECIMAL
+    // sum stays order-independent on both engines.
+    QueryDef(
+      "q33_merge_upsert",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val base = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val updates = base.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .unionByName(base.filter(col("o_orderkey") % 97 === 3)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+        graft.operators.MergeUpsert.upsert(base, updates, Seq("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast(DecimalType(38, 2))).cast("double").as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+             |updates AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+             |  FROM base WHERE o_orderkey % 100 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+             |  FROM base WHERE o_orderkey % 97 = 3),
+             |merged AS (
+             |  SELECT * FROM updates
+             |  UNION ALL
+             |  SELECT * FROM base b
+             |  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = b.o_orderkey))
+             |SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+             |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions installer must make every graft_* function
+  * resolvable from SQL in a fresh session, with results identical to the
+  * Column API; MergeUpsert must implement latest-wins keyed merge.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  // Extensions only apply when a session is CREATED, and the
+  // `spark.sql.extensions` static conf is read off the SparkContext — which
+  // a sibling spec already created without it. Force a fresh session and
+  // install programmatically (the same GraftExtensions class the config
+  // string names; the config path needs a session that owns its context).
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new graft.GraftExtensions()(_))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  test("extension-injected SQL functions match the Column API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq("the quick brown fox jumps", "pack my box with five dozen")
+      .toDF("text")
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql("""
+      SELECT graft_rolling_hash64(text) AS fp,
+             graft_simhash64(split(text, ' ')) AS sh,
+             size(graft_word_shingles(text, 3)) AS n3,
+             size(graft_minhash_signature(graft_word_shingles(text, 3), 16)) AS k,
+             size(graft_minhash_band_keys(graft_word_shingles(text, 3), 4, 4)) AS b
+      FROM ext_docs""").collect()
+    val viaApi = docs.select(
+      RollingHash64.rolling_hash64(col("text")).as("fp"),
+      SimHash64.simhash64(split(col("text"), " ")).as("sh"),
+      size(WordShingles.word_shingles(col("text"), 3)).as("n3"),
+      size(MinHashSignature.minhash_signature(
+        WordShingles.word_shingles(col("text"), 3), 16)).as("k"),
+      size(MinHashSignature.minhash_band_keys(
+        WordShingles.word_shingles(col("text"), 3), 4, 4)).as("b")).collect()
+    assert(viaSql.map(_.toString).toSeq == viaApi.map(_.toString).toSeq)
+    assert(viaSql.forall(r => r.getInt(3) == 16 && r.getInt(4) == 4))
+  }
+
+  test("non-literal shingle width is rejected with a clear error") {
+    import spark.implicits._
+    Seq("a b c d").toDF("text").createOrReplaceTempView("ext_nonlit")
+    // length(text) over a column is not foldable -> builder must refuse
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_word_shingles(text, length(text)) FROM ext_nonlit").collect()
+    }
+    assert(e.getMessage.contains("literal integer"), e.getMessage)
+  }
+
+  test("MergeUpsert is latest-wins by key") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val updates = Seq((2L, "b2", 22.0), (9L, "new", 90.0)).toDF("k", "s", "v")
+    val got = graft.operators.MergeUpsert.upsert(target, updates, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      (1L, "a", 10.0), (2L, "b2", 22.0), (3L, "c", 30.0), (9L, "new", 90.0)))
+  }
+}
