@@ -76,16 +76,21 @@ object LlmOps {
       .filter(size(col("sh")) > 0)
     val sig = docs.select(col("doc_id"),
       MinHashSignature.minhash_band_keys(col("sh"), bands, rows).as("bk"))
-    // the bucket join shuffles only (band, key, doc_id) — NOT the shingle
-    // arrays, which would otherwise be copied once per band (16x) through
-    // the exchange; the surviving candidate pairs re-fetch each side's
-    // array exactly once below
+    // postings-list candidate generation: ONE shuffle of (band, key,
+    // doc_id) — not a self-join, which would shuffle the bucket table
+    // twice and recompute the signature subtree for each side — then
+    // in-group ordered-pair expansion (sorted list, a before b). A
+    // band bucket with d members emits d(d-1)/2 candidates either way;
+    // at 100 TB an over-full bucket (degenerate band, e.g. all-empty
+    // docs) would be capped before expansion.
     val buckets = sig.select(col("doc_id"),
       posexplode(col("bk")).as(Seq("band", "key")))
-    val cand = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = buckets.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -232,12 +237,15 @@ object LlmOps {
              |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
 
     // --------------------------------------- exact n-gram Jaccard pairs
-    // Scalable formulation: explode distinct shingles -> self-join on the
-    // shingle -> |A∩B| per pair -> Jaccard from set sizes. Shuffle is
-    // O(total shingles), not O(n²) docs. At 100 TB you'd additionally cap
-    // ultra-frequent shingles (they only generate candidate pairs whose
-    // Jaccard is then verified anyway — dropping the top-0.1% most common
-    // shingles is the standard prefix-filtering refinement).
+    // Scalable formulation: explode distinct shingles -> postings list per
+    // shingle (ONE shuffle of (shingle, doc_id); a self-join would shuffle
+    // that table twice and recompute the shingle subtree per side) ->
+    // in-group ordered-pair expansion -> |A∩B| = pair count -> Jaccard
+    // from set sizes. Work is O(Σ df²) over shingles, not O(n²) docs. At
+    // 100 TB you'd additionally cap ultra-frequent shingles (they only
+    // generate candidate pairs whose Jaccard is then verified anyway —
+    // dropping the top-0.1% most common shingles is the standard
+    // prefix-filtering refinement).
     QueryDef(
       "q23_jaccard_pairs",
       (s, dir) => {
@@ -245,16 +253,20 @@ object LlmOps {
           .select(col("doc_id"), WordShingles.word_shingles(col("text"), 3).as("sh"))
           .filter(size(col("sh")) > 0)
         val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
-        // hash each shingle to 64 bits before the self-join: the shuffle
-        // carries 8 bytes per shingle instead of the string, and the join
-        // compares longs. Distinctness is preserved (a collision would
-        // break the oracle hash-match; none on these corpora, and at
-        // 2^-64 per pair none expected at any realistic corpus size).
+        // hash each shingle to 64 bits before the shuffle: it carries 8
+        // bytes per shingle instead of the string. Distinctness is
+        // preserved (a collision would break the oracle hash-match; none
+        // on these corpora, and at 2^-64 per pair none expected at any
+        // realistic corpus size).
         val ex = docs.select(col("doc_id"), explode(col("sh")).as("shs"))
           .select(col("doc_id"), xxhash64(col("shs")).as("shingle"))
-        val inter = ex.as("x").join(ex.as("y"),
-            col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        val inter = ex.groupBy(col("shingle"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
+          .select(col("doc_a"),
+            explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("n_inter"))
         inter
           .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
