@@ -76,11 +76,13 @@ object GraftFunctions {
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         b))
     }
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+  }
 }

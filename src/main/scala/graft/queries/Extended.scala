@@ -193,6 +193,34 @@ object Extended {
              |                          AND o_totalprice > 400000)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // --------------------------------- optimizer-rule-rewritten range join
+    // The NAIVE SQL form of q07_join_range — no hand-bucketing — executed
+    // with plans.RangeJoinRule installed, which rewrites the bounded
+    // interval predicate into the bucketed equi-join automatically (the
+    // same plan q07_join_range builds by hand). Runs in a child session so
+    // the installed rule can't leak into the other queries' plans;
+    // RangeJoinRuleSpec asserts the rewrite fires and is exact.
+    QueryDef(
+      "q07_range_rule",
+      (s, dir) => {
+        val child = s.newSession()
+        child.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRule)
+        Tables.load(child, dir, "events")
+          .select(col("event_id"), col("ts"), col("event_type"))
+          .createOrReplaceTempView("events_rr")
+        child.sql("""
+          SELECT a.event_type AS event_type, count(*) AS n_pairs
+          FROM events_rr a JOIN events_rr b
+            ON a.event_type = b.event_type
+           AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+          GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""SELECT a.event_type AS event_type, count(*) AS n_pairs
+             |FROM events a JOIN events b
+             |  ON a.event_type = b.event_type
+             | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // -------------------------------------- registered SQL functions
     // The custom Catalyst expressions exposed through the SQL surface
     // (GraftFunctions.register / GraftExtensions): the same codegen'd
