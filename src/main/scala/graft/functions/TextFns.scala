@@ -23,6 +23,17 @@ object TextFns {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Word n-grams WITH multiplicity (repetition analysis needs counts;
+    * [[shingles]] dedups for set similarity). Empty below n tokens.
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Count of tokens that appear in `words` (occurrences, not distinct). */
   def stopwordCount(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))

@@ -658,6 +658,47 @@ object LlmOps {
               |FROM (SELECT unnest(sh) AS sh2 FROM s)
               |GROUP BY shingle ORDER BY n_docs DESC, shingle LIMIT 20""".stripMargin)),
 
+    // ------------------------------------------- repetition signals
+    // Gopher-style per-document repetition features: the count of the most
+    // frequent 2-gram (top-2gram coverage) and the number of duplicated
+    // 3-grams, plus a cutoff flag. Outputs are integers and an
+    // integer-compare boolean — no double rounding, hash-exact. Each gram
+    // family is one explode + partial-agg shuffle keyed (doc_id, gram);
+    // at 100 TB that's the standard per-doc feature shape (narrow keys,
+    // combiner-friendly, no skew beyond the longest document).
+    QueryDef(
+      "q25_repetition",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = docs.select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+        val top2 = docs
+          .select(col("doc_id"), explode(TextFns.ngrams(col("text"), 2)).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("top_2gram_count"))
+        val dup3 = docs
+          .select(col("doc_id"), explode(TextFns.ngrams(col("text"), 3)).as("g"))
+          .groupBy(col("doc_id"))
+          .agg((count(lit(1)) - countDistinct(col("g"))).as("dup_3gram_count"))
+        base.join(top2, "doc_id").join(dup3, "doc_id")
+          .withColumn("repetitive", col("top_2gram_count") * 10 >= col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g2 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+             |       FROM d WHERE len(w) >= 2),
+             |t2 AS (SELECT doc_id, max(c) AS top2
+             |       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+             |g3 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS g
+             |       FROM d WHERE len(w) >= 3),
+             |t3 AS (SELECT doc_id, count(*) - count(DISTINCT g) AS dup3 FROM g3 GROUP BY 1)
+             |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+             |       CAST(t2.top2 AS BIGINT) AS top_2gram_count,
+             |       CAST(t3.dup3 AS BIGINT) AS dup_3gram_count,
+             |       (t2.top2 * 10 >= len(d.w)) AS repetitive
+             |FROM d JOIN t2 USING (doc_id) JOIN t3 USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // --------------------------------------------- contamination check
     // Benchmark-contamination scan: count documents containing each probe
     // string from a (small, broadcast) eval set. The probe set rides a
