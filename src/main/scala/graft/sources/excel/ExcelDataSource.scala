@@ -114,19 +114,15 @@ final class ExcelReaderFactory extends PartitionReaderFactory {
     val rows = ExcelRead.rows(opts, lay, outPos, p.requiredPositions.length)
 
     new PartitionReader[InternalRow] {
-      private var current: Array[String] = _
+      private var current: Array[AnyRef] = _
       override def next(): Boolean = {
         if (rows.hasNext) { current = rows.next(); true } else false
       }
-      override def get(): InternalRow = {
-        val vals = new Array[Any](current.length)
-        var i = 0
-        while (i < current.length) {
-          if (current(i) != null) vals(i) = UTF8String.fromString(current(i))
-          i += 1
-        }
-        new GenericInternalRow(vals)
-      }
+      override def get(): InternalRow =
+        // cells are UTF8String already (encoded at parse time, on the
+        // worker pool for chunked scans) and the pivot array is per-row —
+        // wrap it directly, no copy
+        new GenericInternalRow(current.asInstanceOf[Array[Any]])
       override def close(): Unit = rows.close()
     }
   }

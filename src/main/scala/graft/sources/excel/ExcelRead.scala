@@ -50,7 +50,7 @@ object ExcelRead {
         while (!done && it.hasNext) {
           val c = it.next()
           if (c.row > headerRowIdx) done = true
-          else if (c.row == headerRowIdx) headerCells(c.col) = c.text
+          else if (c.row == headerRowIdx) headerCells(c.col) = c.text.toString
         }
       } finally it.close()
       val raw = (0 until dim.numCols).map { i =>
@@ -62,21 +62,24 @@ object ExcelRead {
   }
 
   /** Executor-side: stream data rows as fixed-width arrays (null = absent
-    * cell). `outPos(i)` gives the output slot for sheet position i, or -1
-    * if the column was pruned; `outWidth` is the projected row width.
+    * cell; values are UTF8String, pre-encoded at parse time). `outPos(i)`
+    * gives the output slot for sheet position i, or -1 if the column was
+    * pruned; `outWidth` is the projected row width. Each emitted array is
+    * freshly allocated, so the reader may hand it to an InternalRow
+    * without copying.
     */
   def rows(opts: Options, lay: SheetLayout, outPos: Array[Int], outWidth: Int): RowIterator =
     new RowIterator(opts, lay, outPos, outWidth)
 
   final class RowIterator(
       opts: Options, lay: SheetLayout, outPos: Array[Int], outWidth: Int)
-      extends Iterator[Array[String]] with AutoCloseable {
+      extends Iterator[Array[AnyRef]] with AutoCloseable {
 
     private val wb = WorkbookSource.open(opts.path)
     private val cells = wb.cellsForScan(lay.target)
     private var pendingRow = -1
-    private var pending: Array[String] = _
-    private var nextRow: Array[String] = _
+    private var pending: Array[AnyRef] = _
+    private var nextRow: Array[AnyRef] = _
     private var carried: XlsxParser.Cell = _
     private var exhausted = false
 
@@ -100,14 +103,14 @@ object ExcelRead {
           }
         if (c.row > lay.headerRowIdx) {
           if (pending == null) {
-            pending = new Array[String](outWidth)
+            pending = new Array[AnyRef](outWidth)
             pendingRow = c.row
             put(c)
           } else if (c.row == pendingRow) {
             put(c)
           } else { // row change: emit previous, start new
             nextRow = pending
-            pending = new Array[String](outWidth)
+            pending = new Array[AnyRef](outWidth)
             pendingRow = c.row
             put(c)
           }
@@ -118,7 +121,7 @@ object ExcelRead {
     advance()
 
     override def hasNext: Boolean = nextRow != null
-    override def next(): Array[String] = {
+    override def next(): Array[AnyRef] = {
       val r = nextRow
       if (r == null) throw new NoSuchElementException
       advance()

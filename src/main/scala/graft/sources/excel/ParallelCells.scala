@@ -27,7 +27,7 @@ import java.util.concurrent.{Callable, ExecutorService, Executors, Future => JFu
   */
 final class ParallelCells(
     rd: Reader,
-    shared: IndexedSeq[String],
+    shared: IndexedSeq[org.apache.spark.unsafe.types.UTF8String],
     workers: Int,
     targetChunkChars: Int = 1 << 20)
     extends Iterator[XlsxParser.Cell] with AutoCloseable {

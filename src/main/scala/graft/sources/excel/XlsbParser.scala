@@ -15,7 +15,7 @@ import Biff12._
   */
 object XlsbParser {
 
-  import XlsxParser.{Cell, Dimensions, SheetMeta}
+  import XlsxParser.{Cell, Dimensions, SheetMeta, U8Empty, U8False, U8True}
 
   final class Workbook(val path: String) extends WorkbookSource {
     private val zip = new ZipFile(path)
@@ -50,18 +50,18 @@ object XlsbParser {
       out.toSeq
     }
 
-    lazy val sharedStrings: IndexedSeq[String] =
+    lazy val sharedStrings: IndexedSeq[org.apache.spark.unsafe.types.UTF8String] =
       entryStream("xl/sharedStrings.bin") match {
         case None => IndexedSeq.empty
         case Some(in) =>
-          val out = mutable.ArrayBuffer.empty[String]
+          val out = mutable.ArrayBuffer.empty[org.apache.spark.unsafe.types.UTF8String]
           val r = new Reader(in)
           try {
             r.foreach { rec =>
               if (rec.id == BrtSSTItem) {
                 val c = new Cursor(rec.payload)
                 c.skip(1) // richStr flags
-                out += c.wideString()
+                out += org.apache.spark.unsafe.types.UTF8String.fromString(c.wideString())
               }
             }
           } finally r.close()
@@ -124,7 +124,7 @@ object XlsbParser {
     override def close(): Unit = zip.close()
   }
 
-  final class CellIterator(r: Reader, shared: IndexedSeq[String])
+  final class CellIterator(r: Reader, shared: IndexedSeq[org.apache.spark.unsafe.types.UTF8String])
       extends Iterator[Cell] with AutoCloseable {
 
     private var curRow = -1
@@ -145,16 +145,17 @@ object XlsbParser {
             val c = new Cursor(rec.payload)
             val col = c.i32()
             c.skip(4) // iStyleRef (3 bytes) + fPhShow/reserved (1 byte)
+            import org.apache.spark.unsafe.types.UTF8String
             val text = rec.id match {
-              case BrtCellBlank => ""
-              case BrtCellRk    => RustDouble.format(decodeRk(c.i32()))
-              case BrtCellError | BrtFmlaError => errorName(c.u8())
-              case BrtCellBool | BrtFmlaBool => if (c.u8() != 0) "true" else "false"
-              case BrtCellReal | BrtFmlaNum  => RustDouble.format(c.f64())
-              case BrtCellSt | BrtFmlaString => c.wideString()
+              case BrtCellBlank => U8Empty
+              case BrtCellRk    => UTF8String.fromString(RustDouble.format(decodeRk(c.i32())))
+              case BrtCellError | BrtFmlaError => UTF8String.fromString(errorName(c.u8()))
+              case BrtCellBool | BrtFmlaBool => if (c.u8() != 0) U8True else U8False
+              case BrtCellReal | BrtFmlaNum  => UTF8String.fromString(RustDouble.format(c.f64()))
+              case BrtCellSt | BrtFmlaString => UTF8String.fromString(c.wideString())
               case BrtCellIsst =>
                 val idx = c.i32()
-                if (idx >= 0 && idx < shared.length) shared(idx) else ""
+                if (idx >= 0 && idx < shared.length) shared(idx) else U8Empty
             }
             nextCell = Cell(curRow, col, text)
           case BrtEndSheetData => finished = true; close()

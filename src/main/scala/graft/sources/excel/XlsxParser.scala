@@ -6,6 +6,8 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
 
 import scala.collection.mutable
 
+import org.apache.spark.unsafe.types.UTF8String
+
 /** Streaming xlsx (SpreadsheetML) reader built on java.util.zip + StAX —
   * the Spark-side equivalent of the reference's calamine-based cell stream
   * (/root/reference/src/lib.rs:42-53). One pass over the worksheet XML
@@ -23,7 +25,16 @@ object XlsxParser {
 
   final case class SheetMeta(name: String, target: String)
 
-  final case class Cell(row: Int, col: Int, text: String)
+  /** `text` is pre-encoded to Spark's native UTF8String at parse time: on
+    * the chunk-parallel scan path the encode cost rides the worker pool
+    * instead of the task thread, and shared-string cells reuse the one
+    * encoded object per table entry instead of re-encoding per cell.
+    */
+  final case class Cell(row: Int, col: Int, text: UTF8String)
+
+  private[excel] val U8Empty = UTF8String.EMPTY_UTF8
+  private[excel] val U8True = UTF8String.fromString("true")
+  private[excel] val U8False = UTF8String.fromString("false")
 
   /** Used-range bounds, 0-based inclusive (calamine `dimensions()`). */
   final case class Dimensions(startRow: Int, startCol: Int, endRow: Int, endCol: Int) {
@@ -151,6 +162,12 @@ object XlsxParser {
         out.toIndexedSeq
     }
 
+    /** Shared strings pre-encoded once; every referencing cell reuses the
+      * same UTF8String object.
+      */
+    lazy val sharedU8: IndexedSeq[UTF8String] =
+      sharedStrings.map(UTF8String.fromString)
+
     /** Sheet selection with the reference's precedence: name wins over
       * index; default = first sheet; OOB index / no sheets -> error
       * (/root/reference/src/lib.rs:105-124).
@@ -183,7 +200,7 @@ object XlsxParser {
       val in = entryStream(target).getOrElse(
         throw new IllegalArgumentException(s"$path: missing worksheet part $target"))
       val rd = new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8)
-      new CellIterator(new FastXml(rd), rd, sharedStrings)
+      new CellIterator(new FastXml(rd), rd, sharedU8)
     }
 
     /** Scan-path cell stream: big sheets go through the pipelined
@@ -201,7 +218,7 @@ object XlsxParser {
         val rd = new java.io.InputStreamReader(
           zip.getInputStream(entry), java.nio.charset.StandardCharsets.UTF_8)
         val workers = math.min(8, Runtime.getRuntime.availableProcessors())
-        new ParallelCells(rd, sharedStrings, workers)
+        new ParallelCells(rd, sharedU8, workers)
       }
     }
 
@@ -283,7 +300,7 @@ object XlsxParser {
     * guaranteed by the SpreadsheetML spec for <sheetData>).
     */
   final class CellIterator(
-      fx: FastXml, rd: java.io.Reader, shared: IndexedSeq[String],
+      fx: FastXml, rd: java.io.Reader, shared: IndexedSeq[UTF8String],
       strictRowRefs: Boolean = false)
       extends Iterator[Cell] with AutoCloseable {
 
@@ -346,16 +363,16 @@ object XlsxParser {
           }
         }
       }
-      val text: String = t match {
-        case "s"         => if (v == null) "" else shared(v.trim.toInt)
-        case "str"       => if (v == null) "" else v
-        case "inlineStr" => if (is == null && !sawIs) "" else if (is == null) "" else is
-        case "b"         => if (v != null && (v.trim == "1" || v.trim.equalsIgnoreCase("true"))) "true" else "false"
-        case "e"         => if (v == null) "" else mapError(v.trim)
-        case "d"         => if (v == null) "" else v.trim // ISO datetime/duration: literal text
+      val text: UTF8String = t match {
+        case "s"         => if (v == null) U8Empty else shared(v.trim.toInt)
+        case "str"       => if (v == null) U8Empty else UTF8String.fromString(v)
+        case "inlineStr" => if (is == null) U8Empty else UTF8String.fromString(is)
+        case "b"         => if (v != null && (v.trim == "1" || v.trim.equalsIgnoreCase("true"))) U8True else U8False
+        case "e"         => if (v == null) U8Empty else UTF8String.fromString(mapError(v.trim))
+        case "d"         => if (v == null) U8Empty else UTF8String.fromString(v.trim) // ISO datetime/duration: literal text
         case _ => // numeric (or date-serial — both print as the raw f64)
-          if (v == null || v.trim.isEmpty) "" // explicitly-present empty cell
-          else RustDouble.format(v.trim.toDouble)
+          if (v == null || v.trim.isEmpty) U8Empty // explicitly-present empty cell
+          else UTF8String.fromString(RustDouble.format(v.trim.toDouble))
       }
       nextCell = Cell(row, col, text)
     }
