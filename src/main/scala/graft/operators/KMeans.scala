@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Distributed Lloyd's k-means over an embedding column — the centroid
+  * training job behind the IVF ANN index (see `LlmOps.ivfTopK`).
+  *
+  * Each iteration is two declarative passes, both linear in the data and
+  * free of driver-side loops over rows:
+  *
+  *   1. assign: broadcast the (small) centroid table, cross-join, argmax
+  *      cosine via a per-vector window — shuffle carries (id, k-row)
+  *      nothing; the window partitions by the vector id.
+  *   2. recompute: posexplode the assigned vectors to (cell, dim, x) and
+  *      average per (cell, dim) — the shuffle carries partial (sum, count)
+  *      buffers per (cell, dim), i.e. k×d rows after map-side combine,
+  *      regardless of data size. Centroids reassemble via the
+  *      sort-struct-array trick.
+  *
+  * At 100 TB: centroids stay broadcastable for any practical k·d; the
+  * recompute shuffle is k×d per partition — constant; the assign pass is
+  * the dominant cost at k comparisons per vector per iteration, the same
+  * arithmetic any IVF trainer pays. Cells that lose all members drop out
+  * (standard Lloyd's-with-drop; k can only shrink).
+  *
+  * Argmax ties break on the lower cell_id, so the trajectory is
+  * deterministic up to floating-point summation order in avg().
+  */
+object KMeans {
+
+  /** Refine `init` (cell_id, cv) for `iters` rounds over `data`.
+    * Returns (cell_id, cv: array<double>).
+    */
+  def fit(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      init: DataFrame,
+      iters: Int): DataFrame = {
+    var cents = init.select(col("cell_id"),
+      transform(col("cv"), _.cast("double")).as("cv"))
+    var i = 0
+    while (i < iters) {
+      val assigned = assign(data, idCol, vecCol, cents)
+      cents = assigned
+        .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+      i += 1
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment: (cell_id, idCol, vecCol) per vector. */
+  def assign(
+      data: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cell_id"))
+    data.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("__sim", VectorFns.cosine(col(vecCol), col("cv")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cell_id"), col(idCol), col(vecCol))
+  }
+
+  /** Deterministic init: every `every`-th vector by id order. */
+  def initEvery(data: DataFrame, idCol: String, vecCol: String, every: Int): DataFrame =
+    data.filter(pmod(col(idCol), lit(every)) === 1)
+      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cv"))
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{MinHashSignature, SimHash64, RollingHash64, TextFns, VectorFns, WordShingles}
-import graft.operators.DedupCluster
+import graft.operators.{DedupCluster, KMeans}
 
 /** LLM-training-pipeline operators (SURVEY §2.2 Q21–Q26 + north-star
   * extensions): deduplication (exact / fingerprint / MinHash-LSH /
@@ -103,25 +103,30 @@ object LlmOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Trained IVF centroids for the embeddings table: deterministic
+    * every-40th-vector init refined by two Lloyd's iterations
+    * (operators.KMeans), then MATERIALIZED — the centroid table is the
+    * small output of an offline training job, and collecting it keeps the
+    * serving plan free of the training subtree (which would otherwise be
+    * recomputed per reference).
+    */
+  def ivfCentroids(s: SparkSession, dir: String, data: DataFrame): DataFrame = {
+    val trained = KMeans.fit(data, "vec_id", "embedding",
+      KMeans.initEvery(data, "vec_id", "embedding", 40), iters = 2)
+    s.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+  }
+
   /** IVF (inverted-file) ANN: vectors are assigned to their nearest
-    * "centroid" cell offline; a query ranks only the vectors in its
-    * `nProbe` closest cells. Centroids here are a deterministic sample
-    * (every 40th vector) standing in for k-means output — at scale the
-    * centroid training is an offline job and the serving path below is
-    * unchanged: broadcast the (small) centroid set, assign via argmax
-    * cosine, equi-join the probed cells.
+    * k-means cell offline; a query ranks only the vectors in its
+    * `nProbe` closest cells. Serving path: broadcast the (small) trained
+    * centroid set, assign via argmax cosine, equi-join the probed cells.
     */
   def ivfTopK(s: SparkSession, dir: String, k: Int, nProbe: Int): DataFrame = {
     val e = t(s, dir, "embeddings")
     val data = e.filter(col("vec_id") =!= 0)
-    val cents = data.filter(col("vec_id") % 40 === 1)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cell_sim").desc, col("cell_id"))
-    val assigned = data.crossJoin(broadcast(cents))
-      .withColumn("cell_sim", VectorFns.cosine(col("embedding"), col("cv")))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
+    val cents = ivfCentroids(s, dir, data)
+    val assigned = KMeans.assign(data, "vec_id", "embedding", cents)
       .select(col("vec_id"), col("embedding"), col("cell_id"))
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     // the centroid table is small by construction, so the global window
@@ -490,6 +495,30 @@ object LlmOps {
             (count(when(col("sim") === col("e_sim"), 1)) === count(lit(1))).as("sims_exact"))
       },
       Some("SELECT CAST(10 AS BIGINT) AS n_results, true AS size_ok, true AS sims_exact")),
+
+    // ------------------------------------------------- IVF centroid training
+    // The k-means training job itself (operators.KMeans, 2 Lloyd's
+    // iterations): every vector lands in exactly one cell, training keeps
+    // at least two distinct cells alive, and centroids keep the embedding
+    // dimensionality. Centroid VALUES are floating-point-summation-order
+    // dependent, so the oracle pins these structural invariants (all
+    // deterministic) rather than coordinates.
+    QueryDef(
+      "q24_ivf_train",
+      (s, dir) => {
+        val data = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+        val cents = ivfCentroids(s, dir, data)
+        val assigned = KMeans.assign(data, "vec_id", "embedding", cents)
+        val a = assigned.agg(
+          count(lit(1)).as("n_assigned"),
+          (countDistinct(col("cell_id")) >= 2).as("cells_ok"))
+        val c = cents.agg(
+          (min(size(col("cv"))) === 64 && max(size(col("cv"))) === 64).as("dims_ok"))
+        a.crossJoin(c)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_assigned,
+             |       true AS cells_ok, true AS dims_ok
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
 
     // ----------------------------------------------------- text analysis
     QueryDef(

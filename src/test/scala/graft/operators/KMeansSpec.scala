@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** On data with real cluster structure, two Lloyd's iterations from a
+  * one-point-per-cluster init must reach purity 1 (every cluster's points
+  * in one cell), keep dimensionality, and cover every vector exactly once.
+  */
+class KMeansSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** 3 tight clusters of 30 points in 8-dim: cluster c centered on axes
+    * (c, c+3), deterministic small jitter from the point index.
+    */
+  private def clustered = {
+    import spark.implicits._
+    val rows = for {
+      c <- 0 until 3
+      p <- 0 until 30
+    } yield {
+      val v = Array.tabulate(8) { d =>
+        val base = if (d == c || d == c + 3) 1.0 else 0.0
+        base + 0.01 * (((p * 31 + d * 7) % 11) - 5)
+      }
+      (c * 30 + p + 1L, c, v)
+    }
+    rows.toDF("id", "cluster", "vec")
+  }
+
+  test("k-means reaches purity 1 on separable clusters") {
+    val df = clustered
+    // init: the first point of each cluster (ids 1, 31, 61 = 1 mod 30)
+    val init = KMeans.initEvery(df, "id", "vec", 30)
+    assert(init.count() == 3)
+    val cents = KMeans.fit(df, "id", "vec", init, iters = 2)
+    val assigned = KMeans.assign(df, "id", "vec", cents)
+      .join(df.select(col("id"), col("cluster")), "id")
+    val purity = assigned.groupBy(col("cluster"))
+      .agg(countDistinct(col("cell_id")).as("cells"))
+      .collect()
+    assert(purity.forall(_.getLong(1) == 1), purity.mkString(","))
+    assert(assigned.select(col("cell_id")).distinct().count() == 3)
+    assert(assigned.count() == 90)
+    val c = cents.collect()
+    assert(c.forall(_.getSeq[Double](1).length == 8))
+  }
+
+  test("empty cells drop out instead of producing NaN centroids") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(1.0, 0.1)))
+      .toDF("id", "vec")
+    // far-away init point 2 captures nothing after the first assignment
+    val init = Seq((100L, Array(1.0, 0.05)), (200L, Array(-1.0, -1.0)))
+      .toDF("cell_id", "cv")
+    val cents = KMeans.fit(df, "id", "vec", init, iters = 2).collect()
+    assert(cents.length == 1, cents.mkString(","))
+    assert(!cents.exists(_.getSeq[Double](1).exists(_.isNaN)))
+  }
+}
