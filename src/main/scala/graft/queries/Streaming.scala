@@ -93,6 +93,21 @@ object Streaming {
              |FROM events JOIN customer ON user_id = c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // foreachBatch CDC upsert into a versioned parquet snapshot; the
+    // precedence-compared merge makes the final state equal to a global
+    // per-user argmax regardless of micro-batch boundaries.
+    QueryDef(
+      "q20_stream_upsert",
+      (s, dir) => graft.streaming.StreamOps.streamUpsert(s, dir),
+      Some("""WITH latest AS (
+             |  SELECT user_id, event_type, ts,
+             |         row_number() OVER (PARTITION BY user_id
+             |             ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events)
+             |SELECT event_type, count(*) AS n_users, max(ts) AS last_ts
+             |FROM latest WHERE rn = 1
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Typed Aggregator top-k: top-3 order prices per customer, exploded to
     // rows so the oracle compare stays scalar-typed.
     QueryDef(
