@@ -88,6 +88,29 @@ class RangeJoinRuleSpec extends AnyFunSuite {
       plain.sql(pureRangeSql).collect().head.getLong(0))
   }
 
+  test("mirrored predicate orientations rewrite and match too") {
+    makeEvents(plain); makeEvents(spark)
+    // a.ts < b.ts form for the lower bound, a.ts + w >= b.ts for the upper
+    val mirrored =
+      """SELECT a.typ AS typ, count(*) AS n
+        |FROM rj_events a JOIN rj_events b
+        |  ON a.typ = b.typ AND a.ts < b.ts AND a.ts + INTERVAL 10 MINUTE >= b.ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    val opt = spark.sql(mirrored).queryExecution.optimizedPlan.toString
+    assert(opt.contains("__graft_range_bucket"), opt)
+    assert(spark.sql(mirrored).collect().map(_.toString).toSeq ==
+      plain.sql(mirrored).collect().map(_.toString).toSeq)
+  }
+
+  test("unbounded or month-interval ranges are not rewritten") {
+    makeEvents(spark)
+    val monthly =
+      """SELECT count(*) FROM rj_events a JOIN rj_events b
+        |  ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 MONTH""".stripMargin
+    val opt = spark.sql(monthly).queryExecution.optimizedPlan.toString
+    assert(!opt.contains("__graft_range_bucket"), opt)
+  }
+
   test("plain equi joins are left untouched") {
     makeEvents(spark)
     val opt = spark.sql(
