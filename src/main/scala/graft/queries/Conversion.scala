@@ -94,6 +94,31 @@ object Conversion {
              |) AS t(id, name, amount, flag)
              |ORDER BY CAST(id AS INTEGER)""".stripMargin)),
 
+    // Multi-file scan: a directory of workbooks plans one partition per
+    // file (the file-parallel unit for bulk conversion); global row order
+    // is lexicographic by file then in-file order.
+    QueryDef(
+      "q02_excel_dir_scan",
+      (s, _) => {
+        val d = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q02_dir")
+        if (!Files.exists(d)) {
+          Files.createDirectories(d)
+          def sheet(rows: Seq[Seq[Option[XCell]]]) =
+            Seq(Sheet.dense("data",
+              Seq(Some(XShared("id")), Some(XShared("v"))) +: rows))
+          XlsxWriter.write(d.resolve("part_b.xlsx").toString, sheet(
+            Seq(Seq(Some(XNum(3)), Some(XStr("three"))),
+              Seq(Some(XNum(4)), Some(XStr("four"))))))
+          XlsxWriter.write(d.resolve("part_a.xlsx").toString, sheet(
+            Seq(Seq(Some(XNum(1)), Some(XStr("one"))),
+              Seq(Some(XNum(2)), Some(XStr("two"))))))
+        }
+        s.read.format("excel").load(d.toString).orderBy(col("id").cast("int"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('1', 'one'), ('2', 'two'), ('3', 'three'), ('4', 'four')
+             |) AS t(id, v) ORDER BY CAST(id AS INTEGER)""".stripMargin)),
+
     // Conversion throughput benchmark: a 200k-row x 8-col xlsx (generated
     // once, cached) through the full scan->parquet pipeline. No oracle
     // (rows-only); the value is the BENCH timing against the reference's

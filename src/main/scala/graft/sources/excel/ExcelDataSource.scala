@@ -37,7 +37,9 @@ class ExcelDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val lay = ExcelRead.layout(ExcelDataSource.readOptions(options))
+    val o = ExcelDataSource.readOptions(options)
+    val first = ExcelDataSource.resolvePaths(o.path).head
+    val lay = ExcelRead.layout(o.copy(path = first))
     StructType(lay.names.map(StructField(_, StringType, nullable = true)))
   }
 
@@ -55,6 +57,33 @@ object ExcelDataSource {
       sheetName = Option(options.get("sheetName")),
       sheetIndex = Option(options.get("sheetIndex")).map(_.toInt),
       skipRows = Option(options.get("skipRows")).map(_.toInt).getOrElse(0))
+  }
+
+  /** Expand the load path into concrete workbook files: a glob matches
+    * files (and directories, which are then listed for .xlsx/.xlsb), a
+    * directory lists its workbook files, a plain file passes through.
+    * Sorted — partition order, and therefore global output row order, is
+    * lexicographic by file path (matching part-file reader convention).
+    */
+  def resolvePaths(spec: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(spec)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def isWorkbook(name: String): Boolean = {
+      val n = name.toLowerCase
+      n.endsWith(".xlsx") || n.endsWith(".xlsb")
+    }
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filter(f => f.isFile && isWorkbook(f.getPath.getName))
+      else Seq(st)
+    }
+    val out = files.map(_.getPath.toUri.getPath).sorted
+    if (out.isEmpty)
+      throw new IllegalArgumentException(s"excel source: no workbook files match $spec")
+    out
   }
 }
 
@@ -86,9 +115,15 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
 
   override def planInputPartitions(): Array[InputPartition] = {
     val o = ExcelDataSource.readOptions(options)
-    Array(ExcelInputPartition(
-      o.path, o.sheetName, o.sheetIndex, o.skipRows,
-      required.fieldNames.map(fullSchema.fieldIndex)))
+    val paths = ExcelDataSource.resolvePaths(o.path)
+    // one partition per workbook file — a directory / glob of N files is
+    // an N-task scan, the file-parallel unit a 100 TB Excel corpus needs
+    // (individual workbooks are ZIP-deflated and not block-splittable)
+    val positions = required.fieldNames.map(fullSchema.fieldIndex)
+    val expectNames = if (paths.length > 1) fullSchema.fieldNames else null
+    paths.map(f => ExcelInputPartition(
+      f, o.sheetName, o.sheetIndex, o.skipRows,
+      positions, expectNames): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -100,7 +135,10 @@ final case class ExcelInputPartition(
     sheetName: Option[String],
     sheetIndex: Option[Int],
     skipRows: Int,
-    requiredPositions: Array[Int]) extends InputPartition
+    requiredPositions: Array[Int],
+    // non-null for multi-file scans: every file must present this header
+    // (positional mapping would silently misalign columns otherwise)
+    expectedNames: Array[String]) extends InputPartition
 
 final class ExcelReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -109,6 +147,11 @@ final class ExcelReaderFactory extends PartitionReaderFactory {
     // Layout re-derivation on the executor is one header-prefix scan —
     // cheap, and avoids serializing driver state into the partition.
     val lay = ExcelRead.layout(opts)
+    if (p.expectedNames != null && lay.names != p.expectedNames.toSeq)
+      throw new IllegalArgumentException(
+        s"${p.path}: header ${lay.names.mkString("[", ",", "]")} does not match " +
+          s"the scan schema ${p.expectedNames.mkString("[", ",", "]")} — " +
+          "all files of a multi-file excel scan must share the header row")
     val outPos = Array.fill(lay.numCols)(-1)
     p.requiredPositions.zipWithIndex.foreach { case (pos, out) => outPos(pos) = out }
     val rows = ExcelRead.rows(opts, lay, outPos, p.requiredPositions.length)
