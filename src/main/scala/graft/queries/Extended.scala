@@ -193,6 +193,79 @@ object Extended {
              |                          AND o_totalprice > 400000)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // ------------------------------------------- TPC-H Q5 (SQL surface)
+    // Six-table join (the full snowflake) + one-year filter + per-nation
+    // revenue. Catalyst picks the join order and broadcasts every
+    // dimension; only orders⋈lineitem shuffles.
+    QueryDef(
+      "q05_sql_tpch_q5",
+      (s, dir) => {
+        Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+          .foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(s"${n}_v5"))
+        s.sql("""
+          SELECT n_name,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+          FROM customer_v5 JOIN orders_v5   ON c_custkey = o_custkey
+                           JOIN lineitem_v5 ON l_orderkey = o_orderkey
+                           JOIN supplier_v5 ON l_suppkey = s_suppkey
+                                           AND c_nationkey = s_nationkey
+                           JOIN nation_v5   ON s_nationkey = n_nationkey
+                           JOIN region_v5   ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate <  TIMESTAMP '1997-01-01'
+          GROUP BY n_name
+          ORDER BY revenue DESC, n_name""")
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+             |FROM customer JOIN orders   ON c_custkey = o_custkey
+             |              JOIN lineitem ON l_orderkey = o_orderkey
+             |              JOIN supplier ON l_suppkey = s_suppkey
+             |                           AND c_nationkey = s_nationkey
+             |              JOIN nation   ON s_nationkey = n_nationkey
+             |              JOIN region   ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // ------------------------------------------ TPC-H Q10 (SQL surface)
+    // Returned-item reporting: top-20 customers by lost revenue in a
+    // quarter — join + filter + aggregate + top-k in one statement.
+    QueryDef(
+      "q05_sql_tpch_q10",
+      (s, dir) => {
+        Seq("customer", "orders", "lineitem", "nation")
+          .foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(s"${n}_v10"))
+        s.sql("""
+          SELECT c_custkey, c_name,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
+                 n_name
+          FROM customer_v10 JOIN orders_v10   ON c_custkey = o_custkey
+                            JOIN lineitem_v10 ON l_orderkey = o_orderkey
+                            JOIN nation_v10   ON c_nationkey = n_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate <  TIMESTAMP '1996-04-01'
+            AND l_returnflag = 'R'
+          GROUP BY c_custkey, c_name, n_name
+          ORDER BY revenue DESC, c_custkey
+          LIMIT 20""")
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
+             |  n_name
+             |FROM customer JOIN orders   ON c_custkey = o_custkey
+             |              JOIN lineitem ON l_orderkey = o_orderkey
+             |              JOIN nation   ON c_nationkey = n_nationkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+             |  AND l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name, n_name
+             |ORDER BY revenue DESC, c_custkey
+             |LIMIT 20""".stripMargin)),
+
     // --------------------------------- optimizer-rule-rewritten range join
     // The NAIVE SQL form of q07_join_range — no hand-bucketing — executed
     // with plans.RangeJoinRule installed, which rewrites the bounded
