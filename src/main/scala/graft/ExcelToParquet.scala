@@ -32,10 +32,17 @@ object ExcelToParquet {
     r.option("skipRows", opts.skipRows).load(opts.input)
   }
 
-  /** Convert one workbook sheet to a zstd parquet file; returns row count. */
+  /** Convert workbook sheet(s) to a zstd parquet file; returns row count.
+    * A plain file keeps the reference's extension contract (exit-1 on
+    * anything but .xlsx/.xlsb); a directory or glob converts every matched
+    * workbook in one N-task job (the source plans one partition per file),
+    * writing part files in lexicographic file order.
+    */
   def convert(spark: SparkSession, opts: Options): Long = {
     val lower = opts.input.toLowerCase
-    if (!lower.endsWith(".xlsx") && !lower.endsWith(".xlsb"))
+    val multi = lower.exists("*?[{".contains(_)) ||
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(opts.input))
+    if (!multi && !lower.endsWith(".xlsx") && !lower.endsWith(".xlsb"))
       throw new IllegalArgumentException(
         s"Unsupported file extension for input: ${opts.input} (expected .xlsx or .xlsb)")
     val df = read(spark, opts)

@@ -70,6 +70,15 @@ class DirScanSpec extends AnyFunSuite {
       e.toString)
   }
 
+  test("convert on a directory writes all rows through the parquet sink") {
+    val out = Files.createTempDirectory("graft_dirconv").resolve("out.parquet")
+    val n = graft.ExcelToParquet.convert(spark,
+      graft.ExcelToParquet.Options(dir.toString, out.toString))
+    assert(n == 4)
+    assert(spark.read.parquet(out.toString)
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("1", "2", "3", "4"))
+  }
+
   test("empty match is a clear error") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("excel").load(
