@@ -95,6 +95,43 @@ object Multimodal {
       }(enc)
   }
 
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("w", IntegerType, nullable = true),
+      StructField("h", IntegerType, nullable = true))), nullable = true)))
+
+  /** STUB resize: keep every `factor`-th byte — the payload→payload
+    * transformation shape (image downscale, audio downsample) with the
+    * metadata struct updated to the new "resolution". A real codec would
+    * decode, resample, and re-encode the slice; the partition-wise
+    * streaming, binary-in/binary-out encoder, and meta bookkeeping are
+    * exactly what it would run on.
+    */
+  def resize(assets: DataFrame, factor: Int): DataFrame = {
+    require(factor > 0, "resize factor must be positive")
+    val enc = Encoders.row(resizedSchema)
+    assets.select(col("asset_id"), col("payload"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val meta = if (r.isNullAt(2)) null else r.getStruct(2)
+          val out =
+            if (payload == null) null
+            else Array.tabulate((payload.length + factor - 1) / factor)(i => payload(i * factor))
+          val newMeta =
+            if (meta == null) null
+            else Row(meta.getString(0),
+              if (meta.isNullAt(1)) null else Int.box((meta.getInt(1) + factor - 1) / factor),
+              if (meta.isNullAt(2)) null else Int.box(meta.getInt(2)))
+          Row(id, out, newMeta)
+        }
+      }(enc)
+  }
+
   /** Build an asset table from documents (text payload stands in for a
     * real media payload) — used by q26 and the specs.
     */

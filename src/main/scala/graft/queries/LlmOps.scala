@@ -816,6 +816,35 @@ object LlmOps {
              |  ((f+1) * length(text)) // 3 - (f * length(text)) // 3 AS frame_len,
              |  CAST(ascii(substring(text, CAST((f * length(text)) // 3 AS INTEGER) + 1, 1)) AS BIGINT) AS head_byte
              |FROM documents, (SELECT unnest([0, 1, 2]) AS f)
-             |ORDER BY asset_id, frame_idx""".stripMargin))
+             |ORDER BY asset_id, frame_idx""".stripMargin)),
+
+    // Resize (payload -> payload with meta update, operators/Multimodal
+    // .resize): keep every 4th byte; the ASCII payload again gives DuckDB
+    // an exact character-arithmetic replica of the byte stub.
+    QueryDef(
+      "q26_resize",
+      (s, dir) => {
+        val assets = graft.operators.Multimodal.assetsFromDocuments(s, dir)
+        val resized = graft.operators.Multimodal.resize(assets, 4)
+        val orig = assets.select(
+          col("asset_id").as("o_id"), length(col("payload")).cast("long").as("orig_bytes"))
+        resized.join(orig, col("asset_id") === col("o_id"))
+          .select(
+            col("asset_id"),
+            col("orig_bytes"),
+            length(col("payload")).cast("long").as("resized_bytes"),
+            ascii(decode(substring(col("payload"), 1, 1), "UTF-8")).cast("long").as("head_byte"),
+            ascii(decode(expr("substring(payload, length(payload), 1)"), "UTF-8"))
+              .cast("long").as("tail_byte"),
+            col("meta.w").cast("long").as("new_w"))
+          .orderBy("asset_id")
+      },
+      Some("""SELECT doc_id AS asset_id,
+             |  CAST(length(text) AS BIGINT) AS orig_bytes,
+             |  CAST((length(text) + 3) // 4 AS BIGINT) AS resized_bytes,
+             |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS head_byte,
+             |  CAST(ascii(substring(text, CAST(1 + 4 * ((length(text) - 1) // 4) AS INTEGER), 1)) AS BIGINT) AS tail_byte,
+             |  CAST((n_chars + 3) // 4 AS BIGINT) AS new_w
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
