@@ -11,9 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// Forked run output goes straight to stdout (no "[info] " prefix) so the
-// driver can parse Bench's single JSON line.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Forked run/runMain output goes straight to stdout (no "[info] " prefix)
+// so the driver can parse Bench's single JSON line. Scope explicitly to
+// Compile — the bare `run / outputStrategy` key does not reach `runMain`
+// (round-1 BENCH tail shows the [info]-prefixed line and parsed: null).
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
