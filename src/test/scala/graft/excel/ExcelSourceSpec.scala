@@ -3,6 +3,7 @@ package graft.excel
 import java.nio.file.Files
 
 import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.excel.XlsxWriter
@@ -169,6 +170,30 @@ class ExcelSourceSpec extends AnyFunSuite {
     assert(back.columns.toSeq == Seq("id", "v"))
     assert(back.schema.forall(_.dataType.typeName == "string"))
     assert(back.orderBy(back("id").cast("int")).collect().head == Row("1", "0.5"))
+  }
+
+  test("XML-special and non-ASCII text survives both formats") {
+    val specials = Seq(
+      "a & b < c > d \"quoted\" 'apostrophe'",
+      "unicode: é ü 中文 русский",
+      "emoji 😀 pair", // surrogate pair
+      "tabs\tand  double  spaces",
+      "&amp; literal-looking &#65; entities")
+    def rows(vals: Seq[String]) =
+      Seq(Some(XShared("k")), Some(XShared("txt"))) +:
+        vals.zipWithIndex.map { case (v, i) =>
+          Seq(Some(XNum(i + 1)), Some(XStr(v)): Option[XCell])
+        }
+    val xlsx = tmp("specials.xlsx")
+    XlsxWriter.write(xlsx, Seq(Sheet.dense("S", rows(specials))))
+    val gotX = spark.read.format("excel").load(xlsx)
+      .orderBy(col("k").cast("int")).collect().map(_.getString(1)).toSeq
+    assert(gotX == specials)
+    val xlsb = tmp("specials.xlsb")
+    graft.sources.excel.XlsbWriter.write(xlsb, Seq(Sheet.dense("S", rows(specials))))
+    val gotB = spark.read.format("excel").load(xlsb)
+      .orderBy(col("k").cast("int")).collect().map(_.getString(1)).toSeq
+    assert(gotB == specials)
   }
 
   test("unknown extensions follow the CLI error contract") {
