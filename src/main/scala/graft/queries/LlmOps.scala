@@ -199,15 +199,28 @@ object LlmOps {
     * exact-verified and the 16x8 band config has per-pair miss
     * probability < 1e-10 at J>=0.8) by q23_minhash_lsh.
     */
+  // postings-list formulation (same shape as the Spark plan): pair counts
+  // come from per-shingle doc lists, so the oracle is linear in Σ df²
+  // instead of the all-pairs list_intersect join (which DuckDB grinds
+  // through near-single-threaded for tens of minutes at sf0.1).
   private val duckJaccardPairsSql =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |s AS (SELECT doc_id, $duckShingles AS sh FROM d WHERE len(w) >= 3)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
-       |FROM s a JOIN s b ON a.doc_id < b.doc_id
-       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.8
+       |s AS (SELECT doc_id, $duckShingles AS sh FROM d WHERE len(w) >= 3),
+       |sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+       |ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       |post AS (SELECT g, list_sort(list(doc_id)) AS ids FROM ex GROUP BY g
+       |         HAVING len(list(doc_id)) > 1),
+       |e1 AS (SELECT unnest(ids) AS a, ids FROM post),
+       |e2 AS (SELECT a, unnest(ids) AS b FROM e1),
+       |inter AS (SELECT a AS doc_a, b AS doc_b, count(*) AS n_inter
+       |          FROM e2 WHERE a < b GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       round(CAST(n_inter AS DOUBLE) /
+       |             CAST(za.sz + zb.sz - n_inter AS DOUBLE), 6) AS jaccard
+       |FROM inter JOIN sz za ON za.doc_id = doc_a
+       |           JOIN sz zb ON zb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) /
+       |      CAST(za.sz + zb.sz - n_inter AS DOUBLE) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
