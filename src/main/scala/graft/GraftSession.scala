@@ -25,6 +25,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime bloom filters prune the fact side of selective joins
+      // before the shuffle (explicit: the default has moved across
+      // versions, and at 100 TB this decides shuffle volume)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // MIN/MAX/COUNT against parquet footers instead of data pages —
+      // metadata-only scans for the q01-style profiling queries
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.warehouse.dir",
