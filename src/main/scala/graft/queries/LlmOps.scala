@@ -202,9 +202,10 @@ object LlmOps {
   // postings-list formulation (same shape as the Spark plan): pair counts
   // come from per-shingle doc lists, so the oracle is linear in Σ df²
   // instead of the all-pairs list_intersect join (which DuckDB grinds
-  // through near-single-threaded for tens of minutes at sf0.1).
-  private val duckJaccardPairsSql =
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  // through near-single-threaded for tens of minutes at sf0.1). Shared
+  // CTE block so the clustering oracle reuses the same pair derivation.
+  private val duckPairCtes =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |s AS (SELECT doc_id, $duckShingles AS sh FROM d WHERE len(w) >= 3),
        |sz AS (SELECT doc_id, len(sh) AS sz FROM s),
        |ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
@@ -213,14 +214,19 @@ object LlmOps {
        |e1 AS (SELECT unnest(ids) AS a, ids FROM post),
        |e2 AS (SELECT a, unnest(ids) AS b FROM e1),
        |inter AS (SELECT a AS doc_a, b AS doc_b, count(*) AS n_inter
-       |          FROM e2 WHERE a < b GROUP BY 1, 2)
-       |SELECT doc_a, doc_b,
-       |       round(CAST(n_inter AS DOUBLE) /
-       |             CAST(za.sz + zb.sz - n_inter AS DOUBLE), 6) AS jaccard
-       |FROM inter JOIN sz za ON za.doc_id = doc_a
-       |           JOIN sz zb ON zb.doc_id = doc_b
-       |WHERE CAST(n_inter AS DOUBLE) /
-       |      CAST(za.sz + zb.sz - n_inter AS DOUBLE) >= 0.8
+       |          FROM e2 WHERE a < b GROUP BY 1, 2),
+       |jpairs AS (
+       |  SELECT doc_a, doc_b,
+       |         round(CAST(n_inter AS DOUBLE) /
+       |               CAST(za.sz + zb.sz - n_inter AS DOUBLE), 6) AS jaccard
+       |  FROM inter JOIN sz za ON za.doc_id = doc_a
+       |             JOIN sz zb ON zb.doc_id = doc_b
+       |  WHERE CAST(n_inter AS DOUBLE) /
+       |        CAST(za.sz + zb.sz - n_inter AS DOUBLE) >= 0.8)""".stripMargin
+
+  private val duckJaccardPairsSql =
+    s"""WITH $duckPairCtes
+       |SELECT doc_a, doc_b, jaccard FROM jpairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
@@ -362,15 +368,9 @@ object LlmOps {
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE
-           |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-           |s AS (SELECT doc_id, $duckShingles AS sh FROM d WHERE len(w) >= 3),
-           |pairs AS (
-           |  SELECT a.doc_id AS pa, b.doc_id AS pb
-           |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-           |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-           |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.8),
-           |und AS (SELECT pa AS a, pb AS b FROM pairs
-           |        UNION ALL SELECT pb, pa FROM pairs),
+           |$duckPairCtes,
+           |und AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+           |        UNION ALL SELECT doc_b, doc_a FROM jpairs),
            |reach(node, label) AS (
            |  SELECT doc_id, doc_id FROM documents
            |  UNION
