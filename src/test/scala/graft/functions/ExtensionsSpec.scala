@@ -61,6 +61,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("literal integer"), e.getMessage)
   }
 
+  test("MergeUpsert matches the map-semantics model on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val target = (1 to 30).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(100)))
+        .distinctBy(_._1)
+      val updates = (1 to 15).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(100) + 1000))
+        .distinctBy(_._1)
+      val model = (target.toMap ++ updates.toMap).toSet
+      val got = graft.operators.MergeUpsert.upsert(
+        target.toDF("k", "v"), updates.toDF("k", "v"), Seq("k"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == model)
+    }
+  }
+
   test("MergeUpsert is latest-wins by key") {
     import spark.implicits._
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
