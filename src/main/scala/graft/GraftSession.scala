@@ -29,8 +29,11 @@ object GraftSession {
       // before the shuffle (explicit: the default has moved across
       // versions, and at 100 TB this decides shuffle volume)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      // MIN/MAX/COUNT against parquet footers instead of data pages —
-      // metadata-only scans for the q01-style profiling queries
+      // MIN/MAX/COUNT against parquet footers instead of data pages.
+      // Effective only on DSv2 parquet scans (the default V1 path
+      // instead plans count(*) as an empty-ReadSchema scan, already
+      // metadata-cheap); set so deployments that switch the source list
+      // to V2 inherit it
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
