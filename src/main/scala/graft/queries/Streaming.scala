@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TopKDoubles
+import graft.functions.{HeavyHitters, TopKDoubles}
 
 /** Q20 streaming queries (batch-equivalent, DuckDB-oracle checked) and the
   * Q21 typed-Aggregator surface.
@@ -107,6 +107,40 @@ object Streaming {
              |SELECT event_type, count(*) AS n_users, max(ts) AS last_ts
              |FROM latest WHERE rn = 1
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Misra-Gries heavy-hitters sketch (functions.HeavyHitters): one pass,
+    // 32 counters per partial, shuffle carries sketches not distinct
+    // items. The MG guarantee — every item with true frequency > n/(k+1)
+    // survives ANY partitioning/merge order — is deterministic even
+    // though the extra candidates are not, so the query emits the exact
+    // heavy-hitter count and the (provably-true) coverage check, both
+    // hash-stable.
+    QueryDef(
+      "q21_heavy_hitters",
+      (s, dir) => {
+        val hh = udaf(new HeavyHitters(32), org.apache.spark.sql.Encoders.scalaLong)
+        val toks = Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .select(xxhash64(col("tok")).as("h"))
+        val cands = toks.agg(hh(col("h")).as("sk"))
+          .select(explode(map_keys(col("sk"))).as("cand"))
+        val tot = toks.agg(count(lit(1)).as("n"))
+        val trueHH = toks.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .crossJoin(tot)
+          .filter(col("c") > col("n") / lit(33.0))
+        val uncovered = trueHH.join(cands, col("h") === col("cand"), "left_anti")
+          .agg(count(lit(1)).as("n_uncovered"))
+        trueHH.agg(count(lit(1)).as("n_true_hh"), max(col("n")).as("n_tokens"))
+          .crossJoin(uncovered)
+          .select(col("n_true_hh"), (col("n_uncovered") === 0).as("all_covered"),
+            col("n_tokens"))
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+             |tot AS (SELECT count(*) AS n FROM tok),
+             |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM cnt, tot WHERE c > n / 33.0) AS n_true_hh,
+             |       true AS all_covered,
+             |       (SELECT CAST(n AS BIGINT) FROM tot) AS n_tokens""".stripMargin)),
 
     // Typed Aggregator top-k: top-3 order prices per customer, exploded to
     // rows so the oracle compare stays scalar-typed.

@@ -61,6 +61,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("literal integer"), e.getMessage)
   }
 
+  test("HeavyHitters covers every item above n/(k+1) under any partitioning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // zipf-ish: item i appears ~1000/i times
+    val data = (1 to 40).flatMap(i => Seq.fill(1000 / i)(i.toLong))
+    val n = data.size
+    val k = 8
+    val trueHH = data.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 > n.toDouble / (k + 1)).keySet
+    assert(trueHH.nonEmpty)
+    Seq(1, 3, 13).foreach { parts =>
+      val sketch = data.toDF("x").repartition(parts)
+        .agg(udaf(new HeavyHitters(k), org.apache.spark.sql.Encoders.scalaLong)(col("x")))
+        .collect().head.getMap[Long, Long](0)
+      assert(trueHH.subsetOf(sketch.keySet.toSet), s"parts=$parts sketch=$sketch")
+      assert(sketch.size <= k)
+    }
+  }
+
   test("MergeUpsert matches the map-semantics model on random inputs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
