@@ -60,12 +60,18 @@ object GraftFunctions {
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
-  /** Register into a live session (idempotent). */
+  /** Register into a live session (idempotent). Also registers the
+    * heavy-hitters UDAF, which is an Aggregator (not an Expression) and
+    * therefore goes through the udf registry rather than injectFunction.
+    */
   def register(spark: SparkSession): Unit = {
     val reg = org.apache.spark.sql.GraftColumnBridge.functionRegistry(spark)
     builders.foreach { case (name, b) =>
       reg.registerFunction(FunctionIdentifier(name), info(name), b)
     }
+    spark.udf.register("graft_heavy_hitters_32",
+      org.apache.spark.sql.functions.udaf(
+        new graft.functions.HeavyHitters(32), org.apache.spark.sql.Encoders.scalaLong))
   }
 }
 

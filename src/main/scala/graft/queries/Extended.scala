@@ -33,6 +33,28 @@ object Extended {
              |   WHERE o_custkey = user_id AND o_orderdate <= ts) AS last_order_date
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // ------------------------------------ as-of join via correlated SQL
+    // The SAME correlated scalar subquery the oracle runs, executed BY
+    // SPARK: Catalyst decorrelates it into an aggregate + left join (no
+    // per-row subquery execution), which is exactly the plan class the
+    // AsOfJoin operator builds directly. Proves the SQL front door on
+    // point-in-time lookups.
+    QueryDef(
+      "q07_asof_sql",
+      (s, dir) => {
+        Tables.load(s, dir, "events").createOrReplaceTempView("events_asql")
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders_asql")
+        s.sql("""
+          SELECT event_id, user_id,
+                 (SELECT max(o_orderdate) FROM orders_asql
+                  WHERE o_custkey = user_id AND o_orderdate <= ts) AS last_order_date
+          FROM events_asql ORDER BY event_id""")
+      },
+      Some("""SELECT event_id, user_id,
+             |  (SELECT max(o_orderdate) FROM orders
+             |   WHERE o_custkey = user_id AND o_orderdate <= ts) AS last_order_date
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // ---------------------------------------------------- grouping sets
     // Direct GROUPING SETS (rollup/cube are in q10_*): two unrelated
     // groupings in one pass over lineitem.
