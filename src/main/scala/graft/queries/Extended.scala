@@ -33,22 +33,36 @@ object Extended {
              |   WHERE o_custkey = user_id AND o_orderdate <= ts) AS last_order_date
              |FROM events ORDER BY event_id""".stripMargin)),
 
-    // ------------------------------------ as-of join via correlated SQL
-    // The SAME correlated scalar subquery the oracle runs, executed BY
-    // SPARK: Catalyst decorrelates it into an aggregate + left join (no
-    // per-row subquery execution), which is exactly the plan class the
-    // AsOfJoin operator builds directly. Proves the SQL front door on
-    // point-in-time lookups.
+    // ----------------------------------- as-of join via SQL window trick
+    // The union-sort formulation of AsOfJoin written as plain SQL: union
+    // both sides keyed and time-ordered (orders before events on ties so
+    // <= is inclusive), running max over the order-date column, keep the
+    // event rows. ONE shuffle on the key — the plan that survives scale.
+    // The naive correlated-subquery phrasing (which IS the DuckDB oracle
+    // below) decorrelates in Spark to a broadcast-nested-loop join over
+    // events×orders — measured unrunnable at sf0.1 — which is precisely
+    // why the as-of surface ships as this rewrite + the AsOfJoin
+    // operator, not as the correlated form.
     QueryDef(
       "q07_asof_sql",
       (s, dir) => {
         Tables.load(s, dir, "events").createOrReplaceTempView("events_asql")
         Tables.load(s, dir, "orders").createOrReplaceTempView("orders_asql")
         s.sql("""
-          SELECT event_id, user_id,
-                 (SELECT max(o_orderdate) FROM orders_asql
-                  WHERE o_custkey = user_id AND o_orderdate <= ts) AS last_order_date
-          FROM events_asql ORDER BY event_id""")
+          WITH u AS (
+            SELECT o_custkey AS k, o_orderdate AS t, 0 AS side,
+                   o_orderdate AS od, CAST(NULL AS BIGINT) AS event_id
+            FROM orders_asql
+            UNION ALL
+            SELECT user_id, ts, 1, CAST(NULL AS TIMESTAMP), event_id
+            FROM events_asql),
+          w AS (
+            SELECT k, side, event_id,
+                   max(od) OVER (PARTITION BY k ORDER BY t, side
+                                 ROWS UNBOUNDED PRECEDING) AS last_order_date
+            FROM u)
+          SELECT event_id, k AS user_id, last_order_date
+          FROM w WHERE side = 1 ORDER BY event_id""")
       },
       Some("""SELECT event_id, user_id,
              |  (SELECT max(o_orderdate) FROM orders

@@ -89,6 +89,16 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("q07_asof_sql: window rewrite avoids the nested-loop decorrelation") {
+    // the correlated-subquery phrasing decorrelates to a BNLJ over
+    // events x orders (measured unrunnable at sf0.1); the shipped SQL is
+    // the union-sort window form — one shuffle, no nested loop
+    val p = plan("q07_asof_sql")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"asof SQL plans a quadratic join:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("excel scan prunes pushed columns") {
     // DSv2 SupportsPushDownRequiredColumns: reading 1 of 4 columns must
     // reach the reader (ExcelScan description carries required fields)
