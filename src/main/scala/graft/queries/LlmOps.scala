@@ -276,25 +276,27 @@ object LlmOps {
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), WordShingles.word_shingles(col("text"), 3).as("sh"))
           .filter(size(col("sh")) > 0)
-        val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
         // hash each shingle to 64 bits before the shuffle: it carries 8
         // bytes per shingle instead of the string. Distinctness is
         // preserved (a collision would break the oracle hash-match; none
         // on these corpora, and at 2^-64 per pair none expected at any
-        // realistic corpus size).
-        val ex = docs.select(col("doc_id"), explode(col("sh")).as("shs"))
-          .select(col("doc_id"), xxhash64(col("shs")).as("shingle"))
-        val inter = ex.groupBy(col("shingle"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        // realistic corpus size). The set size rides along as a struct
+        // field, so Jaccard needs NO separate size table — one scan, no
+        // post-aggregation joins (the struct costs 4 bytes per posting).
+        val ex = docs.select(
+          struct(col("doc_id"), size(col("sh")).as("sz")).as("d"),
+          explode(col("sh")).as("shs"))
+          .select(col("d"), xxhash64(col("shs")).as("shingle"))
+        ex.groupBy(col("shingle"))
+          .agg(sort_array(collect_list(col("d"))).as("ids"))
           .filter(size(col("ids")) > 1)
-          .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
-          .select(col("doc_a"),
-            explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
+          .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+          .select(col("a"),
+            explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("b"))
+          .groupBy(
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
           .agg(count(lit(1)).as("n_inter"))
-        inter
-          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
           .withColumn("jaccard",
             round(col("n_inter").cast("double") /
               (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"), 6))
