@@ -92,9 +92,16 @@ object LlmOps {
       .select(col("doc_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    // fetch each side's shingle array with ONE pass over docs: melt the
+    // pair to two keyed rows, equi-join, regroup — the docs subtree
+    // (scan + shingling) would otherwise execute once per join side
+    val melted = cand.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    melted.join(docs, "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("sh")), ignoreNulls = true).as("sh_a"),
+        first(when(col("doc_id") === col("doc_b"), col("sh")), ignoreNulls = true).as("sh_b"))
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("n_inter").cast("double") /
