@@ -4,61 +4,112 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate cluster assignment: connected components over a
-  * candidate-pair edge set, by iterative min-label propagation on
-  * DataFrames.
+  * candidate-pair edge set, by the alternating large-star/small-star
+  * algorithm (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14) on DataFrames.
   *
   * The pipeline shape at scale: LSH produces candidate pairs, exact
   * verification prunes them, and the surviving pairs form a graph whose
   * connected components are the duplicate clusters (keep one doc per
-  * component). Label propagation is the distributed formulation: every
-  * node starts labeled with itself, each round every node adopts the
-  * minimum label among itself and its neighbors, and the process
-  * converges in O(component diameter) rounds. Near-dup components are
-  * shallow (pairs/small cliques), so convergence is 2-4 rounds in
-  * practice; each round is one shuffle on the edge key.
+  * component).
+  *
+  * Why large-star/small-star instead of plain min-label propagation:
+  * label propagation needs O(component diameter) rounds, so a long
+  * chain of near-dup docs (common when a template mutates gradually)
+  * silently exceeds any fixed iteration cap and returns split clusters
+  * with no error. The alternating star algorithm converges in
+  * O(log^2 n) rounds worst-case (O(log n) in practice) independent of
+  * diameter, and its fixed point is provably a forest of stars rooted
+  * at each component's minimum node — so hitting the cap is an
+  * invariant violation we throw on, not a silent wrong answer.
+  *
+  * Per-round primitives (both are one shuffle on the node key):
+  *   - large-star(u): for m = min(N(u) ∪ {u}), connect every strictly
+  *     larger neighbor v > u directly to m.
+  *   - small-star(u) on edges oriented bigger→smaller: for m = min(N(u)),
+  *     connect u and every smaller neighbor to m.
   *
   * Scale notes:
   *   - `localCheckpoint` truncates the lineage each round — without it
   *     the plan doubles per iteration and the optimizer chokes long
   *     before the data does.
-  *   - the convergence check (`changed == 0`) is a count over the
-  *     joined label frames, not a collect of the labels.
-  *   - for graphs with deep components (not the near-dup case) the
-  *     alternating large-star/small-star algorithm (Kiveris et al.,
-  *     "Connected Components in MapReduce and Beyond") converges in
-  *     O(log n) rounds with the same per-round primitive; the propagation
-  *     loop below is the building block either way.
+  *   - the convergence check is set-equality of successive edge sets
+  *     (count + anti-join), never a collect of the edges.
+  *   - edge sets stay distinct'd each round, so the working set is
+  *     bounded by the (monotonically star-ifying) edge count.
   */
 object DedupCluster {
 
+  /** Large-star: connect every neighbor larger than u to the minimum of
+    * u's closed neighborhood. Input/output: undirected edge set encoded
+    * as distinct (u, v) rows with u != v (both orientations implied).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u")
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.filter(col("v") > col("u"))
+      .join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: orient edges bigger→smaller, then connect u and all
+    * its smaller neighbors to the smallest of them.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(
+      greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val withMin = oriented
+      .join(oriented.groupBy("u").agg(min(col("v")).as("m")), "u")
+    val relinked = withMin
+      .select(col("v").as("u"), col("m").as("v"))
+    val centers = withMin.select(col("u"), col("m").as("v"))
+    relinked.union(centers)
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
   /** Connected components of (`vertices`: one `node` column) under
     * (`edges`: `a`, `b` columns). Returns (node, cluster_id) where
-    * cluster_id is the minimum node id in the component.
+    * cluster_id is the minimum node id in the component. Throws if the
+    * alternation has not reached its fixed point within `maxIter`
+    * rounds (never observed below thousands of rounds' worth of nodes;
+    * a cap hit means a bug, not a data property).
     */
   def connectedComponents(
-      vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val und = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-    var labels = vertices.select(col("node"), col("node").as("label"))
+      vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    var e = edges
+      .select(col("a").as("u"), col("b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint(true)
     var iter = 0
-    var converged = false
+    var converged = e.isEmpty
     while (!converged && iter < maxIter) {
-      val neighborLabels = und
-        .join(labels, und("a") === labels("node"))
-        .select(col("b").as("node"), col("label"))
-      val next = labels.union(neighborLabels)
-        .groupBy(col("node"))
-        .agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.withColumnRenamed("label", "old_label"), "node")
-        .filter(col("label") =!= col("old_label"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0L
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // Both sets are distinct: equal iff same size and no row of next
+      // falls outside e.
+      converged = next.count() == e.count() &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = next
       iter += 1
     }
-    labels.select(col("node"), col("label").as("cluster_id"))
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter " +
+          "large-star/small-star rounds — this is a bug, not a data " +
+          "property (the alternation is O(log^2 n) rounds worst-case)")
+    }
+    // Fixed point is a union of stars rooted at each component minimum:
+    // every non-root points directly at its root.
+    val parents = e.groupBy(col("u").as("node"))
+      .agg(min(col("v")).as("root"))
+    vertices.select(col("node"))
+      .join(parents, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("root"), col("node")).as("cluster_id"))
   }
 }

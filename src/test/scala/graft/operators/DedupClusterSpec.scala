@@ -45,6 +45,16 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("deep-diameter path (200 nodes) converges — diameter-independent") {
+    // Min-label propagation needs O(diameter) rounds and would silently
+    // split this under a 20-round cap; large-star/small-star is O(log n).
+    val n = 200L
+    val got = components(
+      nodes = (1L to n),
+      edges = (1L until n).map(i => (i, i + 1)))
+    assert(got.values.toSet == Set(1L))
+  }
+
   test("q23_dedup_clusters groups exactly the transitive near-dup pairs") {
     val pairs = graft.SparkEntry.queries("q23_jaccard_pairs")(spark, sf)
       .select("doc_a", "doc_b")
