@@ -15,9 +15,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // keep saveAsTable output (bucketed-table queries) out of the repo cwd
+      // keep saveAsTable output (bucketed-table queries) out of the repo
+      // cwd, and per-run so concurrent verifies don't clobber each other
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+        RunPaths.scratch("graft_warehouse"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -27,8 +27,9 @@ object Analytics {
   private def dsum(c: Column, scale: Int): Column =
     sum(c.cast(DecimalType(38, scale))).cast("double")
 
-  private def tmp(name: String): String =
-    Paths.get(System.getProperty("java.io.tmpdir"), name).toString
+  // Per-run scratch: concurrent runs on one host must not share output
+  // paths (spurious failures / cross-run clobbering).
+  private def tmp(name: String): String = graft.RunPaths.scratch(name)
 
   val all: Seq[QueryDef] = Seq(
 
@@ -248,27 +249,32 @@ object Analytics {
     QueryDef(
       "q30_bucketed_join",
       (s, dir) => {
-        // DROP TABLE only clears the catalog entry; a stale warehouse
-        // directory from a previous session makes saveAsTable throw
-        // LOCATION_ALREADY_EXISTS, so remove the physical location too.
+        // Per-run table names: catalog tables are global per warehouse,
+        // so concurrent runs sharing fixed names would drop each other's
+        // data mid-query. DROP TABLE only clears the catalog entry; a
+        // stale warehouse directory from a previous session makes
+        // saveAsTable throw LOCATION_ALREADY_EXISTS, so remove the
+        // physical location too.
+        val ordersB = graft.RunPaths.suffixed("graft_orders_b")
+        val customerB = graft.RunPaths.suffixed("graft_customer_b")
         def dropHard(table: String): Unit = {
           s.sql(s"DROP TABLE IF EXISTS $table")
           val loc = new org.apache.hadoop.fs.Path(
             s.conf.get("spark.sql.warehouse.dir"), table)
           loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
         }
-        dropHard("graft_orders_b")
-        dropHard("graft_customer_b")
+        dropHard(ordersB)
+        dropHard(customerB)
         t(s, dir, "orders")
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "o_custkey").sortBy("o_custkey")
-          .saveAsTable("graft_orders_b")
+          .saveAsTable(ordersB)
         t(s, dir, "customer")
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "c_custkey").sortBy("c_custkey")
-          .saveAsTable("graft_customer_b")
-        s.table("graft_orders_b")
-          .join(s.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
+          .saveAsTable(customerB)
+        s.table(ordersB)
+          .join(s.table(customerB), col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n_orders"),
             dsum(col("o_totalprice"), 2).as("total_price"))

@@ -14,10 +14,9 @@ import graft.sources.excel.XlsxWriter._
 object Conversion {
 
   /** Deterministic fixture covering the type-variant surface. */
-  private def fixturePath(): String = {
-    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q02_fixture.xlsx")
-    if (!Files.exists(p)) {
-      XlsxWriter.write(p.toString, Seq(Sheet.dense("data",
+  private def fixturePath(): String =
+    graft.RunPaths.sharedFixture("graft_q02_fixture.xlsx") { out =>
+      XlsxWriter.write(out, Seq(Sheet.dense("data",
         Seq(Some(XShared("id")), Some(XShared("name")), Some(XShared("amount")), Some(XShared("flag"))) +:
         Seq(
           Seq(Some(XNum(1)), Some(XStr("alpha")), Some(XNum(1.5)), Some(XBool(true))),
@@ -25,14 +24,11 @@ object Conversion {
           Seq(Some(XNum(3)), Some(XStr("gamma")), None, Some(XEmpty)),
           Seq(Some(XNum(4)), Some(XErr("#DIV/0!")), Some(XNum(-0.25)), None)))))
     }
-    p.toString
-  }
 
   /** The same logical fixture in BIFF12 binary form (xlsb decoder R2). */
-  private def xlsbFixturePath(): String = {
-    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q02_fixture.xlsb")
-    if (!Files.exists(p)) {
-      XlsbWriter.write(p.toString, Seq(Sheet.dense("data",
+  private def xlsbFixturePath(): String =
+    graft.RunPaths.sharedFixture("graft_q02_fixture.xlsb") { out =>
+      XlsbWriter.write(out, Seq(Sheet.dense("data",
         Seq(Some(XShared("id")), Some(XShared("name")), Some(XShared("amount")), Some(XShared("flag"))) +:
         Seq(
           Seq(Some(XNum(1)), Some(XStr("alpha")), Some(XNum(1.5)), Some(XBool(true))),
@@ -40,28 +36,23 @@ object Conversion {
           Seq(Some(XNum(3)), Some(XStr("gamma")), None, Some(XEmpty)),
           Seq(Some(XNum(4)), Some(XErr("#DIV/0!")), Some(XNum(-0.25)), None)))))
     }
-    p.toString
-  }
 
   /** Pre-generate the 200k-row bench workbook (also called by Bench.main
     * outside the timed section so the first measured run is conversion
     * only, not fixture generation).
     */
-  def ensureBenchFixture(): String = {
-    val src = Paths.get(System.getProperty("java.io.tmpdir"), "graft_bench_200k.xlsx")
-    if (!Files.exists(src)) {
+  def ensureBenchFixture(): String =
+    graft.RunPaths.sharedFixture("graft_bench_200k.xlsx") { out =>
       val rows = (1 to 200000).map { i =>
         Seq(Some(XNum(i)), Some(XStr(s"name_$i")), Some(XNum(i * 1.5)),
           Some(XShared(s"cat${i % 50}")), Some(XBool(i % 2 == 0)),
           Some(XNum(i % 1000)), Some(XStr(s"note for row $i")),
           if (i % 10 == 0) None else Some(XNum(i * 0.25)))
       }
-      XlsxWriter.write(src.toString, Seq(Sheet.dense("data",
+      XlsxWriter.write(out, Seq(Sheet.dense("data",
         Seq("id", "name", "amount", "cat", "flag", "bucket", "note", "opt")
           .map(h => Option(XShared(h): XCell)) +: rows)))
     }
-    src.toString
-  }
 
   val all: Seq[QueryDef] = Seq(
     QueryDef(
@@ -100,20 +91,20 @@ object Conversion {
     QueryDef(
       "q02_excel_dir_scan",
       (s, _) => {
-        val d = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q02_dir")
-        if (!Files.exists(d)) {
-          Files.createDirectories(d)
+        val d = graft.RunPaths.sharedFixture("graft_q02_dir") { out =>
+          val dir = Paths.get(out)
+          Files.createDirectories(dir)
           def sheet(rows: Seq[Seq[Option[XCell]]]) =
             Seq(Sheet.dense("data",
               Seq(Some(XShared("id")), Some(XShared("v"))) +: rows))
-          XlsxWriter.write(d.resolve("part_b.xlsx").toString, sheet(
+          XlsxWriter.write(dir.resolve("part_b.xlsx").toString, sheet(
             Seq(Seq(Some(XNum(3)), Some(XStr("three"))),
               Seq(Some(XNum(4)), Some(XStr("four"))))))
-          XlsxWriter.write(d.resolve("part_a.xlsx").toString, sheet(
+          XlsxWriter.write(dir.resolve("part_a.xlsx").toString, sheet(
             Seq(Seq(Some(XNum(1)), Some(XStr("one"))),
               Seq(Some(XNum(2)), Some(XStr("two"))))))
         }
-        s.read.format("excel").load(d.toString).orderBy(col("id").cast("int"))
+        s.read.format("excel").load(d).orderBy(col("id").cast("int"))
       },
       Some("""SELECT * FROM (VALUES
              |  ('1', 'one'), ('2', 'two'), ('3', 'three'), ('4', 'four')
@@ -127,7 +118,7 @@ object Conversion {
       "q02_convert_throughput",
       (s, _) => {
         val src = ensureBenchFixture()
-        val out = Paths.get(System.getProperty("java.io.tmpdir"), "graft_bench_200k.parquet").toString
+        val out = graft.RunPaths.scratch("graft_bench_200k.parquet")
         graft.ExcelToParquet.convert(s, graft.ExcelToParquet.Options(src, out))
         s.read.parquet(out).agg(count(lit(1)).as("n_rows"))
       },
@@ -141,7 +132,7 @@ object Conversion {
     QueryDef(
       "q02_excel_to_parquet",
       (s, _) => {
-        val out = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q02_out.parquet").toString
+        val out = graft.RunPaths.scratch("graft_q02_out.parquet")
         graft.ExcelToParquet.convert(s,
           graft.ExcelToParquet.Options(fixturePath(), out))
         s.read.parquet(out)

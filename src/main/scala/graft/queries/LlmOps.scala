@@ -792,7 +792,7 @@ object LlmOps {
             lit("text/plain").as("mime"),
             col("n_chars").cast("int").as("w"),
             lit(0).as("h")).as("meta"))
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_q26_assets.parquet"
+        val out = graft.RunPaths.scratch("graft_q26_assets.parquet")
         assets.write.mode("overwrite").option("compression", "zstd").parquet(out)
         s.read.parquet(out)
           .select(col("asset_id"),
@@ -826,8 +826,12 @@ object LlmOps {
     // ------------------------------------------------- frame sampling
     // Video/audio frame-sample plumbing: 3 deterministic byte-range
     // frames per asset, one feature row each (operators/Multimodal
-    // .sampleFrames). The ASCII test payload lets DuckDB replicate the
-    // byte arithmetic with string functions.
+    // .sampleFrames). The oracle replicates the BYTE arithmetic with
+    // character functions, which is exact only because the generated
+    // documents corpus is ASCII (1 byte = 1 char — multi-byte text would
+    // desync length(text) from octet_length; see the assertion in
+    // LlmOpsSpec). The CASE mirrors the stub's empty-frame convention
+    // (frame_len 0 -> head_byte -1), so sub-3-char docs stay exact.
     QueryDef(
       "q26_frame_sample",
       (s, dir) =>
@@ -836,13 +840,17 @@ object LlmOps {
           .orderBy("asset_id", "frame_idx"),
       Some("""SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx,
              |  ((f+1) * length(text)) // 3 - (f * length(text)) // 3 AS frame_len,
-             |  CAST(ascii(substring(text, CAST((f * length(text)) // 3 AS INTEGER) + 1, 1)) AS BIGINT) AS head_byte
+             |  CAST(CASE WHEN ((f+1) * length(text)) // 3 = (f * length(text)) // 3 THEN -1
+             |       ELSE ascii(substring(text, CAST((f * length(text)) // 3 AS INTEGER) + 1, 1)) END AS BIGINT) AS head_byte
              |FROM documents, (SELECT unnest([0, 1, 2]) AS f)
              |ORDER BY asset_id, frame_idx""".stripMargin)),
 
     // Resize (payload -> payload with meta update, operators/Multimodal
     // .resize): keep every 4th byte; the ASCII payload again gives DuckDB
-    // an exact character-arithmetic replica of the byte stub.
+    // an exact character-arithmetic replica of the byte stub (same ASCII
+    // caveat as q26_frame_sample). Empty-text guard: Spark's
+    // ascii('') = 0, so the oracle pins 0 explicitly rather than
+    // relying on DuckDB's ascii('') behavior.
     QueryDef(
       "q26_resize",
       (s, dir) => {
@@ -864,8 +872,10 @@ object LlmOps {
       Some("""SELECT doc_id AS asset_id,
              |  CAST(length(text) AS BIGINT) AS orig_bytes,
              |  CAST((length(text) + 3) // 4 AS BIGINT) AS resized_bytes,
-             |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS head_byte,
-             |  CAST(ascii(substring(text, CAST(1 + 4 * ((length(text) - 1) // 4) AS INTEGER), 1)) AS BIGINT) AS tail_byte,
+             |  CAST(CASE WHEN length(text) = 0 THEN 0
+             |       ELSE ascii(substring(text, 1, 1)) END AS BIGINT) AS head_byte,
+             |  CAST(CASE WHEN length(text) = 0 THEN 0
+             |       ELSE ascii(substring(text, CAST(1 + 4 * ((length(text) - 1) // 4) AS INTEGER), 1)) END AS BIGINT) AS tail_byte,
              |  CAST((n_chars + 3) // 4 AS BIGINT) AS new_w
              |FROM documents ORDER BY doc_id""".stripMargin))
   )

@@ -60,26 +60,46 @@ object ExcelDataSource {
   }
 
   /** Expand the load path into concrete workbook files: a glob matches
-    * files (and directories, which are then listed for .xlsx/.xlsb), a
-    * directory lists its workbook files, a plain file passes through.
-    * Sorted — partition order, and therefore global output row order, is
-    * lexicographic by file path (matching part-file reader convention).
+    * workbook files (and directories, which are then listed for
+    * .xlsx/.xlsb), a directory lists its workbook files, a plain file
+    * passes through as-is (a bad extension surfaces the parser/CLI
+    * error, matching the reference's exit-1 contract). Glob matches are
+    * filtered to workbooks exactly like directory listings, so a
+    * star-glob of a directory and the directory itself agree. Sorted —
+    * partition order, and therefore global
+    * output row order, is lexicographic by file path (matching
+    * part-file reader convention).
+    *
+    * Resolution uses the active session's Hadoop configuration, but the
+    * workbooks themselves must be on the local filesystem: the ZIP
+    * container needs random access (`java.util.zip.ZipFile`), so any
+    * non-`file:` scheme is rejected loudly instead of mis-resolving.
     */
   def resolvePaths(spec: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
     val p = new Path(spec)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     def isWorkbook(name: String): Boolean = {
       val n = name.toLowerCase
       n.endsWith(".xlsx") || n.endsWith(".xlsb")
     }
+    val isGlob = spec.exists(c => "*?[]{}".indexOf(c.toInt) >= 0)
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     val files = matched.flatMap { st =>
       if (st.isDirectory)
         fs.listStatus(st.getPath).toSeq
           .filter(f => f.isFile && isWorkbook(f.getPath.getName))
+      else if (isGlob) Seq(st).filter(f => isWorkbook(f.getPath.getName))
       else Seq(st)
     }
+    files.map(_.getPath.toUri).find(u => u.getScheme != null && u.getScheme != "file")
+      .foreach { u =>
+        throw new IllegalArgumentException(
+          s"excel source reads local workbooks only (ZIP random access): $u")
+      }
     val out = files.map(_.getPath.toUri.getPath).sorted
     if (out.isEmpty)
       throw new IllegalArgumentException(s"excel source: no workbook files match $spec")

@@ -48,6 +48,14 @@ final class ParallelCells(
   private var lastRowEnd = -1  // end offset (exclusive) of last </row> seen
   private var streamDone = false
   private var producerDone = false
+  // Growth cap: a window this wide with no </row> means the sheet is not
+  // chunkable (e.g. long runs of self-closing <row/> elements, or one
+  // pathologically huge row) — beyond it we stop buffering and hand the
+  // remainder to a serial streaming parse instead of growing to OOM.
+  private val maxBufferChars = targetChunkChars * 8
+  // Non-null once the serial fallback engaged: streams buffered chars then
+  // the rest of `rd`; drained strictly after all in-flight chunks.
+  private var tail: XlsxParser.CellIterator = null
 
   private var current: Array[XlsxParser.Cell] = Array.empty
   private var pos = 0
@@ -77,13 +85,44 @@ final class ParallelCells(
     scanned = math.max(0, bufLen - 5)
   }
 
+  /** Reader over the un-chunked remainder: buffered chars first, then the
+    * rest of the underlying stream.
+    */
+  private def remainderReader(): Reader = {
+    val held = buf
+    val heldLen = bufLen
+    new Reader {
+      private var i = 0
+      override def read(c: Array[Char], off: Int, len: Int): Int = {
+        if (i < heldLen) {
+          val n = math.min(len, heldLen - i)
+          System.arraycopy(held, i, c, off, n)
+          i += n
+          n
+        } else rd.read(c, off, len)
+      }
+      override def close(): Unit = rd.close()
+    }
+  }
+
   /** Produce the next chunk (split at the last known row end, or the whole
-    * remainder at EOF); null when the input is exhausted.
+    * remainder at EOF); null when the input is exhausted or handed to the
+    * serial fallback.
     */
   private def nextChunk(): Array[Char] = {
     while (true) {
       if (!streamDone) {
         if (bufLen == buf.length) { // grow (oversized row straddles buffer)
+          if (buf.length >= maxBufferChars) {
+            // At a grow point no chunk was emittable, so no </row> exists
+            // in the whole buffer: fall back to streaming the remainder
+            // serially rather than buffering without bound.
+            val r = remainderReader()
+            tail = new XlsxParser.CellIterator(
+              new FastXml(r), r, shared, strictRowRefs = true)
+            bufLen = 0; scanned = 0; lastRowEnd = -1
+            return null
+          }
           buf = java.util.Arrays.copyOf(buf, buf.length * 2)
         }
         val n = rd.read(buf, bufLen, buf.length - bufLen)
@@ -120,11 +159,17 @@ final class ParallelCells(
   private def advanceChunk(): Unit = {
     refillPipeline()
     val f = inFlight.poll()
-    if (f == null) { finished = true; close() }
-    else {
+    if (f != null) {
       current = f.get()
       pos = 0
-    }
+    } else if (tail != null && tail.hasNext) {
+      // in-flight chunks are drained; stream the serial remainder in
+      // batches through the same current/pos machinery
+      val batch = scala.collection.mutable.ArrayBuffer.empty[XlsxParser.Cell]
+      while (tail.hasNext && batch.length < 4096) batch += tail.next()
+      current = batch.toArray
+      pos = 0
+    } else { finished = true; close() }
   }
 
   override def hasNext: Boolean = {

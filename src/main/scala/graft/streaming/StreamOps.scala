@@ -26,8 +26,12 @@ object StreamOps {
       s"graft_events_stream_${math.abs(sfDir.hashCode)}")
     if (!Files.exists(streamDir)) {
       Files.createDirectories(streamDir)
-      Files.createSymbolicLink(
+      try Files.createSymbolicLink(
         streamDir.resolve("events.parquet"), Paths.get(s"$sfDir/events.parquet"))
+      catch {
+        // concurrent run staged the same (content-identical) link first
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
     }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema

@@ -51,6 +51,36 @@ class ParallelScanSpec extends AnyFunSuite {
     } finally wb.close()
   }
 
+  test("self-closing row runs fall back to the serial tail, stream intact") {
+    import graft.sources.excel.{FastXml, ParallelCells}
+    // A long run of self-closing <row/> elements contains no </row>
+    // terminator, so the chunker can never cut; the buffer must cap out
+    // and hand the remainder to the serial streaming parse instead of
+    // growing without bound.
+    val sb = new StringBuilder("<sheetData>")
+    def normalRow(r: Int): Unit =
+      sb.append(s"""<row r="$r"><c r="A$r"><v>$r</v></c></row>""")
+    (1 to 50).foreach(normalRow)
+    (51 to 2000).foreach(r => sb.append(s"""<row r="$r"/>"""))
+    (2001 to 2050).foreach(normalRow)
+    sb.append("</sheetData>")
+    val xml = sb.toString
+    val serial = {
+      val rd = new java.io.CharArrayReader(xml.toCharArray)
+      val it = new XlsxParser.CellIterator(
+        new FastXml(rd), rd, IndexedSeq.empty, strictRowRefs = true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[XlsxParser.Cell]
+      while (it.hasNext) out += it.next()
+      out.toList
+    }
+    val par = new ParallelCells(
+      new java.io.CharArrayReader(xml.toCharArray), IndexedSeq.empty,
+      workers = 4, targetChunkChars = 1024)
+    val got = try par.toList finally par.close()
+    assert(got == serial, "fallback stream diverged from the serial scan")
+    assert(got.length == 100)
+  }
+
   test("small sheets stay on the serial scanner") {
     val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_small_scan.xlsx")
     if (!Files.exists(p)) {

@@ -21,6 +21,18 @@ class LlmOpsSpec extends AnyFunSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("documents corpus is ASCII (q26 oracles equate chars and bytes)") {
+    import org.apache.spark.sql.functions._
+    // The q26 DuckDB oracles replicate byte arithmetic with character
+    // functions; that is exact only while 1 char = 1 byte. If the test
+    // corpus ever grows multi-byte text, those oracles must switch to
+    // octet-based SQL.
+    val nonAscii = graft.Tables.load(spark, sf, "documents")
+      .filter(length(col("text")) =!= length(encode(col("text"), "UTF-8")))
+      .count()
+    assert(nonAscii == 0L, s"$nonAscii documents contain multi-byte chars")
+  }
+
   test("minhash-LSH finds exactly the verified high-Jaccard pairs") {
     val exact = run("q23_jaccard_pairs").select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
