@@ -241,6 +241,33 @@ object Analytics {
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
              |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin)),
 
+    // ------------------------------------- range-clustered layout
+    // repartitionByRange + sortWithinPartitions on the filter key: every
+    // output file covers a disjoint l_shipdate range, so parquet
+    // row-group min/max stats let a date-range scan skip all but the
+    // overlapping files — the sort-clustered cousin of hive
+    // partitioning (no directory explosion for high-cardinality keys,
+    // the layout a time-filtered 100 TB fact table wants).
+    QueryDef(
+      "q30_range_layout",
+      (s, dir) => {
+        val out = tmp("graft_q30_range.parquet")
+        t(s, dir, "lineitem")
+          .repartitionByRange(8, col("l_shipdate"))
+          .sortWithinPartitions("l_shipdate")
+          .write.mode("overwrite").option("compression", "zstd").parquet(out)
+        s.read.parquet(out)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+          .agg(count(lit(1)).as("n_rows"),
+            dsum(col("l_quantity"), 2).as("sum_qty"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate <  TIMESTAMP '1997-07-01'""".stripMargin)),
+
     // --------------------------------------- bucketed co-located join
     // Both sides bucketed 8 ways on the join key: the join runs
     // shuffle-free (PlanSpec asserts no Exchange above either scan) —

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -302,6 +303,85 @@ object Extended {
              |ORDER BY revenue DESC, c_custkey
              |LIMIT 20""".stripMargin)),
 
+    // ------------------------------------------- TPC-H Q7 (SQL surface)
+    // Volume shipping between two nations: the classic two-role join
+    // (supplier nation x customer nation) with a disjunctive nation
+    // predicate and per-year revenue. Catalyst pushes the nation filter
+    // below the join through the OR once both sides are joined to the
+    // (broadcast) nation dim.
+    QueryDef(
+      "q05_sql_tpch_q7",
+      (s, dir) => {
+        Seq("customer", "orders", "lineitem", "supplier", "nation")
+          .foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(s"${n}_v7"))
+        s.sql("""
+          SELECT supp_nation, cust_nation, l_year,
+                 CAST(SUM(CAST(volume AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+          FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier_v7 JOIN lineitem_v7 ON s_suppkey = l_suppkey
+                             JOIN orders_v7   ON o_orderkey = l_orderkey
+                             JOIN customer_v7 ON c_custkey = o_custkey
+                             JOIN nation_v7 n1 ON s_nationkey = n1.n_nationkey
+                             JOIN nation_v7 n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+          ) shipping
+          GROUP BY supp_nation, cust_nation, l_year
+          ORDER BY supp_nation, cust_nation, l_year""")
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             |  CAST(SUM(CAST(volume AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+             |FROM (
+             |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |         l_extendedprice * (1 - l_discount) AS volume
+             |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+             |                JOIN orders   ON o_orderkey = l_orderkey
+             |                JOIN customer ON c_custkey = o_custkey
+             |                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+             |) shipping
+             |GROUP BY supp_nation, cust_nation, l_year
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // ------------------------------------------ TPC-H Q18 (SQL surface)
+    // Large-volume orders: group-by-HAVING subquery feeding an IN
+    // predicate. Catalyst plans the IN as a left-semi join against the
+    // (re)aggregated lineitem — two aggregations over the same shuffle
+    // key, the second reusing the first's exchange.
+    QueryDef(
+      "q05_sql_tpch_q18",
+      (s, dir) => {
+        Seq("customer", "orders", "lineitem")
+          .foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(s"${n}_v18"))
+        s.sql("""
+          SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS total_qty
+          FROM customer_v18 JOIN orders_v18   ON c_custkey = o_custkey
+                            JOIN lineitem_v18 ON o_orderkey = l_orderkey
+          WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem_v18
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 200)
+          GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 100""")
+      },
+      Some("""SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS total_qty
+             |FROM customer JOIN orders   ON c_custkey = o_custkey
+             |              JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey IN (
+             |  SELECT l_orderkey FROM lineitem
+             |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 200)
+             |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+             |ORDER BY o_totalprice DESC, o_orderkey
+             |LIMIT 100""".stripMargin)),
+
     // --------------------------------- optimizer-rule-rewritten range join
     // The NAIVE SQL form of q07_join_range — no hand-bucketing — executed
     // with plans.RangeJoinRule installed, which rewrites the bounded
@@ -395,6 +475,50 @@ object Extended {
              |  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = b.o_orderkey))
              |SELECT o_orderstatus, count(*) AS n_rows,
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
-             |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ----------------------------------- SCD type-2 dimension history
+    // Slowly-changing-dimension build from an event log: collapse each
+    // user's event stream to its attribute CHANGE points (lag over the
+    // per-user window), then derive validity intervals (lead). The
+    // canonical warehouse history-table shape: one window partition per
+    // key — shuffle on user_id only, no self-join — and the interval
+    // derivation composes with AsOfJoin for point-in-time lookups.
+    QueryDef(
+      "q33_scd2",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val changes = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        val w2 = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        changes
+          .withColumn("valid_to",
+            coalesce(lead(col("ts"), 1).over(w2),
+              lit("9999-12-31 00:00:00").cast("timestamp")))
+          .select(col("user_id"), col("event_type"),
+            col("ts").as("valid_from"), col("valid_to"),
+            (col("valid_to") === lit("9999-12-31 00:00:00").cast("timestamp"))
+              .as("is_current"))
+          .orderBy("user_id", "valid_from")
+      },
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |         lag(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |changes AS (
+             |  SELECT user_id, event_type, ts, event_id FROM ordered
+             |  WHERE prev_type IS NULL OR prev_type <> event_type)
+             |SELECT user_id, event_type, ts AS valid_from,
+             |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             |           TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+             |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             |           TIMESTAMP '9999-12-31 00:00:00') = TIMESTAMP '9999-12-31 00:00:00'
+             |    AS is_current
+             |FROM changes ORDER BY user_id, valid_from""".stripMargin))
   )
 }

@@ -110,6 +110,35 @@ object LlmOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Exact cosine near-dup pairs over the embeddings table (all pairs
+    * with round(cosine, 6) >= minCos, a < b). Distributed dot product:
+    * explode on the vector index, equi-join on the index, partial sums
+    * per pair — O(d x n_pairs_sharing_index) shuffled work with no
+    * driver-side vectors. DECIMAL accumulation makes the sum
+    * order-independent (hash-exact vs the oracle). At 100 TB the
+    * all-pairs index join is pre-pruned by LSH/IVF bucketing
+    * (q24_ann_lsh / q24_ann_ivf); this is the exact verifier they feed.
+    */
+  def cosinePairs(s: SparkSession, dir: String, minCos: Double): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val unpacked = e.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
+    val prods = unpacked.as("a").join(unpacked.as("b"),
+        col("a.i") === col("b.i") && col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .agg(sum((col("a.x") * col("b.x")).cast("decimal(30,15)")).as("dot"))
+    val norms = e.select(col("vec_id"),
+      sqrt(VectorFns.normSq(col("embedding"))).as("nrm"))
+    prods
+      .join(norms.select(col("vec_id").as("vec_a"), col("nrm").as("nrm_a")), "vec_a")
+      .join(norms.select(col("vec_id").as("vec_b"), col("nrm").as("nrm_b")), "vec_b")
+      .withColumn("cosine",
+        round(col("dot").cast("double") / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cosine") >= minCos)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
   /** Trained IVF centroids for the embeddings table: deterministic
     * every-40th-vector init refined by two Lloyd's iterations
     * (operators.KMeans), then MATERIALIZED — the centroid table is the
@@ -394,26 +423,8 @@ object LlmOps {
     // sum order-independent, so it hash-matches the oracle.
     QueryDef(
       "q24_cosine_pairs",
-      (s, dir) => {
-        val e = t(s, dir, "embeddings")
-        val unpacked = e.select(col("vec_id"),
-          posexplode(col("embedding")).as(Seq("i", "x")))
-          .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
-        val prods = unpacked.as("a").join(unpacked.as("b"),
-            col("a.i") === col("b.i") && col("a.vec_id") < col("b.vec_id"))
-          .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-          .agg(sum((col("a.x") * col("b.x")).cast("decimal(30,15)")).as("dot"))
-        val norms = e.select(col("vec_id"),
-          sqrt(VectorFns.normSq(col("embedding"))).as("nrm"))
-        prods
-          .join(norms.select(col("vec_id").as("vec_a"), col("nrm").as("nrm_a")), "vec_a")
-          .join(norms.select(col("vec_id").as("vec_b"), col("nrm").as("nrm_b")), "vec_b")
-          .withColumn("cosine",
-            round(col("dot").cast("double") / (col("nrm_a") * col("nrm_b")), 6))
-          .filter(col("cosine") >= 0.4)
-          .select(col("vec_a"), col("vec_b"), col("cosine"))
-          .orderBy("vec_a", "vec_b")
-      },
+      (s, dir) =>
+        cosinePairs(s, dir, 0.4).orderBy("vec_a", "vec_b"),
       Some("""WITH prods AS (
              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              |         (SELECT sum(CAST(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE) AS DECIMAL(30,15)))
@@ -430,6 +441,49 @@ object LlmOps {
              |JOIN norms nb ON p.vec_b = nb.vec_id
              |WHERE round(CAST(p.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= 0.4
              |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // -------------------------------------- embedding-cosine near-dedup
+    // The embedding-space analogue of q23_dedup_clusters: exact cosine
+    // pairs above threshold form the duplicate graph, connected
+    // components assign every vector a cluster (min vec_id); keep one
+    // representative per cluster downstream. Same large-star/small-star
+    // componentry as the text path — at 100 TB the edge set comes from
+    // the LSH/IVF-pruned verifier instead of the all-pairs join, and the
+    // component step is unchanged.
+    QueryDef(
+      "q24_embed_dedup",
+      (s, dir) => {
+        val vertices = t(s, dir, "embeddings").select(col("vec_id").as("node"))
+        val edges = cosinePairs(s, dir, 0.4)
+          .select(col("vec_a").as("a"), col("vec_b").as("b"))
+        DedupCluster.connectedComponents(vertices, edges)
+          .select(col("node").as("vec_id"), col("cluster_id"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE
+             |prods AS (
+             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |         (SELECT sum(CAST(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE) AS DECIMAL(30,15)))
+             |          FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z) AS dot
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+             |norms AS (
+             |  SELECT vec_id, sqrt((SELECT sum(CAST(z.x AS DOUBLE) * CAST(z.x AS DOUBLE))
+             |                       FROM (SELECT unnest(embedding) AS x) z)) AS nrm
+             |  FROM embeddings),
+             |cpairs AS (
+             |  SELECT p.vec_a, p.vec_b
+             |  FROM prods p
+             |  JOIN norms na ON p.vec_a = na.vec_id
+             |  JOIN norms nb ON p.vec_b = nb.vec_id
+             |  WHERE round(CAST(p.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= 0.4),
+             |und AS (SELECT vec_a AS a, vec_b AS b FROM cpairs
+             |        UNION ALL SELECT vec_b, vec_a FROM cpairs),
+             |reach(node, label) AS (
+             |  SELECT vec_id, vec_id FROM embeddings
+             |  UNION
+             |  SELECT u.b, r.label FROM und u JOIN reach r ON r.node = u.a)
+             |SELECT node AS vec_id, min(label) AS cluster_id
+             |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin)),
 
     // ------------------------------------------ brute-force cosine top-k
     // Query vector broadcast against the table; zip_with/aggregate dot
@@ -708,6 +762,36 @@ object LlmOps {
               |SELECT sh2 AS shingle, count(*) AS n_docs
               |FROM (SELECT unnest(sh) AS sh2 FROM s)
               |GROUP BY shingle ORDER BY n_docs DESC, shingle LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------ BPE-ish token counting
+    // Pre-tokenizer token statistics: letter runs, digit runs, and
+    // non-alphanumeric singles (the GPT-2-style pretoken classes), plus
+    // a subword estimate (ceil(len/4) per letter run — the ~4-chars-per-
+    // BPE-token heuristic). All regexp_extract_all over codegen'd
+    // expressions, one scan, integer outputs; the real tokenizer's merge
+    // table would replace only the per-token arithmetic.
+    QueryDef(
+      "q25_bpe_tokens",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)).as("alpha"),
+            size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("n_num_runs"),
+            size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_punct"))
+          .select(col("doc_id"),
+            size(col("alpha")).cast("long").as("n_alpha_runs"),
+            col("n_num_runs"), col("n_punct"),
+            aggregate(
+              transform(col("alpha"), x => ceil(length(x) / lit(4.0))),
+              lit(0L), (acc, x) => acc + x).as("bpe_est"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha_runs,
+             |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_runs,
+             |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+             |  CAST(coalesce(list_sum([CAST(ceil(len(x) / 4.0) AS BIGINT)
+             |    FOR x IN regexp_extract_all(text, '[A-Za-z]+')]), 0) AS BIGINT) AS bpe_est
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------- repetition signals
     // Gopher-style per-document repetition features: the count of the most
