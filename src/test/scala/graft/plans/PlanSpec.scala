@@ -99,6 +99,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("TPC-H subquery shapes decorrelate to hash joins, never nested loops") {
+    // Q2 correlated min, Q4/Q21 correlated (NOT) EXISTS, Q11/Q15/Q22 scalar
+    // subqueries, Q17 correlated avg: each must decorrelate to an
+    // aggregate + equi-join (semi/anti where applicable). A BNLJ here is
+    // the plan-shape failure that turns TB-scale runs quadratic.
+    Seq("q05_sql_tpch_q2", "q05_sql_tpch_q4", "q05_sql_tpch_q11",
+      "q05_sql_tpch_q15", "q05_sql_tpch_q17", "q05_sql_tpch_q21",
+      "q05_sql_tpch_q22")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"$q plans a quadratic join:\n$p")
+      }
+  }
+
   test("excel scan prunes pushed columns") {
     // DSv2 SupportsPushDownRequiredColumns: reading 1 of 4 columns must
     // reach the reader (ExcelScan description carries required fields)
