@@ -112,11 +112,12 @@ object Corpus {
           .withColumn("dl", size(col("w")).cast("double"))
         def tf(term: String): Column =
           size(filter(col("w"), x => x === term)).cast("double")
-        val stats = docs.agg(
-          count(lit(1)).cast("double").as("n_docs"),
-          sum(col("dl").cast("decimal(38,0)")).cast("double").as("sum_dl"),
-          terms.map(tr =>
-            sum(when(tf(tr) > 0, 1).otherwise(0)).cast("double").as(s"df_$tr")): _*)
+        val aggCols =
+          count(lit(1)).cast("double").as("n_docs") +:
+            sum(col("dl").cast("decimal(38,0)")).cast("double").as("sum_dl") +:
+            terms.map(tr =>
+              sum(when(tf(tr) > 0, 1).otherwise(0)).cast("double").as(s"df_$tr"))
+        val stats = docs.agg(aggCols.head, aggCols.tail: _*)
         val scored = docs.crossJoin(broadcast(stats))
         def idf(tr: String): Column =
           log((col("n_docs") - col(s"df_$tr") + 0.5) / (col(s"df_$tr") + 0.5) + 1.0)
