@@ -23,7 +23,8 @@ object ExcelToParquet {
       sheetName: Option[String] = None,
       sheetIndex: Option[Int] = None,
       skipRows: Int = 0,
-      batchSize: Int = 5000)
+      batchSize: Int = 5000,
+      writePartitions: Int = 1)
 
   def read(spark: SparkSession, opts: Options): DataFrame = {
     val r = spark.read.format("excel")
@@ -46,8 +47,34 @@ object ExcelToParquet {
       throw new IllegalArgumentException(
         s"Unsupported file extension for input: ${opts.input} (expected .xlsx or .xlsb)")
     val df = read(spark, opts)
-    df.write.mode("overwrite").option("compression", "zstd").parquet(opts.output)
+    if (opts.writePartitions > 1) writeParallel(df, opts)
+    else df.write.mode("overwrite").option("compression", "zstd").parquet(opts.output)
     spark.read.parquet(opts.output).count()
+  }
+
+  /** Order-preserving parallel encode for one huge workbook (the serial
+    * tail of a single-file conversion is the parquet encode, not the
+    * parse — the chunk-parallel scan feeds a single writer task). Rows
+    * are tagged with `monotonically_increasing_id()` — sequential within
+    * each scan partition and ordered across partitions by partition id,
+    * i.e. exactly sheet/file order — then range-partitioned on that id
+    * and sorted within partitions, so lexicographic part-file order
+    * reproduces global row order (same guarantee the reference's
+    * reorder-buffer writer provides, /root/reference/src/lib.rs:288-320).
+    * The parsed rows are persisted once so the range partitioner's
+    * boundary-sampling job does not re-parse the workbook.
+    */
+  private def writeParallel(df: DataFrame, opts: Options): Unit = {
+    import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+    val tagged = df.withColumn("_graft_row", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      tagged
+        .repartitionByRange(opts.writePartitions, col("_graft_row"))
+        .sortWithinPartitions("_graft_row")
+        .drop("_graft_row")
+        .write.mode("overwrite").option("compression", "zstd").parquet(opts.output)
+    } finally tagged.unpersist(false)
   }
 
   /** Fan out many independent file conversions. Each conversion is its
@@ -84,6 +111,7 @@ object ExcelToParquet {
     var sheetIndex: Option[Int] = None
     var skipRows = 0
     var batchSize = 5000
+    var writePartitions = 1
     var i = 0
     try {
       while (i < args.length) {
@@ -94,13 +122,14 @@ object ExcelToParquet {
           case "--sheet-index"   => sheetIndex = Some(args(i + 1).toInt); i += 2
           case "--skip-rows"     => skipRows = args(i + 1).toInt; i += 2
           case "--batch-size"    => batchSize = args(i + 1).toInt; i += 2
+          case "--write-partitions" => writePartitions = args(i + 1).toInt; i += 2
           case other => throw new IllegalArgumentException(s"Unknown argument: $other")
         }
       }
       val opts = Options(
         input.getOrElse(throw new IllegalArgumentException("missing -i/--input")),
         output.getOrElse(throw new IllegalArgumentException("missing -o/--output")),
-        sheetName, sheetIndex, skipRows, batchSize)
+        sheetName, sheetIndex, skipRows, batchSize, writePartitions)
       val spark = GraftSession.local()
       val t0 = System.nanoTime()
       val rows = convert(spark, opts)
