@@ -90,5 +90,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         b))
     }
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    e.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }

@@ -382,6 +382,46 @@ object Extended {
              |ORDER BY o_totalprice DESC, o_orderkey
              |LIMIT 100""".stripMargin)),
 
+    // ------------------------ custom physical operator: interval join
+    // Broadcast point-in-interval join through the full custom-operator
+    // stack (plans.IntervalJoin: logical node -> SparkStrategy ->
+    // BinaryExecNode with a broadcast-distribution requirement). Each
+    // event is matched to its type's half-hour-after-the-hour windows —
+    // the SCD2/config-epoch lookup shape that Catalyst would otherwise
+    // plan as a broadcast NESTED-LOOP join (containment has no equi-key;
+    // RangeJoinRule's bucketing needs a fixed width, a dimension of
+    // arbitrary-width intervals doesn't). The exec probes a per-key
+    // lo-sorted binary-searchable index instead: O(log n + matches) per
+    // event, probe side never shuffles. Child session isolates the
+    // injected strategy; IntervalJoinSpec covers overlap/null/type edges.
+    QueryDef(
+      "q07_interval_join",
+      (s, dir) => {
+        val child = s.newSession()
+        graft.plans.IntervalJoin.install(child)
+        val e = Tables.load(child, dir, "events")
+          .select(col("event_id"), col("ts"), col("event_type"))
+        val dim = e
+          .groupBy(col("event_type").as("d_type"),
+            date_trunc("hour", col("ts")).as("lo"))
+          .agg(count(lit(1)).as("n_in_hour"))
+          .withColumn("hi", col("lo") + expr("INTERVAL 30 MINUTE"))
+        graft.plans.IntervalJoin
+          .pointInInterval(e, dim, "ts", "lo", "hi",
+            probeKeys = Seq("event_type"), buildKeys = Seq("d_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_in_window"))
+          .orderBy("event_type")
+      },
+      Some("""WITH dim AS (
+             |  SELECT event_type AS d_type, date_trunc('hour', ts) AS lo,
+             |         date_trunc('hour', ts) + INTERVAL 30 MINUTE AS hi
+             |  FROM events GROUP BY 1, 2)
+             |SELECT e.event_type AS event_type, count(*) AS n_in_window
+             |FROM events e JOIN dim d
+             |  ON e.event_type = d.d_type AND d.lo <= e.ts AND e.ts < d.hi
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // --------------------------------- optimizer-rule-rewritten range join
     // The NAIVE SQL form of q07_join_range — no hand-bucketing — executed
     // with plans.RangeJoinRule installed, which rewrites the bounded
