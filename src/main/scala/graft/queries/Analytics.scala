@@ -117,6 +117,50 @@ object Analytics {
              |FROM ranked WHERE rn <= 20
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // ------------------------------------ training-mixture resampling
+    // Domain-mixture construction: cap each language's contribution at a
+    // per-domain budget (here en=1200, de/fr=400, others=150), choosing
+    // survivors by md5 rank — deterministic, uniform within domain, and
+    // reproducible across runs. The window partitions by domain only, so
+    // the shuffle is by domain key and each group's sort is local to its
+    // partition: the op scales to any corpus where a single domain's rows
+    // fit a partition sort (spill-backed, so effectively always). The
+    // same shape with per-epoch salts in the hash gives epoch-wise
+    // resampling without materializing permutations.
+    QueryDef(
+      "q28_mixture",
+      (s, dir) => {
+        val cap = when(col("lang") === "en", 1200)
+          .when(col("lang").isin("de", "fr"), 400)
+          .otherwise(150)
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= cap)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("mix_tokens"),
+            min(col("doc_id")).as("min_doc"))
+          .orderBy("lang")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT lang, doc_id,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |         row_number() OVER (PARTITION BY lang
+             |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS mix_tokens,
+             |  min(doc_id) AS min_doc
+             |FROM ranked
+             |WHERE rn <= CASE WHEN lang = 'en' THEN 1200
+             |                 WHEN lang IN ('de', 'fr') THEN 400
+             |                 ELSE 150 END
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ------------------------------------------- moment statistics
     // Mean/variance/stddev/skewness from exact decimal power sums: the
     // double->decimal cast of each term rounds identically in both

@@ -283,6 +283,42 @@ object LlmOps {
              |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin),
       bench = true),
 
+    // --------------------------------- incremental (cross-batch) dedup
+    // The ingestion-time variant of exact dedup: a new batch is deduped
+    // against the ALREADY-INGESTED corpus by content fingerprint with a
+    // left-anti join — the "never retrain on seen data" gate. Split here
+    // is doc_id mod 5 (batch = residue 0, history = rest); in production
+    // the history side is the fingerprint column of the corpus table, so
+    // the join is fingerprint-to-fingerprint (both sides shuffled by
+    // fingerprint hash, or the history side published as a bloom/bucket
+    // index — q21_bloom_prune is the pre-filter for exactly this join).
+    // In-batch duplicates collapse AFTER the anti join (min doc_id kept),
+    // so the op admits both new-vs-history and new-vs-new duplicates.
+    QueryDef(
+      "q22_dedup_incremental",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+        val batch = d.filter(col("doc_id") % 5 === 0)
+        val history = d.filter(col("doc_id") % 5 =!= 0)
+        batch.join(history, Seq("fp"), "left_anti")
+          .groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_in_batch"))
+          .agg(count(lit(1)).as("n_new_docs"),
+            sum(col("n_in_batch")).as("n_batch_rows"),
+            min(col("keep_id")).as("min_kept"))
+      },
+      Some("""WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+             |nw AS (
+             |  SELECT fp, min(doc_id) AS keep_id, count(*) AS n_in_batch
+             |  FROM d WHERE doc_id % 5 = 0
+             |    AND fp NOT IN (SELECT fp FROM d WHERE doc_id % 5 <> 0)
+             |  GROUP BY fp)
+             |SELECT count(*) AS n_new_docs,
+             |  CAST(sum(n_in_batch) AS BIGINT) AS n_batch_rows,
+             |  min(keep_id) AS min_kept
+             |FROM nw""".stripMargin)),
+
     // ------------------------------------- fingerprint dedup (md5 + roll)
     QueryDef(
       "q22_dedup_fingerprint",
