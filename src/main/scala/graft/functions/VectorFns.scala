@@ -1,28 +1,29 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns, built from Spark's
-  * higher-order functions (zip_with / aggregate) so everything stays inside
-  * whole-stage codegen — no UDF serialization on the hot path.
+/** Vector math over `array<float>` embedding columns, backed by the
+  * native codegen'd kernels in [[VectorKernels]] ([[DotF]] /
+  * [[SignBitsLsh]]). The original `aggregate(zip_with(...))`
+  * formulation evaluated its lambdas INTERPRETED — one boxed call per
+  * element — the same trap measured at 365 s on the MinHash chain; the
+  * kernels run the identical fold as one codegen'd loop.
   *
   * Determinism: folds run in index order with a DOUBLE accumulator, and
   * elements are cast float→double BEFORE multiplying, so results are
-  * bit-identical to any engine doing an in-order double fold (the DuckDB
-  * oracle's unnest+sum does exactly that).
+  * bit-identical to the previous HOF formulation (VectorKernelsSpec
+  * asserts this) and to any engine doing an in-order double fold (the
+  * DuckDB oracle's unnest+sum does exactly that).
   */
 object VectorFns {
 
   /** Σ a_i * b_i as an in-order double fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = DotF(a, b)
 
   /** Σ a_i² (squared L2 norm). */
-  def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+  def normSq(a: Column): Column = DotF(a, a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
@@ -34,17 +35,7 @@ object VectorFns {
     * for approximate NN search: near vectors (cosine) agree on most sign
     * bits, so banding the bits gives high-recall buckets.
     */
-  def signBits(v: Column, nBits: Int): Column = {
-    // component i of hyperplane j: hash((j << 16) | i) mapped to ±1
-    val bits = (0 until nBits).map { j =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-          x.cast("double") *
-            (when(pmod(xxhash64(i.cast("long") + lit(j.toLong << 16)), lit(2)) === 0, lit(1.0))
-              .otherwise(lit(-1.0)))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def signBits(v: Column, nBits: Int): Column =
+    GraftColumnBridge.column(
+      SignBitsLsh(GraftColumnBridge.expression(v), nBits))
 }

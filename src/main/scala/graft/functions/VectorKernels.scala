@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Native codegen'd kernels for the vector hot loops.
+  *
+  * Spark's higher-order functions (`zip_with`/`aggregate`) evaluate
+  * their lambdas INTERPRETED — one boxed functional call per element —
+  * the same trap measured at 365 s for the k=128 MinHash chain
+  * (see [[MinHashSignature]]). These expressions compute the identical
+  * in-order double folds in one tight loop behind a static call, so the
+  * surrounding projection stays in whole-stage codegen and per-element
+  * cost is a fused multiply-add.
+  *
+  * Bit-exactness contract (what lets [[VectorFns]] swap these in without
+  * touching any oracle): elements are widened float→double BEFORE
+  * multiplying and accumulated left-to-right in index order with a
+  * double accumulator — the exact IEEE evaluation order of the previous
+  * `aggregate(zip_with(...))` formulation and of the DuckDB oracle's
+  * in-order `unnest`+`sum`. Null element / length-mismatch semantics
+  * also match `zip_with` + `aggregate`: any participating null (or a
+  * ragged pair) yields null.
+  */
+object VectorKernels {
+
+  private[functions] def elemKind(dt: DataType, side: String): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"$side of a vector kernel must be array<float|double>, got $other")
+  }
+
+  /** In-order Σ a_i*b_i; null on ragged/null-element input (boxed). */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  /** Sign-bit LSH bucket: bit j of the result is the sign of projection
+    * j, where hyperplane j's component i is ±1 from
+    * `pmod(xxhash64(i + (j << 16)), 2)` — the identical projection the
+    * HOF formulation computes (seed 42, the `xxhash64` SQL default),
+    * evaluated per-j in index order. One pass over the vector, lanes in
+    * a local accumulator array.
+    */
+  def signBits(v: ArrayData, nBits: Int, vFloat: Boolean): java.lang.Long = {
+    val n = v.numElements()
+    val acc = new Array[Double](nBits)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      var j = 0
+      while (j < nBits) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(i.toLong + (j.toLong << 16), 42L)
+        val s = if ((h & 1L) == 0L) 1.0 else -1.0
+        acc(j) += x * s
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < nBits) {
+      if (acc(j) >= 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+}
+
+/** `Σ a_i * b_i` with the fold order of `aggregate(zip_with(a,b,*))`. */
+case class DotF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private lazy val aFloat = VectorKernels.elemKind(left.dataType, "left")
+  private lazy val bFloat = VectorKernels.elemKind(right.dataType, "right")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("dotBoxed")
+      s"""
+         |java.lang.Double $boxed =
+         |  graft.functions.VectorKernels.dot($a, $b, $aFloat, $bFloat);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotF =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Packed sign bits of `nBits` deterministic hash-hyperplane projections. */
+case class SignBitsLsh(child: Expression, nBits: Int) extends UnaryExpression {
+  require(nBits >= 1 && nBits <= 64, s"nBits must be in [1, 64], got $nBits")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private lazy val vFloat = VectorKernels.elemKind(child.dataType, "input")
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.signBits(v.asInstanceOf[ArrayData], nBits, vFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val boxed = ctx.freshName("sigBoxed")
+      s"""
+         |java.lang.Long $boxed =
+         |  graft.functions.VectorKernels.signBits($v, $nBits, $vFloat);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignBitsLsh =
+    copy(child = newChild)
+}
+
+object DotF {
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotF(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

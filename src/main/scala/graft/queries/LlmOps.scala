@@ -111,30 +111,31 @@ object LlmOps {
   }
 
   /** Exact cosine near-dup pairs over the embeddings table (all pairs
-    * with round(cosine, 6) >= minCos, a < b). Distributed dot product:
-    * explode on the vector index, equi-join on the index, partial sums
-    * per pair — O(d x n_pairs_sharing_index) shuffled work with no
-    * driver-side vectors. DECIMAL accumulation makes the sum
-    * order-independent (hash-exact vs the oracle). At 100 TB the
-    * all-pairs index join is pre-pruned by LSH/IVF bucketing
-    * (q24_ann_lsh / q24_ann_ivf); this is the exact verifier they feed.
+    * with round(cosine, 6) >= minCos, a < b). One side broadcast, pairs
+    * enumerated by the `<` join, and the dot product computed per pair
+    * by the codegen'd in-order fold ([[graft.functions.DotF]]) — the
+    * same deterministic arithmetic q24_cosine_topk hash-matches with.
+    * This replaced an index-explode + equi-join + decimal partial-sum
+    * formulation whose pair-key shuffle carried n²·d rows: measured
+    * 4 MINUTES vs seconds at sf0.1 — the shuffle, not the flops, was
+    * the cost, and the in-order fold is just as deterministic. At
+    * 100 TB the all-pairs enumeration is pre-pruned by LSH/IVF
+    * bucketing (q24_ann_lsh / q24_ann_ivf); this is the exact verifier
+    * they feed.
     */
   def cosinePairs(s: SparkSession, dir: String, minCos: Double): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val unpacked = e.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
-    val prods = unpacked.as("a").join(unpacked.as("b"),
-        col("a.i") === col("b.i") && col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .agg(sum((col("a.x") * col("b.x")).cast("decimal(30,15)")).as("dot"))
     val norms = e.select(col("vec_id"),
       sqrt(VectorFns.normSq(col("embedding"))).as("nrm"))
-    prods
-      .join(norms.select(col("vec_id").as("vec_a"), col("nrm").as("nrm_a")), "vec_a")
-      .join(norms.select(col("vec_id").as("vec_b"), col("nrm").as("nrm_b")), "vec_b")
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        VectorFns.dot(col("ea"), col("eb")).as("dot"))
+      .join(broadcast(norms.select(col("vec_id").as("vec_a"), col("nrm").as("nrm_a"))), "vec_a")
+      .join(broadcast(norms.select(col("vec_id").as("vec_b"), col("nrm").as("nrm_b"))), "vec_b")
       .withColumn("cosine",
-        round(col("dot").cast("double") / (col("nrm_a") * col("nrm_b")), 6))
+        round(col("dot") / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cosine") >= minCos)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
@@ -453,17 +454,17 @@ object LlmOps {
            |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------- embedding cosine pairs
-    // Exact cosine near-dup via index-explode join (distributed
-    // dot-product: shuffle on vector index, partial sums per pair) —
-    // the scalable exact formulation. DECIMAL accumulation makes the
-    // sum order-independent, so it hash-matches the oracle.
+    // Exact cosine near-dup: broadcast pair enumeration + codegen'd
+    // in-order double fold per pair (DotF) — deterministic because the
+    // fold order is fixed, and the oracle computes the identical
+    // unnest-order double sum.
     QueryDef(
       "q24_cosine_pairs",
       (s, dir) =>
         cosinePairs(s, dir, 0.4).orderBy("vec_a", "vec_b"),
       Some("""WITH prods AS (
              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             |         (SELECT sum(CAST(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE) AS DECIMAL(30,15)))
+             |         (SELECT sum(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE))
              |          FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z) AS dot
              |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
              |norms AS (
@@ -471,11 +472,11 @@ object LlmOps {
              |                       FROM (SELECT unnest(embedding) AS x) z)) AS nrm
              |  FROM embeddings)
              |SELECT p.vec_a, p.vec_b,
-             |       round(CAST(p.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+             |       round(p.dot / (na.nrm * nb.nrm), 6) AS cosine
              |FROM prods p
              |JOIN norms na ON p.vec_a = na.vec_id
              |JOIN norms nb ON p.vec_b = nb.vec_id
-             |WHERE round(CAST(p.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= 0.4
+             |WHERE round(p.dot / (na.nrm * nb.nrm), 6) >= 0.4
              |ORDER BY vec_a, vec_b""".stripMargin)),
 
     // -------------------------------------- embedding-cosine near-dedup
@@ -499,7 +500,7 @@ object LlmOps {
       Some("""WITH RECURSIVE
              |prods AS (
              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             |         (SELECT sum(CAST(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE) AS DECIMAL(30,15)))
+             |         (SELECT sum(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE))
              |          FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z) AS dot
              |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
              |norms AS (
@@ -511,7 +512,7 @@ object LlmOps {
              |  FROM prods p
              |  JOIN norms na ON p.vec_a = na.vec_id
              |  JOIN norms nb ON p.vec_b = nb.vec_id
-             |  WHERE round(CAST(p.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= 0.4),
+             |  WHERE round(p.dot / (na.nrm * nb.nrm), 6) >= 0.4),
              |und AS (SELECT vec_a AS a, vec_b AS b FROM cpairs
              |        UNION ALL SELECT vec_b, vec_a FROM cpairs),
              |reach(node, label) AS (
