@@ -90,6 +90,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         b))
     }
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    e.injectOptimizerRule(_ => graft.plans.IntervalJoinRule)
     e.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }

@@ -74,19 +74,25 @@ object IntervalJoin {
     GraftColumnBridge.ofRows(spark, node)
   }
 
-  /** Install the strategy on a live session (static `spark.sql.extensions`
-    * cannot apply to an existing context; same pattern as
-    * `extraOptimizations` for [[RangeJoinRule]]). Idempotent.
+  /** Install the strategy AND the natural-SQL rewrite rule on a live
+    * session (static `spark.sql.extensions` cannot apply to an existing
+    * context; same pattern as `extraOptimizations` for
+    * [[RangeJoinRule]]). Idempotent.
     */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(IntervalJoinStrategy))
       spark.experimental.extraStrategies = cur :+ IntervalJoinStrategy
+    val rules = spark.experimental.extraOptimizations
+    if (!rules.contains(IntervalJoinRule))
+      spark.experimental.extraOptimizations = rules :+ IntervalJoinRule
   }
 }
 
 /** Logical form: constructed with resolved child attributes only, so the
   * node passes analysis untouched and survives to planning.
+  * `hiInclusive` selects `p <= hi` (BETWEEN phrasing) vs the default
+  * half-open `p < hi`.
   */
 case class PointInIntervalJoin(
     left: LogicalPlan,
@@ -95,7 +101,8 @@ case class PointInIntervalJoin(
     lo: Expression,
     hi: Expression,
     leftKeys: Seq[Expression],
-    rightKeys: Seq[Expression]) extends BinaryNode {
+    rightKeys: Seq[Expression],
+    hiInclusive: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -106,8 +113,9 @@ case class PointInIntervalJoin(
 
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case PointInIntervalJoin(l, r, point, lo, hi, lk, rk) =>
-      PointInIntervalJoinExec(point, lo, hi, lk, rk, planLater(l), planLater(r)) :: Nil
+    case PointInIntervalJoin(l, r, point, lo, hi, lk, rk, hiInc) =>
+      PointInIntervalJoinExec(point, lo, hi, lk, rk, hiInc,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -118,6 +126,7 @@ case class PointInIntervalJoinExec(
     hi: Expression,
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
+    hiInclusive: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -161,12 +170,14 @@ case class PointInIntervalJoinExec(
       broadcastRows.value.foreach { row =>
         val loV = boundLo.eval(row)
         val hiV = boundHi.eval(row)
-        if (loV != null && hiV != null) {
-          val key = buildKeyProj(row).copy()
-          var buf = grouped.get(key)
+        val key = buildKeyProj(row)
+        // SQL join semantics: a null bound or null key never matches
+        if (loV != null && hiV != null && !key.anyNull) {
+          val k = key.copy()
+          var buf = grouped.get(k)
           if (buf == null) {
             buf = scala.collection.mutable.ArrayBuffer.empty
-            grouped.put(key, buf)
+            grouped.put(k, buf)
           }
           buf += ((loToLong(loV), hiToLong(hiV), row))
         }
@@ -192,11 +203,13 @@ case class PointInIntervalJoinExec(
         lKeys.map(BindReferences.bindReference(_, leftOut)))
       val resultProj = UnsafeProjection.create(allOut, allOut)
       val joined = new JoinedRow()
+      val hiInc = hiInclusive
       probeIter.flatMap { probeRow =>
         val pV = boundPoint.eval(probeRow)
-        if (pV == null) Iterator.empty
+        val pKey = if (pV == null) null else probeKeyProj(probeRow)
+        if (pV == null || pKey.anyNull) Iterator.empty
         else {
-          val idx = index.get(probeKeyProj(probeRow))
+          val idx = index.get(pKey)
           if (idx == null) Iterator.empty
           else {
             val p = pointToLong(pV)
@@ -208,9 +221,11 @@ case class PointInIntervalJoinExec(
             }
             val matches = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
             var i = last
-            // prefix-max(hi) <= p means nothing at or before i can contain p
-            while (i >= 0 && idx.prefixMaxHi(i) > p) {
-              if (idx.his(i) > p) matches += idx.rows(i)
+            // prefix-max(hi) can't contain p => nothing at or before i can
+            while (i >= 0 &&
+                (if (hiInc) idx.prefixMaxHi(i) >= p else idx.prefixMaxHi(i) > p)) {
+              if (if (hiInc) idx.his(i) >= p else idx.his(i) > p)
+                matches += idx.rows(i)
               i -= 1
             }
             // reverse so matches come out in ascending lo order

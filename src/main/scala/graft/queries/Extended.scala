@@ -422,6 +422,43 @@ object Extended {
              |  ON e.event_type = d.d_type AND d.lo <= e.ts AND e.ts < d.hi
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----------------------- natural-SQL containment join, auto-rewritten
+    // The same interval join written as PLAIN SQL — no operator API. With
+    // plans.IntervalJoinRule installed (IntervalJoin.install /
+    // GraftExtensions), the `key = key AND p >= lo AND p < hi` condition
+    // against a broadcastable dimension is detected in the optimizer and
+    // swapped for PointInIntervalJoinExec; without it, Catalyst plans a
+    // broadcast nested loop. IntervalJoinRuleSpec asserts the rewrite
+    // fires, is exact vs the unrewritten join, and leaves non-containment
+    // joins alone.
+    QueryDef(
+      "q07_interval_sql",
+      (s, dir) => {
+        val child = s.newSession()
+        graft.plans.IntervalJoin.install(child)
+        val e = Tables.load(child, dir, "events")
+          .select(col("event_id"), col("ts"), col("event_type"))
+        e.createOrReplaceTempView("events_iv")
+        e.groupBy(col("event_type").as("d_type"),
+            date_trunc("hour", col("ts")).as("lo"))
+          .agg(count(lit(1)).as("n_in_hour"))
+          .withColumn("hi", col("lo") + expr("INTERVAL 30 MINUTE"))
+          .createOrReplaceTempView("dim_iv")
+        child.sql("""
+          SELECT e.event_type AS event_type, count(*) AS n_in_window
+          FROM events_iv e JOIN dim_iv d
+            ON e.event_type = d.d_type AND e.ts >= d.lo AND e.ts < d.hi
+          GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""WITH dim AS (
+             |  SELECT event_type AS d_type, date_trunc('hour', ts) AS lo,
+             |         date_trunc('hour', ts) + INTERVAL 30 MINUTE AS hi
+             |  FROM events GROUP BY 1, 2)
+             |SELECT e.event_type AS event_type, count(*) AS n_in_window
+             |FROM events e JOIN dim d
+             |  ON e.event_type = d.d_type AND e.ts >= d.lo AND e.ts < d.hi
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // --------------------------------- optimizer-rule-rewritten range join
     // The NAIVE SQL form of q07_join_range — no hand-bucketing — executed
     // with plans.RangeJoinRule installed, which rewrites the bounded

@@ -7,6 +7,12 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
+/** Typed rows for the Dataset[T] surface (q03_typed_dataset). */
+case class OrderRow(
+    o_orderkey: Long, o_custkey: Long,
+    o_orderpriority: String, o_totalprice: Double)
+case class PriorityAgg(priority: String, n_orders: Long, total_cents: Long)
+
 /** Declared relational inventory (SURVEY.md §2.2, Q1–Q19): scans, filters,
   * joins (broadcast / outer / semi / anti / range), aggregation, distinct,
   * rollup, windows, sort/limit, set ops, and the scalar function families.
@@ -50,6 +56,41 @@ object Relational {
       Some("""SELECT l_orderkey AS order_id, l_linenumber AS line_no,
              |       l_extendedprice AS price
              |FROM lineitem ORDER BY order_id, line_no""".stripMargin)),
+
+    // ---------------------------------------------- typed Dataset API
+    // The Dataset[T] surface: Encoder-backed case class, lambda filter,
+    // groupByKey + mapGroups with arbitrary Scala in the group function
+    // (an exact cents accumulator — long arithmetic, order-independent).
+    // The tradeoff is explicit: typed lambdas deserialize every row and
+    // break whole-stage codegen, so this surface is for logic that
+    // genuinely needs Scala (custom state machines, library calls), not
+    // for relational shapes — every other query here stays columnar.
+    // Partial aggregation is lost under mapGroups (full shuffle of
+    // matching rows), which is the honest cost model at 100 TB too.
+    QueryDef(
+      "q03_typed_dataset",
+      (s, dir) => {
+        import s.implicits._
+        val ds = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority"), col("o_totalprice"))
+          .as[OrderRow]
+        ds.filter(o => o.o_totalprice > 150000.0 &&
+            !o.o_orderpriority.startsWith("1"))
+          .groupByKey(_.o_orderpriority)
+          .mapGroups { (priority, rows) =>
+            var n = 0L; var cents = 0L
+            rows.foreach { o => n += 1; cents += math.round(o.o_totalprice * 100) }
+            PriorityAgg(priority, n, cents)
+          }
+          .toDF()
+          .orderBy("priority")
+      },
+      Some("""SELECT o_orderpriority AS priority, count(*) AS n_orders,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM orders
+             |WHERE o_totalprice > 150000.0 AND o_orderpriority NOT LIKE '1%'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ------------------------------------------------- filter (TPC-H Q6 shape)
     // Predicates push down to the parquet scan (PushedFilters on l_shipdate /
