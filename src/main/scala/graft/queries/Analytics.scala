@@ -421,6 +421,43 @@ object Analytics {
       },
       Some("SELECT * FROM supplier ORDER BY s_suppkey")),
 
+    // -------------------------------------- parquet schema evolution
+    // The ingestion reality: batch 2 adds a column batch 1 doesn't have.
+    // mergeSchema unions the file footers at read time; old files
+    // surface the new column as null. The aggregate pins both the merged
+    // width (null count for old rows) and the values. At 100 TB the
+    // merged-footer scan is why mergeSchema stays OFF by default —
+    // here it's per-read opt-in on a two-batch directory, the bounded
+    // case where it's the right tool (a table format owns schema
+    // evolution past that).
+    QueryDef(
+      "q32_schema_evolution",
+      (s, dir) => {
+        val out = tmp("graft_q32_evolve")
+        val n = t(s, dir, "nation")
+        n.select(col("n_nationkey"), col("n_name"))
+          .write.mode("overwrite").parquet(s"$out/batch=1")
+        n.select(col("n_nationkey"), col("n_name"),
+            length(col("n_name")).cast("long").as("name_len"))
+          .write.mode("overwrite").parquet(s"$out/batch=2")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .groupBy(col("batch"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("name_len")).as("n_with_len"),
+            sum(col("name_len")).as("len_sum"))
+          .orderBy("batch")
+      },
+      Some("""WITH b1 AS (SELECT n_nationkey, NULL::BIGINT AS name_len FROM nation),
+             |b2 AS (SELECT n_nationkey, CAST(len(n_name) AS BIGINT) AS name_len FROM nation)
+             |SELECT 1 AS batch, count(*) AS n_rows,
+             |       count(name_len) AS n_with_len,
+             |       CAST(sum(name_len) AS BIGINT) AS len_sum
+             |FROM b1
+             |UNION ALL
+             |SELECT 2, count(*), count(name_len), CAST(sum(name_len) AS BIGINT)
+             |FROM b2
+             |ORDER BY batch""".stripMargin)),
+
     // ------------------------------------------ JSON source round-trip
     QueryDef(
       "q32_json_roundtrip",
