@@ -257,6 +257,61 @@ object TpchSqlMore {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
-        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin),
+
+    // Q6 shape — forecasting revenue change: single-table filtered
+    // aggregate with a tight range predicate set. Every predicate pushes
+    // to the parquet scan (shipdate min/max row-group skipping does the
+    // heavy lifting at scale); the aggregate is a one-row partial+final
+    // with no shuffle beyond the final combine. The discount product is
+    // carried in DECIMAL so the sum is accumulation-order independent.
+    sqlBoth("q05_sql_tpch_q6",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))
+        |               * CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24.0""".stripMargin),
+
+    // Q13 shape — customer order-count distribution: LEFT OUTER join with
+    // a predicate INSIDE the join condition (the reference's "special
+    // requests" comment filter, re-expressed over o_orderpriority), then
+    // a two-level aggregation (count per customer, then histogram of the
+    // counts). The outer join keeps zero-order customers in the c_count=0
+    // bucket — the shape that distinguishes Q13 from a plain join+agg.
+    // Scale: customer/orders shuffle once on custkey; the second agg
+    // groups on a tiny domain (distinct counts) and collapses map-side.
+    sqlBoth("q05_sql_tpch_q13",
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey
+        |       AND o_orderpriority <> '4-NOT SPECIFIED'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    // Q20 shape — promotion-eligible suppliers: nested IN subqueries with
+    // a correlated scalar threshold (the reference's ps_availqty > half
+    // of shipped quantity, re-expressed without partsupp as "supplier
+    // ships more than 20% of the part's total shipped quantity for
+    // red parts"). The inner correlated sum decorrelates into a partkey
+    // aggregate joined back on the group key; the IN collapses to a semi
+    // join — no nested loop at any scale. nation broadcasts.
+    sqlBoth("q05_sql_tpch_q20",
+      """SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        |  AND s_suppkey IN (
+        |    SELECT l1.l_suppkey FROM lineitem l1
+        |    WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+        |                           WHERE p_name LIKE 'red%')
+        |    GROUP BY l1.l_suppkey, l1.l_partkey
+        |    HAVING CAST(SUM(CAST(l1.l_quantity AS DECIMAL(27,2))) AS DOUBLE) >
+        |           (SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(27,2)))
+        |                        AS DOUBLE) * 0.1
+        |            FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey))
+        |ORDER BY s_name""".stripMargin)
   )
 }
