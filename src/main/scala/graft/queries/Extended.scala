@@ -596,6 +596,63 @@ object Extended {
              |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
              |           TIMESTAMP '9999-12-31 00:00:00') = TIMESTAMP '9999-12-31 00:00:00'
              |    AS is_current
-             |FROM changes ORDER BY user_id, valid_from""".stripMargin))
+             |FROM changes ORDER BY user_id, valid_from""".stripMargin)),
+
+    // ----------------------------------------- batch sessionization
+    // Gap-based sessionization of the event log (30-minute inactivity
+    // boundary): lag over the per-user window flags session starts, a
+    // running sum of flags numbers the sessions, then one aggregate per
+    // (user, session). Gap arithmetic is integer MICROSECONDS
+    // (unix_micros / epoch_us) so the boundary decision is exact in both
+    // engines — double epoch seconds would be rounding-fragile. Scale:
+    // ONE shuffle on user_id; the window sort and the final aggregate
+    // reuse the same partitioning (HashPartitioning(user_id) satisfies
+    // the (user_id, session_id) clustering), so sessionizing 100 TB of
+    // events costs a single exchange + per-partition sorts.
+    QueryDef(
+      "q34_sessionize",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(w))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            min(col("ts")).as("session_start"),
+            count(lit(1)).as("n_events"),
+            (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+              .as("duration_us"),
+            sum(col("value").cast(DecimalType(27, 6))).cast("double")
+              .as("session_value"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH ordered AS (
+             |  SELECT user_id, ts, event_id, value,
+             |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS prev_us
+             |  FROM events),
+             |flagged AS (
+             |  SELECT *, CASE WHEN prev_us IS NULL
+             |                   OR epoch_us(ts) - prev_us > 1800 * 1000000
+             |                 THEN 1 ELSE 0 END AS new_sess
+             |  FROM ordered),
+             |numbered AS (
+             |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM flagged)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  min(ts) AS session_start,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
+             |  CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS session_value
+             |FROM numbered GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin))
   )
 }
