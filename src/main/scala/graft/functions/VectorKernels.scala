@@ -51,6 +51,29 @@ object VectorKernels {
     acc
   }
 
+  /** In-order Σ lut[codes_j] — the asymmetric-distance (ADC) scoring
+    * fold of a product-quantized vector: `codes` holds GLOBAL dense
+    * codebook ids (sub-space offsets pre-added by the encoder), `lut`
+    * the per-centroid partial distances for one query. Null on null
+    * input/element; null (not an error) on an out-of-range code so a
+    * stale codes table degrades visibly rather than crashing the scan.
+    */
+  def lutSum(codes: ArrayData, lut: ArrayData): java.lang.Double = {
+    val n = codes.numElements()
+    val ln = lut.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (codes.isNullAt(i)) return null
+      val c = codes.getLong(i)
+      if (c < 0L || c >= ln) return null
+      if (lut.isNullAt(c.toInt)) return null
+      acc += lut.getDouble(c.toInt)
+      i += 1
+    }
+    acc
+  }
+
   /** Sign-bit LSH bucket: bit j of the result is the sign of projection
     * j, where hyperplane j's component i is ±1 from
     * `pmod(xxhash64(i + (j << 16)), 2)` — the identical projection the
@@ -142,4 +165,47 @@ object DotF {
   def apply(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotF(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}
+
+/** `Σ lut[codes_j]` — codegen'd ADC scoring over PQ code arrays. Left:
+  * `array<bigint>` global code ids; right: `array<double>` lookup table
+  * (typically a broadcast literal built from one query vector). Keeps
+  * PQ search a pure map over the codes scan — no join, no shuffle.
+  */
+case class LutSumF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"LutSumF expects (array<bigint>, array<double>), got ($l, $r)")
+    }
+  }
+
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    VectorKernels.lutSum(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val boxed = ctx.freshName("lutBoxed")
+      s"""
+         |java.lang.Double $boxed = graft.functions.VectorKernels.lutSum($c, $l);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LutSumF =
+    copy(left = newLeft, right = newRight)
+}
+
+object LutSumF {
+  def apply(codes: Column, lut: Column): Column =
+    GraftColumnBridge.column(LutSumF(
+      GraftColumnBridge.expression(codes), GraftColumnBridge.expression(lut)))
 }

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{LutSumF, VectorFns}
+
+/** Product quantization for embedding search (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011): split
+  * each d-dim vector into `m` subvectors, k-means each subspace
+  * independently, and store a vector as `m` small centroid ids. The
+  * codes table is ~32× smaller than the float vectors (8 bytes vs 256
+  * for d=64), which is what makes 100 TB of embeddings scannable:
+  * queries score CODES, not vectors, via an asymmetric-distance lookup
+  * table (ADC) built from the query alone.
+  *
+  * Scale shape of each phase:
+  *   - train: joint Lloyd's across all m subspaces in the same two
+  *     declarative passes as [[KMeans]] (assign via broadcast codebook
+  *     join + per-(vector, subspace) argmin window; recompute via
+  *     posexplode + avg). The codebook stays O(m·ksub·d/m) = O(ksub·d)
+  *     — broadcastable for any practical setting.
+  *   - encode: one broadcast join + window argmin + collect_list per
+  *     vector — a single shuffle on the vector id.
+  *   - search: the LUT is m·ksub doubles built from ONE query vector
+  *     (collected to the driver like any trained model, then shipped as
+  *     a literal); scoring is [[graft.functions.LutSumF]], a codegen'd
+  *     map over the codes scan with NO join and NO shuffle — the only
+  *     exchange in the plan is the final top-k (TakeOrderedAndProject
+  *     keeps k rows per partition).
+  *
+  * Codebook ids are GLOBAL dense ranks (sub-space offsets pre-added),
+  * so a code array indexes one flat LUT and dead cells (standard
+  * Lloyd's-with-drop, see KMeans) leave no holes. Determinism: init is
+  * id-modulus selection, argmin ties break on the lower cell id;
+  * centroid VALUES remain floating-point-summation-order dependent
+  * (like KMeans), so query-level verification pins structural
+  * invariants, not coordinates.
+  */
+object ProductQuantizer {
+
+  /** Explode vectors into (id, sub_id, sv: array<double>) subvectors.
+    * Subvector length is size(vec)/m; a ragged trailing remainder (d not
+    * divisible by m) is dropped by slice semantics — callers use m | d.
+    */
+  def subvectors(data: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame = {
+    val subLen = (size(col(vecCol)) / m).cast("int")
+    data
+      .select(col(idCol), col(vecCol))
+      .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("sub_id"),
+        col(vecCol))
+      .select(col(idCol), col("sub_id"),
+        transform(
+          slice(col(vecCol), col("sub_id") * subLen + 1, subLen),
+          _.cast("double")).as("sv"))
+  }
+
+  /** Squared-L2 nearest codebook row per (vector, subspace). Input
+    * `books`: (sub_id, code, cv). Output: (idCol, sub_id, code, sv).
+    */
+  private def assignCells(sv: DataFrame, idCol: String, books: DataFrame): DataFrame = {
+    val dist = VectorFns.normSq(col("sv")) -
+      lit(2.0) * VectorFns.dot(col("sv"), col("cv")) +
+      VectorFns.normSq(col("cv"))
+    val w = Window.partitionBy(col(idCol), col("sub_id"))
+      .orderBy(col("__d").asc, col("code").asc)
+    sv.join(broadcast(books), "sub_id")
+      .withColumn("__d", dist)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("sub_id"), col("code"), col("sv"))
+  }
+
+  /** Train per-subspace codebooks: (sub_id, code: bigint, cv:
+    * array<double>) with `code` a global dense rank across all
+    * subspaces. Init takes every id ≡ 1 (mod `every`) vector's
+    * subvectors as seed centroids (ksub ≈ n/every per subspace).
+    */
+  def train(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      every: Int,
+      iters: Int): DataFrame = {
+    val sv = subvectors(data, idCol, vecCol, m)
+    var books = sv.filter(pmod(col(idCol), lit(every)) === 1)
+      .select(col("sub_id"), col(idCol).cast("long").as("code"), col("sv").as("cv"))
+    var i = 0
+    while (i < iters) {
+      books = assignCells(sv, idCol, books)
+        .select(col("sub_id"), col("code"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub_id"), col("code"), col("pos"))
+        .agg(avg(col("x")).as("mn"))
+        .groupBy(col("sub_id"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          s => s.getField("mn")).as("cv"))
+      i += 1
+    }
+    // Densify to global ids. The single-partition window is over the
+    // CODEBOOK (m·ksub rows), never the data — same driver-scale object
+    // as any trained model.
+    books
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("sub_id"), col("code"))).cast("long") - 1)
+      .select(col("sub_id"), col("code"), col("cv"))
+  }
+
+  /** Encode vectors as (idCol, codes: array<bigint>), codes ordered by
+    * sub_id and carrying global ids — ready for [[adcTopK]]'s flat LUT.
+    */
+  def encode(data: DataFrame, idCol: String, vecCol: String, m: Int, books: DataFrame): DataFrame =
+    assignCells(subvectors(data, idCol, vecCol, m), idCol, books)
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** Flat ADC lookup table for one query vector: lut(code) = ‖q_sub −
+    * cv_code‖² for the code's subspace. m·ksub doubles — collected to
+    * the driver as the per-query "model" and shipped as a literal.
+    */
+  def lutFor(query: DataFrame, vecCol: String, m: Int, books: DataFrame): Array[Double] = {
+    val qsv = subvectors(query.withColumn("__qid", lit(0)), "__qid", vecCol, m)
+      .select(col("sub_id"), col("sv").as("qsv"))
+    val dist = VectorFns.normSq(col("qsv")) -
+      lit(2.0) * VectorFns.dot(col("qsv"), col("cv")) +
+      VectorFns.normSq(col("cv"))
+    val rows = books.join(qsv, "sub_id")
+      .select(col("code"), dist.as("d"))
+      .collect()
+    val lut = new Array[Double](rows.length)
+    rows.foreach(r => lut(r.getLong(0).toInt) = r.getDouble(1))
+    lut
+  }
+
+  /** Top-k nearest codes by ADC distance: a codegen'd map over the codes
+    * scan + TakeOrderedAndProject. Ties break on the id for determinism.
+    */
+  def adcTopK(codes: DataFrame, idCol: String, lut: Array[Double], k: Int): DataFrame =
+    codes
+      .withColumn("adc_dist", LutSumF(col("codes"), typedLit(lut.toSeq)))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{MinHashSignature, SimHash64, RollingHash64, TextFns, VectorFns, WordShingles}
-import graft.operators.{DedupCluster, KMeans}
+import graft.operators.{DedupCluster, KMeans, ProductQuantizer}
 
 /** LLM-training-pipeline operators (SURVEY §2.2 Q21–Q26 + north-star
   * extensions): deduplication (exact / fingerprint / MinHash-LSH /
@@ -632,6 +632,84 @@ object LlmOps {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_assigned,
              |       true AS cells_ok, true AS dims_ok
              |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
+
+    // ------------------------------------------- product quantization
+    // PQ codebook training + corpus encode (operators.ProductQuantizer,
+    // m=8 subspaces × 8 dims, ~12 centroids/subspace). Codes are 8
+    // bigints per vector vs 64 floats — the 100 TB story is scanning
+    // codes, not vectors. Centroid values are summation-order dependent
+    // (like q24_ivf_train), so the oracle pins the deterministic
+    // structure: every vector encodes to exactly m in-range codes, ids
+    // are globally dense, every codebook entry keeps d/m dims, and all
+    // m subspaces stay alive.
+    QueryDef(
+      "q24_pq_train",
+      (s, dir) => {
+        val data = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+        val books = ProductQuantizer.train(
+          data, "vec_id", "embedding", m = 8, every = 40, iters = 2)
+        val codes = ProductQuantizer.encode(data, "vec_id", "embedding", 8, books)
+        val b = books.agg(
+          (min(col("code")) === 0 &&
+            max(col("code")) === count(lit(1)) - 1).as("dense_ok"),
+          (min(size(col("cv"))) === 8 && max(size(col("cv"))) === 8).as("dims_ok"),
+          (countDistinct(col("sub_id")) === 8).as("subs_ok"))
+        codes.agg(
+          count(lit(1)).as("n_encoded"),
+          (min(size(col("codes"))) === 8 && max(size(col("codes"))) === 8).as("m_ok"))
+          .crossJoin(b)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_encoded, true AS m_ok,
+             |       true AS dense_ok, true AS dims_ok, true AS subs_ok
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
+
+    // ADC top-k search over the PQ codes: the query's lookup table (m·k
+    // partial distances) ships as a literal and scoring is the codegen'd
+    // LutSumF fold — a pure map over the codes scan, no join, no
+    // shuffle; only the top-k exchange moves rows. The query verifies
+    // the kernel against an independent join-path re-scoring of the
+    // survivors (posexplode codes → broadcast-join the LUT rows → sum),
+    // equal within float-reassociation tolerance, plus result-set size
+    // and ranking monotonicity — all deterministic booleans even though
+    // trained centroid values are not bit-stable.
+    QueryDef(
+      "q24_ann_pq",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val data = e.filter(col("vec_id") =!= 0)
+        val query = e.filter(col("vec_id") === 0).select(col("embedding"))
+        val books = ProductQuantizer.train(
+          data, "vec_id", "embedding", m = 8, every = 40, iters = 2)
+        val codes = ProductQuantizer.encode(data, "vec_id", "embedding", 8, books)
+        val lut = ProductQuantizer.lutFor(query, "embedding", 8, books)
+        val top = ProductQuantizer.adcTopK(codes, "vec_id", lut, 10)
+
+        val qsv = ProductQuantizer.subvectors(
+          query.withColumn("__qid", lit(0)), "__qid", "embedding", 8)
+          .select(col("sub_id"), col("sv").as("qsv"))
+        val lutDf = books.join(qsv, "sub_id")
+          .select(col("code").as("jcode"),
+            (VectorFns.normSq(col("qsv")) -
+              lit(2.0) * VectorFns.dot(col("qsv"), col("cv")) +
+              VectorFns.normSq(col("cv"))).as("jd"))
+        val rescored = top
+          .select(col("vec_id"), col("adc_dist"),
+            posexplode(col("codes")).as(Seq("pos", "jcode")))
+          .join(broadcast(lutDf), "jcode")
+          .groupBy(col("vec_id"), col("adc_dist"))
+          .agg(sum(col("jd")).as("join_dist"))
+        val w = Window.orderBy(col("adc_dist").asc, col("vec_id").asc)
+        rescored
+          .withColumn("prev", lag(col("adc_dist"), 1).over(w))
+          .agg(
+            count(lit(1)).as("n_results"),
+            (count(when(abs(col("adc_dist") - col("join_dist")) > 1e-9, 1)) === 0)
+              .as("kernel_matches_join"),
+            (count(when(col("prev") > col("adc_dist"), 1)) === 0).as("ordered_ok"))
+      },
+      Some("""SELECT CAST(10 AS BIGINT) AS n_results,
+             |       true AS kernel_matches_join,
+             |       true AS ordered_ok""".stripMargin)),
 
     // ----------------------------------------------------- text analysis
     QueryDef(

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.LutSumF
+
+/** Product-quantization invariants on data with known structure, plus
+  * the LutSumF kernel's contract against an interpreted HOF reference.
+  */
+class ProductQuantizerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // Two well-separated clusters in 16 dims: ids 0..49 near +10 on the
+  // first half, ids 50..99 near -10 on the second half. Deterministic
+  // jitter from a fixed-seed PRNG.
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(7)
+    (0 until 100).map { id =>
+      val base = Array.fill(16)(0.0f)
+      if (id < 50) (0 until 8).foreach(i => base(i) = 10.0f)
+      else (8 until 16).foreach(i => base(i) = -10.0f)
+      val v = base.map(x => x + rnd.nextFloat() * 0.5f)
+      (id.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("LutSumF == interpreted element_at fold, bit for bit") {
+    val df = Seq(
+      (Seq(0L, 2L, 1L), Seq(0.1, 1e30, -0.25)),
+      (Seq(3L, 3L, 3L, 3L), Seq(1.5, 2.5, 3.5, -4.5)),
+      (Seq.empty[Long], Seq(1.0))).toDF("codes", "lut")
+    val hof = aggregate(
+      transform($"codes", c => element_at($"lut", (c + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+    df.select(LutSumF($"codes", $"lut").as("native"), hof.as("ref"))
+      .collect()
+      .foreach { r =>
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+      }
+  }
+
+  test("LutSumF: out-of-range or null input degrades to null, not error") {
+    val df = Seq(
+      (Some(Seq(5L)), Seq(1.0, 2.0)), // out of range
+      (Some(Seq(-1L)), Seq(1.0, 2.0)), // negative
+      (None, Seq(1.0, 2.0))) // null codes
+      .toDF("codes", "lut")
+    val got = df.select(LutSumF($"codes", $"lut")).collect()
+    assert(got.forall(_.isNullAt(0)))
+  }
+
+  test("subvectors partition the vector: sorted reassembly == original") {
+    val back = ProductQuantizer.subvectors(clustered, "vec_id", "embedding", 4)
+      .groupBy($"vec_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct($"sub_id", $"sv"))),
+        s => s.getField("sv"))).as("re"))
+    val joined = clustered.join(back, "vec_id")
+      .select(transform($"embedding", _.cast("double")).as("orig"), $"re")
+      .collect()
+    assert(joined.length == 100)
+    joined.foreach(r => assert(r.getSeq[Double](0) == r.getSeq[Double](1)))
+  }
+
+  test("train produces dense global codes; encode emits m in-range codes") {
+    val books = ProductQuantizer.train(
+      clustered, "vec_id", "embedding", m = 4, every = 10, iters = 2)
+    val b = books.orderBy($"code").collect()
+    assert(b.map(_.getLong(1)).toSeq == b.indices.map(_.toLong)) // dense 0..n-1
+    assert(b.forall(_.getSeq[Double](2).length == 4)) // d/m dims
+    assert(b.map(_.getInt(0)).distinct.sorted.toSeq == Seq(0, 1, 2, 3))
+
+    val codes = ProductQuantizer.encode(clustered, "vec_id", "embedding", 4, books)
+    val c = codes.collect()
+    assert(c.length == 100)
+    val n = b.length
+    assert(c.forall(_.getSeq[Long](1).length == 4))
+    assert(c.forall(_.getSeq[Long](1).forall(x => x >= 0 && x < n)))
+  }
+
+  test("ADC top-k on separated clusters returns the query's cluster") {
+    val books = ProductQuantizer.train(
+      clustered, "vec_id", "embedding", m = 4, every = 10, iters = 2)
+    val codes = ProductQuantizer.encode(clustered, "vec_id", "embedding", 4, books)
+    // query: a fresh point inside cluster A (ids < 50)
+    val q = Seq(Tuple1((0 until 16).map(i => if (i < 8) 10.2f else 0.1f)))
+      .toDF("embedding")
+    val lut = ProductQuantizer.lutFor(q, "embedding", 4, books)
+    assert(lut.length == books.count())
+    val top = ProductQuantizer.adcTopK(codes, "vec_id", lut, 10).collect()
+    assert(top.length == 10)
+    assert(top.forall(_.getLong(0) < 50), "all neighbors from cluster A")
+    val dists = top.map(_.getDouble(2))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b }, "ascending")
+  }
+}
