@@ -320,6 +320,50 @@ object LlmOps {
              |  min(keep_id) AS min_kept
              |FROM nw""".stripMargin)),
 
+    // ----------------------------- cross-doc duplicate-passage fraction
+    // Corpus-level duplicated-text signal (the cross-document cousin of
+    // q25_repetition's within-doc stats): an 8-gram window is
+    // "duplicated" when it occurs in more than one document; each doc
+    // reports the fraction of its windows that are corpus-duplicated —
+    // the passage-overlap score used to drop boilerplate-heavy docs
+    // before training. Shape: explode windows once, aggregate distinct-
+    // doc counts per window (map-side combine collapses within-doc
+    // repeats), broadcast-free join back on the window key, per-doc
+    // aggregate — two shuffles total, both on the window/doc keys. At
+    // 100 TB the join key would be xxhash64(window) (8 bytes instead of
+    // the string, collisions only perturb a heuristic score); kept as
+    // exact strings here so the oracle is hash-exact.
+    QueryDef(
+      "q22_dup_ngram_frac",
+      (s, dir) => {
+        val grams = t(s, dir, "documents")
+          .select(col("doc_id"), explode(TextFns.ngrams(col("text"), 8)).as("g"))
+        val df = grams.groupBy(col("g"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        grams.join(df, "g")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_windows"),
+            count(when(col("nd") > 1, 1)).as("dup_windows"))
+          .withColumn("dup_frac",
+            round(col("dup_windows").cast("double") /
+              col("n_windows").cast("double"), 6))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT doc_id,
+             |             unnest([array_to_string(w[i:i+7], ' ')
+             |                     FOR i IN range(1, len(w) - 6)]) AS g
+             |      FROM d WHERE len(w) >= 8),
+             |df AS (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY g)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_windows,
+             |  CAST(count(*) FILTER (nd > 1) AS BIGINT) AS dup_windows,
+             |  round(CAST(count(*) FILTER (nd > 1) AS DOUBLE) /
+             |        CAST(count(*) AS DOUBLE), 6) AS dup_frac
+             |FROM g JOIN df USING (g)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------- fingerprint dedup (md5 + roll)
     QueryDef(
       "q22_dedup_fingerprint",
