@@ -104,6 +104,72 @@ object ExcelToParquet {
     } finally pool.shutdown()
   }
 
+  /** Incremental fan-out: skip inputs already recorded in a conversion
+    * manifest with an unchanged (size, mtime) signature, convert the
+    * rest, and rewrite the manifest with the successful conversions.
+    * This is what makes a 100 TB ingestion RESUMABLE: re-running the
+    * same job after a partial failure (or on a grown input directory)
+    * converts only new/changed workbooks. The manifest is itself a tiny
+    * parquet table (one row per input file — file-count scale, not data
+    * scale), readable as a conversion audit log.
+    *
+    * Returns (results for converted inputs, skipped input paths).
+    */
+  def convertManyIncremental(
+      spark: SparkSession,
+      jobs: Seq[Options],
+      manifestPath: String,
+      parallelism: Int = 8): (Seq[(String, Either[String, Long])], Seq[String]) = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val mPath = new Path(manifestPath)
+    val mFs = mPath.getFileSystem(conf)
+
+    val prior: Map[String, (Long, Long, Long)] =
+      if (mFs.exists(mPath))
+        spark.read.parquet(manifestPath)
+          .select("input", "length", "mtime", "rows")
+          .collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+          .toMap
+      else Map.empty
+
+    def signature(input: String): Option[(Long, Long)] = {
+      val p = new Path(input)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) {
+        val st = fs.getFileStatus(p)
+        Some((st.getLen, st.getModificationTime))
+      } else None
+    }
+
+    val sigs = jobs.map(j => j.input -> signature(j.input)).toMap
+    val (skip, todo) = jobs.partition { j =>
+      sigs(j.input).exists { case (len, mt) =>
+        prior.get(j.input).exists { case (pl, pm, _) => pl == len && pm == mt }
+      }
+    }
+    val results = convertMany(spark, todo, parallelism)
+
+    // New manifest = prior entries (still-valid work from any batch,
+    // including failed retries whose signature no longer matches and
+    // will re-run next time) overlaid with this batch's successes.
+    val converted = results.toMap.collect { case (in, Right(rows)) => in -> rows }
+    val manifest = prior.filter { case (in, _) => !converted.contains(in) } ++
+      converted.flatMap { case (in, rows) =>
+        sigs(in).map { case (len, mt) => in -> ((len, mt, rows)) }
+      }
+    import spark.implicits._
+    val tmp = manifestPath + ".graft-tmp"
+    manifest.toSeq.map { case (in, (len, mt, rows)) => (in, len, mt, rows) }
+      .toDF("input", "length", "mtime", "rows")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    mFs.delete(mPath, true)
+    if (!mFs.rename(new Path(tmp), mPath))
+      throw new java.io.IOException(s"could not move manifest into place at $manifestPath")
+    (results, skip.map(_.input))
+  }
+
   def main(args: Array[String]): Unit = {
     var input: Option[String] = None
     var output: Option[String] = None
