@@ -143,4 +143,90 @@ object ProductQuantizer {
       .withColumn("adc_dist", LutSumF(col("codes"), typedLit(lut.toSeq)))
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k)
+
+  // ------------------------------------------------------------ IVF-PQ
+  // The billion-scale composition (Jégou et al. §V): coarse-quantize
+  // every vector to a k-means cell, PQ-encode the RESIDUAL (v − cell
+  // centroid) — residuals are tighter-distributed than raw vectors, so
+  // the same codebook budget quantizes them more accurately — and at
+  // query time scan only the nProbe nearest cells with a per-cell
+  // lookup table built from the query's residual against that cell.
+
+  /** Offline index build: returns (codes, books) where codes =
+    * (cell_id, idCol, codes) and books the shared residual codebooks.
+    * The residual subtraction is an interpreted zip_with — an offline,
+    * once-per-corpus cost (the serving path never touches vectors).
+    */
+  def ivfPqEncode(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      coarse: DataFrame,
+      every: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    val assigned = KMeans.assign(data, idCol, vecCol, coarse)
+    val residuals = assigned.join(broadcast(coarse), "cell_id")
+      .select(col("cell_id"), col(idCol),
+        zip_with(col(vecCol), col("cv"), (x, c) => x.cast("double") - c).as("rv"))
+    val books = train(residuals, idCol, "rv", m, every, iters)
+    val codes = encode(residuals, idCol, "rv", m, books)
+      .join(residuals.select(col(idCol), col("cell_id")), idCol)
+      .select(col("cell_id"), col(idCol), col("codes"))
+    (codes, books)
+  }
+
+  /** IVF-PQ serving: rank the nProbe nearest coarse cells (tiny global
+    * window over the centroid table), derive the query's PER-CELL
+    * residual, build one LUT per probed cell — all declarative, the LUT
+    * table is (nProbe × total_codes) doubles riding a broadcast — and
+    * ADC-score only the codes in probed cells. At scale the codes table
+    * is partitioned by cell_id so the probe join prunes partitions; the
+    * scan side still never shuffles.
+    */
+  def ivfPqTopK(
+      query: DataFrame,
+      vecCol: String,
+      m: Int,
+      coarse: DataFrame,
+      books: DataFrame,
+      codes: DataFrame,
+      idCol: String,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    val q = query.select(col(vecCol).as("qv"))
+    val l2 = VectorFns.normSq(col("cv")) -
+      lit(2.0) * VectorFns.dot(col("cv"), col("qv")) +
+      VectorFns.normSq(col("qv"))
+    val probeW = Window.orderBy(col("qd").asc, col("cell_id"))
+    val probes = coarse.crossJoin(broadcast(q))
+      .withColumn("qd", l2)
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select(col("cell_id"),
+        zip_with(col("qv"), col("cv"), (x, c) => x.cast("double") - c).as("qr"))
+    val luts = ivfPqLutRows(probes, m, books)
+      .groupBy(col("cell_id"))
+      .agg(transform(array_sort(collect_list(struct(col("code"), col("d")))),
+        s => s.getField("d")).as("lut"))
+    codes.join(broadcast(luts), "cell_id")
+      .withColumn("adc_dist", LutSumF(col("codes"), col("lut")))
+      .select(col(idCol), col("cell_id"), col("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** (cell_id, code, d): partial distance of each probed cell's query
+    * residual subvector to each codebook entry. Exposed for independent
+    * re-scoring in verification.
+    */
+  def ivfPqLutRows(probes: DataFrame, m: Int, books: DataFrame): DataFrame = {
+    val qsv = subvectors(probes, "cell_id", "qr", m)
+      .select(col("cell_id"), col("sub_id"), col("sv").as("qsv"))
+    books.join(qsv, "sub_id")
+      .select(col("cell_id"), col("code"),
+        (VectorFns.normSq(col("qsv")) -
+          lit(2.0) * VectorFns.dot(col("qsv"), col("cv")) +
+          VectorFns.normSq(col("cv"))).as("d"))
+  }
 }

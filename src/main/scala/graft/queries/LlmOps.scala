@@ -755,6 +755,37 @@ object LlmOps {
              |       true AS kernel_matches_join,
              |       true AS ordered_ok""".stripMargin)),
 
+    // IVF-PQ: coarse k-means cells + PQ over RESIDUALS + per-cell query
+    // LUTs (operators.ProductQuantizer.ivfPq*) — the billion-scale ANN
+    // composition: the serving scan touches only probed cells' codes and
+    // never a raw vector. Contract (all deterministic booleans): k
+    // results, drawn from ≤ nProbe cells, finite scores, ascending
+    // ranking. Recall and the LUT-vs-kernel scoring equivalence are
+    // asserted on clustered fixtures in ProductQuantizerSpec.
+    QueryDef(
+      "q24_ann_ivfpq",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val data = e.filter(col("vec_id") =!= 0)
+        val query = e.filter(col("vec_id") === 0).select(col("embedding"))
+        val coarse = ivfCentroids(s, dir, data)
+        val (codes, books) = ProductQuantizer.ivfPqEncode(
+          data, "vec_id", "embedding", m = 8, coarse, every = 40, iters = 2)
+        val top = ProductQuantizer.ivfPqTopK(
+          query, "embedding", 8, coarse, books, codes, "vec_id", nProbe = 4, k = 10)
+        val w = Window.orderBy(col("adc_dist").asc, col("vec_id").asc)
+        top
+          .withColumn("prev", lag(col("adc_dist"), 1).over(w))
+          .agg(
+            count(lit(1)).as("n_results"),
+            (countDistinct(col("cell_id")) <= 4).as("cells_ok"),
+            (count(when(col("adc_dist").isNull || isnan(col("adc_dist")), 1)) === 0)
+              .as("finite_ok"),
+            (count(when(col("prev") > col("adc_dist"), 1)) === 0).as("ordered_ok"))
+      },
+      Some("""SELECT CAST(10 AS BIGINT) AS n_results, true AS cells_ok,
+             |       true AS finite_ok, true AS ordered_ok""".stripMargin)),
+
     // ----------------------------------------------------- text analysis
     QueryDef(
       "q25_text_stats",

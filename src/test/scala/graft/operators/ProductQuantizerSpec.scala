@@ -103,4 +103,51 @@ class ProductQuantizerSpec extends AnyFunSuite {
     val dists = top.map(_.getDouble(2))
     assert(dists.zip(dists.tail).forall { case (a, b) => a <= b }, "ascending")
   }
+
+  test("IVF-PQ: residual index finds the query's cluster; LUT join == kernel") {
+    val coarse = KMeans.fit(clustered, "vec_id", "embedding",
+      KMeans.initEvery(clustered, "vec_id", "embedding", 25), iters = 2)
+    val (codes, books) = ProductQuantizer.ivfPqEncode(
+      clustered, "vec_id", "embedding", m = 4, coarse, every = 10, iters = 2)
+    assert(codes.count() == 100)
+
+    val q = Seq(Tuple1((0 until 16).map(i => if (i < 8) 9.8f else 0.2f)))
+      .toDF("embedding")
+    val top = ProductQuantizer.ivfPqTopK(
+      q, "embedding", 4, coarse, books, codes, "vec_id", nProbe = 2, k = 10)
+      .collect()
+    assert(top.length == 10)
+    assert(top.forall(_.getLong(0) < 50), "all neighbors from cluster A")
+    val dists = top.map(_.getDouble(2))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b }, "ascending")
+
+    // independent re-scoring: explode the survivors' codes and sum the
+    // matching LUT rows — must agree with the LutSumF fold up to
+    // float reassociation
+    val probes = {
+      import org.apache.spark.sql.expressions.Window
+      val l2 = graft.functions.VectorFns.normSq($"cv") -
+        lit(2.0) * graft.functions.VectorFns.dot($"cv", $"qv") +
+        graft.functions.VectorFns.normSq($"qv")
+      coarse.crossJoin(q.select($"embedding".as("qv")))
+        .withColumn("qd", l2)
+        .withColumn("rn", row_number().over(
+          Window.orderBy($"qd".asc, $"cell_id")))
+        .filter($"rn" <= 2)
+        .select($"cell_id",
+          zip_with($"qv", $"cv", (x, c) => x.cast("double") - c).as("qr"))
+    }
+    val lutRows = ProductQuantizer.ivfPqLutRows(probes, 4, books)
+    val topDf = ProductQuantizer.ivfPqTopK(
+      q, "embedding", 4, coarse, books, codes, "vec_id", nProbe = 2, k = 10)
+    val survivors = codes.join(topDf.select($"vec_id", $"adc_dist"), "vec_id")
+    val joined = survivors
+      .select($"vec_id", $"cell_id", $"adc_dist", explode($"codes").as("code"))
+      .join(lutRows, Seq("cell_id", "code"))
+      .groupBy($"vec_id", $"adc_dist")
+      .agg(sum($"d").as("join_dist"))
+      .collect()
+    assert(joined.length == 10)
+    joined.foreach(r => assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9))
+  }
 }
