@@ -1,0 +1,357 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-4 pipeline/analytics additions: event funnels, fuzzy string
+  * joins, data-quality constraint suites, graph centrality, robust
+  * outlier detection, and positional phrase search.
+  *
+  * These extend the declared inventory beyond the reference's conversion
+  * surface (the reference computes none of these — it is a one-pass
+  * xlsx/xlsb→parquet converter, `/root/reference/src/lib.rs:30-102`) with
+  * the operations a production training-data/analytics pipeline runs on
+  * the converted lake. Every query keeps the repo-wide determinism rules
+  * (explicit ORDER BY, decimal sums for money, BIGINT casts) so the
+  * DuckDB hash oracle stays exact.
+  */
+object Insights {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ------------------------------------------------------------ funnel
+  // Ordered-event funnel over the events table: how many users did
+  // view → click → purchase IN THAT ORDER (each later stage strictly
+  // after the user's earliest completion of the previous stage).
+  //
+  // Shape: three stage passes, each a filter + per-user min-timestamp
+  // aggregation joined against the previous stage's frontier. The
+  // frontier tables are per-user aggregates — orders of magnitude
+  // smaller than the event log — so at scale each pass is one shuffle
+  // of the (pre-filtered) events plus a broadcast of the frontier;
+  // state never exceeds one row per qualifying user. This is the
+  // standard scalable funnel shape: no per-user event collection, no
+  // window over the whole log.
+  private def funnelQ: QueryDef = QueryDef(
+    "q35_funnel",
+    (s, dir) => {
+      val e = t(s, dir, "events").select("user_id", "event_type", "ts")
+      def stage(prev: DataFrame, prevTs: String, ev: String, outTs: String) =
+        e.filter(col("event_type") === ev)
+          .join(broadcast(prev), "user_id")
+          .filter(col("ts") > col(prevTs))
+          .groupBy("user_id").agg(min("ts").as(outTs))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = stage(v, "t1", "click", "t2")
+      val p = stage(c, "t2", "purchase", "t3")
+      v.agg(count(lit(1)).as("n_view_users")).crossJoin(
+        c.agg(count(lit(1)).as("n_click_users"))).crossJoin(
+        p.agg(count(lit(1)).as("n_purchase_users")))
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           |           WHERE event_type = 'view' GROUP BY 1),
+           |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           |      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+           |      WHERE e.event_type = 'click' GROUP BY 1),
+           |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           |      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+           |      WHERE e.event_type = 'purchase' GROUP BY 1)
+           |SELECT (SELECT count(*) FROM v) AS n_view_users,
+           |       (SELECT count(*) FROM c) AS n_click_users,
+           |       (SELECT count(*) FROM p) AS n_purchase_users""".stripMargin))
+
+  // -------------------------------------------- edit-distance similarity join
+  // Fuzzy self-join of the part-name vocabulary: all word pairs within
+  // Levenshtein distance 2, found WITHOUT the quadratic cross join.
+  //
+  // Blocking is the deletion neighborhood: every word emits all variants
+  // reachable by deleting ≤ 2 characters; two words within edit
+  // distance 2 always share a variant (delete the aligned edit
+  // positions from both sides of any optimal 2-op alignment), so
+  // joining on the variant key is a COMPLETE candidate generator and
+  // the exact levenshtein filter only runs on candidates. At corpus
+  // scale the candidate count is bounded by the vocabulary (each word
+  // makes O(L²) variants), not by vocab² — the cross join the oracle
+  // runs below would be infeasible at a real vocabulary size.
+  private def editJoinQ: QueryDef = QueryDef(
+    "q35_edit_join",
+    (s, dir) => {
+      import s.implicits._
+      val words = t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("w"))
+        .distinct().as[String]
+      def delete1(w: String): Seq[String] =
+        w.indices.map(i => w.substring(0, i) + w.substring(i + 1))
+      val variants = words.flatMap { w =>
+        val d1 = delete1(w).distinct
+        val d2 = d1.flatMap(delete1).distinct
+        (Seq(w) ++ d1 ++ d2).distinct.map(v => (w, v))
+      }.toDF("w", "v")
+      val cand = variants.as("a").join(variants.as("b"), Seq("v"))
+        .filter(col("a.w") < col("b.w"))
+        .select(col("a.w").as("w1"), col("b.w").as("w2"))
+        .distinct()
+      cand
+        .withColumn("dist", levenshtein(col("w1"), col("w2")).cast("bigint"))
+        .filter(col("dist") <= 2)
+        .orderBy("w1", "w2")
+    },
+    Some("""WITH w AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w
+           |           FROM part)
+           |SELECT a.w AS w1, b.w AS w2,
+           |       CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+           |FROM w a JOIN w b ON a.w < b.w
+           |WHERE levenshtein(a.w, b.w) <= 2
+           |ORDER BY w1, w2""".stripMargin))
+
+  // ------------------------------------------------- data-quality suite
+  // Deequ-style constraint validation over the lake: each constraint
+  // yields (check_name, metric, passed). The five lineitem constraints
+  // compute in ONE aggregation pass (conditional aggregates over a
+  // single scan — at 100 TB this is the only affordable shape; one
+  // scan, k metrics); uniqueness folds into the same pass as
+  // count(*) - count(distinct key); the FK check is a broadcast anti
+  // join on the dimension side. Everything stays distributed — no
+  // driver-side metric collection.
+  private def qualityQ: QueryDef = QueryDef(
+    "q37_quality_suite",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      def row(name: String, metric: Column, passed: Column): Column =
+        struct(lit(name).as("check_name"),
+          metric.cast("double").as("metric"), passed.as("passed"))
+      val one = l.agg(
+        count(lit(1)).as("n"),
+        count(col("l_shipdate")).as("n_shipdate"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_key"),
+        sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L))
+          .as("n_qty_bad"),
+        sum(when(!col("l_returnflag").isin("R", "A", "N"), 1L).otherwise(0L))
+          .as("n_flag_bad"))
+      val orphans = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan"))
+      one.crossJoin(orphans)
+        .select(explode(array(
+          row("shipdate_completeness",
+            col("n_shipdate").cast("double") / col("n").cast("double"),
+            col("n_shipdate") === col("n")),
+          row("lineitem_rowcount", col("n"), col("n") > 0),
+          row("orders_custkey_fk", col("n_orphan"), col("n_orphan") === 0),
+          row("orderkey_linenumber_unique", col("n") - col("n_key"),
+            col("n") === col("n_key")),
+          row("quantity_range", col("n_qty_bad"), col("n_qty_bad") === 0),
+          row("returnflag_domain", col("n_flag_bad"), col("n_flag_bad") === 0)
+        )).as("c"))
+        .select(col("c.check_name"), col("c.metric"), col("c.passed"))
+        .orderBy("check_name")
+    },
+    Some("""WITH m AS (SELECT count(*) AS n, count(l_shipdate) AS n_shipdate,
+           |  count(DISTINCT (l_orderkey, l_linenumber)) AS n_key,
+           |  sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS n_qty_bad,
+           |  sum(CASE WHEN l_returnflag NOT IN ('R','A','N') THEN 1 ELSE 0 END) AS n_flag_bad
+           |  FROM lineitem),
+           |o AS (SELECT count(*) AS n_orphan FROM orders
+           |      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+           |SELECT check_name, metric, passed FROM (
+           |  SELECT 'shipdate_completeness' AS check_name,
+           |         CAST(n_shipdate AS DOUBLE)/CAST(n AS DOUBLE) AS metric,
+           |         n_shipdate = n AS passed FROM m
+           |  UNION ALL SELECT 'lineitem_rowcount', CAST(n AS DOUBLE), n > 0 FROM m
+           |  UNION ALL SELECT 'orders_custkey_fk', CAST(n_orphan AS DOUBLE),
+           |         n_orphan = 0 FROM o
+           |  UNION ALL SELECT 'orderkey_linenumber_unique',
+           |         CAST(n - n_key AS DOUBLE), n = n_key FROM m
+           |  UNION ALL SELECT 'quantity_range', CAST(n_qty_bad AS DOUBLE),
+           |         n_qty_bad = 0 FROM m
+           |  UNION ALL SELECT 'returnflag_domain', CAST(n_flag_bad AS DOUBLE),
+           |         n_flag_bad = 0 FROM m)
+           |ORDER BY check_name""".stripMargin))
+
+  // --------------------------------------------------- PageRank (trade graph)
+  // PageRank over the nation trade graph: an edge src→dst with weight =
+  // number of lineitems a supplier in nation src shipped to a customer
+  // in nation dst. Damping 0.85, 3 fixed iterations from the uniform
+  // vector (fixed iteration count keeps the oracle expressible as
+  // nested SQL CTEs and the result deterministic).
+  //
+  // The iterative step is the standard DataFrame PageRank: join the
+  // out-normalized edge list with the current rank vector on src,
+  // aggregate inflow by dst, rebuild the vector with the damping term.
+  // Dangling nodes (nations with no outgoing trade — real at small SF,
+  // where few nations have suppliers) donate their rank uniformly each
+  // iteration, so total mass stays exactly 1. Here the graph is 25
+  // nodes so every join broadcasts; at web scale the SAME plan shape
+  // hash-partitions edges by src and ranks by key, and each iteration
+  // is one shuffle plus a scalar dangling-mass aggregate — the
+  // textbook distributed PageRank. Edge building is the heavy part
+  // (4-way fact/dim join) and happens once, outside the loop, through
+  // localCheckpoint so the loop doesn't re-derive lineage each
+  // iteration.
+  private def pagerankQ: QueryDef = QueryDef(
+    "q38_pagerank",
+    (s, dir) => {
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey").as("k"), col("n_name"))
+      val nNations = 25.0 // TPC-H nation is a fixed 25-row table
+      val edges = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      val en = edges
+        .withColumn("wn", col("w") /
+          sum(col("w")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("src")))
+        .select("src", "dst", "wn")
+        .localCheckpoint(true)
+      val srcs = en.select("src").distinct()
+      var pr = nation.select(col("k"), lit(1.0 / nNations).as("pr"))
+      for (_ <- 1 to 3) {
+        val inflow = en.join(broadcast(pr), col("src") === col("k"))
+          .groupBy("dst").agg(sum(col("wn") * col("pr")).as("inflow"))
+        val dangling = pr
+          .join(broadcast(srcs), col("k") === col("src"), "left_anti")
+          .agg(coalesce(sum("pr"), lit(0.0)).as("d"))
+        pr = nation.select(col("k"))
+          .join(broadcast(inflow), col("k") === col("dst"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("k"),
+            (lit(0.15 / nNations) + lit(0.85) *
+              (coalesce(col("inflow"), lit(0.0)) +
+                col("d") / lit(nNations))).as("pr"))
+      }
+      pr.join(broadcast(nation), "k")
+        .select(col("n_name"), round(col("pr"), 6).as("pagerank"))
+        .orderBy("n_name")
+    },
+    Some("""WITH e AS (
+           |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+           |         CAST(count(*) AS DOUBLE) AS w
+           |  FROM lineitem l
+           |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  GROUP BY 1, 2),
+           |en AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS wn
+           |       FROM e),
+           |srcs AS (SELECT DISTINCT src FROM en),
+           |p0 AS (SELECT n_nationkey AS k, 1.0/25 AS pr FROM nation),
+           |d0 AS (SELECT coalesce(sum(pr), 0) AS d FROM p0
+           |       WHERE k NOT IN (SELECT src FROM srcs)),
+           |p1 AS (SELECT n.n_nationkey AS k,
+           |         0.15/25 + 0.85*(coalesce(sum(en.wn * p0.pr), 0)
+           |           + (SELECT d FROM d0)/25) AS pr
+           |       FROM nation n
+           |       LEFT JOIN en ON en.dst = n.n_nationkey
+           |       LEFT JOIN p0 ON p0.k = en.src GROUP BY 1),
+           |d1 AS (SELECT coalesce(sum(pr), 0) AS d FROM p1
+           |       WHERE k NOT IN (SELECT src FROM srcs)),
+           |p2 AS (SELECT n.n_nationkey AS k,
+           |         0.15/25 + 0.85*(coalesce(sum(en.wn * p1.pr), 0)
+           |           + (SELECT d FROM d1)/25) AS pr
+           |       FROM nation n
+           |       LEFT JOIN en ON en.dst = n.n_nationkey
+           |       LEFT JOIN p1 ON p1.k = en.src GROUP BY 1),
+           |d2 AS (SELECT coalesce(sum(pr), 0) AS d FROM p2
+           |       WHERE k NOT IN (SELECT src FROM srcs)),
+           |p3 AS (SELECT n.n_nationkey AS k,
+           |         0.15/25 + 0.85*(coalesce(sum(en.wn * p2.pr), 0)
+           |           + (SELECT d FROM d2)/25) AS pr
+           |       FROM nation n
+           |       LEFT JOIN en ON en.dst = n.n_nationkey
+           |       LEFT JOIN p2 ON p2.k = en.src GROUP BY 1)
+           |SELECT n.n_name, round(p3.pr, 6) AS pagerank
+           |FROM p3 JOIN nation n ON n.n_nationkey = p3.k
+           |ORDER BY n.n_name""".stripMargin))
+
+  // ------------------------------------------------ robust outlier counts
+  // Per-event-type anomaly detection with the robust z-score: median and
+  // MAD (median absolute deviation) instead of mean/stddev, so the
+  // detector itself isn't dragged by the outliers it hunts. Exact
+  // medians via percentile(); med/MAD are rounded to 4 decimals BEFORE
+  // the threshold comparison so the Spark and DuckDB float paths see an
+  // identical cutoff. Two aggregation passes over events (med, then MAD
+  // + count) — at scale each is one shuffle keyed by event_type, with
+  // the 5-row med/MAD tables broadcast back. For a 100 TB log the exact
+  // percentile would swap to approx_percentile (declared tolerance), as
+  // q29_percentiles already demonstrates; the robust-score shape is
+  // identical.
+  private def outliersQ: QueryDef = QueryDef(
+    "q40_outliers",
+    (s, dir) => {
+      val e = t(s, dir, "events").select("event_type", "value")
+      val med = e.groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(round(expr("percentile(adev, 0.5)"), 4).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(first("med").as("med"), first("mad").as("mad"),
+          sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""WITH med AS (SELECT event_type,
+           |    round(quantile_cont(value, 0.5), 4) AS med
+           |  FROM events GROUP BY 1),
+           |dev AS (SELECT e.event_type, e.value, med.med,
+           |    abs(e.value - med.med) AS adev
+           |  FROM events e JOIN med ON e.event_type = med.event_type),
+           |mad AS (SELECT event_type, round(quantile_cont(adev, 0.5), 4) AS mad
+           |  FROM dev GROUP BY 1)
+           |SELECT dev.event_type, any_value(dev.med) AS med,
+           |       any_value(mad.mad) AS mad,
+           |       CAST(sum(CASE WHEN dev.adev > 3.0 * 1.4826 * mad.mad
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+           |FROM dev JOIN mad ON dev.event_type = mad.event_type
+           |GROUP BY dev.event_type
+           |ORDER BY dev.event_type""".stripMargin))
+
+  // ------------------------------------------------ positional phrase search
+  // Exact phrase search ("table value") through a positional inverted
+  // index: posexplode the token stream into (doc_id, pos, token)
+  // postings, take the postings lists of the two phrase words, and join
+  // on (doc_id, consecutive positions). This is the IR-engine phrase
+  // shape: work is proportional to the two terms' posting lists, not to
+  // the corpus, and the adjacency join hash-partitions by doc_id. A
+  // k-word phrase chains k-1 such joins, cheapest-list first.
+  private def phraseQ: QueryDef = QueryDef(
+    "q41_phrase_search",
+    (s, dir) => {
+      val (w1, w2) = ("table", "value")
+      val post = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val p1 = post.filter(col("tok") === w1).select("doc_id", "pos")
+      val p2 = post.filter(col("tok") === w2)
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      p1.join(p2, Seq("doc_id", "pos"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+           |            FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(list_filter(range(1, len(w)),
+           |       i -> w[i] = 'table' AND w[i+1] = 'value')) AS BIGINT)
+           |    AS n_matches
+           |FROM tok
+           |WHERE len(list_filter(range(1, len(w)),
+           |      i -> w[i] = 'table' AND w[i+1] = 'value')) > 0
+           |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(
+    funnelQ, editJoinQ, qualityQ, pagerankQ, outliersQ, phraseQ)
+}
