@@ -352,6 +352,107 @@ object Insights {
            |      i -> w[i] = 'table' AND w[i+1] = 'value')) > 0
            |ORDER BY doc_id""".stripMargin))
 
+  // --------------------------------------- incremental view maintenance
+  // Classic incremental materialized-view maintenance: a daily-revenue
+  // MV is built from the orders "history" (before the split date) and
+  // persisted; a "new batch" (the rest) arrives and is folded in by
+  // merging PARTIAL aggregates — union the stored MV rows with the
+  // delta's partial aggregate and re-aggregate on the key. Cost is
+  // O(delta + touched MV rows), never a recompute of the full fact
+  // table — at 100 TB that is the difference between a nightly job
+  // that scans 100 TB and one that scans the day's arrivals. Sums ride
+  // DECIMAL so partial/merge order can't change a cent. The oracle is
+  // the from-scratch aggregation — incremental maintenance must be
+  // indistinguishable from recompute.
+  private def incrementalAggQ: QueryDef = QueryDef(
+    "q39_incremental_agg",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val mvPath = graft.RunPaths.scratch("graft_q39_mv.parquet")
+      val split = lit("1997-06-01").cast("timestamp")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderdate"), col("o_totalprice"))
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy(to_date(col("o_orderdate")).as("order_day"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(38, 2))).as("rev"),
+            count(lit(1)).as("n_orders"))
+      partial(orders.filter(col("o_orderdate") < split))
+        .write.mode("overwrite").parquet(mvPath)
+      val delta = partial(orders.filter(col("o_orderdate") >= split))
+      s.read.parquet(mvPath).unionByName(delta)
+        .groupBy("order_day")
+        .agg(sum("rev").cast("double").as("revenue"),
+          sum("n_orders").as("n_orders"))
+        .orderBy("order_day")
+    },
+    Some("""SELECT CAST(o_orderdate AS DATE) AS order_day,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+           |    AS revenue,
+           |  count(*) AS n_orders
+           |FROM orders
+           |GROUP BY 1
+           |ORDER BY 1""".stripMargin))
+
+  // ------------------------------------------- bigram LM quality score
+  // Language-model-based corpus filtering: train an add-one-smoothed
+  // bigram model on the whole corpus, then score every document by its
+  // mean log-probability — the cheap statistical stand-in for the
+  // perplexity filters real pretraining pipelines run (low scores =
+  // unnatural token sequences = filter candidates).
+  //
+  // Two passes: (1) corpus-wide bigram/context counts — one shuffle
+  // keyed by the bigram; (2) re-scan, explode each document's bigrams,
+  // join against the model, average per doc. The model tables are
+  // vocabulary-sized (<< corpus) so the scoring join broadcasts; at a
+  // real vocabulary it becomes a hash join keyed by bigram — either
+  // way the corpus is scanned exactly twice and nothing is collected.
+  private def lmScoreQ: QueryDef = QueryDef(
+    "q36_lm_score",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val bg = toks.select(col("doc_id"),
+          explode(expr(
+            "transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x AS a, w[i + 1] AS b))"))
+            .as("p"))
+        .select(col("doc_id"), col("p.a"), col("p.b"))
+      val cAb = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val cA = bg.groupBy("a").agg(count(lit(1)).as("c_a"))
+      val v = bg.select(col("b").as("tok")).union(bg.select(col("a")))
+        .agg(countDistinct("tok").as("vocab"))
+      bg.join(broadcast(cAb), Seq("a", "b"))
+        .join(broadcast(cA), Seq("a"))
+        .crossJoin(broadcast(v))
+        .withColumn("lp",
+          log((col("c_ab") + lit(1.0)) / (col("c_a") + col("vocab"))))
+        .groupBy("doc_id")
+        .agg(round(avg("lp"), 6).as("lm_score"),
+          count(lit(1)).as("n_bigrams"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+           |            FROM documents),
+           |bg AS (SELECT doc_id,
+           |         unnest(list_transform(range(2, len(w) + 1),
+           |           i -> [w[i-1], w[i]])) AS p
+           |       FROM tok),
+           |b AS (SELECT doc_id, p[1] AS a, p[2] AS b FROM bg),
+           |c_ab AS (SELECT a, b, count(*) AS c_ab FROM b GROUP BY 1, 2),
+           |c_a AS (SELECT a, count(*) AS c_a FROM b GROUP BY 1),
+           |v AS (SELECT count(DISTINCT tok) AS vocab FROM
+           |      (SELECT b AS tok FROM b UNION ALL SELECT a FROM b))
+           |SELECT b.doc_id,
+           |  round(avg(ln((c_ab.c_ab + 1.0) / (c_a.c_a + v.vocab))), 6)
+           |    AS lm_score,
+           |  count(*) AS n_bigrams
+           |FROM b
+           |JOIN c_ab ON b.a = c_ab.a AND b.b = c_ab.b
+           |JOIN c_a ON b.a = c_a.a
+           |CROSS JOIN v
+           |GROUP BY b.doc_id
+           |ORDER BY b.doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
-    funnelQ, editJoinQ, qualityQ, pagerankQ, outliersQ, phraseQ)
+    funnelQ, editJoinQ, lmScoreQ, qualityQ, pagerankQ, incrementalAggQ,
+    outliersQ, phraseQ)
 }

@@ -81,6 +81,22 @@ class InsightsSpec extends AnyFunSuite {
     assert(math.abs(pr.sum - 1.0) < 1e-3, s"mass drifted: ${pr.sum}")
   }
 
+  test("lm score: one bigram per adjacent pair, log-probs strictly negative") {
+    import org.apache.spark.sql.functions._
+    val scores = SparkEntry.queries("q36_lm_score")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val nTok = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(scores.nonEmpty)
+    scores.foreach { case (doc, score, nBigrams) =>
+      assert(nBigrams == nTok(doc) - 1L,
+        s"doc $doc: $nBigrams bigrams from ${nTok(doc)} tokens")
+      // add-one smoothing bounds P strictly inside (0, 1)
+      assert(score < 0.0, s"doc $doc: non-negative log-prob $score")
+    }
+  }
+
   test("phrase search equals brute-force token-window scan") {
     import org.apache.spark.sql.functions._
     val indexed = SparkEntry.queries("q41_phrase_search")(spark, sf)
