@@ -30,18 +30,20 @@ object Insights {
   // Shape: three stage passes, each a filter + per-user min-timestamp
   // aggregation joined against the previous stage's frontier. The
   // frontier tables are per-user aggregates — orders of magnitude
-  // smaller than the event log — so at scale each pass is one shuffle
-  // of the (pre-filtered) events plus a broadcast of the frontier;
-  // state never exceeds one row per qualifying user. This is the
-  // standard scalable funnel shape: no per-user event collection, no
-  // window over the whole log.
+  // smaller than the event log — but still user-cardinality, so the
+  // frontier join is deliberately UNHINTED: AQE broadcasts it when it
+  // is actually small and falls back to a shuffle join keyed by
+  // user_id when it isn't (a billion-user frontier must not be forced
+  // through a broadcast). State never exceeds one row per qualifying
+  // user per stage. This is the standard scalable funnel shape: no
+  // per-user event collection, no window over the whole log.
   private def funnelQ: QueryDef = QueryDef(
     "q35_funnel",
     (s, dir) => {
       val e = t(s, dir, "events").select("user_id", "event_type", "ts")
       def stage(prev: DataFrame, prevTs: String, ev: String, outTs: String) =
         e.filter(col("event_type") === ev)
-          .join(broadcast(prev), "user_id")
+          .join(prev, "user_id")
           .filter(col("ts") > col(prevTs))
           .groupBy("user_id").agg(min("ts").as(outTs))
       val v = e.filter(col("event_type") === "view")
@@ -114,9 +116,10 @@ object Insights {
   // compute in ONE aggregation pass (conditional aggregates over a
   // single scan — at 100 TB this is the only affordable shape; one
   // scan, k metrics); uniqueness folds into the same pass as
-  // count(*) - count(distinct key); the FK check is a broadcast anti
-  // join on the dimension side. Everything stays distributed — no
-  // driver-side metric collection.
+  // count(*) - count(distinct key); the FK check is an anti join
+  // against the referenced dimension (unhinted — AQE broadcasts a
+  // small dimension, shuffles a big one). Everything stays
+  // distributed — no driver-side metric collection.
   private def qualityQ: QueryDef = QueryDef(
     "q37_quality_suite",
     (s, dir) => {
@@ -133,7 +136,7 @@ object Insights {
         sum(when(!col("l_returnflag").isin("R", "A", "N"), 1L).otherwise(0L))
           .as("n_flag_bad"))
       val orphans = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")),
+        .join(t(s, dir, "customer"),
           col("o_custkey") === col("c_custkey"), "left_anti")
         .agg(count(lit(1)).as("n_orphan"))
       one.crossJoin(orphans)
@@ -200,11 +203,11 @@ object Insights {
         .select(col("n_nationkey").as("k"), col("n_name"))
       val nNations = 25.0 // TPC-H nation is a fixed 25-row table
       val edges = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
           col("l_suppkey") === col("s_suppkey"))
         .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
         .agg(count(lit(1)).cast("double").as("w"))
@@ -217,13 +220,13 @@ object Insights {
       val srcs = en.select("src").distinct()
       var pr = nation.select(col("k"), lit(1.0 / nNations).as("pr"))
       for (_ <- 1 to 3) {
-        val inflow = en.join(broadcast(pr), col("src") === col("k"))
+        val inflow = en.join(pr, col("src") === col("k"))
           .groupBy("dst").agg(sum(col("wn") * col("pr")).as("inflow"))
         val dangling = pr
-          .join(broadcast(srcs), col("k") === col("src"), "left_anti")
+          .join(srcs, col("k") === col("src"), "left_anti")
           .agg(coalesce(sum("pr"), lit(0.0)).as("d"))
         pr = nation.select(col("k"))
-          .join(broadcast(inflow), col("k") === col("dst"), "left")
+          .join(inflow, col("k") === col("dst"), "left")
           .crossJoin(broadcast(dangling))
           .select(col("k"),
             (lit(0.15 / nNations) + lit(0.85) *
@@ -420,8 +423,8 @@ object Insights {
       val cA = bg.groupBy("a").agg(count(lit(1)).as("c_a"))
       val v = bg.select(col("b").as("tok")).union(bg.select(col("a")))
         .agg(countDistinct("tok").as("vocab"))
-      bg.join(broadcast(cAb), Seq("a", "b"))
-        .join(broadcast(cA), Seq("a"))
+      bg.join(cAb, Seq("a", "b"))
+        .join(cA, Seq("a"))
         .crossJoin(broadcast(v))
         .withColumn("lp",
           log((col("c_ab") + lit(1.0)) / (col("c_a") + col("vocab"))))
