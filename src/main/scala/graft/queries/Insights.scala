@@ -455,7 +455,80 @@ object Insights {
            |GROUP BY b.doc_id
            |ORDER BY b.doc_id""".stripMargin))
 
+  // --------------------------------------------- session attribution
+  // Composition showcase: attribute every purchase event to the user
+  // session (q34's 30-minute-gap definition) containing it, through the
+  // custom PointInIntervalJoinExec — sessions become [first_ts,
+  // last_ts + 1µs) intervals keyed by user, purchases are the probe
+  // points. Same session derivation as q34 (one exchange + window), then
+  // the operator's per-key binary-search probe instead of a nested
+  // loop. The build side (sessions) broadcasts here; at 100 TB the
+  // plain BETWEEN phrasing of the same join goes through
+  // plans.RangeJoinRule's bucketed rewrite instead — both surfaces are
+  // exercised in the suite.
+  private def sessionAttributionQ: QueryDef = QueryDef(
+    "q34_session_attribution",
+    (s0, dir) => {
+      val s = s0.newSession()
+      graft.plans.IntervalJoin.install(s)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sessions = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(w))
+        .groupBy(col("user_id").as("s_user"), col("session_id"))
+        .agg(min(col("ts")).as("lo"),
+          expr("timestamp_micros(unix_micros(max(ts)) + 1)").as("hi"))
+      val purchases = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.plans.IntervalJoin
+        .pointInInterval(purchases, sessions, "ts", "lo", "hi",
+          probeKeys = Seq("user_id"), buildKeys = Seq("s_user"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(DecimalType(27, 6))).cast("double")
+            .as("purchase_value"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""WITH ordered AS (
+           |  SELECT user_id, ts, event_id,
+           |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+           |           ORDER BY ts, event_id) AS prev_us
+           |  FROM events),
+           |flags AS (
+           |  SELECT user_id, ts, event_id,
+           |         CASE WHEN prev_us IS NULL
+           |              OR epoch_us(ts) - prev_us > 1800000000
+           |           THEN 1 ELSE 0 END AS new_sess
+           |  FROM ordered),
+           |sess AS (
+           |  SELECT user_id, ts,
+           |         CAST(sum(new_sess) OVER (PARTITION BY user_id
+           |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+           |           AS BIGINT) AS session_id
+           |  FROM flags),
+           |ivl AS (SELECT user_id, session_id, min(ts) AS lo, max(ts) AS hi
+           |        FROM sess GROUP BY 1, 2),
+           |pur AS (SELECT user_id, ts, value FROM events
+           |        WHERE event_type = 'purchase')
+           |SELECT p.user_id, i.session_id,
+           |       count(*) AS n_purchases,
+           |       CAST(sum(CAST(p.value AS DECIMAL(27,6))) AS DOUBLE)
+           |         AS purchase_value
+           |FROM pur p JOIN ivl i
+           |  ON p.user_id = i.user_id AND i.lo <= p.ts AND p.ts <= i.hi
+           |GROUP BY 1, 2
+           |ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     funnelQ, editJoinQ, lmScoreQ, qualityQ, pagerankQ, incrementalAggQ,
-    outliersQ, phraseQ)
+    outliersQ, phraseQ, sessionAttributionQ)
 }

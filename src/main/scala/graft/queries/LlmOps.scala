@@ -497,6 +497,55 @@ object LlmOps {
            |SELECT node AS doc_id, min(label) AS cluster_id
            |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------- canonical document selection
+    // The step after clustering in a real dedup pipeline: keep ONE
+    // representative per near-dup cluster — the longest document, ties
+    // broken by smallest doc_id. One aggregation over the cluster
+    // assignment joined with per-doc token counts; the argmax is a
+    // single max(struct(n_tok, -doc_id)) — lexicographic struct
+    // ordering gives "most tokens, then lowest id" with no window, no
+    // second shuffle, and exact tie determinism (integer comparisons
+    // only). At 100 TB this is one hash aggregate keyed by cluster_id,
+    // reusing the clustering output's partitioning.
+    QueryDef(
+      "q23_canonical_docs",
+      (s, dir) => {
+        val vertices = t(s, dir, "documents").select(col("doc_id").as("node"))
+        val edges = minhashVerifiedPairs(s, dir, 0.8)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val clusters = DedupCluster.connectedComponents(vertices, edges)
+        val toks = t(s, dir, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        clusters.join(toks, col("node") === col("doc_id"))
+          .groupBy("cluster_id")
+          .agg(max(struct(col("n_tok"), (-col("doc_id")).as("neg_id")))
+            .as("best"), count(lit(1)).as("n_members"))
+          .select(col("cluster_id"),
+            (-col("best.neg_id")).as("keep_id"),
+            col("best.n_tok").as("n_tokens_kept"), col("n_members"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE
+           |$duckPairCtes,
+           |und AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+           |        UNION ALL SELECT doc_b, doc_a FROM jpairs),
+           |reach(node, label) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT u.b, r.label FROM und u JOIN reach r ON r.node = u.a),
+           |cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+           |       FROM reach GROUP BY node),
+           |j AS (SELECT cl.cluster_id, cl.doc_id,
+           |        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+           |      FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+           |m AS (SELECT cluster_id, max(n_tok) AS best,
+           |        count(*) AS n_members FROM j GROUP BY 1)
+           |SELECT m.cluster_id, min(j.doc_id) AS keep_id,
+           |       m.best AS n_tokens_kept, m.n_members
+           |FROM j JOIN m ON j.cluster_id = m.cluster_id AND j.n_tok = m.best
+           |GROUP BY m.cluster_id, m.best, m.n_members
+           |ORDER BY m.cluster_id""".stripMargin)),
+
     // ------------------------------------------- embedding cosine pairs
     // Exact cosine near-dup: broadcast pair enumeration + codegen'd
     // in-order double fold per pair (DotF) — deterministic because the

@@ -97,6 +97,17 @@ class InsightsSpec extends AnyFunSuite {
     }
   }
 
+  test("session attribution covers every purchase exactly once") {
+    import org.apache.spark.sql.functions._
+    val attributed = SparkEntry.queries("q34_session_attribution")(spark, sf)
+      .agg(sum("n_purchases")).collect().head.getLong(0)
+    val purchases = graft.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(attributed == purchases,
+      s"attributed $attributed of $purchases purchases")
+    assert(purchases > 0, "vacuous test: no purchase events")
+  }
+
   test("phrase search equals brute-force token-window scan") {
     import org.apache.spark.sql.functions._
     val indexed = SparkEntry.queries("q41_phrase_search")(spark, sf)
