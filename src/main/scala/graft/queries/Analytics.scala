@@ -285,6 +285,45 @@ object Analytics {
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
              |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin)),
 
+    // ------------------------------- dynamic partition pruning (DPP)
+    // The at-scale pruning case static planning can't reach: the fact
+    // table is partitioned by order month, but the predicate lives on
+    // OTHER columns of a dimension (quarter + year), so the set of
+    // month partitions to read is only known once the dim filter runs.
+    // Spark's dynamic partition pruning plants a subquery filter on the
+    // fact's partition column from the (broadcast) dim side — the scan
+    // reads 3 month directories, not all of them. The query REQUIRES
+    // the pruning expression in its own executed plan, so a config or
+    // plan regression fails verification, not just a spec.
+    QueryDef(
+      "q30_dpp",
+      (s, dir) => {
+        val out = tmp("graft_q30_dpp.parquet")
+        t(s, dir, "orders")
+          .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
+          .write.mode("overwrite").partitionBy("om")
+          .option("compression", "zstd").parquet(out)
+        val fact = s.read.parquet(out)
+        val dim = t(s, dir, "orders")
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("d_om"),
+            year(col("o_orderdate")).as("yr"),
+            quarter(col("o_orderdate")).as("qtr"))
+          .distinct()
+        val joined = fact
+          .join(dim.filter(col("yr") === 1996 && col("qtr") === 2),
+            col("om") === col("d_om"))
+          .agg(count(lit(1)).as("n_rows"),
+            dsum(col("o_totalprice"), 2).as("sum_price"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.toLowerCase.contains("dynamicpruning"),
+          "dynamic partition pruning did not fire on the fact scan")
+        joined
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
+             |FROM orders
+             |WHERE year(o_orderdate) = 1996 AND quarter(o_orderdate) = 2""".stripMargin)),
+
     // ------------------------------------- range-clustered layout
     // repartitionByRange + sortWithinPartitions on the filter key: every
     // output file covers a disjoint l_shipdate range, so parquet

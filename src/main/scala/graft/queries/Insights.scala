@@ -196,21 +196,38 @@ object Insights {
   // (4-way fact/dim join) and happens once, outside the loop, through
   // localCheckpoint so the loop doesn't re-derive lineage each
   // iteration.
+  /** Directed nation trade graph: src = supplier nation, dst = customer
+    * nation, w = lineitem count. The heavy 4-way fact/dim join behind
+    * both graph queries (PageRank, triangles).
+    */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+
+  /** Shared SQL for the same edge derivation (oracle side). */
+  private val duckTradeEdges =
+    """SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+      |         CAST(count(*) AS DOUBLE) AS w
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2""".stripMargin
+
   private def pagerankQ: QueryDef = QueryDef(
     "q38_pagerank",
     (s, dir) => {
       val nation = t(s, dir, "nation")
         .select(col("n_nationkey").as("k"), col("n_name"))
       val nNations = 25.0 // TPC-H nation is a fixed 25-row table
-      val edges = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
-          col("l_suppkey") === col("s_suppkey"))
-        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
-          col("o_custkey") === col("c_custkey"))
-        .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
-        .agg(count(lit(1)).cast("double").as("w"))
+      val edges = tradeEdges(s, dir)
       val en = edges
         .withColumn("wn", col("w") /
           sum(col("w")).over(
@@ -237,14 +254,8 @@ object Insights {
         .select(col("n_name"), round(col("pr"), 6).as("pagerank"))
         .orderBy("n_name")
     },
-    Some("""WITH e AS (
-           |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
-           |         CAST(count(*) AS DOUBLE) AS w
-           |  FROM lineitem l
-           |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-           |  JOIN customer c ON o.o_custkey = c.c_custkey
-           |  GROUP BY 1, 2),
+    Some(s"""WITH e AS (
+           |  $duckTradeEdges),
            |en AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS wn
            |       FROM e),
            |srcs AS (SELECT DISTINCT src FROM en),
@@ -276,6 +287,41 @@ object Insights {
            |SELECT n.n_name, round(p3.pr, 6) AS pagerank
            |FROM p3 JOIN nation n ON n.n_nationkey = p3.k
            |ORDER BY n.n_name""".stripMargin))
+
+  // ----------------------------------------------- triangle counting
+  // Undirected triangle count on the nation trade graph — the standard
+  // distributed graph benchmark shape: orient every edge low→high
+  // (each triangle counted exactly once, no permutation dedup), build
+  // wedges by joining oriented edges head-to-tail, and close them with
+  // a third join back to the edge set. Three hash joins keyed by
+  // node id — at web scale this hash-partitions edges by the join key
+  // each round and never materializes neighborhoods in memory (the
+  // adjacency-list formulation would OOM on high-degree hub nodes;
+  // the join formulation just shuffles more rows for them).
+  private def trianglesQ: QueryDef = QueryDef(
+    "q38_triangles",
+    (s, dir) => {
+      val u = tradeEdges(s, dir)
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val wedges = u.as("e1").join(u.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val tri = wedges.join(u.as("e3"),
+          col("x") === col("e3.a") && col("z") === col("e3.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      u.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+    },
+    Some(s"""WITH e AS (
+           |  $duckTradeEdges),
+           |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |      FROM e WHERE src <> dst)
+           |SELECT (SELECT count(*) FROM u) AS n_edges,
+           |       (SELECT count(*)
+           |        FROM u e1
+           |        JOIN u e2 ON e2.a = e1.b
+           |        JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin))
 
   // ------------------------------------------------ robust outlier counts
   // Per-event-type anomaly detection with the robust z-score: median and
@@ -530,5 +576,5 @@ object Insights {
 
   val all: Seq[QueryDef] = Seq(
     funnelQ, editJoinQ, lmScoreQ, qualityQ, pagerankQ, incrementalAggQ,
-    outliersQ, phraseQ, sessionAttributionQ)
+    trianglesQ, outliersQ, phraseQ, sessionAttributionQ)
 }
