@@ -89,6 +89,26 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("insight queries: no quadratic join strategies on the data paths") {
+    // The scalar-combine crossJoins (1-row aggregates) in these plans
+    // are BNLJ by design; what must never appear is a CartesianProduct
+    // (a shuffle cartesian of full tables — blocking would have failed
+    // in q35_edit_join, or the funnel/LM joins lost their keys).
+    Seq("q35_funnel", "q35_edit_join", "q36_lm_score", "q38_pagerank",
+      "q38_triangles", "q41_phrase_search")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"),
+          s"$q plans a shuffle cartesian:\n$p")
+      }
+  }
+
+  test("q35_edit_join: candidates come from the variant equi-join") {
+    val p = plan("q35_edit_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"vocabulary self-join fell back to nested loop:\n$p")
+  }
+
   test("q24_cosine_pairs: broadcast pair enumeration, no shuffle cartesian") {
     // The exact all-pairs op is quadratic by SEMANTICS; the right plan
     // shape is a broadcast nested-loop pair enumeration feeding the
