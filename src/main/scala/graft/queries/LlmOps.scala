@@ -69,11 +69,40 @@ object LlmOps {
     * candidates are verified and the 16x8 band config misses a true
     * J>=0.8 pair with probability < 1e-10.
     */
-  def minhashVerifiedPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
-    val bands = 16; val rows = 8
-    val docs = t(s, dir, "documents")
+  /** Per-doc 3-word shingle sets — shared by the batch LSH pipeline and
+    * the streaming near-dup verifier.
+    */
+  private[graft] def shingledDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .select(col("doc_id"), WordShingles.word_shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  /** Exact-Jaccard verification of a candidate pair set (doc_a < doc_b):
+    * melt the pair to two keyed rows so the shingling subtree runs once,
+    * regroup, set-intersect, keep pairs at >= `minJ`. The verify stage
+    * every bucketing scheme (batch LSH, streaming LSH state) feeds.
+    */
+  private[graft] def verifyJaccardPairs(
+      s: SparkSession, dir: String, cand: DataFrame, minJ: Double): DataFrame = {
+    val docs = shingledDocs(s, dir)
+    val melted = cand.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    melted.join(docs, "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("sh")), ignoreNulls = true).as("sh_a"),
+        first(when(col("doc_id") === col("doc_b"), col("sh")), ignoreNulls = true).as("sh_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  def minhashVerifiedPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
+    val bands = 16; val rows = 8
+    val docs = shingledDocs(s, dir)
     val sig = docs.select(col("doc_id"),
       MinHashSignature.minhash_band_keys(col("sh"), bands, rows).as("bk"))
     // postings-list candidate generation: ONE shuffle of (band, key,
@@ -92,22 +121,7 @@ object LlmOps {
       .select(col("doc_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // fetch each side's shingle array with ONE pass over docs: melt the
-    // pair to two keyed rows, equi-join, regroup — the docs subtree
-    // (scan + shingling) would otherwise execute once per join side
-    val melted = cand.select(col("doc_a"), col("doc_b"),
-      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-    melted.join(docs, "doc_id")
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(
-        first(when(col("doc_id") === col("doc_a"), col("sh")), ignoreNulls = true).as("sh_a"),
-        first(when(col("doc_id") === col("doc_b"), col("sh")), ignoreNulls = true).as("sh_b"))
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        round(col("n_inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"), 6))
-      .filter(col("jaccard") >= minJ)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyJaccardPairs(s, dir, cand, minJ)
   }
 
   /** Exact cosine near-dup pairs over the embeddings table (all pairs
@@ -261,7 +275,7 @@ object LlmOps {
        |  WHERE CAST(n_inter AS DOUBLE) /
        |        CAST(za.sz + zb.sz - n_inter AS DOUBLE) >= 0.8)""".stripMargin
 
-  private val duckJaccardPairsSql =
+  private[graft] val duckJaccardPairsSql =
     s"""WITH $duckPairCtes
        |SELECT doc_a, doc_b, jaccard FROM jpairs
        |ORDER BY doc_a, doc_b""".stripMargin

@@ -160,6 +160,16 @@ object Streaming {
              |  SELECT o_custkey, o_totalprice AS price,
              |         row_number() OVER (PARTITION BY o_custkey
              |             ORDER BY o_totalprice DESC) AS rk
-             |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin))
+             |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin)),
+
+    // Ingestion-time near-dup: per-band-bucket keyed state emits
+    // candidate pairs as documents stream in; exact verification makes
+    // the result arrival-order- and batch-boundary-independent, so it
+    // faces the SAME oracle as the batch LSH pipeline (see
+    // StreamOps.streamNearDup for the state/scale notes).
+    QueryDef(
+      "q20_stream_neardup",
+      (s, dir) => graft.streaming.StreamOps.streamNearDup(s, dir),
+      Some(LlmOps.duckJaccardPairsSql))
   )
 }

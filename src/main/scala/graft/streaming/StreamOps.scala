@@ -20,26 +20,34 @@ object StreamOps {
     * The file-stream source requires a DIRECTORY; testdata ships a single
     * parquet file, so stage a symlink to it in a per-sf temp directory.
     */
-  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Stage a single-file table behind a directory (the file-stream
+    * source requires one) and open it as a stream.
+    */
+  private def tableStream(
+      spark: SparkSession, sfDir: String, table: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val streamDir = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_events_stream_${math.abs(sfDir.hashCode)}")
+      s"graft_${table}_stream_${math.abs(sfDir.hashCode)}")
     if (!Files.exists(streamDir)) {
       Files.createDirectories(streamDir)
       try Files.createSymbolicLink(
-        streamDir.resolve("events.parquet"), Paths.get(s"$sfDir/events.parquet"))
+        streamDir.resolve(s"$table.parquet"),
+        Paths.get(s"$sfDir/$table.parquet"))
       catch {
         // concurrent run staged the same (content-identical) link first
         case _: java.nio.file.FileAlreadyExistsException => ()
       }
     }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
     spark.readStream
       .schema(schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
+
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    tableStream(spark, sfDir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   /** Run a streaming aggregation to completion against a memory sink and
     * return the final table.
@@ -208,5 +216,68 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
     runToMemory(spark, joined, s"ssdim_${System.nanoTime()}", "complete")
       .orderBy("c_mktsegment")
+  }
+
+  /** Ingestion-time near-duplicate detection: documents arrive as a
+    * stream, each is MinHash-banded (the same native expression and 16×8
+    * config as the batch pipeline), and per-BUCKET keyed state
+    * (flatMapGroupsWithState) remembers which documents have landed in
+    * each band bucket, emitting a candidate pair the moment a new
+    * arrival collides with a remembered one. Candidates are then
+    * exact-Jaccard verified against the corpus, so the output equals the
+    * batch q23_minhash_lsh ground truth regardless of arrival order or
+    * micro-batch boundaries (bucket membership is order-independent and
+    * the verifier is exact).
+    *
+    * Scale: state is one doc-id list per OCCUPIED band bucket,
+    * partitioned by bucket key across the state store — the streaming
+    * twin of the batch postings-list shuffle. A production deployment
+    * adds a state TTL (watermark on ingestion time) to bound bucket
+    * history, trading recall against old duplicates for bounded state —
+    * the same tradeoff q22_dedup_incremental makes in batch.
+    */
+  def streamNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    streamNearDupFrom(spark, sfDir, tableStream(spark, sfDir, "documents"))
+
+  /** The stateful pipeline behind [[streamNearDup]], parameterized on the
+    * document stream so tests can force multi-micro-batch arrival
+    * (maxFilesPerTrigger) and assert batch-boundary independence.
+    */
+  def streamNearDupFrom(
+      spark: SparkSession, sfDir: String, docStream: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.functions.{MinHashSignature, WordShingles}
+    val bands = 16; val rows = 8
+    val banded = docStream
+      .select(col("doc_id"), WordShingles.word_shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        posexplode(MinHashSignature.minhash_band_keys(col("sh"), bands, rows))
+          .as(Seq("band", "key")))
+      .select(col("band"), col("key"), col("doc_id"))
+      .as[(Int, Long, Long)]
+    val cand = banded
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[List[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, members, state) =>
+          val seen = state.getOption.getOrElse(Nil)
+          val fresh = members.map(_._3).toList.distinct.sorted
+            .filterNot(seen.contains)
+          val out = List.newBuilder[(Long, Long)]
+          for (n <- fresh; s <- seen)
+            out += ((math.min(n, s), math.max(n, s)))
+          for (i <- fresh.indices; j <- (i + 1) until fresh.length)
+            out += ((fresh(i), fresh(j)))
+          if (fresh.nonEmpty) state.update(seen ++ fresh)
+          out.result().iterator
+      }
+      .toDF("doc_a", "doc_b")
+    val candTable =
+      runToMemory(spark, cand, s"neardup_${System.nanoTime()}", "append")
+        .dropDuplicates("doc_a", "doc_b")
+    graft.queries.LlmOps.verifyJaccardPairs(spark, sfDir, candTable, 0.8)
+      .orderBy("doc_a", "doc_b")
   }
 }
