@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Time-series analytics over the event log: OHLC bars, gap-filled
+  * regular grids, and cumulative distinct counts — the shapes a metrics /
+  * market-data / telemetry pipeline runs on the converted lake. All
+  * outputs are raw values or integer counts (no float arithmetic), so the
+  * DuckDB hash oracle is exact with no rounding conventions.
+  */
+object TimeSeries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------- OHLC bars
+  // Hourly open/high/low/close per event type. Open/close are picked by
+  // row_number over the (ts, event_id) order — a total order, so ties on
+  // ts can't flip the answer between engines — and high/low are plain
+  // min/max: the whole bar is selection, not arithmetic. One shuffle on
+  // (event_type, hour); both window and aggregate reuse it. At 100 TB
+  // this is the standard pre-aggregation that turns a raw tick/event log
+  // into a bar table 4-6 orders of magnitude smaller.
+  private def ohlcQ: QueryDef = QueryDef(
+    "q42_ohlc_bars",
+    (s, dir) => {
+      val base = t(s, dir, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          col("value"), col("ts"), col("event_id"))
+      val wAsc = Window.partitionBy(col("event_type"), col("h"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wDesc = Window.partitionBy(col("event_type"), col("h"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      base
+        .withColumn("rn_a", row_number().over(wAsc))
+        .withColumn("rn_d", row_number().over(wDesc))
+        .groupBy("event_type", "h")
+        .agg(
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type", "h")
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type, date_trunc('hour', ts) AS h, value,
+           |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+           |      ORDER BY ts ASC, event_id ASC) AS rn_a,
+           |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+           |      ORDER BY ts DESC, event_id DESC) AS rn_d
+           |  FROM events)
+           |SELECT event_type, h,
+           |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           |  max(value) AS high,
+           |  min(value) AS low,
+           |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           |  count(*) AS n_events
+           |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  // --------------------------------------------------------- gap filling
+  // Hourly event counts per type on a COMPLETE hour spine — empty hours
+  // appear with 0, which downstream alerting/forecasting requires. The
+  // spine is generated (sequence over the corpus hour range crossed with
+  // the type dimension), never collected: spine size = hours × types, a
+  // derived-dimension cross join that stays tiny relative to the log
+  // (720 × 5 here; even a decade of seconds × 10k series is ~3×10¹²
+  // spine rows — at that point the spine itself partitions by time
+  // range, same plan shape). Counts ride a left join keyed by
+  // (type, hour).
+  private def gapfillQ: QueryDef = QueryDef(
+    "q42_gapfill",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val bounds = e.agg(
+        date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val spine = bounds
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      val types = e.select(col("event_type")).distinct()
+      val counts = e
+        .groupBy(col("event_type").as("c_type"),
+          date_trunc("hour", col("ts")).as("c_h"))
+        .agg(count(lit(1)).as("n"))
+      spine.crossJoin(types)
+        .join(counts,
+          col("event_type") === col("c_type") && col("h") === col("c_h"),
+          "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy("event_type", "h")
+    },
+    Some("""WITH bounds AS (
+           |  SELECT date_trunc('hour', min(ts)) AS lo,
+           |         date_trunc('hour', max(ts)) AS hi FROM events),
+           |spine AS (
+           |  SELECT unnest(generate_series(
+           |    (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+           |    INTERVAL 1 HOUR)) AS h),
+           |types AS (SELECT DISTINCT event_type FROM events),
+           |c AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+           |      FROM events GROUP BY 1, 2)
+           |SELECT t.event_type, s.h, coalesce(c.n, 0) AS n_events
+           |FROM spine s CROSS JOIN types t
+           |LEFT JOIN c ON c.event_type = t.event_type AND c.h = s.h
+           |ORDER BY t.event_type, s.h""".stripMargin))
+
+  // ------------------------------------------- cumulative distinct users
+  // Daily new-user counts and the running total of distinct users ever
+  // seen — the growth-curve query. Exact cumulative distincts without
+  // per-day re-distincting: reduce each user to their FIRST day (one
+  // aggregate keyed by user), count by day, running-sum the counts.
+  // The window at the end runs over days, not users — a few thousand
+  // rows even for a decade — so the expensive part is exactly one
+  // user-keyed aggregate over the log.
+  private def cumUniquesQ: QueryDef = QueryDef(
+    "q42_cum_uniques",
+    (s, dir) => {
+      val firstSeen = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(to_date(min(col("ts"))).as("first_day"))
+      val daily = firstSeen.groupBy("first_day")
+        .agg(count(lit(1)).as("n_new"))
+      daily
+        .withColumn("cum_users",
+          sum(col("n_new")).over(
+            Window.orderBy(col("first_day")).rowsBetween(
+              Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("first_day")
+    },
+    Some("""WITH fs AS (
+           |  SELECT user_id, date_trunc('day', min(ts)) AS first_day
+           |  FROM events GROUP BY 1),
+           |d AS (SELECT first_day, count(*) AS n_new FROM fs GROUP BY 1)
+           |SELECT first_day, n_new,
+           |  CAST(sum(n_new) OVER (ORDER BY first_day
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+           |FROM d ORDER BY first_day""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(ohlcQ, gapfillQ, cumUniquesQ)
+}
