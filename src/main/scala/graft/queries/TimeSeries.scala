@@ -141,5 +141,85 @@ object TimeSeries {
            |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
            |FROM d ORDER BY first_day""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(ohlcQ, gapfillQ, cumUniquesQ)
+  // ------------------------------------------- rolling time-range window
+  // 7-day trailing event value per type: a RANGE frame over day numbers
+  // (not ROWS — missing days must still shrink the window), computed on
+  // the pre-aggregated daily table so the window runs over days × types,
+  // not raw events. Sums ride DECIMAL. The two-level shape — aggregate
+  // to the grain first, window second — is what keeps rolling metrics
+  // affordable at 100 TB: the expensive pass is one keyed aggregate, and
+  // the window input is maximally reduced.
+  private def rolling7dQ: QueryDef = QueryDef(
+    "q42_rolling_7d",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(27, 6))).as("day_value"),
+          count(lit(1)).as("n_events"))
+        .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("day_num")).rangeBetween(-6, 0)
+      daily
+        .select(col("event_type"), col("day"),
+          sum(col("day_value")).over(w).cast("double").as("value_7d"),
+          sum(col("n_events")).over(w).as("events_7d"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |         sum(CAST(value AS DECIMAL(27,6))) AS day_value,
+           |         count(*) AS n_events,
+           |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+           |           AS day_num
+           |  FROM events GROUP BY 1, 2)
+           |SELECT event_type, day,
+           |  CAST(sum(day_value) OVER w AS DOUBLE) AS value_7d,
+           |  CAST(sum(n_events) OVER w AS BIGINT) AS events_7d
+           |FROM daily
+           |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+           |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           |ORDER BY event_type, day""".stripMargin))
+
+  // ------------------------------------------------- retention cohorts
+  // Weekly cohort retention: users grouped by first-seen week, activity
+  // counted per (cohort, weeks-since-cohort) — the table behind every
+  // retention curve. Two aggregates: first-seen per user (keyed by
+  // user), then activity joined back to the cohort assignment (keyed by
+  // user again — the SAME partitioning, so at scale the join is
+  // co-partitioned with the first aggregate's output and the log is
+  // scanned twice, shuffled on user_id twice, nothing else). Week
+  // arithmetic is integer days/7 from a fixed Monday epoch — exact in
+  // both engines.
+  private def retentionQ: QueryDef = QueryDef(
+    "q42_retention",
+    (s, dir) => {
+      // 1970-01-05 is a Monday: week = floordiv(days since it, 7)
+      val week = (c: org.apache.spark.sql.Column) =>
+        floor(datediff(to_date(c), lit("1970-01-05")) / 7).cast("long")
+      val e = t(s, dir, "events").select(col("user_id"), col("ts"))
+      val cohorts = e.groupBy("user_id")
+        .agg(min(week(col("ts"))).as("cohort_week"))
+      e.select(col("user_id"), week(col("ts")).as("act_week"))
+        .distinct()
+        .join(cohorts, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("act_week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH wk AS (
+           |  SELECT user_id,
+           |    CAST(floor(datediff('day', DATE '1970-01-05', CAST(ts AS DATE))
+           |         / 7.0) AS BIGINT) AS w
+           |  FROM events),
+           |cohorts AS (SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY 1),
+           |activity AS (SELECT DISTINCT user_id, w AS act_week FROM wk)
+           |SELECT c.cohort_week, a.act_week - c.cohort_week AS week_offset,
+           |       count(*) AS n_active_users
+           |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(
+    ohlcQ, gapfillQ, cumUniquesQ, rolling7dQ, retentionQ)
 }
