@@ -86,20 +86,7 @@ object Insights {
       val words = t(s, dir, "part")
         .select(explode(split(col("p_name"), " ")).as("w"))
         .distinct().as[String]
-      def delete1(w: String): Seq[String] =
-        w.indices.map(i => w.substring(0, i) + w.substring(i + 1))
-      val variants = words.flatMap { w =>
-        val d1 = delete1(w).distinct
-        val d2 = d1.flatMap(delete1).distinct
-        (Seq(w) ++ d1 ++ d2).distinct.map(v => (w, v))
-      }.toDF("w", "v")
-      val cand = variants.as("a").join(variants.as("b"), Seq("v"))
-        .filter(col("a.w") < col("b.w"))
-        .select(col("a.w").as("w1"), col("b.w").as("w2"))
-        .distinct()
-      cand
-        .withColumn("dist", levenshtein(col("w1"), col("w2")).cast("bigint"))
-        .filter(col("dist") <= 2)
+      graft.operators.FuzzyJoin.pairsWithin(words, 2)
         .orderBy("w1", "w2")
     },
     Some("""WITH w AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w
