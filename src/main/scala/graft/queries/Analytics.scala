@@ -460,6 +460,51 @@ object Analytics {
       },
       Some("SELECT * FROM supplier ORDER BY s_suppkey")),
 
+    // --------------------------------- CSV malformed-row error surface
+    // What the engine does when input is dirty — the ingestion contract
+    // the reference answers with exit-1 and we answer with Spark's mode
+    // semantics: PERMISSIVE keeps every row, parks unparseable ones in
+    // the corrupt-record column (valid rows with empty fields are NOT
+    // corrupt, just null), and FAILFAST throws on first malformation.
+    // The fixture is a deliberate golden (known 5-line file), so the
+    // oracle is a VALUES constant pinning all three behaviors at once.
+    QueryDef(
+      "q32_csv_malformed",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val outDir = tmp("graft_q32_malformed")
+        new java.io.File(outDir).mkdirs()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(outDir, "data.csv"),
+          "id,amount\n1,10.5\n2,oops\n3,30.0\n4,\n5,1e3\n")
+        val schema = StructType(Seq(
+          StructField("id", LongType),
+          StructField("amount", DoubleType),
+          StructField("_corrupt_record", StringType)))
+        val read = s.read.schema(schema)
+          .option("header", "true").option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(outDir)
+        // FAILFAST on the same file must throw (SparkException wrapping
+        // the malformed-record error)
+        val failfastThrows =
+          try {
+            s.read.schema(StructType(schema.dropRight(1)))
+              .option("header", "true").option("mode", "FAILFAST")
+              .csv(outDir).collect()
+            false
+          } catch { case _: Throwable => true }
+        read.agg(
+          count(col("amount")).as("n_good"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          sum(col("amount")).as("sum_amount"),
+          lit(failfastThrows).as("failfast_throws"))
+      },
+      Some("""SELECT CAST(3 AS BIGINT) AS n_good,
+             |  CAST(1 AS BIGINT) AS n_corrupt,
+             |  CAST(1040.5 AS DOUBLE) AS sum_amount,
+             |  true AS failfast_throws""".stripMargin)),
+
     // -------------------------------------- parquet schema evolution
     // The ingestion reality: batch 2 adds a column batch 1 doesn't have.
     // mergeSchema unions the file footers at read time; old files
