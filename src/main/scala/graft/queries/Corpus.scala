@@ -161,6 +161,118 @@ object Corpus {
              |         + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs))), 6)
              |    AS bm25
              |FROM d, stats
-             |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin))
+             |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ----------------------------------- end-to-end pipeline composition
+    // The full training-data pipeline in ONE dataflow, with per-stage
+    // loss accounting: raw corpus → quality filter (length + stopword
+    // ratio, q25 semantics) → exact dedup (md5 fingerprint, keep lowest
+    // doc_id) → per-domain mixture cap (md5-rank sampling, q28
+    // semantics) → 512-token sequence packing (q25 packing semantics).
+    // Output is the per-language pipeline report: docs surviving each
+    // stage, sequences produced, tokens shipped. Every stage is a
+    // shuffle keyed by text-hash or lang — the whole pipeline is four
+    // narrow shuffles over a progressively SHRINKING dataset, no stage
+    // ever rescans the raw corpus. This is the query a pipeline owner
+    // actually runs nightly; its oracle recomputes all four stages in
+    // SQL, so any drift in any stage breaks the hash.
+    QueryDef(
+      "q43_pipeline_e2e",
+      (s, dir) => {
+        val toks = TextFns.tokens(col("text"))
+        val enStops = TextFns.langStopwords.toMap.apply("en")
+        val keep = (size(toks) >= 20) &&
+          (TextFns.stopwordCount(col("text"), enStops).cast("double") /
+            size(toks).cast("double") >= 0.02)
+        val raw = t(s, dir, "documents")
+        val quality = raw.filter(keep)
+          .select(col("doc_id"), col("lang"), col("text"),
+            size(toks).cast("long").as("n_tok"))
+        val dedupW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        val deduped = quality
+          .withColumn("dn", row_number().over(dedupW))
+          .filter(col("dn") === 1).drop("dn", "text")
+        val cap = when(col("lang") === "en", 1200)
+          .when(col("lang").isin("de", "fr"), 400).otherwise(150)
+        val mixW = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        val mixed = deduped
+          .withColumn("rn", row_number().over(mixW))
+          .filter(col("rn") <= cap)
+        val packW = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        val packed = mixed
+          .withColumn("cum", sum(col("n_tok")).over(packW))
+          .withColumn("bin", floor((col("cum") - col("n_tok")) / 512).cast("long"))
+        def perLang(df: DataFrame, name: String): DataFrame =
+          df.groupBy("lang").agg(count(lit(1)).as(name))
+        perLang(raw, "n_raw")
+          .join(perLang(quality, "n_quality"), Seq("lang"), "left")
+          .join(perLang(deduped, "n_dedup"), Seq("lang"), "left")
+          .join(packed.groupBy("lang").agg(
+            count(lit(1)).as("n_mix"),
+            countDistinct(col("bin")).as("n_seqs"),
+            sum(col("n_tok")).as("mix_tokens")), Seq("lang"), "left")
+          .select(col("lang"),
+            col("n_raw"),
+            coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+            coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+            coalesce(col("n_mix"), lit(0L)).as("n_mix"),
+            coalesce(col("n_seqs"), lit(0L)).as("n_seqs"),
+            coalesce(col("mix_tokens"), lit(0L)).as("mix_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang, text, string_split(text, ' ') AS w
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, lang, text, CAST(len(w) AS BIGINT) AS n_tok
+             |  FROM tok
+             |  WHERE len(w) >= 20 AND
+             |    CAST(len([t FOR t IN w IF t IN
+             |      ('the','a','of','and','to','in','is','it')]) AS DOUBLE)
+             |      / len(w) >= 0.02),
+             |d AS (
+             |  SELECT doc_id, lang, n_tok,
+             |         row_number() OVER (PARTITION BY md5(text)
+             |           ORDER BY doc_id) AS dn
+             |  FROM q),
+             |dd AS (SELECT doc_id, lang, n_tok FROM d WHERE dn = 1),
+             |m AS (
+             |  SELECT doc_id, lang, n_tok,
+             |         row_number() OVER (PARTITION BY lang
+             |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM dd),
+             |mm AS (
+             |  SELECT doc_id, lang, n_tok FROM m
+             |  WHERE rn <= CASE WHEN lang = 'en' THEN 1200
+             |                   WHEN lang IN ('de', 'fr') THEN 400
+             |                   ELSE 150 END),
+             |p AS (
+             |  SELECT lang, doc_id, n_tok,
+             |         sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             |                          ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM mm),
+             |pb AS (
+             |  SELECT lang, n_tok,
+             |         CAST(floor((cum - n_tok) / 512) AS BIGINT) AS bin
+             |  FROM p),
+             |rawc AS (SELECT lang, count(*) AS n_raw FROM documents GROUP BY 1),
+             |qc AS (SELECT lang, count(*) AS n_quality FROM q GROUP BY 1),
+             |dc AS (SELECT lang, count(*) AS n_dedup FROM dd GROUP BY 1),
+             |mc AS (SELECT lang, count(*) AS n_mix,
+             |         CAST(count(DISTINCT bin) AS BIGINT) AS n_seqs,
+             |         CAST(sum(n_tok) AS BIGINT) AS mix_tokens
+             |       FROM pb GROUP BY 1)
+             |SELECT r.lang, r.n_raw,
+             |  coalesce(qc.n_quality, 0) AS n_quality,
+             |  coalesce(dc.n_dedup, 0) AS n_dedup,
+             |  coalesce(mc.n_mix, 0) AS n_mix,
+             |  coalesce(mc.n_seqs, 0) AS n_seqs,
+             |  coalesce(mc.mix_tokens, 0) AS mix_tokens
+             |FROM rawc r
+             |LEFT JOIN qc ON qc.lang = r.lang
+             |LEFT JOIN dc ON dc.lang = r.lang
+             |LEFT JOIN mc ON mc.lang = r.lang
+             |ORDER BY r.lang""".stripMargin))
   )
 }
