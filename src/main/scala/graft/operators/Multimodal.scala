@@ -95,6 +95,49 @@ object Multimodal {
       }(enc)
   }
 
+  val audioWindowSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("window_idx", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_amp", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("peak", LongType, nullable = false)))
+
+  /** Audio-shaped feature extraction: treat the payload as a stream of
+    * unsigned 8-bit samples, cut it into fixed non-overlapping windows,
+    * and emit per-window amplitude statistics (count, sum, sum of
+    * squares, peak) — the windowed-RMS/peak shape an audio pipeline
+    * computes per clip. All-integer outputs, so results are exact and
+    * hash-comparable (RMS itself is sqrt(sum_sq/n) — derived downstream
+    * when needed, keeping the stored feature exact). A real
+    * implementation swaps the byte stream for decoded PCM; the window
+    * loop, schema, and partition-streaming shape are unchanged.
+    */
+  def audioWindows(assets: DataFrame, windowBytes: Int): DataFrame = {
+    require(windowBytes > 0, "windowBytes must be positive")
+    val enc = Encoders.row(audioWindowSchema)
+    assets.select(col("asset_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload =
+            if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          val nWin = (payload.length + windowBytes - 1) / windowBytes
+          (0 until nWin).iterator.map { w =>
+            val start = w * windowBytes
+            val end = math.min(start + windowBytes, payload.length)
+            var i = start; var sum = 0L; var sumSq = 0L; var peak = 0L
+            while (i < end) {
+              val v = payload(i) & 0xffL
+              sum += v; sumSq += v * v; if (v > peak) peak = v
+              i += 1
+            }
+            Row(id, w.toLong, (end - start).toLong, sum, sumSq, peak)
+          }
+        }
+      }(enc)
+  }
+
   val resizedSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = true),

@@ -1214,6 +1214,36 @@ object LlmOps {
              |  CAST(CASE WHEN length(text) = 0 THEN 0
              |       ELSE ascii(substring(text, CAST(1 + 4 * ((length(text) - 1) // 4) AS INTEGER), 1)) END AS BIGINT) AS tail_byte,
              |  CAST((n_chars + 3) // 4 AS BIGINT) AS new_w
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Audio-window features (operators/Multimodal.audioWindows): payload
+    // bytes as unsigned samples, 256-byte windows, per-window integer
+    // amplitude stats — exact, so the ASCII corpus again gives DuckDB a
+    // character-arithmetic replica (same ASCII caveat as
+    // q26_frame_sample; empty docs produce no windows on either side).
+    QueryDef(
+      "q26_audio_windows",
+      (s, dir) =>
+        graft.operators.Multimodal.audioWindows(
+          graft.operators.Multimodal.assetsFromDocuments(s, dir), 256)
+          .orderBy("asset_id", "window_idx"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, text,
+             |         CAST((length(text) + 255) // 256 AS BIGINT) AS nw
+             |  FROM documents WHERE length(text) > 0),
+             |wins AS (SELECT doc_id, text, unnest(range(0, nw)) AS w FROM d),
+             |s AS (SELECT doc_id, w,
+             |        substring(text, CAST(w * 256 AS INTEGER) + 1, 256) AS sub
+             |      FROM wins),
+             |codes AS (SELECT doc_id, w, sub,
+             |        [CAST(ascii(c) AS BIGINT)
+             |         FOR c IN string_split(sub, '') IF c <> ''] AS cs
+             |      FROM s)
+             |SELECT doc_id AS asset_id, w AS window_idx,
+             |  CAST(length(sub) AS BIGINT) AS n_samples,
+             |  CAST(list_sum(cs) AS BIGINT) AS sum_amp,
+             |  CAST(list_sum([c * c FOR c IN cs]) AS BIGINT) AS sum_sq,
+             |  CAST(list_max(cs) AS BIGINT) AS peak
+             |FROM codes ORDER BY asset_id, window_idx""".stripMargin))
   )
 }
