@@ -505,6 +505,51 @@ object Analytics {
              |  CAST(1040.5 AS DOUBLE) AS sum_amount,
              |  true AS failfast_throws""".stripMargin)),
 
+    // -------------------------------- JSON malformed-record error surface
+    // The JSON-lines twin of q32_csv_malformed: PERMISSIVE parks rows
+    // that aren't valid JSON (or whose types can't coerce) in the
+    // corrupt-record column, valid rows with missing fields are just
+    // null, and FAILFAST throws. Same golden-file + VALUES-oracle
+    // pattern.
+    QueryDef(
+      "q32_json_malformed",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val outDir = tmp("graft_q32_json_malformed")
+        new java.io.File(outDir).mkdirs()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(outDir, "data.jsonl"),
+          """{"id": 1, "amount": 10.5}
+            |{"id": 2, "amount": "oops"}
+            |not json at all
+            |{"id": 4}
+            |{"id": 5, "amount": 1000.0}
+            |""".stripMargin)
+        val schema = StructType(Seq(
+          StructField("id", LongType),
+          StructField("amount", DoubleType),
+          StructField("_corrupt_record", StringType)))
+        val read = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(outDir)
+        val failfastThrows =
+          try {
+            s.read.schema(StructType(schema.dropRight(1)))
+              .option("mode", "FAILFAST").json(outDir).collect()
+            false
+          } catch { case _: Throwable => true }
+        read.agg(
+          count(col("amount")).as("n_good"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          sum(col("amount")).as("sum_amount"),
+          lit(failfastThrows).as("failfast_throws"))
+      },
+      Some("""SELECT CAST(2 AS BIGINT) AS n_good,
+             |  CAST(2 AS BIGINT) AS n_corrupt,
+             |  CAST(1010.5 AS DOUBLE) AS sum_amount,
+             |  true AS failfast_throws""".stripMargin)),
+
     // -------------------------------------- parquet schema evolution
     // The ingestion reality: batch 2 adds a column batch 1 doesn't have.
     // mergeSchema unions the file footers at read time; old files
