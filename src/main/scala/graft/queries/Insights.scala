@@ -310,6 +310,54 @@ object Insights {
            |        JOIN u e2 ON e2.a = e1.b
            |        JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin))
 
+  // ------------------------------------------- train/val/test splitting
+  // Deterministic 80/10/10 split by hash bucket: md5(doc_id) mod 100
+  // assigns each document a stable bucket, so the split is reproducible
+  // across runs, machines, and engine versions, independent of row
+  // order and partitioning, and any document's assignment can be
+  // recomputed in O(1) — the properties a random() split lacks and a
+  // training pipeline needs (no leakage when the corpus is re-ingested
+  // or appended: old docs never change split). Pure map + one
+  // aggregate; no shuffle before the final group-by.
+  private def splitQ: QueryDef = QueryDef(
+    "q28_train_split",
+    (s, dir) => {
+      // bucket from the first 4 hex chars (0..65535) mod 100: the ~0.1%
+      // mod bias is irrelevant for a split and the arithmetic is
+      // portable (DuckDB has no hex→int cast, so the oracle rebuilds
+      // the value digit-by-digit via strpos)
+      val bucket =
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("lang", "split")
+    },
+    Some("""WITH b AS (
+           |  SELECT lang, doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           |    ((strpos('0123456789abcdef',
+           |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+           |     (strpos('0123456789abcdef',
+           |        substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+           |     (strpos('0123456789abcdef',
+           |        substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+           |     (strpos('0123456789abcdef',
+           |        substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100
+           |      AS bucket
+           |  FROM documents)
+           |SELECT lang,
+           |  CASE WHEN bucket < 80 THEN 'train'
+           |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           |  count(*) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   // ------------------------------------------------ robust outlier counts
   // Per-event-type anomaly detection with the robust z-score: median and
   // MAD (median absolute deviation) instead of mean/stddev, so the
@@ -563,5 +611,5 @@ object Insights {
 
   val all: Seq[QueryDef] = Seq(
     funnelQ, editJoinQ, lmScoreQ, qualityQ, pagerankQ, incrementalAggQ,
-    trianglesQ, outliersQ, phraseQ, sessionAttributionQ)
+    trianglesQ, splitQ, outliersQ, phraseQ, sessionAttributionQ)
 }
