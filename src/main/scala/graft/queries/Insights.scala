@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Round-4 pipeline/analytics additions: event funnels, fuzzy string
-  * joins, data-quality constraint suites, graph centrality, robust
-  * outlier detection, and positional phrase search.
+  * joins, LM quality scoring, data-quality constraint suites, graph
+  * analytics (PageRank, triangles), incremental view maintenance,
+  * train/val/test splitting, robust outlier detection, positional
+  * phrase search, and interval-join session attribution.
   *
   * These extend the declared inventory beyond the reference's conversion
   * surface (the reference computes none of these — it is a one-pass
