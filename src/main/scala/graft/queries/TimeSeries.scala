@@ -220,6 +220,82 @@ object TimeSeries {
            |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // ------------------------------------------- distribution drift (PSI)
+  // Population stability index of the value distribution, early half vs
+  // late half of the month, per event type — the drift monitor an ML
+  // pipeline runs between a reference window and production. Buckets
+  // are FIXED edges (0,50,...,450,∞), not quantiles: integer bucketing
+  // keeps both engines' counts identical (quantile edges would differ
+  // by ulps and flip edge rows), and fixed edges are what a monitor
+  // uses anyway (the reference window defines them once). PSI sums ten
+  // deterministic double terms; round(6) absorbs ordering ulps. Two
+  // aggregates keyed by (type, half, bucket) — one scan, one shuffle —
+  // then a driver-free pivot-join of the two halves' distributions.
+  // Laplace-style +1 smoothing keeps empty buckets finite.
+  private def driftQ: QueryDef = QueryDef(
+    "q29_drift_psi",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val half = when(to_date(col("ts")) < lit("2024-01-16"), "ref")
+        .otherwise("cur")
+      val bucket = least(floor(col("value") / 50).cast("long"), lit(9L))
+      val counts = e.select(col("event_type"), half.as("half"),
+          bucket.as("bucket"))
+        .groupBy("event_type", "half", "bucket")
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("event_type", "half")
+        .agg(sum(col("n")).as("tot"))
+      // complete (type, half, bucket) grid so empty buckets smooth to +1
+      val grid = e.select(col("event_type")).distinct()
+        .crossJoin(s.range(0, 10).select(col("id").as("bucket")))
+        .crossJoin(s.createDataFrame(Seq(Tuple1("ref"), Tuple1("cur")))
+          .toDF("half"))
+      val smoothed = grid
+        .join(counts, Seq("event_type", "half", "bucket"), "left")
+        .join(totals, Seq("event_type", "half"))
+        .select(col("event_type"), col("half"), col("bucket"),
+          ((coalesce(col("n"), lit(0L)) + lit(1.0)) /
+            (col("tot") + lit(10.0))).as("p"))
+      val ref = smoothed.filter(col("half") === "ref")
+        .select(col("event_type"), col("bucket"), col("p").as("p_ref"))
+      val cur = smoothed.filter(col("half") === "cur")
+        .select(col("event_type"), col("bucket"), col("p").as("p_cur"))
+      ref.join(cur, Seq("event_type", "bucket"))
+        .groupBy("event_type")
+        .agg(round(sum((col("p_cur") - col("p_ref")) *
+          log(col("p_cur") / col("p_ref"))), 6).as("psi"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+           |  SELECT event_type,
+           |    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+           |         THEN 'ref' ELSE 'cur' END AS half,
+           |    least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket
+           |  FROM events),
+           |c AS (SELECT event_type, half, bucket, count(*) AS n
+           |      FROM e GROUP BY 1, 2, 3),
+           |tot AS (SELECT event_type, half, sum(n) AS tot
+           |        FROM c GROUP BY 1, 2),
+           |grid AS (
+           |  SELECT t.event_type, h.half, b.bucket
+           |  FROM (SELECT DISTINCT event_type FROM e) t
+           |  CROSS JOIN (SELECT unnest(['ref', 'cur']) AS half) h
+           |  CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) b),
+           |sm AS (
+           |  SELECT g.event_type, g.half, g.bucket,
+           |    (coalesce(c.n, 0) + 1.0) / (tot.tot + 10.0) AS p
+           |  FROM grid g
+           |  LEFT JOIN c ON c.event_type = g.event_type
+           |    AND c.half = g.half AND c.bucket = g.bucket
+           |  JOIN tot ON tot.event_type = g.event_type AND tot.half = g.half)
+           |SELECT r.event_type,
+           |  round(sum((cu.p - r.p) * ln(cu.p / r.p)), 6) AS psi
+           |FROM sm r JOIN sm cu
+           |  ON r.event_type = cu.event_type AND r.bucket = cu.bucket
+           |  AND r.half = 'ref' AND cu.half = 'cur'
+           |GROUP BY r.event_type
+           |ORDER BY r.event_type""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
-    ohlcQ, gapfillQ, cumUniquesQ, rolling7dQ, retentionQ)
+    ohlcQ, gapfillQ, cumUniquesQ, rolling7dQ, retentionQ, driftQ)
 }
