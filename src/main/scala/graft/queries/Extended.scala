@@ -572,15 +572,19 @@ object Extended {
           .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
         val w2 = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))
+        // Open-interval sentinel must stay inside pandas' datetime64[ns]
+        // range (max 2262-04-11): the driver's hash path round-trips both
+        // engines' results through pandas, and an out-of-range timestamp
+        // (e.g. the classic 9999-12-31) is mangled differently per engine.
         changes
           .withColumn("valid_to",
             coalesce(lead(col("ts"), 1).over(w2),
-              lit("9999-12-31 00:00:00").cast("timestamp")))
+              lit("2200-01-01 00:00:00").cast("timestamp")))
           .select(col("user_id"), col("event_type"),
             col("ts").as("valid_from"), col("valid_to"),
-            (col("valid_to") === lit("9999-12-31 00:00:00").cast("timestamp"))
+            (col("valid_to") === lit("2200-01-01 00:00:00").cast("timestamp"))
               .as("is_current"))
-          .orderBy("user_id", "valid_from")
+          .orderBy("user_id", "valid_from", "event_type")
       },
       Some("""WITH ordered AS (
              |  SELECT user_id, event_type, ts, event_id,
@@ -592,11 +596,11 @@ object Extended {
              |  WHERE prev_type IS NULL OR prev_type <> event_type)
              |SELECT user_id, event_type, ts AS valid_from,
              |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-             |           TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+             |           TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
              |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-             |           TIMESTAMP '9999-12-31 00:00:00') = TIMESTAMP '9999-12-31 00:00:00'
+             |           TIMESTAMP '2200-01-01 00:00:00') = TIMESTAMP '2200-01-01 00:00:00'
              |    AS is_current
-             |FROM changes ORDER BY user_id, valid_from""".stripMargin)),
+             |FROM changes ORDER BY user_id, valid_from, event_type""".stripMargin)),
 
     // ----------------------------------------- batch sessionization
     // Gap-based sessionization of the event log (30-minute inactivity
