@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -100,27 +100,66 @@ object LlmOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  def minhashVerifiedPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
-    val bands = 16; val rows = 8
-    val docs = shingledDocs(s, dir)
-    val sig = docs.select(col("doc_id"),
+  /** Default over-full-bucket cap: a band bucket with d members emits
+    * d(d-1)/2 candidate pairs, so one degenerate band key (all-empty or
+    * boilerplate-identical docs) at corpus scale is a quadratic
+    * task-killer. 256 members = at most ~32k pairs per bucket — bounded
+    * work — while real near-dup buckets (tens of members) are untouched;
+    * a true J>=minJ pair dropped with its bucket still has 15 other
+    * bands to collide in, so recall loss is negligible (and measured:
+    * see LshBucketCapSpec).
+    */
+  val LshMaxBucket = 256
+
+  /** Postings-list LSH candidate generation over a (doc_id, sh) corpus:
+    * ONE shuffle of (band, key, doc_id) — not a self-join, which would
+    * shuffle the bucket table twice and recompute the signature subtree
+    * for each side — then in-group ordered-pair expansion (sorted list,
+    * a before b). Buckets larger than `maxBucket` are dropped BEFORE
+    * pair expansion and surfaced as observed metrics
+    * (`lsh_buckets_dropped`, `lsh_docs_in_dropped`) readable by any
+    * QueryExecutionListener / [[org.apache.spark.sql.Observation]].
+    * Known Spark quirk (probed on 4.1, see LshBucketCapSpec): if the cap
+    * drops EVERY bucket, AQE's empty-relation propagation erases the
+    * CollectMetrics node and the metrics row is lost — acceptable
+    * because a real corpus always has surviving buckets, and the
+    * result itself is still correct (empty).
+    * Caveat pinned here deliberately: collect_list still materializes an
+    * over-full bucket's id list (O(d) memory in one group) before the
+    * filter drops it; if a corpus ever has single buckets beyond ~10^7
+    * members, switch to the two-pass shape (count per key, anti-join
+    * over-full keys, then collect) at the cost of a second shuffle.
+    */
+  private[graft] def lshCandidatePairs(
+      shingled: DataFrame, bands: Int, rows: Int,
+      maxBucket: Int = LshMaxBucket,
+      obs: Option[Observation] = None): DataFrame = {
+    val sig = shingled.select(col("doc_id"),
       MinHashSignature.minhash_band_keys(col("sh"), bands, rows).as("bk"))
-    // postings-list candidate generation: ONE shuffle of (band, key,
-    // doc_id) — not a self-join, which would shuffle the bucket table
-    // twice and recompute the signature subtree for each side — then
-    // in-group ordered-pair expansion (sorted list, a before b). A
-    // band bucket with d members emits d(d-1)/2 candidates either way;
-    // at 100 TB an over-full bucket (degenerate band, e.g. all-empty
-    // docs) would be capped before expansion.
     val buckets = sig.select(col("doc_id"),
       posexplode(col("bk")).as(Seq("band", "key")))
-    val cand = buckets.groupBy(col("band"), col("key"))
+    val grouped = buckets.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+    val metrics = Seq(
+      sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+        .as("lsh_buckets_dropped"),
+      sum(when(size(col("ids")) > maxBucket, size(col("ids")))
+        .otherwise(0)).cast("long").as("lsh_docs_in_dropped"))
+    val observed = obs match {
+      case Some(o) => grouped.observe(o, metrics.head, metrics.tail: _*)
+      case None => grouped.observe("lsh_bucket_cap", metrics.head, metrics.tail: _*)
+    }
+    observed
+      .filter(size(col("ids")) <= maxBucket)
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
       .select(col("doc_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  def minhashVerifiedPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
+    val cand = lshCandidatePairs(shingledDocs(s, dir), bands = 16, rows = 8)
     verifyJaccardPairs(s, dir, cand, minJ)
   }
 
