@@ -6,10 +6,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * binary (R11, /root/reference/src/main.rs:7-68): same flags, same
   * dispatch-on-extension, exit 1 with the error on stderr on failure.
   *
-  * `--batch-size` is accepted for CLI parity; Spark's parquet writer
-  * buffers by bytes (`parquet.block.size`), not rows, so the flag maps to
-  * nothing here — row-group sizing is a writer-internal concern
-  * (documented deviation, SURVEY §4.1).
+  * `--batch-size` carries the reference's row-group contract (R8,
+  * /root/reference/src/lib.rs:281: one write batch = one parquet row
+  * group): it maps to parquet-mr's `parquet.block.row.count.limit`, so
+  * every row group holds exactly `batchSize` rows (last group partial) —
+  * the byte-based `parquet.block.size` threshold never fires first at
+  * these row widths. `batchSize = 0` disables the limit and delegates to
+  * the byte-based writer, the right choice for analytics outputs where
+  * larger groups scan faster.
   *
   * Scale: one input file = one task. A 100 TB conversion is many files;
   * `convertMany` fans out per-file conversions across the cluster while
@@ -48,9 +52,23 @@ object ExcelToParquet {
         s"Unsupported file extension for input: ${opts.input} (expected .xlsx or .xlsb)")
     val df = read(spark, opts)
     if (opts.writePartitions > 1) writeParallel(df, opts)
-    else df.write.mode("overwrite").option("compression", "zstd").parquet(opts.output)
+    else {
+      val w = df.write.mode("overwrite").option("compression", "zstd")
+      withGroupGeometry(w, opts).parquet(opts.output)
+    }
     spark.read.parquet(opts.output).count()
   }
+
+  /** R8: one write batch = one row group. DataFrameWriter options reach
+    * the task-side hadoop conf (`newHadoopConfWithOptions`), where
+    * parquet-mr 1.16 enforces the row-count limit per group.
+    */
+  private def withGroupGeometry[T](
+      w: org.apache.spark.sql.DataFrameWriter[T],
+      opts: Options): org.apache.spark.sql.DataFrameWriter[T] =
+    if (opts.batchSize > 0)
+      w.option("parquet.block.row.count.limit", opts.batchSize)
+    else w
 
   /** Order-preserving parallel encode for one huge workbook (the serial
     * tail of a single-file conversion is the parquet encode, not the
@@ -69,11 +87,12 @@ object ExcelToParquet {
     val tagged = df.withColumn("_graft_row", monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      tagged
+      val w = tagged
         .repartitionByRange(opts.writePartitions, col("_graft_row"))
         .sortWithinPartitions("_graft_row")
         .drop("_graft_row")
-        .write.mode("overwrite").option("compression", "zstd").parquet(opts.output)
+        .write.mode("overwrite").option("compression", "zstd")
+      withGroupGeometry(w, opts).parquet(opts.output)
     } finally tagged.unpersist(false)
   }
 
