@@ -93,8 +93,8 @@ async def convert_to_parquet(
         sheet_name: Optional sheet name (wins over sheet_index).
         sheet_index: Optional 0-based sheet index.
         skip_rows: Rows to skip at the top of the used range.
-        batch_size: Accepted for API parity; the parquet writer sizes
-            row groups by bytes (documented deviation, SURVEY section 4.1).
+        batch_size: Rows per parquet row group (the reference's R8
+            contract); 0 delegates to the byte-based writer.
 
     Raises:
         GraftToParquetError: on resolution failure or nonzero exit,
