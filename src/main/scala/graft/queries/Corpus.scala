@@ -273,6 +273,7 @@ object Corpus {
              |LEFT JOIN qc ON qc.lang = r.lang
              |LEFT JOIN dc ON dc.lang = r.lang
              |LEFT JOIN mc ON mc.lang = r.lang
-             |ORDER BY r.lang""".stripMargin))
+             |ORDER BY r.lang""".stripMargin),
+      bench = true)
   )
 }

@@ -97,7 +97,8 @@ object Insights {
            |       CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
            |FROM w a JOIN w b ON a.w < b.w
            |WHERE levenshtein(a.w, b.w) <= 2
-           |ORDER BY w1, w2""".stripMargin))
+           |ORDER BY w1, w2""".stripMargin),
+    bench = true)
 
   // ------------------------------------------------- data-quality suite
   // Deequ-style constraint validation over the lake: each constraint
@@ -275,7 +276,8 @@ object Insights {
            |       LEFT JOIN p2 ON p2.k = en.src GROUP BY 1)
            |SELECT n.n_name, round(p3.pr, 6) AS pagerank
            |FROM p3 JOIN nation n ON n.n_nationkey = p3.k
-           |ORDER BY n.n_name""".stripMargin))
+           |ORDER BY n.n_name""".stripMargin),
+    bench = true)
 
   // ----------------------------------------------- triangle counting
   // Undirected triangle count on the nation trade graph — the standard

@@ -548,7 +548,8 @@ object LlmOps {
            |  UNION
            |  SELECT u.b, r.label FROM und u JOIN reach r ON r.node = u.a)
            |SELECT node AS doc_id, min(label) AS cluster_id
-           |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
+           |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+      bench = true),
 
     // ------------------------------------- canonical document selection
     // The step after clustering in a real dedup pipeline: keep ONE
