@@ -28,12 +28,17 @@ object ExcelToParquet {
       sheetIndex: Option[Int] = None,
       skipRows: Int = 0,
       batchSize: Int = 5000,
-      writePartitions: Int = 1)
+      writePartitions: Int = 1,
+      // >1: splittable single-sheet scan (byte-range partitions of the
+      // inflated sheet XML; xlsx with r= refs only — see SCALING.md)
+      sheetPartitions: Int = 1)
 
   def read(spark: SparkSession, opts: Options): DataFrame = {
     val r = spark.read.format("excel")
     opts.sheetName.foreach(n => r.option("sheetName", n))
     opts.sheetIndex.foreach(i => r.option("sheetIndex", i))
+    if (opts.sheetPartitions > 1)
+      r.option("sheetPartitions", opts.sheetPartitions)
     r.option("skipRows", opts.skipRows).load(opts.input)
   }
 
@@ -197,6 +202,7 @@ object ExcelToParquet {
     var skipRows = 0
     var batchSize = 5000
     var writePartitions = 1
+    var sheetPartitions = 1
     var i = 0
     try {
       while (i < args.length) {
@@ -208,13 +214,15 @@ object ExcelToParquet {
           case "--skip-rows"     => skipRows = args(i + 1).toInt; i += 2
           case "--batch-size"    => batchSize = args(i + 1).toInt; i += 2
           case "--write-partitions" => writePartitions = args(i + 1).toInt; i += 2
+          case "--sheet-partitions" => sheetPartitions = args(i + 1).toInt; i += 2
           case other => throw new IllegalArgumentException(s"Unknown argument: $other")
         }
       }
       val opts = Options(
         input.getOrElse(throw new IllegalArgumentException("missing -i/--input")),
         output.getOrElse(throw new IllegalArgumentException("missing -o/--output")),
-        sheetName, sheetIndex, skipRows, batchSize, writePartitions)
+        sheetName, sheetIndex, skipRows, batchSize, writePartitions,
+        sheetPartitions)
       val spark = GraftSession.local()
       val t0 = System.nanoTime()
       val rows = convert(spark, opts)

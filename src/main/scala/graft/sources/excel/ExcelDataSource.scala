@@ -56,7 +56,9 @@ object ExcelDataSource {
       path = path,
       sheetName = Option(options.get("sheetName")),
       sheetIndex = Option(options.get("sheetIndex")).map(_.toInt),
-      skipRows = Option(options.get("skipRows")).map(_.toInt).getOrElse(0))
+      skipRows = Option(options.get("skipRows")).map(_.toInt).getOrElse(0),
+      sheetPartitions =
+        Option(options.get("sheetPartitions")).map(_.toInt).getOrElse(1))
   }
 
   /** Expand the load path into concrete workbook files: a glob matches
@@ -138,12 +140,29 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
     val paths = ExcelDataSource.resolvePaths(o.path)
     // one partition per workbook file — a directory / glob of N files is
     // an N-task scan, the file-parallel unit a 100 TB Excel corpus needs
-    // (individual workbooks are ZIP-deflated and not block-splittable)
+    // (individual workbooks are ZIP-deflated and not block-splittable).
+    // With sheetPartitions > 1 and a SINGLE xlsx, one sheet is split
+    // into byte ranges of the inflated XML at row boundaries (two-pass
+    // splittable scan): partition ordinal = range order = row order.
     val positions = required.fieldNames.map(fullSchema.fieldIndex)
     val expectNames = if (paths.length > 1) fullSchema.fieldNames else null
-    paths.map(f => ExcelInputPartition(
-      f, o.sheetName, o.sheetIndex, o.skipRows,
-      positions, expectNames): InputPartition).toArray
+    if (o.sheetPartitions > 1 && paths.lengthCompare(1) == 0 &&
+        paths.head.toLowerCase.endsWith(".xlsx")) {
+      val wb = new XlsxParser.Workbook(paths.head)
+      try {
+        val sheet = wb.resolveSheet(o.sheetName, o.sheetIndex)
+        if (!wb.firstRowHasRef(sheet.target)) // fragments need absolute rows
+          Array(ExcelInputPartition(paths.head, o.sheetName, o.sheetIndex,
+            o.skipRows, positions, null))
+        else wb.rowSplits(sheet.target, o.sheetPartitions).map {
+          case (a, e) => ExcelInputPartition(paths.head, o.sheetName,
+            o.sheetIndex, o.skipRows, positions, null, a, e): InputPartition
+        }.toArray
+      } finally wb.close()
+    } else
+      paths.map(f => ExcelInputPartition(
+        f, o.sheetName, o.sheetIndex, o.skipRows,
+        positions, expectNames): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -158,7 +177,11 @@ final case class ExcelInputPartition(
     requiredPositions: Array[Int],
     // non-null for multi-file scans: every file must present this header
     // (positional mapping would silently misalign columns otherwise)
-    expectedNames: Array[String]) extends InputPartition
+    expectedNames: Array[String],
+    // byte range of the inflated sheet XML for split single-sheet scans
+    // (-1 = whole sheet)
+    byteStart: Long = -1L,
+    byteEnd: Long = -1L) extends InputPartition
 
 final class ExcelReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -174,7 +197,11 @@ final class ExcelReaderFactory extends PartitionReaderFactory {
           "all files of a multi-file excel scan must share the header row")
     val outPos = Array.fill(lay.numCols)(-1)
     p.requiredPositions.zipWithIndex.foreach { case (pos, out) => outPos(pos) = out }
-    val rows = ExcelRead.rows(opts, lay, outPos, p.requiredPositions.length)
+    val rows =
+      if (p.byteStart >= 0)
+        ExcelRead.rowsForRange(opts, lay, outPos,
+          p.requiredPositions.length, p.byteStart, p.byteEnd)
+      else ExcelRead.rows(opts, lay, outPos, p.requiredPositions.length)
 
     new PartitionReader[InternalRow] {
       private var current: Array[AnyRef] = _

@@ -25,7 +25,10 @@ object ExcelRead {
       path: String,
       sheetName: Option[String],
       sheetIndex: Option[Int],
-      skipRows: Int)
+      skipRows: Int,
+      // >1 splits ONE sheet into N byte-range partitions (xlsx with r=
+      // row refs only) — the two-pass splittable scan of SURVEY §7.4
+      sheetPartitions: Int = 1)
 
   final case class SheetLayout(
       target: String,
@@ -69,14 +72,28 @@ object ExcelRead {
     * without copying.
     */
   def rows(opts: Options, lay: SheetLayout, outPos: Array[Int], outWidth: Int): RowIterator =
-    new RowIterator(opts, lay, outPos, outWidth)
+    new RowIterator(opts, lay, outPos, outWidth, -1L, -1L)
+
+  /** Byte-ranged variant for the splittable single-sheet scan: reads
+    * only the rows whose `<row` elements start in [byteStart, byteEnd)
+    * of the inflated sheet XML (ranges from XlsxParser.rowSplits).
+    */
+  def rowsForRange(
+      opts: Options, lay: SheetLayout, outPos: Array[Int], outWidth: Int,
+      byteStart: Long, byteEnd: Long): RowIterator =
+    new RowIterator(opts, lay, outPos, outWidth, byteStart, byteEnd)
 
   final class RowIterator(
-      opts: Options, lay: SheetLayout, outPos: Array[Int], outWidth: Int)
+      opts: Options, lay: SheetLayout, outPos: Array[Int], outWidth: Int,
+      byteStart: Long, byteEnd: Long)
       extends Iterator[Array[AnyRef]] with AutoCloseable {
 
     private val wb = WorkbookSource.open(opts.path)
-    private val cells = wb.cellsForScan(lay.target)
+    private val cells =
+      if (byteStart >= 0)
+        wb.asInstanceOf[XlsxParser.Workbook]
+          .cellsForRange(lay.target, byteStart, byteEnd)
+      else wb.cellsForScan(lay.target)
     private var pendingRow = -1
     private var pending: Array[AnyRef] = _
     private var nextRow: Array[AnyRef] = _

@@ -222,8 +222,101 @@ object XlsxParser {
       }
     }
 
+    /** Split the sheet into `n` byte ranges of the INFLATED worksheet
+      * XML, each starting exactly at a `<row` element (so every range is
+      * a sequence of complete row elements and any partition scheme that
+      * assigns one range per task preserves document row order by range
+      * ordinal). One sequential pass over raw inflated bytes — a
+      * substring scan, no XML parse, no UTF-8 decode, no cell decode —
+      * i.e. the cheap first pass of the two-pass splittable scan
+      * (SURVEY §7.4). Returns fewer than `n` ranges when the sheet has
+      * fewer rows than `n` or rows are too clustered. Pattern safety:
+      * `<row` is only accepted when followed by space/`>`/`/` (excludes
+      * `<rowBreaks`), and a literal "<row" inside cell text is
+      * impossible — XML escapes `<` as `&lt;`.
+      */
+    def rowSplits(target: String, n: Int): Seq[(Long, Long)] = {
+      val entry = zip.getEntry(target)
+      if (entry == null)
+        throw new IllegalArgumentException(s"$path: missing worksheet part $target")
+      val total = entry.getSize // uncompressed size from the central directory
+      if (total <= 0 || n <= 1) return Seq((0L, Long.MaxValue))
+      val targets = (1 until n).map(i => total * i / n)
+      val starts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val in = new java.io.BufferedInputStream(zip.getInputStream(entry), 1 << 16)
+      try {
+        var off = 0L
+        var ti = 0
+        var firstRow = -1L
+        // match state for the literal '<','r','o','w' + boundary char
+        val pat = Array('<'.toInt, 'r'.toInt, 'o'.toInt, 'w'.toInt)
+        var m = 0
+        var b = in.read()
+        while (b >= 0 && (firstRow < 0 || ti < targets.length)) {
+          if (m == pat.length) {
+            // at the boundary char after "<row"
+            if (b == ' '.toInt || b == '>'.toInt || b == '/'.toInt) {
+              val rowStart = off - pat.length
+              if (firstRow < 0) firstRow = rowStart
+              while (ti < targets.length && rowStart >= targets(ti)) {
+                starts += rowStart
+                ti += 1
+              }
+            }
+            m = if (b == '<'.toInt) 1 else 0
+          } else if (b == pat(m)) m += 1
+          else m = if (b == pat(0)) 1 else 0
+          off += 1
+          b = in.read()
+        }
+        if (firstRow < 0) return Seq((0L, Long.MaxValue)) // no rows at all
+        val distinct = starts.distinct.filter(_ > firstRow)
+        val bounds: Seq[Long] = (firstRow +: distinct.toSeq) :+ Long.MaxValue
+        bounds.sliding(2).map(w => (w(0), w(1))).toSeq
+      } finally in.close()
+    }
+
+    /** Cell stream over one byte range of the inflated sheet XML, as
+      * planned by [[rowSplits]]: inflate-and-discard to `startByte`
+      * (sequential prefix cost — inflate only, no parse), then scan
+      * complete row elements until `endByte`. Requires r= row refs
+      * (enforced: a fragment has no preceding rows to count from).
+      */
+    def cellsForRange(
+        target: String, startByte: Long, endByte: Long): CellIterator = {
+      val entry = zip.getEntry(target)
+      if (entry == null)
+        throw new IllegalArgumentException(s"$path: missing worksheet part $target")
+      val in = new java.io.BufferedInputStream(zip.getInputStream(entry), 1 << 16)
+      var skipped = 0L
+      while (skipped < startByte) {
+        val k = in.skip(startByte - skipped)
+        if (k <= 0) throw new java.io.EOFException(
+          s"$path:$target: could not skip to byte $startByte")
+        skipped += k
+      }
+      val bounded: java.io.InputStream =
+        if (endByte == Long.MaxValue) in
+        else new java.io.InputStream {
+          private var remaining = endByte - startByte
+          override def read(): Int =
+            if (remaining <= 0) -1
+            else { val b = in.read(); if (b >= 0) remaining -= 1; b }
+          override def read(buf: Array[Byte], o: Int, l: Int): Int = {
+            if (remaining <= 0) return -1
+            val k = in.read(buf, o, math.min(l, remaining).toInt)
+            if (k > 0) remaining -= k
+            k
+          }
+          override def close(): Unit = in.close()
+        }
+      val rd = new java.io.InputStreamReader(
+        bounded, java.nio.charset.StandardCharsets.UTF_8)
+      new CellIterator(new FastXml(rd), rd, sharedU8, strictRowRefs = true)
+    }
+
     /** Does the first `<row` tag carry an r= attribute? (64 KiB sniff.) */
-    private def firstRowHasRef(target: String): Boolean = {
+    private[excel] def firstRowHasRef(target: String): Boolean = {
       val in = entryStream(target).getOrElse(return false)
       val rd = new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8)
       try {
