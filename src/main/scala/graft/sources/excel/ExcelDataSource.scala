@@ -58,7 +58,9 @@ object ExcelDataSource {
       sheetIndex = Option(options.get("sheetIndex")).map(_.toInt),
       skipRows = Option(options.get("skipRows")).map(_.toInt).getOrElse(0),
       sheetPartitions =
-        Option(options.get("sheetPartitions")).map(_.toInt).getOrElse(1))
+        Option(options.get("sheetPartitions")).map(_.toInt).getOrElse(1),
+      headerDedup =
+        Option(options.get("headerDedup")).getOrElse("unique"))
   }
 
   /** Expand the load path into concrete workbook files: a glob matches
@@ -144,7 +146,15 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
     // With sheetPartitions > 1 and a SINGLE xlsx, one sheet is split
     // into byte ranges of the inflated XML at row boundaries (two-pass
     // splittable scan): partition ordinal = range order = row order.
-    val positions = required.fieldNames.map(fullSchema.fieldIndex)
+    // positional mapping when nothing was pruned: with
+    // headerDedup=reference the schema may contain DUPLICATE names, and
+    // fieldIndex-by-name would send both occurrences to the first sheet
+    // column; pruning a dup-named column is unreachable (Spark analysis
+    // rejects the ambiguous reference first)
+    val positions =
+      if (required.fieldNames.sameElements(fullSchema.fieldNames))
+        fullSchema.fieldNames.indices.toArray
+      else required.fieldNames.map(fullSchema.fieldIndex)
     val expectNames = if (paths.length > 1) fullSchema.fieldNames else null
     if (o.sheetPartitions > 1 && paths.lengthCompare(1) == 0 &&
         paths.head.toLowerCase.endsWith(".xlsx")) {
@@ -153,16 +163,18 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
         val sheet = wb.resolveSheet(o.sheetName, o.sheetIndex)
         if (!wb.firstRowHasRef(sheet.target)) // fragments need absolute rows
           Array(ExcelInputPartition(paths.head, o.sheetName, o.sheetIndex,
-            o.skipRows, positions, null))
+            o.skipRows, positions, null, headerDedup = o.headerDedup))
         else wb.rowSplits(sheet.target, o.sheetPartitions).map {
           case (a, e) => ExcelInputPartition(paths.head, o.sheetName,
-            o.sheetIndex, o.skipRows, positions, null, a, e): InputPartition
+            o.sheetIndex, o.skipRows, positions, null, a, e,
+            o.headerDedup): InputPartition
         }.toArray
       } finally wb.close()
     } else
       paths.map(f => ExcelInputPartition(
         f, o.sheetName, o.sheetIndex, o.skipRows,
-        positions, expectNames): InputPartition).toArray
+        positions, expectNames,
+        headerDedup = o.headerDedup): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -181,12 +193,14 @@ final case class ExcelInputPartition(
     // byte range of the inflated sheet XML for split single-sheet scans
     // (-1 = whole sheet)
     byteStart: Long = -1L,
-    byteEnd: Long = -1L) extends InputPartition
+    byteEnd: Long = -1L,
+    headerDedup: String = "unique") extends InputPartition
 
 final class ExcelReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ExcelInputPartition]
-    val opts = ExcelRead.Options(p.path, p.sheetName, p.sheetIndex, p.skipRows)
+    val opts = ExcelRead.Options(p.path, p.sheetName, p.sheetIndex, p.skipRows,
+      headerDedup = p.headerDedup)
     // Layout re-derivation on the executor is one header-prefix scan —
     // cheap, and avoids serializing driver state into the partition.
     val lay = ExcelRead.layout(opts)

@@ -28,7 +28,9 @@ object ExcelRead {
       skipRows: Int,
       // >1 splits ONE sheet into N byte-range partitions (xlsx with r=
       // row refs only) — the two-pass splittable scan of SURVEY §7.4
-      sheetPartitions: Int = 1)
+      sheetPartitions: Int = 1,
+      // "unique" (default) or "reference" — see HeaderNames
+      headerDedup: String = "unique")
 
   final case class SheetLayout(
       target: String,
@@ -60,7 +62,7 @@ object ExcelRead {
         headerCells.get(dim.startCol + i).filter(_.nonEmpty)
       }
       SheetLayout(sheet.target, dim.startRow, dim.startCol, dim.numCols,
-        headerRowIdx, HeaderNames.build(raw))
+        headerRowIdx, HeaderNames.build(raw, opts.headerDedup))
     } finally wb.close()
   }
 

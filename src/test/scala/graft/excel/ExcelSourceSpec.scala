@@ -202,4 +202,30 @@ class ExcelSourceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("Unsupported"))
   }
+
+  test("headerDedup=reference: exact names when quirk-free, loud refusal when not") {
+    // quirk-free duplicates: reference names == forced-unique names
+    val ok = tmp("dupok.xlsx")
+    XlsxWriter.write(ok, Seq(Sheet.dense("s",
+      Seq(
+        Seq(Some(XShared("a")), Some(XShared("a")), Some(XShared("b"))),
+        Seq(Some(XNum(1)), Some(XNum(2)), Some(XNum(3)))))))
+    val ref = readExcel(ok, "headerDedup" -> "reference")
+    assert(ref.columns.toSeq == Seq("a", "a_2", "b"))
+    assert(ref.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      == Seq(("1", "2", "3")))
+    // the collision quirk would need duplicate column names -> refusal
+    // at schema time (Spark cannot bind duplicate attributes), default
+    // mode still reads the same workbook with forced-unique names
+    val path = tmp("dup.xlsx")
+    XlsxWriter.write(path, Seq(Sheet.dense("s",
+      Seq(
+        Seq(Some(XShared("a")), Some(XShared("a")), Some(XShared("a_2"))),
+        Seq(Some(XNum(1)), Some(XNum(2)), Some(XNum(3)))))))
+    assert(readExcel(path).columns.toSeq == Seq("a", "a_2", "a_2_2"))
+    val e = intercept[Exception] {
+      readExcel(path, "headerDedup" -> "reference").schema
+    }
+    assert(e.getMessage.contains("headerDedup=unique"), e.getMessage)
+  }
 }

@@ -35,4 +35,46 @@ class HeaderNamesSpec extends AnyFunSuite {
       assert(HeaderNames.build(raw).length == raw.length)
     }
   }
+
+  // ---- headerDedup=reference: byte-for-byte replication of the
+  // reference's per-name counter (/root/reference/src/lib.rs:455-463);
+  // when the collision quirk would produce DUPLICATE names — which
+  // Spark cannot materialize — it must refuse loudly at schema time
+
+  test("reference mode: a,a,a_2 (the quirk) refuses with the duplicate named") {
+    val e = intercept[IllegalArgumentException] {
+      HeaderNames.build(Seq(Some("a"), Some("a"), Some("a_2")), mode = "reference")
+    }
+    assert(e.getMessage.contains("a_2"))
+    assert(e.getMessage.contains("headerDedup=unique"))
+  }
+
+  test("reference mode: per-original-name counters, Field fill first") {
+    assert(HeaderNames.build(
+      Seq(Some("x"), Some("x"), Some("x")), mode = "reference") ==
+      Seq("x", "x_2", "x_3"))
+    // a later literal a_2 keeps its own counter (no look-ahead): the
+    // output would be a, Field_1, a_2, b, a_2 — duplicate → refusal
+    intercept[IllegalArgumentException] {
+      HeaderNames.build(
+        Seq(Some("a"), None, Some("a"), Some("b"), Some("a_2")),
+        mode = "reference")
+    }
+  }
+
+  test("both modes agree whenever no generated suffix collides") {
+    val rnd = new scala.util.Random(29)
+    val pool = Seq(Some("a"), Some("b"), Some("c"), Some(""), None)
+    (1 to 500).foreach { _ =>
+      val raw = Seq.fill(rnd.nextInt(16))(pool(rnd.nextInt(pool.length)))
+      // pool has no literal "_k"-suffixed names, so the quirk can't fire
+      assert(HeaderNames.build(raw) == HeaderNames.build(raw, "reference"))
+    }
+  }
+
+  test("unknown mode is rejected loudly") {
+    intercept[IllegalArgumentException] {
+      HeaderNames.build(Seq(Some("a")), mode = "fuzzy")
+    }
+  }
 }
