@@ -34,4 +34,66 @@ class RegistrySpec extends AnyFunSuite {
       .filterNot(_.matches("q\\d{2}_[a-z0-9_]+"))
     assert(bad.isEmpty, s"nonconforming names: ${bad.mkString(", ")}")
   }
+
+  test("every oracle SQL parses and binds in DuckDB (EXPLAIN, no execute)") {
+    // A malformed oracle previously failed only at driver time — after
+    // the round's Spark work was done, silently weakening the sweep.
+    // Gate it here: one python/duckdb subprocess EXPLAINs every oracle
+    // against views over the sf0.001 tables. Skipped (not failed) where
+    // the driver-side python/duckdb toolchain isn't installed.
+    // pick the first python3 that can import duckdb (the driver-side
+    // toolchain may live behind a pyenv shim rather than /usr/bin)
+    val candidates =
+      sys.env.get("PATH").toSeq.flatMap(_.split(':'))
+        .map(d => java.nio.file.Paths.get(d, "python3"))
+        .filter(java.nio.file.Files.isExecutable(_)).map(_.toString) ++
+        Seq("/usr/bin/python3", "/usr/local/bin/python3")
+          .filter(p => java.nio.file.Files.isExecutable(java.nio.file.Paths.get(p)))
+    val python = candidates.distinct.find { p =>
+      try new ProcessBuilder(p, "-c", "import duckdb").start().waitFor() == 0
+      catch { case _: java.io.IOException => false }
+    }
+    assume(python.isDefined, "no python3 with duckdb available")
+    assume(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get("/root/testdata/sf0.001")), "testdata missing")
+
+    // JSON-escape exactly like graft.Verify's dump
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+    java.nio.file.Files.writeString(tmp, json)
+
+    val script =
+      """import json, sys, duckdb
+        |con = duckdb.connect()
+        |sf = "/root/testdata/sf0.001"
+        |for t in ["region","nation","customer","supplier","part","orders",
+        |          "lineitem","events","documents","embeddings"]:
+        |    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        |bad = []
+        |for name, sql in sorted(json.load(open(sys.argv[1])).items()):
+        |    try:
+        |        con.execute("EXPLAIN " + sql)
+        |    except Exception as e:
+        |        bad.append(f"{name}: {type(e).__name__}: {e}")
+        |for b in bad:
+        |    print(b)
+        |sys.exit(1 if bad else 0)
+        |""".stripMargin
+    val pb = new ProcessBuilder(python.get, "-c", script, tmp.toString)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    val rc = proc.waitFor()
+    assert(rc == 0, s"oracle SQL failed DuckDB EXPLAIN:\n$out")
+  }
 }
