@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextFns, VectorFns}
+
+/** Semantic-level corpus curation operators — the q44 family:
+  * SemDeDup-style embedding deduplication, hybrid-retrieval rank
+  * fusion, and the per-slice dataset card a data release ships with.
+  *
+  * All three are the shapes a 100 TB training-data pipeline actually
+  * runs AFTER exact/near-dup text dedup: semantic dedup prunes
+  * same-meaning-different-words documents by embedding similarity
+  * inside coarse clusters (Abbas et al., "SemDeDup", 2023); hybrid
+  * retrieval fuses lexical (BM25) and dense (cosine) rankings with
+  * reciprocal-rank fusion (Cormack et al., SIGIR'09); the dataset card
+  * is the one-scan summary table (counts, token mass, dup rate,
+  * quality rate per source×lang) that gates a release.
+  */
+object Semantic {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Coarse deterministic cluster key: sign bits of the first 4
+    * embedding components (16 buckets). A SQL-replicable stand-in for
+    * the paper's k-means cell assignment — the pruning logic downstream
+    * is identical, and at scale the key is swapped for the IVF cell id
+    * (q24_ann_ivf) without touching the pair/drop stages.
+    */
+  private def signBucket(e: Column): Column =
+    (0 until 4).map(i =>
+      when(element_at(e, i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  private val duckBucket: String =
+    (0 until 4).map(i =>
+      s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
+      .mkString("(", " + ", ")")
+
+  /** SemDeDup pruning over `(vec_id: Long, embedding: Array[Float])`:
+    * bucket by [[signBucket]], and within each bucket drop every vector
+    * that has a lower-id neighbor with cosine >= `threshold`. Returns
+    * the KEPT rows as `(vec_id, bucket)`. Exposed for unit testing —
+    * `q44_semdedup` is exactly this at threshold 0.4.
+    */
+  def semdedup(e0: DataFrame, threshold: Double): DataFrame = {
+    val e = e0.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding")).as("bucket"))
+    val a = e.select(col("bucket"), col("vec_id").as("ia"),
+      col("embedding").as("ea"))
+    val b = e.select(col("bucket"), col("vec_id").as("ib"),
+      col("embedding").as("eb"))
+    val dropped = a.join(b, Seq("bucket"))
+      .filter(col("ia") < col("ib"))
+      .filter(round(VectorFns.cosine(col("ea"), col("eb")), 6) >= threshold)
+      .select(col("ib").as("vec_id")).distinct()
+    e.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("bucket"))
+      .orderBy("vec_id")
+  }
+
+  /** Reciprocal-rank fusion of two rank lists `(id, r_lex)` / `(id,
+    * r_den)`: full-outer join so an id ranked by only one modality
+    * still scores, rrf = Σ 1/(k + rank). Exposed for unit testing.
+    */
+  def rrfFuse(lex: DataFrame, den: DataFrame, k: Int): DataFrame =
+    lex.join(den, Seq("id"), "full_outer")
+      .select(col("id"),
+        round(
+          coalesce(lit(1.0) / (lit(k) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(k) + col("r_den")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("id").asc)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------ SemDeDup embedding dedup
+    // Within each coarse cluster, drop every vector that has a SMALLER
+    // neighbor with cosine >= 0.4 (greedy keep-lowest-id — the
+    // deterministic variant of the paper's per-cluster pruning).
+    // Scale: ONE shuffle on the cluster key for the self-join; pair
+    // work is quadratic only within a cluster, which the cluster
+    // granularity (k-means k, IVF nlist) bounds by construction —
+    // exactly the argument the SemDeDup paper makes for clustering
+    // before pairwise comparison. The all-pairs-within-bucket join
+    // reuses the same exact-cosine arithmetic q24 hash-matches with.
+    QueryDef(
+      "q44_semdedup",
+      (s, dir) => semdedup(t(s, dir, "embeddings"), 0.4),
+      Some(s"""WITH b AS (
+             |  SELECT vec_id, embedding, $duckBucket AS bucket
+             |  FROM embeddings),
+             |norms AS (
+             |  SELECT vec_id,
+             |         sqrt((SELECT sum(CAST(z.x AS DOUBLE) * CAST(z.x AS DOUBLE))
+             |               FROM (SELECT unnest(embedding) AS x) z)) AS nrm
+             |  FROM embeddings),
+             |drops AS (
+             |  SELECT DISTINCT y.vec_id
+             |  FROM b x
+             |  JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+             |  JOIN norms nx ON nx.vec_id = x.vec_id
+             |  JOIN norms ny ON ny.vec_id = y.vec_id
+             |  WHERE round(
+             |    (SELECT sum(CAST(z.p AS DOUBLE) * CAST(z.q AS DOUBLE))
+             |     FROM (SELECT unnest(x.embedding) AS p,
+             |                  unnest(y.embedding) AS q) z)
+             |    / (nx.nrm * ny.nrm), 6) >= 0.4)
+             |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket FROM b
+             |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+             |ORDER BY vec_id""".stripMargin),
+      bench = true),
+
+    // --------------------------------- hybrid retrieval: RRF rank fusion
+    // Lexical BM25 ranking (q25 semantics over the documents table) and
+    // dense cosine ranking (query vector = vec_id 0, q24 semantics over
+    // the embeddings table), fused by reciprocal-rank fusion
+    // rrf = Σ 1/(60 + rank). Both rankings are tie-safe (rounded score
+    // desc, id asc), so row_number is deterministic in both engines.
+    // Scale: each side is its own single-pass ranking; the fusion joins
+    // two TOP-50 lists — driver-scale rows, full-outer so a doc ranked
+    // by only one modality still scores.
+    QueryDef(
+      "q44_rrf_fusion",
+      (s, dir) => {
+        val terms = Seq("spark", "hash", "vector")
+        val k1 = 1.2; val bP = 0.75
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+          .withColumn("dl", size(col("w")).cast("double"))
+        def tf(term: String): Column =
+          size(filter(col("w"), x => x === term)).cast("double")
+        val aggCols =
+          count(lit(1)).cast("double").as("n_docs") +:
+            sum(col("dl").cast("decimal(38,0)")).cast("double").as("sum_dl") +:
+            terms.map(tr =>
+              sum(when(tf(tr) > 0, 1).otherwise(0)).cast("double").as(s"df_$tr"))
+        val stats = docs.agg(aggCols.head, aggCols.tail: _*)
+        def idf(tr: String): Column =
+          log((col("n_docs") - col(s"df_$tr") + 0.5) / (col(s"df_$tr") + 0.5) + 1.0)
+        def termScore(tr: String): Column = {
+          val f = tf(tr)
+          idf(tr) * (f * (k1 + 1.0)) /
+            (f + lit(k1) * (lit(1.0 - bP) + lit(bP) * col("dl") /
+              (col("sum_dl") / col("n_docs"))))
+        }
+        val wLex = Window.orderBy(col("bm25").desc, col("id").asc)
+        val lex = docs.crossJoin(broadcast(stats))
+          .select(col("doc_id").as("id"),
+            round(terms.map(termScore).reduce(_ + _), 6).as("bm25"))
+          .withColumn("r_lex", row_number().over(wLex))
+          .filter(col("r_lex") <= 50)
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val wDen = Window.orderBy(col("sim").desc, col("id").asc)
+        val den = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id").as("id"),
+            round(VectorFns.cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .withColumn("r_den", row_number().over(wDen))
+          .filter(col("r_den") <= 50)
+        rrfFuse(lex.select("id", "r_lex"), den.select("id", "r_den"), 60)
+          .limit(10)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w,
+             |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+             |  FROM documents),
+             |stats AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             |         CAST(sum(CAST(dl AS DECIMAL(38,0))) AS DOUBLE) AS sum_dl,
+             |         CAST(sum(CASE WHEN len(list_filter(w, x -> x = 'spark')) > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+             |         CAST(sum(CASE WHEN len(list_filter(w, x -> x = 'hash')) > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_hash,
+             |         CAST(sum(CASE WHEN len(list_filter(w, x -> x = 'vector')) > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_vector
+             |  FROM d),
+             |lex0 AS (
+             |  SELECT doc_id AS id,
+             |    round(
+             |      ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+             |        * (CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) * (1.2 + 1.0))
+             |        / (CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE)
+             |           + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+             |      + ln((n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
+             |        * (CAST(len(list_filter(w, x -> x = 'hash')) AS DOUBLE) * (1.2 + 1.0))
+             |        / (CAST(len(list_filter(w, x -> x = 'hash')) AS DOUBLE)
+             |           + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+             |      + ln((n_docs - df_vector + 0.5) / (df_vector + 0.5) + 1.0)
+             |        * (CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE) * (1.2 + 1.0))
+             |        / (CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE)
+             |           + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs))), 6)
+             |      AS bm25
+             |  FROM d, stats),
+             |lex AS (
+             |  SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS r_lex
+             |  FROM lex0 QUALIFY r_lex <= 50),
+             |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+             |den0 AS (
+             |  SELECT e.vec_id AS id,
+             |    round(
+             |      (SELECT sum(CAST(z.p AS DOUBLE) * CAST(z.q AS DOUBLE))
+             |       FROM (SELECT unnest(e.embedding) AS p, unnest(qv.q) AS q) z)
+             |      / (sqrt((SELECT sum(CAST(z.x AS DOUBLE) * CAST(z.x AS DOUBLE))
+             |               FROM (SELECT unnest(e.embedding) AS x) z))
+             |         * sqrt((SELECT sum(CAST(z.x AS DOUBLE) * CAST(z.x AS DOUBLE))
+             |                 FROM (SELECT unnest(qv.q) AS x) z))), 6) AS sim
+             |  FROM embeddings e, qv WHERE e.vec_id <> 0),
+             |den AS (
+             |  SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS r_den
+             |  FROM den0 QUALIFY r_den <= 50)
+             |SELECT coalesce(lex.id, den.id) AS id,
+             |  round(coalesce(1.0 / (60 + r_lex), 0.0)
+             |      + coalesce(1.0 / (60 + r_den), 0.0), 6) AS rrf
+             |FROM lex FULL OUTER JOIN den ON lex.id = den.id
+             |ORDER BY rrf DESC, id LIMIT 10""".stripMargin)),
+
+    // ----------------------------------------------------- dataset card
+    // The release datasheet: one scan of the corpus producing, per
+    // (source, lang) slice — doc count, token mass, char mass, exact-dup
+    // rate (rows beyond the first per md5(text)), and short-doc rate
+    // (< 20 tokens). Scale: one md5 window (shuffle on the fingerprint)
+    // + one aggregation; every column is a SUM/COUNT so the slice table
+    // composes under further rollup.
+    QueryDef(
+      "q44_dataset_card",
+      (s, dir) => {
+        val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+            size(TextFns.tokens(col("text"))).cast("long").as("n_tok"),
+            (row_number().over(w) > 1).as("is_dup"))
+          .groupBy(col("source"), col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"),
+            round(avg(col("n_tok").cast("double")), 6).as("avg_tokens"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dups"),
+            sum(when(col("n_tok") < 20, 1L).otherwise(0L)).as("n_short"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, lang, n_chars,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |         row_number() OVER (PARTITION BY md5(text)
+             |                            ORDER BY doc_id) > 1 AS is_dup
+             |  FROM documents)
+             |SELECT source, lang,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             |  round(avg(CAST(n_tok AS DOUBLE)), 6) AS avg_tokens,
+             |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+             |  CAST(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+             |FROM d GROUP BY source, lang
+             |ORDER BY source, lang""".stripMargin))
+  )
+}
