@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextFns, VectorFns}
+
+/** Classifier-in-the-loop curation — the q45 family: the operations a
+  * pipeline runs when a small labeled set (or a target corpus) steers
+  * what goes into training data.
+  *
+  * - kNN label evaluation: leave-one-out k-nearest-neighbor accuracy
+  *   over the labeled embedding set — the standard health check before
+  *   trusting labels to drive filtering.
+  * - Nearest-centroid assignment: the cheap embedding classifier
+  *   (per-label mean vector, cosine argmax) used at corpus scale to
+  *   score every document against a handful of quality/topic
+  *   prototypes (the FineWeb-Edu-style classifier shape).
+  * - DSIR importance weights (Xie et al., "Data Selection for Language
+  *   Models via Importance Resampling", 2023): hashed-unigram
+  *   log-likelihood ratio of a target slice vs the raw corpus, scored
+  *   per document — select raw data that looks like the target.
+  *
+  * Determinism conventions (see QueryDef): similarities are rounded to
+  * 6 decimals BEFORE any ranking; every ranking tie-breaks on a unique
+  * id; order-sensitive double folds either run in index order on both
+  * engines (VectorFns.dot ↔ DuckDB in-order unnest+sum) or go through
+  * exact DECIMAL sums of pre-rounded addends.
+  */
+object Classifier {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Leave-one-out k-NN majority-vote prediction over
+    * `(vec_id, embedding, label)`: per-vector top-k neighbors by
+    * rounded cosine (ties → lower neighbor id), majority label (ties →
+    * more votes, then smaller label). Returns `(vec_id, label, pred)`.
+    * Exposed for unit testing.
+    */
+  def knnPredict(e0: DataFrame, k: Int): DataFrame = {
+    val a = e0.select(col("vec_id").as("ia"), col("embedding").as("ea"),
+      col("label").as("la"))
+    val b = e0.select(col("vec_id").as("ib"), col("embedding").as("eb"),
+      col("label").as("lb"))
+    // Exact all-pairs is the oracle-able formulation (cf. q24_cosine_pairs);
+    // the 100 TB path replaces the broadcast nested loop with the q24
+    // IVF/PQ candidate join and keeps everything downstream unchanged.
+    val w = Window.partitionBy("ia").orderBy(col("sim").desc, col("ib").asc)
+    val top = a.join(broadcast(b), col("ia") =!= col("ib"))
+      .select(col("ia"), col("la"), col("ib"), col("lb"),
+        round(VectorFns.cosine(col("ea"), col("eb")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    top.groupBy("ia", "la", "lb").agg(count(lit(1)).as("c"))
+      .groupBy("ia", "la")
+      .agg(max(struct(col("c"), (-col("lb")).as("nl"))).as("m"))
+      .select(col("ia").as("vec_id"), col("la").as("label"),
+        (-col("m.nl")).cast("int").as("pred"))
+  }
+
+  /** Per-label centroids as `(label, centroid: array<double>)`, each
+    * component an exact 6-decimal value: elements are rounded to 6
+    * decimals, summed as DECIMAL (order-independent), divided by the
+    * label count, rounded to 6. Exposed for unit testing.
+    */
+  def labelCentroids(e0: DataFrame): DataFrame =
+    e0.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(
+        sum(round(col("v").cast("double"), 6).cast("decimal(27,6)"))
+          .cast("double") / count(lit(1)), 6).as("cv"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("centroid"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------ leave-one-out kNN eval
+    // Per-label accuracy of 5-NN majority vote. Scale: the pair stage
+    // broadcasts the labeled set (a labeled eval set is small by
+    // definition — it fits on every executor); the per-vector top-k
+    // window shuffles once on vec_id. With an unlabeled corpus on the
+    // left this same shape is kNN LABELING at corpus scale.
+    QueryDef(
+      "q45_knn_eval",
+      (s, dir) => {
+        val pred = knnPredict(t(s, dir, "embeddings"), 5)
+        pred.groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .select(col("label"), col("n"), col("n_correct"),
+            round(col("n_correct").cast("double") / col("n"), 6)
+              .as("accuracy"))
+          .orderBy("label")
+      },
+      Some("""WITH norms AS (
+             |  SELECT vec_id,
+             |         sqrt((SELECT sum(CAST(z.x AS DOUBLE) * CAST(z.x AS DOUBLE))
+             |               FROM (SELECT unnest(embedding) AS x) z)) AS nrm
+             |  FROM embeddings),
+             |p AS (
+             |  SELECT a.vec_id AS ia, a.label AS la,
+             |         b.vec_id AS ib, b.label AS lb,
+             |    round(
+             |      (SELECT sum(CAST(z.p AS DOUBLE) * CAST(z.q AS DOUBLE))
+             |       FROM (SELECT unnest(a.embedding) AS p,
+             |                    unnest(b.embedding) AS q) z)
+             |      / (na.nrm * nb.nrm), 6) AS sim
+             |  FROM embeddings a
+             |  JOIN embeddings b ON a.vec_id <> b.vec_id
+             |  JOIN norms na ON na.vec_id = a.vec_id
+             |  JOIN norms nb ON nb.vec_id = b.vec_id),
+             |top AS (
+             |  SELECT * FROM p
+             |  QUALIFY row_number() OVER (PARTITION BY ia
+             |                             ORDER BY sim DESC, ib) <= 5),
+             |votes AS (
+             |  SELECT ia, la, lb, count(*) AS c FROM top GROUP BY 1, 2, 3),
+             |pred AS (
+             |  SELECT ia, la, lb AS pred FROM votes
+             |  QUALIFY row_number() OVER (PARTITION BY ia
+             |                             ORDER BY c DESC, lb) = 1)
+             |SELECT la AS label, count(*) AS n,
+             |  CAST(sum(CASE WHEN pred = la THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_correct,
+             |  round(CAST(sum(CASE WHEN pred = la THEN 1 ELSE 0 END) AS DOUBLE)
+             |        / count(*), 6) AS accuracy
+             |FROM pred GROUP BY la ORDER BY la""".stripMargin)),
+
+    // -------------------------------------- nearest-centroid classifier
+    // Train: per-label mean vector (exact decimal arithmetic → the
+    // centroid is identical on any cluster layout). Serve: every vector
+    // scored against all 10 centroids — a BROADCAST of 10 rows and a
+    // map-only argmax, i.e. the shape that classifies 100 TB in one
+    // scan with no shuffle after the (tiny) training aggregate.
+    // Output: the label×pred confusion table.
+    QueryDef(
+      "q45_centroid_assign",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cent = labelCentroids(e)
+          .select(col("label").as("cl"), col("centroid"))
+        val sims = e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("label"), col("cl"),
+            round(VectorFns.cosine(col("embedding"), col("centroid")), 6)
+              .as("sim"))
+        sims.groupBy("vec_id", "label")
+          .agg(max(struct(col("sim"), (-col("cl")).as("nc"))).as("m"))
+          .select(col("vec_id"), col("label"),
+            (-col("m.nc")).cast("int").as("pred"))
+          .groupBy("label", "pred")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("label", "pred")
+      },
+      Some("""WITH ex AS (
+             |  SELECT vec_id, label, i.i AS pos,
+             |         CAST(embedding[i.i] AS DOUBLE) AS v
+             |  FROM embeddings, range(1, 65) i(i)),
+             |cent AS (
+             |  SELECT label AS cl, pos,
+             |    round(CAST(sum(CAST(round(v, 6) AS DECIMAL(27,6))) AS DOUBLE)
+             |          / count(*), 6) AS cv
+             |  FROM ex GROUP BY 1, 2),
+             |cvec AS (
+             |  SELECT cl, list(cv ORDER BY pos) AS centroid FROM cent
+             |  GROUP BY cl),
+             |sims AS (
+             |  SELECT e.vec_id, e.label, c.cl,
+             |    round(
+             |      (SELECT sum(CAST(z.p AS DOUBLE) * z.q)
+             |       FROM (SELECT unnest(e.embedding) AS p,
+             |                    unnest(c.centroid) AS q) z)
+             |      / (sqrt((SELECT sum(CAST(z.x AS DOUBLE) * CAST(z.x AS DOUBLE))
+             |               FROM (SELECT unnest(e.embedding) AS x) z))
+             |         * sqrt((SELECT sum(z.x * z.x)
+             |                 FROM (SELECT unnest(c.centroid) AS x) z))), 6)
+             |      AS sim
+             |  FROM embeddings e, cvec c),
+             |pred AS (
+             |  SELECT vec_id, label, cl AS pred FROM sims
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id
+             |                             ORDER BY sim DESC, cl) = 1)
+             |SELECT label, pred, count(*) AS n
+             |FROM pred GROUP BY label, pred
+             |ORDER BY label, pred""".stripMargin),
+      bench = true),
+
+    // ------------------------------------- DSIR importance resampling
+    // Hashed-unigram (256 buckets via 2 hex chars of md5) importance
+    // weights: w(bucket) = ln of the Laplace-smoothed ratio of the
+    // bucket's probability in the TARGET slice (lang='en') vs the RAW
+    // corpus; a document scores the mean weight of its tokens. Top 20
+    // raw non-target docs by score = "select more data that looks like
+    // the target". Scale: the weight table is 256 rows (broadcast);
+    // one explode + two tiny aggregates + one per-doc aggregate — no
+    // all-pairs anything; top-k via TakeOrderedAndProject.
+    QueryDef(
+      "q45_dsir_weights",
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(TextFns.tokens(col("text"))).as("word"))
+          .withColumn("bucket",
+            conv(substring(md5(col("word")), 1, 2), 16, 10).cast("long"))
+        val target = tok.filter(col("lang") === "en")
+          .groupBy("bucket").agg(count(lit(1)).as("c_t"))
+        val raw = tok.groupBy("bucket").agg(count(lit(1)).as("c_r"))
+        val tot = tok.agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"),
+          count(lit(1)).as("n_r"))
+        val wts = raw.join(target, Seq("bucket"), "left")
+          .na.fill(0L, Seq("c_t"))
+          .crossJoin(broadcast(tot))
+          .select(col("bucket"),
+            round(log(((col("c_t") + 1.0) / (col("n_t") + 256.0)) /
+              ((col("c_r") + 1.0) / (col("n_r") + 256.0))), 9).as("w"))
+        tok.filter(col("lang") =!= "en")
+          .join(broadcast(wts), Seq("bucket"))
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_tok"),
+            round(sum(col("w").cast("decimal(24,9)")).cast("double") /
+              count(lit(1)), 6).as("dsir_score"))
+          .orderBy(col("dsir_score").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang, w AS word,
+             |    CAST((strpos('0123456789abcdef', substring(md5(w), 1, 1)) - 1)
+             |         * 16 +
+             |         (strpos('0123456789abcdef', substring(md5(w), 2, 1)) - 1)
+             |         AS BIGINT) AS bucket
+             |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+             |        FROM documents)),
+             |tgt AS (SELECT bucket, count(*) AS c_t FROM tok
+             |        WHERE lang = 'en' GROUP BY 1),
+             |raw AS (SELECT bucket, count(*) AS c_r FROM tok GROUP BY 1),
+             |tot AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t,
+             |               count(*) AS n_r FROM tok),
+             |wts AS (
+             |  SELECT raw.bucket,
+             |    round(ln((CAST(coalesce(c_t, 0) + 1 AS DOUBLE)
+             |              / CAST(n_t + 256 AS DOUBLE)) /
+             |             (CAST(c_r + 1 AS DOUBLE)
+             |              / CAST(n_r + 256 AS DOUBLE))), 9) AS w
+             |  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, tot)
+             |SELECT doc_id, lang, count(*) AS n_tok,
+             |  round(CAST(sum(CAST(w AS DECIMAL(24,9))) AS DOUBLE) / count(*), 6)
+             |    AS dsir_score
+             |FROM tok JOIN wts USING (bucket)
+             |WHERE lang <> 'en'
+             |GROUP BY doc_id, lang
+             |ORDER BY dsir_score DESC, doc_id LIMIT 20""".stripMargin),
+      bench = true)
+  )
+}
