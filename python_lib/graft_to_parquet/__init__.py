@@ -57,14 +57,19 @@ def _get_spark_submit() -> str:
 
 
 def _get_app_jar() -> str:
-    """Resolve the application jar: $GRAFT_JAR, else the dev fallback of
-    the newest `sbt package` jar under <repo>/target/scala-2.13 (the
-    analogue of the reference's ../dist dev fallback)."""
+    """Resolve the application jar: $GRAFT_JAR, else a jar bundled into
+    the installed wheel (hatch_build.py stages it under
+    graft_to_parquet/jar/), else the dev fallback of the newest
+    `sbt package` jar under <repo>/target/scala-2.13 (the analogue of
+    the reference's ../dist dev fallback)."""
     override = os.environ.get("GRAFT_JAR")
     if override:
         if not Path(override).exists():
             raise GraftToParquetError(f"GRAFT_JAR not found: {override}")
         return override
+    bundled = sorted((Path(__file__).resolve().parent / "jar").glob("*.jar"))
+    if bundled:
+        return str(bundled[-1])
     jars = sorted(
         glob.glob(str(_repo_root() / "target" / "scala-2.13" / "*.jar")),
         key=os.path.getmtime,

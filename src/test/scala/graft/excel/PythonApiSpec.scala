@@ -65,4 +65,19 @@ class PythonApiSpec extends AnyFunSuite {
     assert(out.contains("Ran 5 tests"), out)
     assert(!out.contains("skipped=2"), s"end-to-end layer was skipped:\n$out")
   }
+
+  test("packaging build hook stages the app jar per its contract") {
+    val python = Seq("/usr/bin/python3", "/usr/local/bin/python3")
+      .find(p => Files.isExecutable(Paths.get(p)))
+    assume(python.isDefined, "python3 not on PATH")
+    val pb = new ProcessBuilder(
+      python.get, repo.resolve("python_lib/tests/test_build_hook.py").toString)
+    pb.directory(repo.resolve("python_lib").toFile)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    val rc = proc.waitFor()
+    assert(rc == 0, s"build-hook tests failed (rc=$rc):\n$out")
+    assert(out.contains("Ran 3 tests"), out)
+  }
 }
