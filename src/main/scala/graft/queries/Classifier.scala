@@ -54,11 +54,15 @@ object Classifier {
         round(VectorFns.cosine(col("ea"), col("eb")), 6).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
+    // Argmax by (votes desc, label asc) packed into ONE long so the
+    // aggregate is a plain max(bigint) — HashAggregate-able, unlike
+    // max(struct) which forces a per-partition SortAggregate on what at
+    // corpus scale is the big side. Labels are assumed < 2^20.
     top.groupBy("ia", "la", "lb").agg(count(lit(1)).as("c"))
       .groupBy("ia", "la")
-      .agg(max(struct(col("c"), (-col("lb")).as("nl"))).as("m"))
+      .agg(max(col("c") * 1048576L + (lit(1048575) - col("lb"))).as("m"))
       .select(col("ia").as("vec_id"), col("la").as("label"),
-        (-col("m.nl")).cast("int").as("pred"))
+        (lit(1048575) - col("m") % 1048576L).cast("int").as("pred"))
   }
 
   /** Per-label centroids as `(label, centroid: array<double>)`, each
@@ -148,10 +152,16 @@ object Classifier {
           .select(col("vec_id"), col("label"), col("cl"),
             round(VectorFns.cosine(col("embedding"), col("centroid")), 6)
               .as("sim"))
+        // sim is an exact 6-decimal value, so sim*1e6 is an exact long
+        // in [-1e6, 1e6]; offsetting it non-negative and packing
+        // (sim6, label) into one bigint keeps the serving argmax a
+        // HashAggregate (max(struct) would plan a SortAggregate — a
+        // per-partition sort of the full corpus scan).
         sims.groupBy("vec_id", "label")
-          .agg(max(struct(col("sim"), (-col("cl")).as("nc"))).as("m"))
+          .agg(max((round(col("sim") * 1e6).cast("long") + 1000000L) * 1024L +
+            (lit(1023) - col("cl"))).as("m"))
           .select(col("vec_id"), col("label"),
-            (-col("m.nc")).cast("int").as("pred"))
+            (lit(1023) - col("m") % 1024L).cast("int").as("pred"))
           .groupBy("label", "pred")
           .agg(count(lit(1)).as("n"))
           .orderBy("label", "pred")
