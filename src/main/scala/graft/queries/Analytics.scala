@@ -171,6 +171,67 @@ object Analytics {
              |                 ELSE 150 END
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ------------------------------- temperature-weighted mixture
+    // The multilingual sampling rule (mT5/XLM-R style): per-language
+    // quota ∝ n_lang^α with α = 0.5, normalized to a 2000-doc budget —
+    // low-resource languages get upsampled relative to their share,
+    // high-resource ones capped. Quotas derive from one tiny aggregate
+    // (languages × 1 rows, broadcast); selection reuses q28_mixture's
+    // deterministic md5 ranking, so any doc's membership is O(1)
+    // recomputable and append-stable. A quota above a language's doc
+    // count degrades to keep-all (sampling WITH replacement is an
+    // epoch-time concern, not a corpus-prep one).
+    QueryDef(
+      "q28_temperature_mix",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        // z as an exact decimal sum of 6-decimal-rounded sqrt terms:
+        // sqrt is correctly rounded (IEEE), so each term is
+        // bit-identical in both engines, and the decimal sum is
+        // order-independent — the quota integers can never drift.
+        val quotas = counts
+          .crossJoin(broadcast(
+            counts.agg(sum(round(sqrt(col("n_lang")), 6)
+              .cast("decimal(20,6)")).cast("double").as("z"))))
+          .select(col("lang"),
+            round(lit(2000.0) * sqrt(col("n_lang")) / col("z"))
+              .cast("long").as("quota"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        d.withColumn("rn", row_number().over(w))
+          .join(broadcast(quotas), Seq("lang"))
+          .filter(col("rn") <= col("quota"))
+          .groupBy(col("lang"))
+          .agg(max(col("quota")).as("quota"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("mix_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (
+             |  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+             |q AS (
+             |  SELECT lang,
+             |    CAST(round(2000.0 * sqrt(n_lang) /
+             |               (SELECT CAST(sum(CAST(round(sqrt(n_lang), 6)
+             |                                     AS DECIMAL(20,6)))
+             |                            AS DOUBLE) FROM c)) AS BIGINT)
+             |      AS quota
+             |  FROM c),
+             |ranked AS (
+             |  SELECT lang, doc_id,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |         row_number() OVER (PARTITION BY lang
+             |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |SELECT r.lang, max(q.quota) AS quota, count(*) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS mix_tokens
+             |FROM ranked r JOIN q ON r.lang = q.lang
+             |WHERE r.rn <= q.quota
+             |GROUP BY r.lang ORDER BY r.lang""".stripMargin)),
+
     // ------------------------------------------- moment statistics
     // Mean/variance/stddev/skewness from exact decimal power sums: the
     // double->decimal cast of each term rounds identically in both

@@ -41,17 +41,23 @@ object Classifier {
     * Exposed for unit testing.
     */
   def knnPredict(e0: DataFrame, k: Int): DataFrame = {
-    val a = e0.select(col("vec_id").as("ia"), col("embedding").as("ea"),
-      col("label").as("la"))
-    val b = e0.select(col("vec_id").as("ib"), col("embedding").as("eb"),
-      col("label").as("lb"))
+    // Norms once per vector, not per pair: the pair stage then runs ONE
+    // codegen'd dot fold per pair instead of three (dot + both normSq),
+    // the same shape as the oracle's precomputed-norms CTE.
+    val withN = e0.select(col("vec_id"), col("embedding"), col("label"),
+      sqrt(VectorFns.normSq(col("embedding"))).as("nrm"))
+    val a = withN.select(col("vec_id").as("ia"), col("embedding").as("ea"),
+      col("label").as("la"), col("nrm").as("na"))
+    val b = withN.select(col("vec_id").as("ib"), col("embedding").as("eb"),
+      col("label").as("lb"), col("nrm").as("nb"))
     // Exact all-pairs is the oracle-able formulation (cf. q24_cosine_pairs);
     // the 100 TB path replaces the broadcast nested loop with the q24
     // IVF/PQ candidate join and keeps everything downstream unchanged.
     val w = Window.partitionBy("ia").orderBy(col("sim").desc, col("ib").asc)
     val top = a.join(broadcast(b), col("ia") =!= col("ib"))
       .select(col("ia"), col("la"), col("ib"), col("lb"),
-        round(VectorFns.cosine(col("ea"), col("eb")), 6).as("sim"))
+        round(VectorFns.dot(col("ea"), col("eb")) /
+          (col("na") * col("nb")), 6).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
     // Argmax by (votes desc, label asc) packed into ONE long so the
