@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Global position index over a total order WITHOUT a single-partition
+  * window.
+  *
+  * `row_number() OVER (ORDER BY ...)` funnels every row through ONE
+  * task — the classic scale cliff for "give the corpus a global
+  * training order" (deterministic shuffle, curriculum order, stable
+  * export numbering). This operator keeps the work distributed:
+  *
+  *   1. `repartitionByRange` on the sort key: rows land in ordered,
+  *      non-overlapping key ranges — the one full-data shuffle, the
+  *      same one any global sort pays. `sortWithinPartitions` then
+  *      orders each range locally (no data movement).
+  *   2. A local 1-based rank per partition via a narrow
+  *      `mapPartitions` counter (the genuinely imperative per-partition
+  *      step; everything else stays declarative).
+  *   3. Per-partition row counts — a partial-aggregated `groupBy` that
+  *      moves ≤ numPartitions rows — turned into cumulative offsets by
+  *      a window over that driver-scale table, broadcast-joined back.
+  *
+  * `pos = offset(partition) + local_rank` equals the single-partition
+  * `row_number` for any TOTAL sort key, at any partition count.
+  * RangePartitioner's bound sampling is deterministically seeded, and
+  * correctness never depends on where the bounds fall — only on ranges
+  * being ordered and disjoint, which `repartitionByRange` guarantees.
+  */
+object GlobalIndex {
+
+  /** Adds `posCol` (1-based Long, dense, unique) ordering `df` by
+    * `sortCols`, which MUST be a total order for the result to be
+    * deterministic (append a unique id as the last key).
+    */
+  def withPosition(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      posCol: String,
+      numPartitions: Int): DataFrame = {
+    require(sortCols.nonEmpty, "GlobalIndex needs at least one sort column")
+    val ranged = df
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_gi_pid", spark_partition_id())
+    val schema = ranged.schema.add("_gi_rank", LongType, nullable = false)
+    val ranked = ranged.mapPartitions { it =>
+      var i = 0L
+      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
+    }(Encoders.row(schema))
+    // Partial aggregation reduces each partition to one row before this
+    // shuffle; the cumulative window's single-partition exchange moves
+    // ≤ numPartitions rows (driver-scale, like any global aggregate).
+    // Counting from `ranged` (not `ranked`) keeps this branch columnar —
+    // it reuses the range exchange without the row-object round-trip.
+    val offsets = ranged
+      .groupBy(col("_gi_pid"))
+      .agg(count(lit(1)).as("_gi_n"))
+      .withColumn(
+        "_gi_off",
+        coalesce(
+          sum(col("_gi_n")).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("_gi_pid"))
+              .rowsBetween(Long.MinValue, -1)),
+          lit(0L)))
+      .select(col("_gi_pid"), col("_gi_off"))
+    ranked
+      .join(broadcast(offsets), "_gi_pid")
+      .withColumn(posCol, (col("_gi_off") + col("_gi_rank")).cast("long"))
+      .drop("_gi_pid", "_gi_rank", "_gi_off")
+  }
+}

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.GlobalIndex
+
+/** Corpus-release curation operators — the q47 family: cross-source
+  * n-gram overlap (leakage matrix), k-anonymity suppression of release
+  * stats, and curriculum ordering via a distributed global index.
+  *
+  * These are the release-gate shapes a 100 TB pipeline runs LAST:
+  * measure slice-to-slice contamination before declaring splits
+  * independent, suppress small-population cells from the published
+  * datasheet, and write out the corpus in a deterministic curriculum
+  * order that a trainer can stream without its own shuffle pass.
+  */
+object Curation {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Pairwise source-overlap matrix over distinct 8-gram shingle sets:
+    * for every source pair (a < b) the common-gram count, both set
+    * sizes, and the Jaccard. Exposed for unit testing.
+    *
+    * Scale shape: ONE shuffle builds the distinct (source, gram) set;
+    * the pair stage groups by gram and expands the sorted source
+    * posting into ordered pairs IN-GROUP (cf. the q23 LSH postings
+    * list) — per-gram work is quadratic only in the number of sources
+    * containing that gram, bounded by the source count (a catalog-scale
+    * constant), never by corpus size. No self-join of the gram stream.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs
+      .select(col("source"), explode(TextFns.shingles(col("text"), n)).as("g"))
+      .distinct()
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val pairs = grams
+      .groupBy(col("g"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(flatten(
+        transform(sequence(lit(1), size(col("ss")) - 1), i =>
+          transform(sequence(i + lit(1), size(col("ss"))), j =>
+            struct(
+              element_at(col("ss"), i).as("source_a"),
+              element_at(col("ss"), j).as("source_b")))))).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("sz", "n_a")), "source_a")
+      .join(broadcast(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("sz", "n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** k-anonymity suppression of the per-(source, lang) release stats:
+    * slices with >= k docs publish as-is; smaller slices pool into the
+    * source's `__other__` row; pooled rows still under k pool globally
+    * into (`__all__`, `__other__`). Exposed for unit testing.
+    *
+    * Scale shape: the only corpus-size shuffle is the first aggregate
+    * (partial-combined); everything after runs on the slice table,
+    * which is catalog-scale.
+    */
+  def kAnonStats(docs: DataFrame, k: Int): DataFrame = {
+    val slices = docs
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"))
+    val keep = slices.filter(col("n_docs") >= k)
+    val pooled = slices.filter(col("n_docs") < k)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("lang", lit("__other__"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"))
+    val keepPooled = pooled.filter(col("n_docs") >= k)
+    val global = pooled.filter(col("n_docs") < k)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_docs").isNotNull)
+      .select(lit("__all__").as("source"), lit("__other__").as("lang"),
+        col("n_docs"), col("n_tokens"))
+    keep.unionByName(keepPooled).unionByName(global)
+      .orderBy("source", "lang")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    // --------------------------------------- cross-source leakage matrix
+    QueryDef(
+      "q47_source_overlap",
+      (s, dir) => sourceOverlap(t(s, dir, "documents"), 8),
+      Some("""WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+             |g0 AS (SELECT DISTINCT source, g FROM (
+             |  SELECT source,
+             |         unnest([array_to_string(w[i:i+7], ' ')
+             |                 FOR i IN range(1, len(w) - 6)]) AS g
+             |  FROM d WHERE len(w) >= 8)),
+             |sz AS (SELECT source, count(*) AS sz FROM g0 GROUP BY source),
+             |cm AS (SELECT a.source AS source_a, b.source AS source_b,
+             |              count(*) AS n_common
+             |       FROM g0 a JOIN g0 b ON a.g = b.g AND a.source < b.source
+             |       GROUP BY 1, 2)
+             |SELECT source_a, source_b,
+             |  CAST(n_common AS BIGINT) AS n_common,
+             |  CAST(sa.sz AS BIGINT) AS n_a,
+             |  CAST(sb.sz AS BIGINT) AS n_b,
+             |  round(CAST(n_common AS DOUBLE) /
+             |        CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
+             |FROM cm
+             |JOIN sz sa ON cm.source_a = sa.source
+             |JOIN sz sb ON cm.source_b = sb.source
+             |ORDER BY source_a, source_b""".stripMargin),
+      bench = true),
+
+    // ------------------------------------------ k-anonymity suppression
+    QueryDef(
+      "q47_k_anon",
+      (s, dir) => kAnonStats(t(s, dir, "documents"), 5),
+      Some("""WITH s AS (
+             |  SELECT source, lang, count(*) AS n_docs,
+             |         CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+             |              AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source, lang),
+             |pooled AS (
+             |  SELECT source, '__other__' AS lang,
+             |         CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+             |  FROM s WHERE n_docs < 5 GROUP BY source)
+             |SELECT source, lang, n_docs, n_tokens FROM s WHERE n_docs >= 5
+             |UNION ALL
+             |SELECT source, lang, n_docs, n_tokens FROM pooled WHERE n_docs >= 5
+             |UNION ALL
+             |SELECT '__all__' AS source, '__other__' AS lang,
+             |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+             |FROM pooled WHERE n_docs < 5 HAVING count(*) > 0
+             |ORDER BY source, lang""".stripMargin)),
+
+    // ------------------------------- curriculum order via global index
+    // Length-staged curriculum (short docs warm up, long docs finish)
+    // with a deterministic md5 shuffle inside each stage. The position
+    // column comes from operators/GlobalIndex — one range shuffle, no
+    // single-partition window — so the same plan stands at 100 TB;
+    // the DuckDB oracle is the single-window formulation, proving the
+    // distributed index IS row_number over the total order.
+    QueryDef(
+      "q47_curriculum",
+      (s, dir) => {
+        val staged = t(s, dir, "documents")
+          .select(col("doc_id"),
+            when(size(TextFns.tokens(col("text"))) < 40, 0L)
+              .when(size(TextFns.tokens(col("text"))) < 70, 1L)
+              .otherwise(2L).as("stage"),
+            md5(col("doc_id").cast("string")).as("r"))
+        GlobalIndex
+          .withPosition(staged, Seq(col("stage"), col("r"), col("doc_id")),
+            "pos", 8)
+          .select(col("doc_id"), col("stage"), col("pos"))
+          .orderBy("pos")
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(string_split(text, ' ')) < 40 THEN 0
+             |         WHEN len(string_split(text, ' ')) < 70 THEN 1
+             |         ELSE 2 END AS stage,
+             |    md5(CAST(doc_id AS VARCHAR)) AS r
+             |  FROM documents)
+             |SELECT doc_id, CAST(stage AS BIGINT) AS stage,
+             |  CAST(row_number() OVER (ORDER BY stage, r, doc_id) AS BIGINT)
+             |    AS pos
+             |FROM s ORDER BY pos""".stripMargin)))
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GlobalIndex must equal the single-partition `row_number` window for
+  * any total sort key, at any partition count, and be deterministic
+  * across runs — that is the whole contract that lets it replace the
+  * window at scale.
+  */
+class GlobalIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def sample = {
+    import spark.implicits._
+    // Deterministic pseudo-random keys, including ties on `k` so the
+    // id tiebreaker matters, spread over 7 input partitions.
+    (1L to 500L).map(i => (i, (i * 2654435761L) % 97, s"s${i % 13}"))
+      .toDF("id", "k", "s")
+      .repartition(7)
+  }
+
+  private def windowed = sample
+    .withColumn("pos",
+      row_number().over(Window.orderBy(col("k"), col("s"), col("id")))
+        .cast("long"))
+    .select("id", "pos")
+
+  test("matches single-partition row_number at several partition counts") {
+    val expect = windowed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (p <- Seq(1, 3, 8)) {
+      val got = GlobalIndex
+        .withPosition(sample, Seq(col("k"), col("s"), col("id")), "pos", p)
+        .select("id", "pos")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"mismatch at numPartitions=$p")
+    }
+  }
+
+  test("positions are dense, 1-based, and deterministic across runs") {
+    def run() = GlobalIndex
+      .withPosition(sample, Seq(col("k"), col("s"), col("id")), "pos", 5)
+      .select("id", "pos")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+    val a = run()
+    val b = run()
+    assert(a == b)
+    assert(a.map(_._2).sorted == (1L to 500L))
+  }
+
+  test("plans one range shuffle and a broadcast offset join — no global sort") {
+    val df = GlobalIndex.withPosition(sample, Seq(col("k"), col("id")), "pos", 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      "expected the single range repartition of the input")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "expected the offsets table to broadcast, not shuffle")
+    // the cliff this operator exists to avoid: a full-data single-partition
+    // exchange (what a global row_number window would plan). The only
+    // SinglePartition exchanges allowed are the ones whose child is the
+    // per-partition-count HashAggregate — ≤ numPartitions rows.
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        val child = lines.drop(i + 1)
+          .find(l => l.contains("+-") || l.contains(":-")).getOrElse("")
+        assert(child.contains("HashAggregate") && child.contains("_gi_pid"),
+          s"full-data SinglePartition exchange at line $i in:\n$plan")
+      }
+  }
+
+  test("keeps all original columns") {
+    val out = GlobalIndex.withPosition(sample, Seq(col("id")), "pos", 3)
+    assert(out.columns.toSet == Set("id", "k", "s", "pos"))
+    assert(out.count() == 500)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit-level checks for the q47 curation family, independent of the
+  * DuckDB oracles: overlap-matrix set arithmetic on hand-built corpora
+  * and the k-anonymity pooling ladder.
+  */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(rows: (Long, String, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("sourceOverlap computes exact pair intersection and jaccard") {
+    // 2-gram sets: a = {"x y","y z"}, b = {"y z","z w"}, c = {"p q"}
+    val d = docs(
+      (1L, "x y z", "en", "a"),
+      (2L, "y z w", "en", "b"),
+      (3L, "p q", "en", "c"))
+    val rows = Curation.sourceOverlap(d, 2).collect()
+    assert(rows.length == 1) // only (a, b) share a gram
+    val r = rows.head
+    assert(r.getAs[String]("source_a") == "a")
+    assert(r.getAs[String]("source_b") == "b")
+    assert(r.getAs[Long]("n_common") == 1L)
+    assert(r.getAs[Long]("n_a") == 2L)
+    assert(r.getAs[Long]("n_b") == 2L)
+    assert(math.abs(r.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-6)
+  }
+
+  test("sourceOverlap dedups repeated grams within and across docs") {
+    val d = docs(
+      (1L, "x y x y", "en", "a"), // "x y" twice in one doc
+      (2L, "x y", "en", "a"),     // and again in another doc of a
+      (3L, "x y", "en", "b"))
+    val r = Curation.sourceOverlap(d, 2).collect().head
+    // a's distinct grams: {"x y","y x"}; b's: {"x y"}
+    assert(r.getAs[Long]("n_common") == 1L)
+    assert(r.getAs[Long]("n_a") == 2L)
+    assert(r.getAs[Long]("n_b") == 1L)
+  }
+
+  test("kAnonStats publishes large slices and pools small ones per source") {
+    val rows =
+      docs(Seq.tabulate(5)(i => (i.toLong, "w w", "en", "s1")) ++
+        Seq((10L, "w", "fr", "s1"), (11L, "w", "de", "s1"),
+          (12L, "w", "es", "s1"), (13L, "w", "zh", "s1"),
+          (14L, "w", "pt", "s1")): _*)
+    val out = Curation.kAnonStats(rows, 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // en slice has 5 docs → published; the five 1-doc langs pool to
+    // s1/__other__ with 5 docs → published after pooling
+    assert(out.toSet == Set(
+      ("s1", "__other__", 5L, 5L),
+      ("s1", "en", 5L, 10L)))
+  }
+
+  test("kAnonStats pools still-small source pools into the global row") {
+    val rows = docs(
+      (1L, "w", "en", "s1"), (2L, "w", "fr", "s2"), (3L, "w", "de", "s3"))
+    val out = Curation.kAnonStats(rows, 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == Set(("__all__", "__other__", 3L, 3L)))
+  }
+
+  test("kAnonStats emits no global row when nothing is suppressed twice") {
+    val rows = docs(
+      (1L, "w", "en", "s1"), (2L, "w", "en", "s1"),
+      (3L, "w", "fr", "s1"), (4L, "w", "de", "s1"))
+    val out = Curation.kAnonStats(rows, 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet == Set(("s1", "en", 2L), ("s1", "__other__", 2L)))
+  }
+}
