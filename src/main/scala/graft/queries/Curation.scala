@@ -26,21 +26,26 @@ object Curation {
     * for every source pair (a < b) the common-gram count, both set
     * sizes, and the Jaccard. Exposed for unit testing.
     *
-    * Scale shape: ONE shuffle builds the distinct (source, gram) set;
-    * the pair stage groups by gram and expands the sorted source
-    * posting into ordered pairs IN-GROUP (cf. the q23 LSH postings
-    * list) — per-gram work is quadratic only in the number of sources
-    * containing that gram, bounded by the source count (a catalog-scale
-    * constant), never by corpus size. No self-join of the gram stream.
+    * Scale shape: the gram stream is shuffled ONCE — straight into
+    * `groupBy(gram).collect_set(source)` (collect_set dedups, so no
+    * separate distinct pass; map-side partials cap each key's payload
+    * at the source count). Set sizes come from exploding the postings —
+    * a stream of ~distinct-gram scale, already far smaller than the
+    * corpus. The pair stage expands each sorted posting into ordered
+    * pairs IN-GROUP (cf. the q23 LSH postings list) — per-gram work is
+    * quadratic only in the number of sources containing that gram,
+    * bounded by the catalog's source count, never by corpus size. No
+    * self-join of the gram stream.
     */
   def sourceOverlap(docs: DataFrame, n: Int): DataFrame = {
-    val grams = docs
+    val postings = docs
       .select(col("source"), explode(TextFns.shingles(col("text"), n)).as("g"))
-      .distinct()
-    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("sz"))
-    val pairs = grams
       .groupBy(col("g"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
+    val sizes = postings
+      .select(explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val pairs = postings
       .filter(size(col("ss")) >= 2)
       .select(explode(flatten(
         transform(sequence(lit(1), size(col("ss")) - 1), i =>
