@@ -33,8 +33,11 @@ import org.apache.spark.sql.functions._
   *   - `localCheckpoint` truncates the lineage each round — without it
   *     the plan doubles per iteration and the optimizer chokes long
   *     before the data does.
-  *   - the convergence check is set-equality of successive edge sets
-  *     (count + anti-join), never a collect of the edges.
+  *   - the convergence check is set-equality of successive edge sets,
+  *     never a collect: a one-aggregate (count, exact decimal hash-sum)
+  *     pre-check runs every round, and the authoritative anti-join runs
+  *     ONLY when the pre-check suspects the fixed point — intermediate
+  *     rounds pay one aggregate instead of a full two-sided shuffle.
   *   - edge sets stay distinct'd each round, so the working set is
   *     bounded by the (monotonically star-ifying) edge count.
   */
@@ -82,20 +85,39 @@ object DedupCluster {
     */
   def connectedComponents(
       vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // (row count, exact sum of per-edge hashes) in ONE aggregate. The
+    // decimal cast keeps the sum exact (no ANSI long overflow) and
+    // order-independent; equal counts + equal sums is a near-certain
+    // set-equality signal used only to decide when to run the
+    // authoritative anti-join — a false positive costs one wasted
+    // anti-join, never a wrong answer.
+    def sketch(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
     var e = edges
       .select(col("a").as("u"), col("b").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
     var iter = 0
-    var converged = e.isEmpty
+    var (eCount, eSum) = sketch(e)
+    var converged = eCount == 0L
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val (nCount, nSum) = sketch(next)
       // Both sets are distinct: equal iff same size and no row of next
-      // falls outside e.
-      converged = next.count() == e.count() &&
+      // falls outside e. The && short-circuits, so the two-sided
+      // anti-join shuffle only runs on the (one) suspected-fixed-point
+      // round.
+      converged = nCount == eCount && nSum.compareTo(eSum) == 0 &&
         next.join(e, Seq("u", "v"), "left_anti").isEmpty
       e = next
+      eCount = nCount
+      eSum = nSum
       iter += 1
     }
     if (!converged) {
