@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -99,6 +100,50 @@ object Curation {
       .orderBy("source", "lang")
   }
 
+  /** Span-level decontamination: instead of dropping every document
+    * that contains a benchmark phrase (q46_contamination_join's doc
+    * verdict), locate each contaminated 3-gram's token span, merge
+    * overlapping-or-adjacent spans per document (gaps-and-islands over
+    * running max-end), and report how much of the document survives
+    * excision. Exposed for unit testing.
+    *
+    * Scale shape: the corpus is tokenized once, matching is a
+    * codegen'd IN-list here (a broadcast join once the probe set is
+    * benchmark-suite-sized), and the island windows partition BY
+    * DOCUMENT — no global window, parallel across the corpus.
+    */
+  def spanExcise(docs: DataFrame, probes: Seq[String]): DataFrame = {
+    val matches = docs
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        posexplode(TextFns.ngrams(col("text"), 3)))
+      .filter(col("col").isin(probes: _*))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("long").as("s"), (col("pos") + 2).cast("long").as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    matches
+      .withColumn("pmax",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("isl",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("n_tokens"), col("isl"))
+      .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("se") - col("ss") + 1).cast("long").as("n_excised"))
+      .select(col("doc_id"), col("n_spans"), col("n_excised"), col("n_tokens"),
+        round(lit(1.0) - col("n_excised").cast("double") /
+          col("n_tokens").cast("double"), 6).as("clean_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val contaminationProbes = Seq(
+    "table key filter", "row column sort", "stream table hash",
+    "quantum flux capacitor")
+
   val all: Seq[QueryDef] = Seq(
     // --------------------------------------- cross-source leakage matrix
     QueryDef(
@@ -183,5 +228,44 @@ object Curation {
              |SELECT doc_id, CAST(stage AS BIGINT) AS stage,
              |  CAST(row_number() OVER (ORDER BY stage, r, doc_id) AS BIGINT)
              |    AS pos
-             |FROM s ORDER BY pos""".stripMargin)))
+             |FROM s ORDER BY pos""".stripMargin)),
+
+    // ------------------------------------ span-level decontamination
+    QueryDef(
+      "q47_span_excise",
+      (s, dir) => spanExcise(t(s, dir, "documents"), contaminationProbes),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+             |           FROM documents),
+             |m AS (
+             |  SELECT doc_id, i - 1 AS s, i + 1 AS e,
+             |         CAST(len(w) AS BIGINT) AS n_tokens
+             |  FROM d, unnest(range(1, len(w) - 1)) AS t(i)
+             |  WHERE w[i] || ' ' || w[i+1] || ' ' || w[i+2] IN
+             |    ('table key filter', 'row column sort',
+             |     'stream table hash', 'quantum flux capacitor')),
+             |x AS (
+             |  SELECT doc_id, n_tokens, s, e,
+             |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |  FROM m),
+             |y AS (
+             |  SELECT doc_id, n_tokens, s, e,
+             |    CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END
+             |      AS brk
+             |  FROM x),
+             |z AS (
+             |  SELECT doc_id, n_tokens, s, e,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+             |      ROWS UNBOUNDED PRECEDING) AS isl
+             |  FROM y),
+             |sp AS (
+             |  SELECT doc_id, n_tokens, isl, min(s) AS ss, max(e) AS se
+             |  FROM z GROUP BY 1, 2, 3)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |  CAST(sum(se - ss + 1) AS BIGINT) AS n_excised,
+             |  n_tokens,
+             |  round(1.0 - CAST(sum(se - ss + 1) AS DOUBLE) /
+             |        CAST(n_tokens AS DOUBLE), 6) AS clean_frac
+             |FROM sp GROUP BY doc_id, n_tokens
+             |ORDER BY doc_id""".stripMargin)))
 }

@@ -49,6 +49,34 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_b") == 1L)
   }
 
+  test("spanExcise merges overlapping and adjacent spans, keeps gaps apart") {
+    // probes "a b c" and "c d e": matches at 0 ("a b c"), 2 ("c d e")
+    // overlap-chain into one span [0,4]; the second "a b c" at 7 is a
+    // separate island. 12 tokens, excised 5 + 3 = 8.
+    val d = docs((1L, "a b c d e x y a b c z w", "en", "s"))
+    val r = Curation.spanExcise(d, Seq("a b c", "c d e")).collect().head
+    assert(r.getAs[Long]("n_spans") == 2L)
+    assert(r.getAs[Long]("n_excised") == 8L)
+    assert(r.getAs[Long]("n_tokens") == 12L)
+    assert(math.abs(r.getAs[Double]("clean_frac") - (1.0 - 8.0 / 12.0)) < 1e-6)
+  }
+
+  test("spanExcise merges spans that touch end-to-end") {
+    // "a b c" at 0 covers [0,2]; "d e f" at 3 covers [3,5] — adjacent
+    // (start == prev_end + 1) so a single contiguous excision
+    val d = docs((1L, "a b c d e f x", "en", "s"))
+    val r = Curation.spanExcise(d, Seq("a b c", "d e f")).collect().head
+    assert(r.getAs[Long]("n_spans") == 1L)
+    assert(r.getAs[Long]("n_excised") == 6L)
+  }
+
+  test("spanExcise reports only contaminated docs") {
+    val d = docs((1L, "a b c d", "en", "s"), (2L, "x y z w", "en", "s"))
+    val ids = Curation.spanExcise(d, Seq("a b c"))
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids == Seq(1L))
+  }
+
   test("kAnonStats publishes large slices and pools small ones per source") {
     val rows =
       docs(Seq.tabulate(5)(i => (i.toLong, "w w", "en", "s1")) ++
