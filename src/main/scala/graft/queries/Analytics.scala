@@ -131,25 +131,29 @@ object Analytics {
     // Domain-mixture construction: cap each language's contribution at a
     // per-domain budget (here en=1200, de/fr=400, others=150), choosing
     // survivors by md5 rank — deterministic, uniform within domain, and
-    // reproducible across runs. The window partitions by domain only, so
-    // the shuffle is by domain key and each group's sort is local to its
-    // partition: the op scales to any corpus where a single domain's rows
-    // fit a partition sort (spill-backed, so effectively always). The
-    // same shape with per-epoch salts in the hash gives epoch-wise
+    // reproducible across runs. Selection runs through
+    // operators/QuotaSelect: the md5 hex prefix buckets each language
+    // into 256 order-consistent sub-ranges, whole buckets keep or drop
+    // by a broadcast cumulative-count table, and ONLY the boundary
+    // bucket (~1/256 of the group) is ranked — no whole-language sort
+    // anywhere, so the dominant language of a real corpus is never a
+    // one-task window. The DuckDB oracle keeps the single-window
+    // formulation: the cross-engine match IS the equivalence proof.
+    // The same shape with per-epoch salts in the hash gives epoch-wise
     // resampling without materializing permutations.
     QueryDef(
       "q28_mixture",
       (s, dir) => {
-        val cap = when(col("lang") === "en", 1200)
-          .when(col("lang").isin("de", "fr"), 400)
-          .otherwise(150)
-        val w = Window.partitionBy(col("lang"))
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        t(s, dir, "documents")
+        val d = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             size(split(col("text"), " ")).cast("long").as("n_tok"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= cap)
+          .withColumn("k", md5(col("doc_id").cast("string")))
+        val quotas = d.select(col("lang")).distinct()
+          .withColumn("quota",
+            when(col("lang") === "en", 1200L)
+              .when(col("lang").isin("de", "fr"), 400L)
+              .otherwise(150L))
+        graft.operators.QuotaSelect.select(d, "lang", "k", "doc_id", quotas)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tok")).as("mix_tokens"),
@@ -199,11 +203,12 @@ object Analytics {
           .select(col("lang"),
             round(lit(2000.0) * sqrt(col("n_lang")) / col("z"))
               .cast("long").as("quota"))
-        val w = Window.partitionBy(col("lang"))
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        d.withColumn("rn", row_number().over(w))
+        // selection via QuotaSelect (boundary-bucket ranking only — see
+        // q28_mixture); the oracle stays the whole-window formulation
+        graft.operators.QuotaSelect
+          .select(d.withColumn("k", md5(col("doc_id").cast("string"))),
+            "lang", "k", "doc_id", quotas)
           .join(broadcast(quotas), Seq("lang"))
-          .filter(col("rn") <= col("quota"))
           .groupBy(col("lang"))
           .agg(max(col("quota")).as("quota"),
             count(lit(1)).as("n_docs"),
