@@ -72,4 +72,65 @@ object GlobalIndex {
       .withColumn(posCol, (col("_gi_off") + col("_gi_rank")).cast("long"))
       .drop("_gi_pid", "_gi_rank", "_gi_off")
   }
+
+  /** Distributed prefix scan: adds `posCol` (1-based global rank) AND
+    * `cumCol` (running total of `valueCol`, inclusive) over the total
+    * order `sortCols` — the classic two-phase parallel prefix-sum.
+    * Same shape as [[withPosition]]: one range shuffle, per-partition
+    * local scans, a ≤-numPartitions-row offset table broadcast back.
+    * `valueCol` must be a non-null LongType column (exact sums).
+    */
+  def withRunningTotal(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCol: String,
+      posCol: String,
+      cumCol: String,
+      numPartitions: Int): DataFrame = {
+    require(sortCols.nonEmpty, "GlobalIndex needs at least one sort column")
+    val ranged = df
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_gi_pid", spark_partition_id())
+    val vIdx = ranged.schema.fieldIndex(valueCol)
+    require(ranged.schema(vIdx).dataType == LongType,
+      s"withRunningTotal needs LongType for $valueCol")
+    val schema = ranged.schema
+      .add("_gi_rank", LongType, nullable = false)
+      .add("_gi_run", LongType, nullable = false)
+    val ranked = ranged.mapPartitions { it =>
+      var i = 0L
+      var run = 0L
+      it.map { r =>
+        i += 1
+        run += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ i :+ run)
+      }
+    }(Encoders.row(schema))
+    val offsets = ranged
+      .groupBy(col("_gi_pid"))
+      .agg(count(lit(1)).as("_gi_n"), sum(col(valueCol)).as("_gi_s"))
+      .withColumn(
+        "_gi_off",
+        coalesce(
+          sum(col("_gi_n")).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("_gi_pid"))
+              .rowsBetween(Long.MinValue, -1)),
+          lit(0L)))
+      .withColumn(
+        "_gi_soff",
+        coalesce(
+          sum(col("_gi_s")).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("_gi_pid"))
+              .rowsBetween(Long.MinValue, -1)),
+          lit(0L)))
+      .select(col("_gi_pid"), col("_gi_off"), col("_gi_soff"))
+    ranked
+      .join(broadcast(offsets), "_gi_pid")
+      .withColumn(posCol, (col("_gi_off") + col("_gi_rank")).cast("long"))
+      .withColumn(cumCol, (col("_gi_soff") + col("_gi_run")).cast("long"))
+      .drop("_gi_pid", "_gi_rank", "_gi_run", "_gi_off", "_gi_soff")
+  }
 }

@@ -202,6 +202,56 @@ object Release {
              |             ('stream table hash'), ('quantum flux capacitor'))
              |     p(probe)
              |LEFT JOIN sh ON sh.g = p.probe
-             |GROUP BY p.probe ORDER BY p.probe""".stripMargin))
+             |GROUP BY p.probe ORDER BY p.probe""".stripMargin)),
+
+    // -------------------------------------------- vocab coverage curve
+    // How many vocabulary entries cover 50/90/99% of token mass — the
+    // statistic that sizes a tokenizer's vocab before training it. The
+    // cumulative distribution over frequency-ranked terms comes from
+    // `operators/GlobalIndex.withRunningTotal` (distributed prefix sum:
+    // one range shuffle of the TERM table — already aggregated, vocab-
+    // scale not corpus-scale — local scans, broadcast offsets); the
+    // DuckDB oracle is the single-window cumulative formulation.
+    QueryDef(
+      "q46_vocab_coverage",
+      (s, dir) => {
+        val tf = t(s, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val total = tf.agg(sum(col("cnt")).as("total"))
+        val ranked = graft.operators.GlobalIndex
+          .withRunningTotal(tf, Seq(col("cnt").desc, col("term").asc),
+            "cnt", "pos", "cum", 8)
+        ranked.crossJoin(broadcast(total))
+          .select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("level"),
+            col("pos"), col("cum"), col("total"))
+          .filter(col("cum").cast("double") >=
+            col("level") * col("total").cast("double"))
+          .groupBy(col("level"))
+          .agg(min(col("pos")).as("n_terms"),
+            min_by(col("cum"), col("pos")).as("cum_tokens"),
+            max(col("total")).as("total_tokens"))
+          .orderBy("level")
+      },
+      Some("""WITH tf AS (
+             |  SELECT t AS term, count(*) AS cnt FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS t
+             |    FROM documents)
+             |  GROUP BY t),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tf),
+             |r AS (
+             |  SELECT term, cnt,
+             |    CAST(row_number() OVER (ORDER BY cnt DESC, term)
+             |         AS BIGINT) AS pos,
+             |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+             |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM tf),
+             |lv AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS level)
+             |SELECT lv.level, CAST(min(r.pos) AS BIGINT) AS n_terms,
+             |  CAST(min_by(r.cum, r.pos) AS BIGINT) AS cum_tokens,
+             |  CAST(max(tot.total) AS BIGINT) AS total_tokens
+             |FROM lv, tot, r
+             |WHERE CAST(r.cum AS DOUBLE) >= lv.level * CAST(tot.total AS DOUBLE)
+             |GROUP BY lv.level ORDER BY lv.level""".stripMargin))
   )
 }

@@ -77,6 +77,38 @@ class GlobalIndexSpec extends AnyFunSuite {
       }
   }
 
+  test("withRunningTotal matches the single-window prefix sum") {
+    val w = Window.orderBy(col("k"), col("id"))
+    val expect = sample
+      .withColumn("v", (col("id") % 7).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("cum",
+        sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("id", "pos", "cum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (p <- Seq(1, 4)) {
+      val got = GlobalIndex
+        .withRunningTotal(
+          sample.withColumn("v", (col("id") % 7).cast("long")),
+          Seq(col("k"), col("id")), "v", "pos", "cum", p)
+        .select("id", "pos", "cum")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, s"mismatch at numPartitions=$p")
+    }
+  }
+
+  test("withRunningTotal supports descending sort keys") {
+    val got = GlobalIndex
+      .withRunningTotal(
+        sample.withColumn("v", lit(1L)),
+        Seq(col("k").desc, col("id").asc), "v", "pos", "cum", 3)
+      .select("pos", "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // with v = 1 everywhere, cum must equal pos at every row
+    assert(got.forall { case (p, c) => p == c })
+    assert(got.keySet == (1L to 500L).toSet)
+  }
+
   test("keeps all original columns") {
     val out = GlobalIndex.withPosition(sample, Seq(col("id")), "pos", 3)
     assert(out.columns.toSet == Set("id", "k", "s", "pos"))
