@@ -120,6 +120,16 @@ object Curation {
       .filter(col("col").isin(probes: _*))
       .select(col("doc_id"), col("n_tokens"),
         col("pos").cast("long").as("s"), (col("pos") + 2).cast("long").as("e"))
+    excisionReport(matches)
+  }
+
+  /** Merge overlapping-or-adjacent token spans per document
+    * (gaps-and-islands over the running max end) and report per-doc
+    * span count, excised-token count, and surviving fraction. Input
+    * columns: `doc_id, n_tokens, s, e` (inclusive 0-based spans).
+    * All windows partition BY DOCUMENT — parallel across the corpus.
+    */
+  private def excisionReport(matches: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     matches
       .withColumn("pmax",
@@ -138,6 +148,41 @@ object Curation {
         round(lit(1.0) - col("n_excised").cast("double") /
           col("n_tokens").cast("double"), 6).as("clean_frac"))
       .orderBy("doc_id")
+  }
+
+  /** Corpus-internal duplicate-passage excision (the substring-level
+    * companion of document dedup): any `n`-gram that occurs in more
+    * than one document is a duplicated passage; every occurrence
+    * OUTSIDE the earliest document containing that gram (min doc_id —
+    * the canonical copy) is marked, marked spans are merged per doc,
+    * and the per-doc excision report is returned. Only docs that lose
+    * at least one span appear. Exposed for unit testing.
+    *
+    * Scale shape: the gram stream is shuffled once into a
+    * partial-aggregated `min/max(doc_id)` per gram (a gram is cross-doc
+    * duplicated iff min < max — no countDistinct pass); survivors
+    * equi-join back against the gram stream (shuffle hash join on the
+    * gram — no self-join of positions), and the island merge windows
+    * partition by document. Nothing is ever quadratic in corpus size.
+    */
+  def selfExcise(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        posexplode(TextFns.ngrams(col("text"), n)))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("long").as("s"),
+        (col("pos") + (n - 1)).cast("long").as("e"),
+        col("col").as("g"))
+    val dup = grams
+      .groupBy(col("g"))
+      .agg(min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("min_doc") < col("max_doc"))
+      .select(col("g"), col("min_doc"))
+    val hits = grams.join(dup, "g")
+      .filter(col("doc_id") =!= col("min_doc"))
+      .select(col("doc_id"), col("n_tokens"), col("s"), col("e"))
+    excisionReport(hits)
   }
 
   private val contaminationProbes = Seq(
@@ -267,5 +312,50 @@ object Curation {
              |  round(1.0 - CAST(sum(se - ss + 1) AS DOUBLE) /
              |        CAST(n_tokens AS DOUBLE), 6) AS clean_frac
              |FROM sp GROUP BY doc_id, n_tokens
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // --------------------------- corpus-internal duplicate passages
+    QueryDef(
+      "q47_self_excise",
+      (s, dir) => selfExcise(t(s, dir, "documents"), 8),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+             |           FROM documents),
+             |g0 AS (
+             |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             |         CAST(i - 1 AS BIGINT) AS s, CAST(i + 6 AS BIGINT) AS e,
+             |         array_to_string(w[i:i+7], ' ') AS g
+             |  FROM d, unnest(range(1, len(w) - 6)) AS t(i)
+             |  WHERE len(w) >= 8),
+             |dup AS (
+             |  SELECT g, min(doc_id) AS min_doc FROM g0 GROUP BY g
+             |  HAVING min(doc_id) < max(doc_id)),
+             |m AS (
+             |  SELECT doc_id, n_tokens, s, e
+             |  FROM g0 JOIN dup USING (g) WHERE doc_id <> min_doc),
+             |x AS (
+             |  SELECT doc_id, n_tokens, s, e,
+             |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |  FROM m),
+             |y AS (
+             |  SELECT doc_id, n_tokens, s, e,
+             |    CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END
+             |      AS brk
+             |  FROM x),
+             |z AS (
+             |  SELECT doc_id, n_tokens, s, e,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+             |      ROWS UNBOUNDED PRECEDING) AS isl
+             |  FROM y),
+             |sp AS (
+             |  SELECT doc_id, n_tokens, isl, min(s) AS ss, max(e) AS se
+             |  FROM z GROUP BY 1, 2, 3)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |  CAST(sum(se - ss + 1) AS BIGINT) AS n_excised,
+             |  n_tokens,
+             |  round(1.0 - CAST(sum(se - ss + 1) AS DOUBLE) /
+             |        CAST(n_tokens AS DOUBLE), 6) AS clean_frac
+             |FROM sp GROUP BY doc_id, n_tokens
+             |ORDER BY doc_id""".stripMargin),
+      bench = true))
 }

@@ -252,6 +252,63 @@ object Release {
              |  CAST(max(tot.total) AS BIGINT) AS total_tokens
              |FROM lv, tot, r
              |WHERE CAST(r.cum AS DOUBLE) >= lv.level * CAST(tot.total AS DOUBLE)
-             |GROUP BY lv.level ORDER BY lv.level""".stripMargin))
+             |GROUP BY lv.level ORDER BY lv.level""".stripMargin)),
+
+    // ---------------------------------------------- BPE merge training
+    // The actual tokenizer-training loop q46_bpe_pairs is one iteration
+    // of: `operators/BpeTrainer` runs 8 distributed merge rounds (each
+    // one vocab-scale pair-count shuffle, ONE row to the driver) and
+    // returns the merge table. The oracle unrolls the same 8 rounds as
+    // chained DuckDB CTEs over the identical parenthesis-delimited
+    // symbol representation, so greedy left-to-right application and
+    // (freq desc, pair asc) tie-breaks match exactly.
+    QueryDef(
+      "q46_bpe_train",
+      (s, dir) => {
+        val wc = t(s, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("w"))
+          .filter(col("w").rlike("^[a-z]+$"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        graft.operators.BpeTrainer.train(s, wc, 8).orderBy("merge_rank")
+      },
+      Some(bpeTrainOracle(8)))
   )
+
+  /** DuckDB oracle for q46_bpe_train: `n` unrolled merge iterations.
+    * w{i} holds the vocab after i merges as `"(sym)(sym)…"` strings;
+    * p{i}/b{i} are iteration i's pair counts and argmax choice.
+    */
+  private def bpeTrainOracle(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH tf AS (
+             |  SELECT t AS w, count(*) AS cnt
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+             |  WHERE regexp_matches(t, '^[a-z]+$')
+             |  GROUP BY t),
+             |w0 AS (SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS s, cnt
+             |       FROM tf)""".stripMargin
+    for (i <- 1 to n) {
+      sb ++= s""",
+               |p$i AS (
+               |  SELECT a[j] AS lhs, a[j + 1] AS rhs,
+               |         CAST(sum(cnt) AS BIGINT) AS freq
+               |  FROM (SELECT string_split(s[2:-2], ')(') AS a, cnt
+               |        FROM w${i - 1}) q,
+               |       unnest(range(1, len(a))) AS t(j)
+               |  GROUP BY 1, 2),
+               |b$i AS (SELECT lhs, rhs, freq FROM p$i
+               |        ORDER BY freq DESC, lhs, rhs LIMIT 1)""".stripMargin
+      if (i < n) {
+        sb ++= s""",
+                 |w$i AS (
+                 |  SELECT replace(s, '(' || b.lhs || ')(' || b.rhs || ')',
+                 |                 '(' || b.lhs || b.rhs || ')') AS s, cnt
+                 |  FROM w${i - 1}, b$i b)""".stripMargin
+      }
+    }
+    sb ++= (1 to n)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs, freq FROM b$i")
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY merge_rank")
+    sb.toString
+  }
 }

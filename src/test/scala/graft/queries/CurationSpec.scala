@@ -77,6 +77,38 @@ class CurationSpec extends AnyFunSuite {
     assert(ids == Seq(1L))
   }
 
+  test("selfExcise excises shared passages everywhere but the earliest doc") {
+    // docs 1 and 2 share the 3-gram "a b c"; doc 1 (min doc_id) keeps
+    // it, doc 2 loses tokens 1..3; doc 3 has no duplicated gram.
+    val d = docs(
+      (1L, "a b c p q", "en", "s"),
+      (2L, "z a b c w", "en", "s"),
+      (3L, "u v w x y", "en", "s"))
+    val rows = Curation.selfExcise(d, 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_excised"), r.getAs[Long]("n_tokens")))
+    assert(rows.toSeq == Seq((2L, 1L, 3L, 5L)))
+  }
+
+  test("selfExcise merges overlapping duplicate grams into one span") {
+    // "a b c d" appears in docs 1 and 2: doc 2's grams "a b c" and
+    // "b c d" overlap -> a single excised span of 4 tokens.
+    val d = docs(
+      (1L, "a b c d", "en", "s"),
+      (2L, "x a b c d y", "en", "s"))
+    val rows = Curation.selfExcise(d, 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_excised")))
+    assert(rows.toSeq == Seq((2L, 1L, 4L)))
+  }
+
+  test("selfExcise ignores grams repeated only within one document") {
+    val d = docs(
+      (1L, "a b c z a b c", "en", "s"),
+      (2L, "p q r s t", "en", "s"))
+    assert(Curation.selfExcise(d, 3).collect().isEmpty)
+  }
+
   test("kAnonStats publishes large slices and pools small ones per source") {
     val rows =
       docs(Seq.tabulate(5)(i => (i.toLong, "w w", "en", "s1")) ++
