@@ -24,7 +24,12 @@ object Bench {
     // JIT-warm paths, and the min also rides out ambient host-load noise
     // (observed ±20% between identical runs), so reported numbers track
     // real plan changes rather than neighbors
-    val results = SparkEntry.benchQueries.map { q =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows the set for local iteration;
+    // the driver never sets it, so the reported set stays the full one
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.benchQueries
+      .filter(q => only.forall(_.contains(q.name)))
+      .map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).count() catch { case _: Throwable => () }

@@ -161,9 +161,14 @@ object Curation {
     * Scale shape: the gram stream is shuffled once into a
     * partial-aggregated `min/max(doc_id)` per gram (a gram is cross-doc
     * duplicated iff min < max — no countDistinct pass); survivors
-    * equi-join back against the gram stream (shuffle hash join on the
-    * gram — no self-join of positions), and the island merge windows
-    * partition by document. Nothing is ever quadratic in corpus size.
+    * equi-join back against the gram stream (shuffle hash join — no
+    * self-join of positions), and the island merge windows partition by
+    * document. Nothing is ever quadratic in corpus size. Both the
+    * aggregate and the join key on `xxhash64(gram)` rather than the
+    * gram string itself, so every shuffle row carries 8 bytes of key
+    * instead of an n-token string (the same fingerprint trick as exact
+    * dedup; a 64-bit collision — ~corpus²/2⁶⁵ — is the accepted
+    * approximation, as in q22_dedup_fingerprint).
     */
   def selfExcise(docs: DataFrame, n: Int): DataFrame = {
     val grams = docs
@@ -173,13 +178,13 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"),
         col("pos").cast("long").as("s"),
         (col("pos") + (n - 1)).cast("long").as("e"),
-        col("col").as("g"))
+        xxhash64(col("col")).as("gh"))
     val dup = grams
-      .groupBy(col("g"))
+      .groupBy(col("gh"))
       .agg(min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .filter(col("min_doc") < col("max_doc"))
-      .select(col("g"), col("min_doc"))
-    val hits = grams.join(dup, "g")
+      .select(col("gh"), col("min_doc"))
+    val hits = grams.join(dup, "gh")
       .filter(col("doc_id") =!= col("min_doc"))
       .select(col("doc_id"), col("n_tokens"), col("s"), col("e"))
     excisionReport(hits)
