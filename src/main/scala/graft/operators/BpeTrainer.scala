@@ -64,16 +64,25 @@ object BpeTrainer {
         val l = best(0).getString(0)
         val r = best(0).getString(1)
         merges += Merge(merges.length + 1L, l, r, best(0).getLong(2))
-        words = words
-          .select(
-            regexp_replace(col("s"),
-              lit(java.util.regex.Pattern.quote(s"($l)($r)")),
-              lit(java.util.regex.Matcher.quoteReplacement(s"($l$r)"))).as("s"),
-            col("cnt"))
-          .localCheckpoint()
+        words = applyMerges(words, Seq((l, r))).localCheckpoint()
       }
     }
     import spark.implicits._
     merges.toSeq.toDF()
   }
+
+  /** Apply an ordered merge table to a symbol-string vocab (column `s`
+    * in the `"(sym)(sym)…"` representation) — the ENCODE side of the
+    * tokenizer: a map-only fold of boundary-safe literal rewrites, one
+    * per merge, with the (driver-scale) merge table baked into the
+    * plan. No shuffle, no state; this is what runs over 100 TB once
+    * training has fixed the merges.
+    */
+  def applyMerges(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(words) { case (df, (l, r)) =>
+      df.withColumn("s",
+        regexp_replace(col("s"),
+          lit(java.util.regex.Pattern.quote(s"($l)($r)")),
+          lit(java.util.regex.Matcher.quoteReplacement(s"($l$r)"))))
+    }
 }

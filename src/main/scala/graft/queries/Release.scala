@@ -271,14 +271,44 @@ object Release {
           .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
         graft.operators.BpeTrainer.train(s, wc, 8).orderBy("merge_rank")
       },
-      Some(bpeTrainOracle(8)))
+      Some(bpeTrainOracle(8))),
+
+    // --------------------------------------------- BPE encode (apply)
+    // The serving half of the tokenizer: train the 8 merges, then apply
+    // them to the vocab as a map-only fold of literal rewrites (the
+    // merge table is driver-scale and baked into the plan — this is the
+    // shape that encodes 100 TB with zero shuffles), and report the
+    // top-20 final symbols by corpus frequency.
+    QueryDef(
+      "q46_bpe_encode",
+      (s, dir) => {
+        val wc = t(s, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("w"))
+          .filter(col("w").rlike("^[a-z]+$"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        val merges = graft.operators.BpeTrainer.train(s, wc, 8)
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val sym0 = wc.select(
+          regexp_replace(col("w"), "(.)", "($1)").as("s"), col("cnt"))
+        graft.operators.BpeTrainer.applyMerges(sym0, merges)
+          .select(col("cnt"),
+            explode(split(expr("substring(s, 2, length(s) - 2)"),
+              "\\)\\(")).as("sym"))
+          .groupBy(col("sym")).agg(sum(col("cnt")).as("freq"))
+          .orderBy(col("freq").desc, col("sym").asc)
+          .limit(20)
+      },
+      Some(bpeEncodeOracle(8)))
   )
 
-  /** DuckDB oracle for q46_bpe_train: `n` unrolled merge iterations.
-    * w{i} holds the vocab after i merges as `"(sym)(sym)…"` strings;
-    * p{i}/b{i} are iteration i's pair counts and argmax choice.
+  /** Shared CTE chain for the BPE oracles: `n` unrolled merge
+    * iterations. w{i} holds the vocab after i merges as `"(sym)(sym)…"`
+    * strings; p{i}/b{i} are iteration i's pair counts and argmax
+    * choice. `finalVocab` also materializes w{n} (needed by the encode
+    * oracle, dead weight for the train oracle).
     */
-  private def bpeTrainOracle(n: Int): String = {
+  private def bpeCtes(n: Int, finalVocab: Boolean): String = {
     val sb = new StringBuilder
     sb ++= """WITH tf AS (
              |  SELECT t AS w, count(*) AS cnt
@@ -298,7 +328,7 @@ object Release {
                |  GROUP BY 1, 2),
                |b$i AS (SELECT lhs, rhs, freq FROM p$i
                |        ORDER BY freq DESC, lhs, rhs LIMIT 1)""".stripMargin
-      if (i < n) {
+      if (i < n || finalVocab) {
         sb ++= s""",
                  |w$i AS (
                  |  SELECT replace(s, '(' || b.lhs || ')(' || b.rhs || ')',
@@ -306,9 +336,19 @@ object Release {
                  |  FROM w${i - 1}, b$i b)""".stripMargin
       }
     }
-    sb ++= (1 to n)
-      .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs, freq FROM b$i")
-      .mkString("\n", "\nUNION ALL ", "\nORDER BY merge_rank")
     sb.toString
   }
+
+  private def bpeTrainOracle(n: Int): String =
+    bpeCtes(n, finalVocab = false) + (1 to n)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs, freq FROM b$i")
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY merge_rank")
+
+  private def bpeEncodeOracle(n: Int): String =
+    bpeCtes(n, finalVocab = true) +
+      s"""
+         |SELECT sym, CAST(sum(cnt) AS BIGINT) AS freq
+         |FROM (SELECT unnest(string_split(s[2:-2], ')(')) AS sym, cnt
+         |      FROM w$n)
+         |GROUP BY sym ORDER BY freq DESC, sym LIMIT 20""".stripMargin
 }

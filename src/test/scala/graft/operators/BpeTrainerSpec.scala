@@ -81,6 +81,15 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(trained(words, 3).isEmpty)
   }
 
+  test("applyMerges encodes with the trained merges, greedily in order") {
+    import spark.implicits._
+    val sym0 = Seq(("(a)(b)(a)(b)", 1L), ("(b)(a)", 2L))
+      .toDF("s", "cnt")
+    val out = BpeTrainer.applyMerges(sym0, Seq(("a", "b"), ("ab", "ab")))
+      .orderBy("cnt").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("(abab)", "(b)(a)"))
+  }
+
   test("matches the naive reference on random corpora") {
     val rnd = new Random(7)
     for (trial <- 1 to 3) {

@@ -109,6 +109,52 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.selfExcise(d, 3).collect().isEmpty)
   }
 
+  /** Sequential reference for selfExcise: brute-force gram occurrence
+    * lists, min-doc canonical copy, interval merge with adjacency.
+    */
+  private def naiveSelfExcise(
+      docsSeq: Seq[(Long, String)], n: Int): Map[Long, (Long, Long, Long)] = {
+    val toks = docsSeq.map { case (id, t) => id -> t.split(" ").toVector }
+    val occ = for {
+      (id, w) <- toks
+      i <- 0 to w.length - n
+    } yield (w.slice(i, i + n).mkString(" "), id, i)
+    val byGram = occ.groupBy(_._1)
+    val minDoc = byGram.collect {
+      case (g, os) if os.map(_._2).distinct.size > 1 => g -> os.map(_._2).min
+    }
+    val hits = occ.filter { case (g, id, _) => minDoc.get(g).exists(_ != id) }
+    val lens = toks.toMap
+    hits.groupBy(_._2).map { case (id, hs) =>
+      val spans = hs.map { case (_, _, i) => (i.toLong, (i + n - 1).toLong) }
+        .sorted
+      var merged = List.empty[(Long, Long)]
+      for ((s, e) <- spans) merged = merged match {
+        case (ms, me) :: rest if s <= me + 1 =>
+          (ms, math.max(me, e)) :: rest
+        case other => (s, e) :: other
+      }
+      val excised = merged.map { case (s, e) => e - s + 1 }.sum
+      id -> ((merged.length.toLong, excised, lens(id).length.toLong))
+    }
+  }
+
+  test("selfExcise matches the naive model on random corpora") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val docsSeq = (1L to 8L).map { id =>
+        val len = 5 + rnd.nextInt(11)
+        id -> Vector.fill(len)("abcde"(rnd.nextInt(5)).toString).mkString(" ")
+      }
+      val d = docs(docsSeq.map { case (id, t) => (id, t, "en", "s") }: _*)
+      val got = Curation.selfExcise(d, 3).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_excised"),
+            r.getAs[Long]("n_tokens")))).toMap
+      assert(got == naiveSelfExcise(docsSeq, 3), s"trial $trial")
+    }
+  }
+
   test("kAnonStats publishes large slices and pools small ones per source") {
     val rows =
       docs(Seq.tabulate(5)(i => (i.toLong, "w w", "en", "s1")) ++
