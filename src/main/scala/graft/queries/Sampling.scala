@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.GlobalIndex
+
+/** Corpus subsampling & compression primitives — the q48 family: the
+  * operations that shrink a 100 TB corpus (or its embedding index) to a
+  * budgeted subset without a driver-side random() anywhere.
+  *
+  * - Priority sampling (Duffield–Lund–Thorup): weighted sampling
+  *   WITHOUT replacement as a pure top-k — priority = w/u with a
+  *   deterministic per-doc uniform, take the k largest. One map over
+  *   the scan + a TakeOrderedAndProject; no shuffle of the corpus, and
+  *   the same doc set falls out on every run/engine (md5-derived u).
+  * - Scalar int8 quantization (the SQ8 of FAISS et al.): per-dimension
+  *   min/max over the corpus, codes = floor-scaled bytes, and a
+  *   quantized dot-product top-k. All-integer scoring makes the result
+  *   engine-exact (no float-sum reassociation anywhere), which is why
+  *   the oracle can hash-compare it.
+  * - Exact equi-depth binning: ntile(k) semantics over the corpus
+  *   WITHOUT the single-partition window — global positions come from
+  *   `operators/GlobalIndex` (range shuffle + broadcast offsets), and
+  *   the ntile bucket is recomputed from (pos, n) by integer
+  *   arithmetic. NOTE: the folklore `(pos-1)*k div n` bucket is NOT
+  *   ntile (first counter-example n=7, k=5 — it spreads the remainder
+  *   Bresenham-style, ntile front-loads it); the exact front-loaded
+  *   form is used and proven against Spark's own ntile in
+  *   SamplingSpec.
+  */
+object Sampling {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** 16-bit deterministic uniform in [0, 65535] from the md5 of a key
+    * column (the portable digit-by-digit trick q28_train_split uses:
+    * DuckDB has no hex→int cast, so the oracle rebuilds via strpos).
+    */
+  private def u16(key: org.apache.spark.sql.Column) =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** The oracle-side twin of [[u16]]. */
+  private def u16Sql(keyExpr: String): String =
+    (1 to 4).map { i =>
+      val shift = math.pow(16, 4 - i).toLong
+      s"(strpos('0123456789abcdef', substring(md5($keyExpr), $i, 1)) - 1) * $shift"
+    }.mkString("(", " +\n       ", ")")
+
+  /** Exact ntile(k) bucket from a 1-based global position and total n,
+    * front-loading the remainder like the SQL window function:
+    * q = n div k, r = n mod k; the first r buckets hold q+1 rows.
+    */
+  private[graft] def ntileExpr(k: Int): String =
+    s"""CASE WHEN pos <= (n % $k) * ((n div $k) + 1)
+       |     THEN (pos - 1) div ((n div $k) + 1) + 1
+       |     ELSE (n % $k) + (pos - (n % $k) * ((n div $k) + 1) - 1)
+       |            div (n div $k) + 1 END""".stripMargin
+
+  def all: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------ priority sampling
+    // Weighted sampling without replacement, weight = n_chars (long
+    // documents are proportionally more likely to be kept — the usual
+    // token-budget subsample). priority = w/u with u = (u16+1)/65536:
+    // computed as ONE double division of two exactly-represented
+    // integers, so Spark and DuckDB produce bit-identical priorities
+    // and the top-k sets agree exactly. Scale shape: pure map +
+    // TakeOrderedAndProject(k) — nothing but k rows ever leaves an
+    // executor, and the sample is reproducible O(1) per doc (append-
+    // safe: new docs never perturb old priorities).
+    QueryDef(
+      "q48_priority_sample",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            ((col("n_chars") * lit(65536L)).cast("double") /
+              (u16(col("doc_id")) + lit(1L)).cast("double")).as("priority"))
+          .orderBy(col("priority").desc, col("doc_id").asc)
+          .limit(20),
+      Some(s"""SELECT doc_id, n_chars,
+              |  CAST(n_chars * 65536 AS DOUBLE) /
+              |    CAST(${u16Sql("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+              |    AS priority
+              |FROM documents
+              |ORDER BY priority DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ----------------------------------------------- SQ8 quantized ANN
+    // Scalar 8-bit quantization of the embedding index: per-dimension
+    // [min, max] over the corpus (one partial-aggregated shuffle of
+    // 64 keys), codes = floor((v-mn)*255/(mx-mn)) clamped to [0,255],
+    // and asymmetric-free integer scoring sum(code·qcode) — a 4×
+    // memory cut (float32→int8) with exact integer comparisons, so
+    // ties and ordering are engine-independent (contrast the float
+    // paths, which need round()). Serving shape at 100 TB: the stats
+    // row is index-build output (like PQ codebooks); scoring is a
+    // map-side-combined aggregate keyed by vec_id, then top-k.
+    QueryDef(
+      "q48_sq8_topk",
+      (s, dir) => {
+        val ex = t(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), (col("pos") + 1).as("i"),
+            col("col").cast("double").as("v"))
+        val st = ex.groupBy("i").agg(min("v").as("mn"), max("v").as("mx"))
+        val codes = ex.join(broadcast(st), "i")
+          .select(col("vec_id"), col("i"),
+            when(col("mx") === col("mn"), lit(0L))
+              .otherwise(greatest(lit(0L), least(lit(255L),
+                floor((col("v") - col("mn")) * lit(255.0) /
+                  (col("mx") - col("mn"))).cast("long"))))
+              .as("code"))
+        val q = codes.filter(col("vec_id") === 0)
+          .select(col("i"), col("code").as("qcode"))
+        codes.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), "i")
+          .groupBy("vec_id")
+          .agg(sum(col("code") * col("qcode")).as("score"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some("""WITH ex AS (
+             |  SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS v
+             |  FROM embeddings, range(1, 65) i(i)),
+             |st AS (SELECT i, min(v) AS mn, max(v) AS mx FROM ex GROUP BY 1),
+             |c AS (
+             |  SELECT vec_id, ex.i,
+             |    CASE WHEN mx = mn THEN 0
+             |         ELSE greatest(0, least(255,
+             |           CAST(floor(((v - mn) * 255.0) / (mx - mn)) AS BIGINT)))
+             |    END AS code
+             |  FROM ex JOIN st ON ex.i = st.i),
+             |q AS (SELECT i, code AS qcode FROM c WHERE vec_id = 0)
+             |SELECT c.vec_id, CAST(sum(c.code * q.qcode) AS BIGINT) AS score
+             |FROM c JOIN q ON c.i = q.i
+             |WHERE c.vec_id <> 0
+             |GROUP BY 1 ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // --------------------------------------------- exact equi-depth bins
+    // ntile(10) over (n_chars, doc_id) at corpus scale: positions from
+    // the distributed GlobalIndex (ONE range shuffle — the same price
+    // any total sort pays — plus a ≤32-row offset broadcast), bucket
+    // from (pos, n) integer arithmetic, then a per-bin profile. The
+    // oracle is the single-window ntile formulation, so a pass here
+    // proves distributed-pos ntile ≡ window ntile on real data.
+    QueryDef(
+      "q48_equidepth_bins",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "n_chars")
+        val pos = GlobalIndex.withPosition(
+          d, Seq(col("n_chars"), col("doc_id")), "pos", 32)
+        pos.crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
+          .select(col("n_chars"), expr(ntileExpr(10)).cast("long").as("bin"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("bin")
+      },
+      Some("""WITH p AS (
+             |  SELECT n_chars,
+             |         CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+             |           AS bin
+             |  FROM documents)
+             |SELECT bin, count(*) AS n_docs,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit-level checks for the q48 sampling family, independent of the
+  * DuckDB oracles.
+  */
+class SamplingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // The load-bearing arithmetic claim: the front-loaded integer bucket
+  // formula reproduces SQL ntile exactly — including the remainder
+  // placement the folklore `(pos-1)*k div n` form gets wrong (n=7, k=5
+  // is a counter-example for that one).
+  test("ntileExpr matches Spark's ntile for awkward (n, k) pairs") {
+    import spark.implicits._
+    for {
+      n <- Seq(1, 2, 5, 7, 9, 10, 11, 23, 100)
+      k <- Seq(1, 2, 3, 5, 7, 10) if k <= n
+    } {
+      val d = (1 to n).map(_.toLong).toDF("id")
+      val expected = d
+        .withColumn("bin", ntile(k).over(Window.orderBy("id")))
+        .select(col("id"), col("bin").cast("long"))
+      val got = d
+        .withColumn("pos", col("id"))
+        .withColumn("n", lit(n.toLong))
+        .select(col("id"), expr(Sampling.ntileExpr(k)).cast("long").as("bin"))
+      val diff = got.except(expected).union(expected.except(got))
+      assert(diff.isEmpty, s"ntile mismatch at n=$n k=$k")
+    }
+  }
+
+  test("the folklore bucket formula is NOT ntile (guard the comment)") {
+    // n=7, k=5: ntile sizes are 2,2,1,1,1; (pos-1)*k div n gives
+    // 2,1,2,1,1. If this ever starts passing, the scaladoc claim in
+    // Sampling is stale.
+    val folklore = (1 to 7).map(p => (p - 1) * 5 / 7 + 1)
+    assert(folklore.groupBy(identity).view.mapValues(_.size).toMap !=
+      Map(1 -> 2, 2 -> 2, 3 -> 1, 4 -> 1, 5 -> 1))
+  }
+
+  test("priority sample is deterministic and weight-monotone in expectation") {
+    import spark.implicits._
+    val d = (1L to 400L).map(i => (i, if (i <= 200) 10L else 1000L))
+      .toDF("doc_id", "n_chars")
+    def sample() = {
+      val u16 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+      d.select(col("doc_id"), col("n_chars"),
+          ((col("n_chars") * lit(65536L)).cast("double") /
+            (u16 + lit(1L)).cast("double")).as("priority"))
+        .orderBy(col("priority").desc, col("doc_id").asc)
+        .limit(40).collect().map(_.getLong(0)).toSeq
+    }
+    val a = sample()
+    assert(a == sample()) // bit-stable across runs
+    // heavy docs (100× weight) should dominate a weighted sample
+    assert(a.count(_ > 200) >= 35, s"heavy-doc share too low: $a")
+  }
+
+  test("sq8 codes stay in [0,255] and recover exact argmax structure") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), // query
+      (1L, Array(1.0f, 0.1f, 0.0f)), // near-duplicate of query
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val ex = vecs
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"),
+        col("col").cast("double").as("v"))
+    val st = ex.groupBy("i").agg(min("v").as("mn"), max("v").as("mx"))
+    val codes = ex.join(broadcast(st), "i")
+      .select(col("vec_id"), col("i"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(greatest(lit(0L), least(lit(255L),
+            floor((col("v") - col("mn")) * lit(255.0) /
+              (col("mx") - col("mn"))).cast("long"))))
+          .as("code"))
+    val all = codes.collect()
+    assert(all.forall { r =>
+      val c = r.getAs[Long]("code"); c >= 0L && c <= 255L
+    })
+    val q = codes.filter(col("vec_id") === 0)
+      .select(col("i"), col("code").as("qcode"))
+    val top = codes.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), "i")
+      .groupBy("vec_id")
+      .agg(sum(col("code") * col("qcode")).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .collect()
+    assert(top.head.getLong(0) == 1L) // the near-duplicate wins
+  }
+}
