@@ -27,13 +27,24 @@ object AsOfJoin {
     * @param leftTime   event-time column name on the left
     * @param rightTime  event-time column name on the right
     * @param rightVals  right columns to carry (renamed as given)
+    * @param inclusive  true (default): attach right rows with time <=
+    *                   left time. false: strictly earlier only (<) —
+    *                   the leakage-safe mode for training-feature
+    *                   retrieval, where a feature version stamped at
+    *                   exactly the label's time must NOT be visible.
     */
   def apply(
       left: DataFrame,
       right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightVals: Seq[(String, String)]): DataFrame = {
+      rightVals: Seq[(String, String)],
+      inclusive: Boolean = true): DataFrame = {
+
+    // Tie order at equal _t decides <= vs <: the running last_value only
+    // sees rows sorted BEFORE the probe row, so inclusive puts right
+    // rows first (0 < 1) and strict puts them after (2 > 1).
+    val rightSide = if (inclusive) 0 else 2
 
     val leftTagged = left
       .withColumn("_k", col(leftKey))
@@ -46,7 +57,7 @@ object AsOfJoin {
         (Seq(
           col(rightKey).as("_k"),
           col(rightTime).as("_t"),
-          lit(0).as("_side")) ++
+          lit(rightSide).as("_side")) ++
           rightVals.map { case (in, out) => col(in).as(out) }): _*)
 
     // align schemas: right side lacks the left payload columns
