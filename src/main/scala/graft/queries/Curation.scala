@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextFns
+import graft.functions.{TextFns, WordNgrams, WordShingles}
 import graft.operators.GlobalIndex
 
 /** Corpus-release curation operators — the q47 family: cross-source
@@ -40,7 +40,7 @@ object Curation {
     */
   def sourceOverlap(docs: DataFrame, n: Int): DataFrame = {
     val postings = docs
-      .select(col("source"), explode(TextFns.shingles(col("text"), n)).as("g"))
+      .select(col("source"), explode(WordShingles.word_shingles(col("text"), n)).as("g"))
       .groupBy(col("g"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
     val sizes = postings
@@ -116,7 +116,7 @@ object Curation {
     val matches = docs
       .select(col("doc_id"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
-        posexplode(TextFns.ngrams(col("text"), 3)))
+        posexplode(WordNgrams.word_ngrams(col("text"), 3)))
       .filter(col("col").isin(probes: _*))
       .select(col("doc_id"), col("n_tokens"),
         col("pos").cast("long").as("s"), (col("pos") + 2).cast("long").as("e"))
@@ -174,7 +174,7 @@ object Curation {
     val grams = docs
       .select(col("doc_id"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
-        posexplode(TextFns.ngrams(col("text"), n)))
+        posexplode(WordNgrams.word_ngrams(col("text"), n)))
       .select(col("doc_id"), col("n_tokens"),
         col("pos").cast("long").as("s"),
         (col("pos") + (n - 1)).cast("long").as("e"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{MinHashSignature, SimHash64, RollingHash64, TextFns, VectorFns, WordShingles}
+import graft.functions.{MinHashSignature, SimHash64, RollingHash64, TextFns, VectorFns, WordNgrams, WordShingles}
 import graft.operators.{DedupCluster, KMeans, ProductQuantizer}
 
 /** LLM-training-pipeline operators (SURVEY §2.2 Q21–Q26 + north-star
@@ -390,7 +390,7 @@ object LlmOps {
       "q22_dup_ngram_frac",
       (s, dir) => {
         val grams = t(s, dir, "documents")
-          .select(col("doc_id"), explode(TextFns.ngrams(col("text"), 8)).as("g"))
+          .select(col("doc_id"), explode(WordNgrams.word_ngrams(col("text"), 8)).as("g"))
         val df = grams.groupBy(col("g"))
           .agg(countDistinct(col("doc_id")).as("nd"))
         grams.join(df, "g")
@@ -1101,11 +1101,11 @@ object LlmOps {
         val base = docs.select(col("doc_id"),
           size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
         val top2 = docs
-          .select(col("doc_id"), explode(TextFns.ngrams(col("text"), 2)).as("g"))
+          .select(col("doc_id"), explode(WordNgrams.word_ngrams(col("text"), 2)).as("g"))
           .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id")).agg(max(col("c")).as("top_2gram_count"))
         val dup3 = docs
-          .select(col("doc_id"), explode(TextFns.ngrams(col("text"), 3)).as("g"))
+          .select(col("doc_id"), explode(WordNgrams.word_ngrams(col("text"), 3)).as("g"))
           .groupBy(col("doc_id"))
           .agg((count(lit(1)) - countDistinct(col("g"))).as("dup_3gram_count"))
         base.join(top2, "doc_id").join(dup3, "doc_id")

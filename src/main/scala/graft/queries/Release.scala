@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextFns
+import graft.functions.{TextFns, WordShingles}
 
 /** Corpus release operations — the q46 family: the bookkeeping a data
   * release runs between two corpus versions and before freezing a
@@ -178,7 +178,7 @@ object Release {
           "quantum flux capacitor").map(Tuple1(_))).toDF("probe")
         val grams = t(s, dir, "documents")
           .select(col("doc_id"),
-            explode(TextFns.shingles(col("text"), 3)).as("g"))
+            explode(WordShingles.word_shingles(col("text"), 3)).as("g"))
         // inner join with the probes broadcast (a LEFT join from the
         // 4-row side would force a shuffle of the whole gram stream),
         // then backfill zero-hit probes with a driver-scale outer join

@@ -78,4 +78,21 @@ class ExpressionSpec extends AnyFunSuite {
     val bk = r.getSeq[Long](1)
     assert(bk == MinHashSignature.bandKeys(sig, 4, 4).toSeq)
   }
+
+  test("WordNgrams equals the composed TextFns.ngrams it replaces") {
+    // the excision/repetition queries swapped the interpreted HOF for
+    // the codegen'd expression — element-for-element parity (including
+    // multiplicity and posexplode positions) is the swap's contract
+    val docs = Seq(
+      "a b c d e", "a a a a", "one", "", " ", "x  y z", // double space
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "a b").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(1, 2, 3, 8)) {
+      val composed = docs.select(col("id"), TextFns.ngrams(col("text"), n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val native = docs.select(col("id"), WordNgrams.word_ngrams(col("text"), n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native == composed, s"n=$n")
+    }
+  }
 }
