@@ -600,6 +600,48 @@ object LlmOps {
            |GROUP BY m.cluster_id, m.best, m.n_members
            |ORDER BY m.cluster_id""".stripMargin)),
 
+    // -------------------------------------- incremental near-dup (LSH)
+    // The ingestion-time variant of MinHash near-dup (the fuzzy cousin
+    // of q22_dedup_incremental): a new batch (doc_id % 5 = 0) is checked
+    // against the already-ingested corpus, reporting per batch doc its
+    // near-dup partners already present. Shape here: one LSH candidate
+    // pass with cross-side filtering BEFORE exact verification. In
+    // production the corpus side's (band, key) postings are a STORED
+    // index maintained at ingest, so the per-batch cost is the batch's
+    // own signatures + an equi-join against the index — proportional to
+    // the batch, never the corpus (the same contract the q22 exact
+    // variant documents); both sides derive from one table here only
+    // because the harness provides a single snapshot.
+    QueryDef(
+      "q23_neardup_incremental",
+      (s, dir) => {
+        val isBatchA = col("doc_a") % 5 === 0
+        val isBatchB = col("doc_b") % 5 === 0
+        val cand = lshCandidatePairs(shingledDocs(s, dir), bands = 16, rows = 8)
+          .filter(isBatchA =!= isBatchB)
+        verifyJaccardPairs(s, dir, cand, 0.8)
+          .select(
+            when(isBatchA, col("doc_a")).otherwise(col("doc_b")).as("batch_doc"),
+            when(isBatchA, col("doc_b")).otherwise(col("doc_a")).as("corpus_doc"),
+            col("jaccard"))
+          .groupBy(col("batch_doc"))
+          .agg(count(lit(1)).as("n_partners"),
+            min(col("corpus_doc")).as("first_partner"),
+            max(col("jaccard")).as("max_jaccard"))
+          .orderBy("batch_doc")
+      },
+      Some(s"""WITH $duckPairCtes,
+           |cp AS (
+           |  SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS batch_doc,
+           |         CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS corpus_doc,
+           |         jaccard
+           |  FROM jpairs
+           |  WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0))
+           |SELECT batch_doc, CAST(count(*) AS BIGINT) AS n_partners,
+           |       min(corpus_doc) AS first_partner,
+           |       max(jaccard) AS max_jaccard
+           |FROM cp GROUP BY batch_doc ORDER BY batch_doc""".stripMargin)),
+
     // ------------------------------------------- embedding cosine pairs
     // Exact cosine near-dup: broadcast pair enumeration + codegen'd
     // in-order double fold per pair (DotF) — deterministic because the

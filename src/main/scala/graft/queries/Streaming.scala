@@ -108,6 +108,33 @@ object Streaming {
              |FROM latest WHERE rn = 1
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Incremental SCD2 maintenance from the CDC stream (foreachBatch:
+    // bronze append + affected-user history rebuild + version publish);
+    // final history equals the batch q33_scd2 derivation regardless of
+    // micro-batch slicing or arrival order — see StreamOps.streamScd2.
+    QueryDef(
+      "q20_stream_scd2",
+      (s, dir) => graft.streaming.StreamOps.streamScd2(s, dir),
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |         lag(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |changes AS (
+             |  SELECT user_id, event_type, ts, event_id FROM ordered
+             |  WHERE prev_type IS NULL OR prev_type <> event_type),
+             |hist AS (
+             |  SELECT user_id, event_type, ts AS valid_from,
+             |    coalesce(lead(ts) OVER (PARTITION BY user_id
+             |               ORDER BY ts, event_id),
+             |             TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+             |  FROM changes)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+             |  CAST(sum(CASE WHEN valid_to = TIMESTAMP '2200-01-01 00:00:00'
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+             |  max(valid_from) AS last_change_ts
+             |FROM hist GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Misra-Gries heavy-hitters sketch (functions.HeavyHitters): one pass,
     // 32 counters per partial, shuffle carries sketches not distinct
     // items. The MG guarantee — every item with true frequency > n/(k+1)

@@ -306,4 +306,82 @@ object StreamOps {
     graft.queries.LlmOps.verifyJaccardPairs(spark, sfDir, candTable, 0.8)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Incremental SCD2 dimension maintenance from the CDC/event stream —
+    * the streaming twin of q33_scd2. Each micro-batch (a) appends to a
+    * bronze event log, (b) recomputes the type-2 history ONLY for the
+    * users present in the batch (from their complete bronze log), and
+    * (c) publishes a new history version = untouched users' rows +
+    * recomputed rows. Because every affected user is rebuilt from their
+    * FULL log, the final table is independent of micro-batch slicing
+    * AND of arrival order — a late event that lands mid-history simply
+    * triggers a correct rebuild of that user, the case where
+    * append-only interval patching silently corrupts.
+    *
+    * Scale: per trigger the work is O(batch + affected users' history),
+    * the standard incremental-materialization bound. The bronze rescan
+    * is pruned by the affected-user join; at 100 TB bronze would be
+    * bucketed by user so that join prunes file groups (the same layout
+    * argument as q30_bucketed_join), and the version flip becomes a
+    * table-format transactional commit (the q20_stream_upsert note).
+    */
+  def streamScd2(spark: SparkSession, sfDir: String): DataFrame =
+    streamScd2From(spark, sfDir, eventsStream(spark, sfDir))
+
+  /** The pipeline behind [[streamScd2]], parameterized on the event
+    * stream so the spec can force multi-micro-batch, order-scrambled
+    * arrival and assert batch-equivalence.
+    */
+  def streamScd2From(
+      spark: SparkSession, sfDir: String, events: DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.expressions.Window
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_scd2_${math.abs(sfDir.hashCode)}_${System.nanoTime()}")
+    Files.createDirectories(root)
+    // same pandas-representable open-interval sentinel as q33_scd2
+    val sentinel = lit("2200-01-01 00:00:00").cast("timestamp")
+
+    // q33's interval derivation: change points via lag, validity via lead
+    def scd2(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      df.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to", coalesce(lead(col("ts"), 1).over(w), sentinel))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"))
+    }
+
+    var lastVersion = -1L
+    val q = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        b.write.mode("append").parquet(root.resolve("bronze").toString)
+        val affected = b.select(col("user_id")).distinct()
+        val bronze = spark.read.parquet(root.resolve("bronze").toString)
+        val recomputed = scd2(bronze.join(affected, "user_id"))
+        val merged =
+          if (lastVersion < 0) recomputed
+          else spark.read.parquet(root.resolve(s"v$lastVersion").toString)
+            .join(affected, Seq("user_id"), "left_anti")
+            .unionByName(recomputed)
+        merged.write.mode("overwrite")
+          .parquet(root.resolve(s"v$batchId").toString)
+        lastVersion = batchId
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(root.resolve(s"v$lastVersion").toString)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(when(col("valid_to") === sentinel, 1L).otherwise(0L))
+          .as("n_current"),
+        max(col("valid_from")).as("last_change_ts"))
+      .orderBy("event_type")
+  }
 }
