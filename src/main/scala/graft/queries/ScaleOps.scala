@@ -160,6 +160,57 @@ object ScaleOps {
       Some("""SELECT o_custkey AS custkey, count(*) AS exact_orders,
              |       true AS within_bounds
              |FROM orders WHERE o_custkey BETWEEN 1 AND 5
-             |GROUP BY o_custkey ORDER BY custkey""".stripMargin))
+             |GROUP BY o_custkey ORDER BY custkey""".stripMargin)),
+
+    // --------------------------- footer-statistics-only aggregation
+    // COUNT/MIN/MAX answered from parquet footer statistics without
+    // decoding a single data page — the difference between touching
+    // 100 TB and touching its metadata. Spark's aggregate pushdown is a
+    // DSv2-only rule, so the scan is opened through the V2 path and the
+    // aggregate executed eagerly with the flag on (both configs are
+    // restored before returning — the shared verify session must not
+    // leak V2 scans into other queries' asserted plans). The executed
+    // plan is REQUIRED to contain PushedAggregation: if the rule stops
+    // firing, this query throws rather than silently paying the full
+    // scan. The result is re-wrapped as a local relation for the
+    // oracle compare.
+    QueryDef(
+      "q51_agg_pushdown",
+      (s, dir) => {
+        val conf = s.conf
+        val prevPush = conf.getOption("spark.sql.parquet.aggregatePushdown")
+        val prevV1 = conf.getOption("spark.sql.sources.useV1SourceList")
+        val (rows, schema) = try {
+          conf.set("spark.sql.parquet.aggregatePushdown", "true")
+          conf.set("spark.sql.sources.useV1SourceList", "")
+          val agg = s.read.parquet(s"$dir/lineitem.parquet")
+            .agg(count(lit(1)).as("n_rows"),
+              min(col("l_orderkey")).as("min_orderkey"),
+              max(col("l_orderkey")).as("max_orderkey"),
+              min(col("l_shipdate")).as("min_shipdate"),
+              max(col("l_shipdate")).as("max_shipdate"))
+          val collected = agg.collect()
+          val plan = agg.queryExecution.executedPlan.toString
+          require(plan.contains("PushedAggregation"),
+            "parquet aggregate pushdown did not fire — the scan would " +
+              "decode every data page instead of reading footer stats")
+          (collected, agg.schema)
+        } finally {
+          prevPush.fold(conf.unset("spark.sql.parquet.aggregatePushdown"))(
+            conf.set("spark.sql.parquet.aggregatePushdown", _))
+          prevV1.fold(conf.unset("spark.sql.sources.useV1SourceList"))(
+            conf.set("spark.sql.sources.useV1SourceList", _))
+        }
+        // re-wrap the (one) collected row with its own schema — typed
+        // getters would have to care whether the session returns
+        // java.sql or java.time values; createDataFrame accepts either
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  min(l_orderkey) AS min_orderkey,
+             |  max(l_orderkey) AS max_orderkey,
+             |  min(l_shipdate) AS min_shipdate,
+             |  max(l_shipdate) AS max_shipdate
+             |FROM lineitem""".stripMargin))
   )
 }
