@@ -211,6 +211,44 @@ object ScaleOps {
              |  max(l_orderkey) AS max_orderkey,
              |  min(l_shipdate) AS min_shipdate,
              |  max(l_shipdate) AS max_shipdate
-             |FROM lineitem""".stripMargin))
+             |FROM lineitem""".stripMargin)),
+
+    // ------------------------------ mergeable distinct-count rollup
+    // The incremental-distinct shape: per-DAY HLL sketches (Datasketches
+    // HllSketch via hll_sketch_agg) merged up to weeks with
+    // hll_union_agg. At 100 TB the daily sketch table is what you
+    // STORE — any window's distinct-user count is then a merge of
+    // fixed-size sketch blobs (shuffle carries ~KB per day, never user
+    // ids), and a new day appends one sketch without touching history —
+    // where count(DISTINCT) rescans every event of every window it
+    // answers. The query emits the EXACT weekly distincts (both engines
+    // agree) plus a within-5% check of the sketch estimate against
+    // exact (lgConfigK=12 → ~1.6% standard error; same
+    // emit-the-invariant pattern as q21_count_min, since DuckDB cannot
+    // replay Datasketches bytes).
+    QueryDef(
+      "q51_hll_rollup",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val daily = ev
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        val weeklyEst = daily
+          .groupBy(to_date(date_trunc("week", col("day"))).as("week"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .as("est"))
+        val exact = ev
+          .groupBy(to_date(date_trunc("week", col("ts"))).as("week"))
+          .agg(count_distinct(col("user_id")).as("exact_users"))
+        exact.join(weeklyEst, "week")
+          .select(col("week"), col("exact_users"),
+            (abs(col("est") - col("exact_users")) <=
+              col("exact_users") * lit(0.05)).as("within_bounds"))
+          .orderBy("week")
+      },
+      Some("""SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+             |  count(DISTINCT user_id) AS exact_users,
+             |  true AS within_bounds
+             |FROM events GROUP BY 1 ORDER BY week""".stripMargin))
   )
 }
