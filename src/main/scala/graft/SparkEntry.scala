@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Classifier, Conversion, Corpus, Curation, Extended, Features, Insights, Lexical, LlmOps, QueryDef, Relational, Release, Sampling, ScaleOps, Semantic, Streaming, TimeSeries, TpchSqlMore}
+import graft.queries.{Analytics, Classifier, Conversion, Corpus, Curation, Engagement, Extended, Features, Insights, Lexical, LlmOps, Overlap, QueryDef, Relational, Release, Sampling, ScaleOps, Semantic, Streaming, TimeSeries, TpchSqlMore}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.all ++ Conversion.all ++ LlmOps.all ++ Streaming.all ++
       Extended.all ++ Analytics.all ++ TpchSqlMore.all ++ ScaleOps.all ++
       Corpus.all ++ Insights.all ++ TimeSeries.all ++ Semantic.all ++ Classifier.all ++ Release.all ++
-      Curation.all ++ Sampling.all ++ Features.all ++ Lexical.all
+      Curation.all ++ Sampling.all ++ Features.all ++ Lexical.all ++
+      Engagement.all ++ Overlap.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -235,7 +235,7 @@ object LlmOps {
   }
 
   /** DuckDB SQL fragment: distinct word-3-gram shingle list of `text`. */
-  private val duckShingles =
+  private[queries] val duckShingles =
     """list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |               FOR i IN range(1, greatest(len(w)-1, 1))])""".stripMargin
 
