@@ -9,8 +9,36 @@ import org.apache.spark.sql.SparkSession
   * Timing is per-query wall clock of a full plan execution (count()),
   * after a one-off trivial action that absorbs session/codegen warmup so
   * the first measured query isn't charged for JVM startup.
+  *
+  * A query that throws is reported as {"err": "<message>"} under its name
+  * and EXCLUDED from "value" — a failure must never be folded into the
+  * total as a (fast, fake) timing.
   */
 object Bench {
+
+  /** Render the one-line JSON result. Successes render as seconds;
+    * failures render as {"err": msg} objects and are excluded from the
+    * total. Kept free of SparkSession so it can be spec'd directly.
+    */
+  def formatResults(
+      results: Seq[(String, Either[String, Double])], sfDir: String): String = {
+    val qs = results.map {
+      case (k, Right(sec)) => s""""$k":$sec"""
+      case (k, Left(msg))  => s""""$k":{"err":${jsonString(msg)}}"""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(sec)) => sec }.sum
+    val nErr = results.count(_._2.isLeft)
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$nErr}"""
+  }
+
+  private def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => " "
+      case c             => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -27,20 +55,30 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows the set for local iteration;
     // the driver never sets it, so the reported set stays the full one
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.benchQueries
-      .filter(q => only.forall(_.contains(q.name)))
-      .map { q =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try q.run(spark, sfDir).count() catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val sec = Seq(once(), once(), once()).min
-      (q.name, sec)
-    }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.benchQueries
+        .filter(q => only.forall(_.contains(q.name)))
+        .map { q =>
+          def once(): Either[String, Double] = {
+            val t0 = System.nanoTime()
+            try {
+              q.run(spark, sfDir).count()
+              Right((System.nanoTime() - t0) / 1e9)
+            } catch {
+              case e: Throwable =>
+                val msg = Option(e.getMessage).getOrElse("")
+                  .linesIterator.toSeq.headOption.getOrElse("")
+                Left(s"${e.getClass.getSimpleName}: $msg")
+            }
+          }
+          val runs = Seq(once(), once(), once())
+          val secs = runs.collect { case Right(s) => s }
+          val result =
+            if (secs.size == runs.size) Right(secs.min)
+            else runs.collectFirst { case Left(m) => Left(m) }.get
+          (q.name, result)
+        }
+    println(formatResults(results, sfDir))
     spark.stop()
   }
 }

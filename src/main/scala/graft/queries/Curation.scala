@@ -39,8 +39,14 @@ object Curation {
     * self-join of the gram stream.
     */
   def sourceOverlap(docs: DataFrame, n: Int): DataFrame = {
+    // Hash each shingle to 8 bytes BEFORE the shuffle (cf. selfExcise and
+    // Overlap.crossSourceLeakage): the postings Exchange then keys on
+    // BIGINT instead of carrying the corpus's raw gram strings (~50-80 B
+    // each at 100 TB). 2^-64 collision odds — same trade accepted by the
+    // sibling operators; collect_set(source) semantics are unaffected.
     val postings = docs
-      .select(col("source"), explode(WordShingles.word_shingles(col("text"), n)).as("g"))
+      .select(col("source"), explode(WordShingles.word_shingles(col("text"), n)).as("gram"))
+      .select(col("source"), xxhash64(col("gram")).as("g"))
       .groupBy(col("g"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
     val sizes = postings

@@ -45,9 +45,13 @@ object StreamOps {
       .parquet(streamDir.toString)
   }
 
+  /** Streaming view of events with `ts` normalized to TimestampType via
+    * the same dtype branch as the batch loader (Tables.normalizeEventsTs),
+    * so both fixture encodings (raw-nanos INT64 / TIMESTAMP_MICROS NTZ)
+    * stream identically.
+    */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
-    tableStream(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeEventsTs(tableStream(spark, sfDir, "events"))
 
   /** Run a streaming aggregation to completion against a memory sink and
     * return the final table.

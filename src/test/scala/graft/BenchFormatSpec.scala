@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench must never convert a failed query into a timing: failures render
+  * as a visible {"err": ...} object, are excluded from the total, and are
+  * counted. (Round 5: a broken query was reported as a 0.092 s "speedup"
+  * because the exception was swallowed.)
+  */
+class BenchFormatSpec extends AnyFunSuite {
+
+  test("a failed query renders as an err object, not a timing") {
+    val out = Bench.formatResults(
+      Seq(
+        "q_ok" -> Right(1.5),
+        "q_broken" -> Left("AnalysisException: DATATYPE_MISMATCH"),
+        "q_ok2" -> Right(0.25)),
+      "/root/testdata/sf0.1")
+    assert(out.contains(""""q_broken":{"err":"AnalysisException: DATATYPE_MISMATCH"}"""))
+    assert(out.contains(""""q_ok":1.5"""))
+    assert(out.contains(""""value":1.75"""), "total must exclude the failed query")
+    assert(out.contains(""""errors":1"""))
+  }
+
+  test("error messages are JSON-escaped (quotes, backslashes, control chars)") {
+    val out = Bench.formatResults(
+      Seq("q" -> Left("bad \"col\"\nback\\slash")), "sf")
+    assert(out.contains("""{"err":"bad \"col\" back\\slash"}"""))
+    // the whole line must still be parseable by any JSON reader: balanced
+    // braces, no raw newline
+    assert(!out.contains("\n"))
+  }
+
+  test("all-green results keep the original shape") {
+    val out = Bench.formatResults(Seq("a" -> Right(2.0)), "sfX")
+    assert(out ===
+      """{"metric":"total","value":2.0,"unit":"sec","queries":{"a":2.0},"sf":"sfX","errors":0}""")
+  }
+}
