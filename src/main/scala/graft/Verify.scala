@@ -26,6 +26,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures are recorded in verify_errors.json as well as stderr: a
+    // query that errors at dump time would otherwise simply be ABSENT
+    // from the driver's compare (round 5: 36 loader-broken queries were
+    // invisible in CORRECTNESS_r05 instead of red). The artifact makes
+    // absence distinguishable from never-registered.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -37,6 +43,7 @@ object Verify {
           f"[verify] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -54,6 +61,14 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(_._1.startsWith(prefix))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // exit 0 even with failures: the driver must still compare the
+    // queries that DID dump (a nonzero exit could zero the whole round);
+    // the artifact + stderr line carry the failure signal
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED to dump")
     spark.stop()
   }
 }

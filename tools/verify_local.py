@@ -37,7 +37,18 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
+    # queries that errored at dump time (graft.Verify writes this artifact
+    # so load-time breakage is red here instead of silently absent)
+    try:
+        dump_errors = json.load(open(f"{out_dir}/verify_errors.json"))
+    except FileNotFoundError:
+        dump_errors = {}
+    for name, msg in sorted(dump_errors.items()):
+        failures.append(name)
+        print(f"FAIL {name}: dump errored: {msg}")
     for name, sql in sorted(oracle.items()):
+        if name in dump_errors:
+            continue  # already reported above; no parquet to compare
         try:
             want = con.sql(sql)
             want_cols = sorted(want.columns)
@@ -81,7 +92,8 @@ def main():
             print(f"FAIL {name}: row {bad[0]} cols={want_cols}\n  oracle={bad[1]}\n  spark ={bad[2]}")
         else:
             print(f"OK   {name}: {len(got_rows)} rows")
-    print(f"\n{len(oracle) - len(failures)}/{len(oracle)} queries match")
+    total = len(oracle) + len([n for n in dump_errors if n not in oracle])
+    print(f"\n{total - len(failures)}/{total} queries match")
     sys.exit(1 if failures else 0)
 
 
