@@ -600,6 +600,60 @@ object LlmOps {
            |GROUP BY m.cluster_id, m.best, m.n_members
            |ORDER BY m.cluster_id""".stripMargin)),
 
+    // ------------------------------------------- leakage-safe train split
+    // q28_train_split hashes PER DOCUMENT, so two near-duplicate docs can
+    // land on opposite sides of the train/val boundary — the classic
+    // eval-contamination leak that dedup-then-split pipelines exist to
+    // prevent. This variant assigns the WHOLE near-dup cluster by hashing
+    // the cluster id (min doc_id of the connected component): membership
+    // stays O(1)-recomputable and append-stable, but duplicates can never
+    // straddle splits (asserted as an invariant in LlmOpsSpec too). Scale
+    // shape: the clustering is the q23 pipeline (bucketed LSH + verified
+    // pairs + large-star/small-star CC); the split itself adds one
+    // broadcast-free map over the assignment — no extra shuffle.
+    QueryDef(
+      "q54_leakage_safe_split",
+      (s, dir) => {
+        val vertices = t(s, dir, "documents").select(col("doc_id").as("node"))
+        val edges = minhashVerifiedPairs(s, dir, 0.8)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val clusters = DedupCluster.connectedComponents(vertices, edges)
+          .select(col("node").as("doc_id"), col("cluster_id"))
+        val bucket =
+          conv(substring(md5(col("cluster_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 100
+        clusters
+          .select(col("doc_id"), col("cluster_id"),
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+           |$duckPairCtes,
+           |und AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+           |        UNION ALL SELECT doc_b, doc_a FROM jpairs),
+           |reach(node, label) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT u.b, r.label FROM und u JOIN reach r ON r.node = u.a),
+           |cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+           |       FROM reach GROUP BY node),
+           |b AS (SELECT doc_id, cluster_id,
+           |  ((strpos('0123456789abcdef',
+           |      substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+           |   (strpos('0123456789abcdef',
+           |      substring(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+           |   (strpos('0123456789abcdef',
+           |      substring(md5(CAST(cluster_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+           |   (strpos('0123456789abcdef',
+           |      substring(md5(CAST(cluster_id AS VARCHAR)), 4, 1)) - 1)) % 100
+           |    AS bucket
+           |  FROM cl)
+           |SELECT doc_id, cluster_id,
+           |  CASE WHEN bucket < 80 THEN 'train'
+           |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM b ORDER BY doc_id""".stripMargin)),
+
     // -------------------------------------- incremental near-dup (LSH)
     // The ingestion-time variant of MinHash near-dup (the fuzzy cousin
     // of q22_dedup_incremental): a new batch (doc_id % 5 = 0) is checked

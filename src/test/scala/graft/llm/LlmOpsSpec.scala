@@ -132,4 +132,27 @@ class LlmOpsSpec extends AnyFunSuite {
     val total = run("q25_langid").collect().map(_.getLong(1)).sum
     assert(total == 500)
   }
+
+  test("leakage-safe split: no near-dup cluster straddles a split boundary") {
+    val rows = run("q54_leakage_safe_split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 500, "one assignment per document")
+    // the defining invariant: each cluster maps to exactly one split
+    val splitsPerCluster = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct)
+    splitsPerCluster.foreach { case (cid, ss) =>
+      assert(ss.length == 1, s"cluster $cid spans splits $ss")
+    }
+    // and the hash actually spreads: all three splits are populated
+    assert(rows.map(_._3).distinct.sorted.sameElements(Seq("test", "train", "val")))
+    // the doc-level split (q28) DOES leak on this corpus — at least one
+    // multi-doc cluster would be divided by per-doc hashing — otherwise
+    // this operator wouldn't be testing anything
+    val perDocBucket = (id: Long) =>
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(4), 16) % 100
+    val split = (b: Long) => if (b < 80) "train" else if (b < 90) "val" else "test"
+    val leaky = rows.groupBy(_._2).values
+      .exists(g => g.length > 1 && g.map(d => split(perDocBucket(d._1))).distinct.length > 1)
+    assert(leaky, "fixture has no cluster that per-doc hashing would split — weak test")
+  }
 }
