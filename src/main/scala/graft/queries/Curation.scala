@@ -368,5 +368,66 @@ object Curation {
              |        CAST(n_tokens AS DOUBLE), 6) AS clean_frac
              |FROM sp GROUP BY doc_id, n_tokens
              |ORDER BY doc_id""".stripMargin),
-      bench = true))
+      bench = true),
+
+    // ------------------------------------- boilerplate block removal
+    // CCNet/RefinedWeb-style boilerplate excision: chop each document
+    // into non-overlapping 10-word blocks, drop every block that occurs
+    // in >= 3 DISTINCT documents (nav bars, license headers, templated
+    // chrome), and reassemble the survivors in order. Differs from
+    // q47_span_excise (probe-suite-driven) and q47_self_excise
+    // (pairwise positional overlap): the signal here is corpus-wide
+    // block FREQUENCY. Scale shape: blocks are xxhash64-hashed to 8-byte
+    // keys before both shuffles (the distinct pass and the left_anti
+    // join back), so no shuffle carries block text; the reassembly
+    // aggregate is partitioned by doc_id. The oracle groups by the raw
+    // block string — identical result barring a 2^-64 hash collision,
+    // the same trade every hashed-gram operator here accepts.
+    QueryDef(
+      "q55_boilerplate_excise",
+      (s, dir) => {
+        val block = 10
+        val minDocs = 3
+        val w = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val blocks = w
+          .select(col("doc_id"), posexplode(
+            transform(
+              sequence(lit(0), ((size(col("w")) - 1) / block).cast("int")),
+              i => concat_ws(" ", slice(col("w"), i * block + 1, lit(block)))))
+            .as(Seq("bi", "blk")))
+          .withColumn("bh", xxhash64(col("blk")))
+        val common = blocks.select(col("bh"), col("doc_id")).distinct()
+          .groupBy("bh").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= minDocs)
+        val kept = blocks.join(common, Seq("bh"), "left_anti")
+        val cleaned = kept.groupBy("doc_id").agg(
+          count(lit(1)).as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("bi"), col("blk")))),
+              x => x.getField("blk")), " ").as("text_clean"))
+        blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+          .join(cleaned, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("text_clean"), lit("")).as("text_clean"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |b AS (SELECT doc_id, CAST(i AS BIGINT) AS bi,
+             |        array_to_string(list_slice(w, i*10+1, i*10+10), ' ') AS blk
+             |      FROM d, unnest(generate_series(0, (len(w)-1)//10)) AS t(i)),
+             |c AS (SELECT blk FROM (
+             |        SELECT blk, count(DISTINCT doc_id) AS nd FROM b GROUP BY blk)
+             |      WHERE nd >= 3),
+             |k AS (SELECT * FROM b WHERE blk NOT IN (SELECT blk FROM c)),
+             |g AS (SELECT doc_id, count(*) AS n_kept,
+             |        array_to_string(list(blk ORDER BY bi), ' ') AS text_clean
+             |      FROM k GROUP BY doc_id),
+             |tot AS (SELECT doc_id, count(*) AS n_blocks FROM b GROUP BY doc_id)
+             |SELECT tot.doc_id, COALESCE(text_clean, '') AS text_clean,
+             |  COALESCE(n_kept, 0) AS n_kept,
+             |  tot.n_blocks - COALESCE(n_kept, 0) AS n_dropped
+             |FROM tot LEFT JOIN g USING (doc_id) ORDER BY tot.doc_id""".stripMargin)))
 }

@@ -186,4 +186,27 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(out.toSet == Set(("s1", "en", 2L), ("s1", "__other__", 2L)))
   }
+
+  test("boilerplateExcise: untouched docs reconstruct byte-exactly, counts add up") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q55_boilerplate_excise")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 500, "one row per document")
+    val orig = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // reassembly fidelity: a doc with nothing dropped is the identity
+    val untouched = out.filter(_._4 == 0)
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (id, clean, _, _) =>
+      assert(clean == orig(id), s"doc $id changed despite n_dropped=0")
+    }
+    // something must actually be excised on this corpus, and counts are
+    // conserved: kept + dropped = ceil(words / 10)
+    assert(out.exists(_._4 > 0), "no boilerplate found — threshold too high for fixture")
+    out.foreach { case (id, _, kept, dropped) =>
+      val nWords = orig(id).split(" ").length
+      assert(kept + dropped == (nWords - 1) / 10 + 1, s"doc $id block count")
+    }
+  }
 }
