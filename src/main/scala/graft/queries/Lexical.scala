@@ -118,6 +118,83 @@ object Lexical {
              |  CAST(n_terms AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
              |  CAST(n_tokens * n_tokens AS DOUBLE) / CAST(sum_c2 AS DOUBLE)
              |    AS inv_simpson
-             |FROM agg ORDER BY source""".stripMargin))
+             |FROM agg ORDER BY source""".stripMargin)),
+
+    // ---------------------- sparse lexical cosine (tf inverted index)
+    // Frequency-weighted doc-doc lexical similarity — the sparse-vector
+    // counterpart of q24's dense cosine and the set-based
+    // q23_jaccard_pairs: docs as integer term-frequency vectors, pair
+    // dots generated from an inverted index (postings-list join), so
+    // work is Σ_term df² — bounded by RELATIVE max-df pruning (terms in
+    // more than N/10 of the corpus are dropped BEFORE any pair is
+    // formed: sklearn's max_df, the lexical analogue of the LSH bucket
+    // cap; ubiquitous terms carry no similarity signal anyway). The
+    // predicate is the integer form `df * 10 <= N` so both engines cut
+    // at exactly the same term. Norms are computed over the same pruned
+    // vocabulary, so the reported value is the exact cosine in
+    // content-term space. Terms are xxhash64'd before both shuffles (no
+    // raw strings move); the oracle groups the raw strings — identical
+    // barring a 2^-64 collision, the standard hashed-gram trade. All
+    // arithmetic is integer until one double division per pair.
+    QueryDef(
+      "q57_sparse_cosine",
+      (s, dir) =>
+        sparseCosinePairs(t(s, dir, "documents"), 10)
+          .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+          .limit(20),
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+             |kept AS (SELECT term FROM (
+             |           SELECT term, count(*) AS df FROM tf GROUP BY 1)
+             |         WHERE df * 10 <= (SELECT count(*) FROM documents)),
+             |p AS (SELECT tf.* FROM tf JOIN kept USING (term)),
+             |n2 AS (SELECT doc_id, sum(tf * tf) AS n2 FROM p GROUP BY 1),
+             |d AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         sum(a.tf * b.tf) AS dot
+             |  FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+             |  round(CAST(dot AS DOUBLE) /
+             |        (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+             |        6) AS cosine
+             |FROM d JOIN n2 na ON d.doc_a = na.doc_id
+             |       JOIN n2 nb ON d.doc_b = nb.doc_id
+             |ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""".stripMargin))
   )
+
+  /** Exact cosine over integer tf vectors in pruned content-term space,
+    * pairs generated from an inverted index. Input needs (doc_id, text).
+    * Terms in more than N/dfDenom of the corpus are dropped BEFORE pair
+    * expansion (relative max-df pruning — per-term pair work is then
+    * ≤ (N/dfDenom)², the lexical analogue of the LSH bucket cap); norms
+    * use the same pruned vocabulary so the value is an exact cosine in
+    * that space. Terms are xxhash64'd pre-shuffle.
+    */
+  def sparseCosinePairs(docs: DataFrame, dfDenom: Int): DataFrame = {
+    val n = docs.select(count(lit(1)).as("n"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"), xxhash64(col("term")).as("th"))
+      .groupBy("doc_id", "th").agg(count(lit(1)).as("tf"))
+    val kept = tf.groupBy("th").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") * lit(dfDenom.toLong) <= col("n"))
+    val p = tf.join(kept.select("th"), Seq("th"))
+    val n2 = p.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = p.as("a")
+      .join(p.as("b"),
+        col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.tf") * col("b.tf")).as("x"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("x")).as("dot"))
+    dots
+      .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("na")), "doc_a")
+      .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6)
+          .as("cosine"))
+  }
 }

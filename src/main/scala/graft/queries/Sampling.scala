@@ -168,6 +168,112 @@ object Sampling {
              |SELECT bin, count(*) AS n_docs,
              |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --------------------- Johnson–Lindenstrauss reduced-space top-k
+    // Random-projection dimensionality reduction (Achlioptas ±1 JL):
+    // the map-only compressor that sits in FRONT of every ANN scheme
+    // here — 64 dims → 16 before any pairwise work touches the index.
+    // The sign matrix is data-independent and derived from md5(j_i)
+    // (the portable engine-parity hash), so no randomness crosses the
+    // driver and every run/engine sees the same projection. Arithmetic
+    // is the house integer-exact style: embeddings go through the SQ8
+    // centered int codes (one 64-key min/max shuffle + broadcast),
+    // projection r_j = Σ_i c_i·s_ij is an integer sum (order-free, so
+    // the (vec_id, j) aggregate is map-side combined), norms are
+    // integer, and the reported cosine is one double division of
+    // exactly-representable values — hash-comparable across engines.
+    // Scale shapes: quantize = 64-key shuffle; project = 1024-row
+    // broadcast sign join + n·k-row partial agg; the all-pairs stage
+    // is the declared-small-scale exact form (same stance as
+    // q24_cosine_pairs) — at 100 TB the 16-dim integer vectors feed
+    // the q24 IVF/LSH bucketing instead, which is the entire point of
+    // projecting first.
+    QueryDef(
+      "q56_jl_topk",
+      (s, dir) =>
+        jlCosinePairs(t(s, dir, "embeddings"), 16)
+          .orderBy(col("cosine_red").desc, col("vec_a"), col("vec_b"))
+          .limit(20),
+      Some("""WITH ex AS (
+             |  SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS v
+             |  FROM embeddings, range(1, 65) i(i)),
+             |st AS (SELECT i, min(v) AS mn, max(v) AS mx FROM ex GROUP BY 1),
+             |c AS (
+             |  SELECT vec_id, ex.i,
+             |    (CASE WHEN mx = mn THEN 0
+             |          ELSE greatest(0, least(255,
+             |            CAST(floor(((v - mn) * 255.0) / (mx - mn)) AS BIGINT)))
+             |     END) - 128 AS c
+             |  FROM ex JOIN st ON ex.i = st.i),
+             |sg AS (
+             |  SELECT i.i AS i, j.j AS j,
+             |    CASE WHEN substring(md5(CAST(j.j AS VARCHAR) || '_' ||
+             |                            CAST(i.i AS VARCHAR)), 1, 1)
+             |         IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1
+             |    END AS sgn
+             |  FROM range(1, 65) i(i), range(0, 16) j(j)),
+             |r AS (
+             |  SELECT vec_id, j, sum(c * sgn) AS r
+             |  FROM c JOIN sg ON c.i = sg.i GROUP BY 1, 2),
+             |n2 AS (SELECT vec_id, sum(r * r) AS n2 FROM r GROUP BY 1),
+             |d AS (
+             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |         sum(a.r * b.r) AS dot_red
+             |  FROM r a JOIN r b ON a.j = b.j AND a.vec_id < b.vec_id
+             |  GROUP BY 1, 2)
+             |SELECT vec_a, vec_b, CAST(dot_red AS BIGINT) AS dot_red,
+             |  round(CAST(dot_red AS DOUBLE) /
+             |        (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+             |        6) AS cosine_red
+             |FROM d JOIN n2 na ON d.vec_a = na.vec_id
+             |       JOIN n2 nb ON d.vec_b = nb.vec_id
+             |WHERE na.n2 > 0 AND nb.n2 > 0
+             |ORDER BY cosine_red DESC, vec_a, vec_b LIMIT 20""".stripMargin))
   )
+
+  /** Centered SQ8 codes → deterministic ±1 JL projection to `k` dims →
+    * exact reduced-space cosine for every vec pair (pre-top-k). Input
+    * needs (vec_id, embedding: array<float/double>). The sign matrix is
+    * md5-derived from (j, i) only, so the projection is identical on
+    * every run, engine, and cluster size. Integer arithmetic throughout;
+    * one double division per pair at the end.
+    */
+  def jlCosinePairs(emb: DataFrame, k: Int): DataFrame = {
+    val ex = emb
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"),
+        col("col").cast("double").as("v"))
+    val st = ex.groupBy("i").agg(min("v").as("mn"), max("v").as("mx"))
+    val codes = ex.join(broadcast(st), "i")
+      .select(col("vec_id"), col("i"),
+        (when(col("mx") === col("mn"), lit(0L))
+          .otherwise(greatest(lit(0L), least(lit(255L),
+            floor((col("v") - col("mn")) * lit(255.0) /
+              (col("mx") - col("mn"))).cast("long"))))
+          - lit(128L)).as("c"))
+    val signs = st.select(col("i"))
+      .crossJoin(emb.sparkSession.range(0, k).toDF("j"))
+      .select(col("i"), col("j"),
+        when(substring(md5(concat_ws("_", col("j"), col("i"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1L))
+          .otherwise(lit(-1L)).as("sgn"))
+    val red = codes.join(broadcast(signs), Seq("i"))
+      .groupBy("vec_id", "j")
+      .agg(sum(col("c") * col("sgn")).as("r"))
+    val n2 = red.groupBy("vec_id").agg(sum(col("r") * col("r")).as("n2"))
+    val dots = red.as("a")
+      .join(red.as("b"),
+        col("a.j") === col("b.j") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (col("a.r") * col("b.r")).as("x"))
+      .groupBy("vec_a", "vec_b").agg(sum(col("x")).as("dot_red"))
+    dots
+      .join(n2.select(col("vec_id").as("vec_a"), col("n2").as("na")), "vec_a")
+      .join(n2.select(col("vec_id").as("vec_b"), col("n2").as("nb")), "vec_b")
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("vec_a"), col("vec_b"), col("dot_red"),
+        round(col("dot_red") / (sqrt(col("na")) * sqrt(col("nb"))), 6)
+          .as("cosine_red"))
+  }
 }

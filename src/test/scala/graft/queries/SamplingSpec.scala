@@ -100,4 +100,25 @@ class SamplingSpec extends AnyFunSuite {
       .collect()
     assert(top.head.getLong(0) == 1L) // the near-duplicate wins
   }
+
+  test("jlCosinePairs: duplicates project to cosine 1.0, deterministic") {
+    import spark.implicits._
+    // 16-dim vectors: 0 and 1 identical (→ identical codes → identical
+    // reduced vectors → cosine exactly 1.0); 2 is a distinct pattern.
+    val base = (0 until 16).map(i => if (i % 2 == 0) 1.0f else -0.5f)
+    val other = (0 until 16).map(i => if (i % 3 == 0) -1.0f else 0.8f)
+    val vecs = Seq(
+      (0L, base), (1L, base), (2L, other)).toDF("vec_id", "embedding")
+    def run() = Sampling.jlCosinePairs(vecs, 8)
+      .orderBy("vec_a", "vec_b").collect()
+    val rows = run()
+    val byPair = rows.map(r =>
+      (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("cosine_red")).toMap
+    assert(byPair((0L, 1L)) == 1.0) // exact: integer vectors are equal
+    assert(byPair((0L, 2L)) < 1.0)  // distinct pattern does not saturate
+    assert(byPair((0L, 2L)) == byPair((1L, 2L))) // same projection
+    // data-independent md5 sign matrix → bit-identical reruns
+    assert(rows.toSeq == run().toSeq)
+  }
 }
