@@ -103,6 +103,20 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("round-6 ops: pair generation stays equi-keyed, no shuffle cartesian") {
+    // q56's tiny sign-matrix crossJoin (64×16 rows) and q56/q57's 1-row
+    // count broadcasts are BNLJ by design (scalar combine); what must
+    // never appear is a CartesianProduct — the DATA-path pair joins
+    // (postings on the hashed term, reduced vectors on j) are equi-keyed
+    // and would surface as a shuffle cartesian if they lost their keys.
+    Seq("q54_leakage_safe_split", "q55_boilerplate_excise",
+      "q56_jl_topk", "q57_sparse_cosine").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans a shuffle cartesian:\n$p")
+    }
+  }
+
   test("q35_edit_join: candidates come from the variant equi-join") {
     val p = plan("q35_edit_join")
     assert(!p.contains("BroadcastNestedLoopJoin"),
