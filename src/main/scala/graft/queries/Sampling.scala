@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.VectorFns
 import graft.operators.GlobalIndex
 
 /** Corpus subsampling & compression primitives — the q48 family: the
@@ -229,8 +230,60 @@ object Sampling {
              |FROM d JOIN n2 na ON d.vec_a = na.vec_id
              |       JOIN n2 nb ON d.vec_b = nb.vec_id
              |WHERE na.n2 > 0 AND nb.n2 > 0
-             |ORDER BY cosine_red DESC, vec_a, vec_b LIMIT 20""".stripMargin))
+             |ORDER BY cosine_red DESC, vec_a, vec_b LIMIT 20""".stripMargin)),
+
+    // ------------------------------------ balanced export sharding
+    // The training-shard writer's balancing step: assign every doc to
+    // one of 16 output shards so token mass is near-uniform — greedy
+    // LPT approximated as round-robin over the SIZE-DESC global order
+    // (each shard takes one doc per "round", so mass spread is bounded
+    // by the per-round size decay, not by luck of a hash). The global
+    // position comes from operators/GlobalIndex — one range shuffle +
+    // a broadcast offset join, NO single-partition row_number window —
+    // and shard = (pos-1) mod 16 is stateless integer arithmetic, so
+    // the assignment is deterministic and recomputable per doc. The
+    // oracle is the single-window formulation, proving distributed pos
+    // ≡ row_number once more on a DESC key. Reported: per-shard doc
+    // count, token mass, and size envelope.
+    QueryDef(
+      "q58_balanced_shards",
+      (s, dir) =>
+        balancedShards(t(s, dir, "documents"), 16, 32)
+          .orderBy("shard"),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, n_tokens,
+             |    (row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % 16
+             |      AS shard
+             |  FROM d)
+             |SELECT CAST(shard AS BIGINT) AS shard,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS tok_mass,
+             |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
   )
+
+  /** Round-robin shard assignment over the token-size-DESC global order
+    * (approximate LPT balancing), rolled up per shard. Input needs
+    * (doc_id, text). The only corpus-size shuffle is GlobalIndex's range
+    * exchange; the rollup is a `shards`-key aggregate.
+    */
+  def balancedShards(docs: DataFrame, shards: Int, parts: Int): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    GlobalIndex
+      .withPosition(d, Seq(col("n_tokens").desc, col("doc_id")), "pos", parts)
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("pos") - 1) % shards).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tok_mass"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"))
+  }
 
   /** Centered SQ8 codes → deterministic ±1 JL projection to `k` dims →
     * exact reduced-space cosine for every vec pair (pre-top-k). Input
@@ -261,19 +314,27 @@ object Sampling {
     val red = codes.join(broadcast(signs), Seq("i"))
       .groupBy("vec_id", "j")
       .agg(sum(col("c") * col("sgn")).as("r"))
-    val n2 = red.groupBy("vec_id").agg(sum(col("r") * col("r")).as("n2"))
-    val dots = red.as("a")
-      .join(red.as("b"),
-        col("a.j") === col("b.j") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (col("a.r") * col("b.r")).as("x"))
-      .groupBy("vec_a", "vec_b").agg(sum(col("x")).as("dot_red"))
-    dots
-      .join(n2.select(col("vec_id").as("vec_a"), col("n2").as("na")), "vec_a")
-      .join(n2.select(col("vec_id").as("vec_b"), col("n2").as("nb")), "vec_b")
+    // Reassemble the k reduced components per vector and pair via the
+    // q24_cosine_pairs shape: broadcast pair enumeration feeding the
+    // codegen'd DotF fold — NOT an equi-join on j, whose 16-key space
+    // would funnel the quadratic stage through 16 skewed tasks. Every
+    // value is an integer < 2^53 (|r_j| ≤ 128·64, so dots/norms ≤
+    // ~4.3e9), so the double fold is exact and the BIGINT cast lossless.
+    val redVec = red
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("r")))),
+        x => x.getField("r").cast("double")).as("rv"))
+    val withN = redVec.select(col("vec_id"), col("rv"),
+      VectorFns.normSq(col("rv")).as("n2"))
+    val a = withN.select(
+      col("vec_id").as("vec_a"), col("rv").as("ra"), col("n2").as("na"))
+    val b = withN.select(
+      col("vec_id").as("vec_b"), col("rv").as("rb"), col("n2").as("nb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .filter(col("na") > 0 && col("nb") > 0)
-      .select(col("vec_a"), col("vec_b"), col("dot_red"),
-        round(col("dot_red") / (sqrt(col("na")) * sqrt(col("nb"))), 6)
-          .as("cosine_red"))
+      .select(col("vec_a"), col("vec_b"),
+        VectorFns.dot(col("ra"), col("rb")).cast("long").as("dot_red"),
+        round(VectorFns.dot(col("ra"), col("rb")) /
+          (sqrt(col("na")) * sqrt(col("nb"))), 6).as("cosine_red"))
   }
 }

@@ -110,7 +110,7 @@ class PlanSpec extends AnyFunSuite {
     // (postings on the hashed term, reduced vectors on j) are equi-keyed
     // and would surface as a shuffle cartesian if they lost their keys.
     Seq("q54_leakage_safe_split", "q55_boilerplate_excise",
-      "q56_jl_topk", "q57_sparse_cosine").foreach { q =>
+      "q56_jl_topk", "q57_sparse_cosine", "q58_balanced_shards").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q plans a shuffle cartesian:\n$p")

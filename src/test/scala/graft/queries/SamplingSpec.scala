@@ -121,4 +121,28 @@ class SamplingSpec extends AnyFunSuite {
     // data-independent md5 sign matrix → bit-identical reruns
     assert(rows.toSeq == run().toSeq)
   }
+
+  test("balancedShards: round-robin doc counts, mass beats contiguous chunks") {
+    import spark.implicits._
+    // Heavily skewed sizes: doc i has i tokens (1..400). Round-robin
+    // over the size-DESC order must (a) give every shard exactly
+    // n/shards docs, (b) spread token mass far tighter than contiguous
+    // range chunks of the same order would.
+    val docs = (1 to 400)
+      .map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Sampling.balancedShards(docs, 8, 4).collect()
+    assert(r.length == 8)
+    assert(r.forall(_.getAs[Long]("n_docs") == 50L))
+    val masses = r.map(_.getAs[Long]("tok_mass"))
+    val rrSpread = masses.max - masses.min
+    // contiguous chunks of the same DESC order: chunk 0 gets sizes
+    // 400..351, chunk 7 gets 50..1
+    val desc = (1 to 400).map(_.toLong).sorted(Ordering[Long].reverse)
+    val chunkMasses = desc.grouped(50).map(_.sum).toSeq
+    val chunkSpread = chunkMasses.max - chunkMasses.min
+    assert(rrSpread * 10 < chunkSpread,
+      s"round-robin spread $rrSpread not « chunk spread $chunkSpread")
+    assert(masses.sum == (1 to 400).map(_.toLong).sum) // conservation
+  }
 }
