@@ -40,11 +40,11 @@ object Sampling {
     * column (the portable digit-by-digit trick q28_train_split uses:
     * DuckDB has no hex→int cast, so the oracle rebuilds via strpos).
     */
-  private def u16(key: org.apache.spark.sql.Column) =
+  private[graft] def u16(key: org.apache.spark.sql.Column) =
     conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
 
   /** The oracle-side twin of [[u16]]. */
-  private def u16Sql(keyExpr: String): String =
+  private[graft] def u16Sql(keyExpr: String): String =
     (1 to 4).map { i =>
       val shift = math.pow(16, 4 - i).toLong
       s"(strpos('0123456789abcdef', substring(md5($keyExpr), $i, 1)) - 1) * $shift"

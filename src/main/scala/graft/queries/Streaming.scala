@@ -135,6 +135,21 @@ object Streaming {
              |  max(valid_from) AS last_change_ts
              |FROM hist GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Streaming priority sample: the k-row weighted reservoir of
+    // everything seen so far, maintained across micro-batches. Priority
+    // is deterministic per doc and top-k is an associative monoid fold,
+    // so the stream result equals the batch q48 top-k for ANY slicing —
+    // which is why it can face the very same oracle.
+    QueryDef(
+      "q20_stream_sample",
+      (s, dir) => graft.streaming.StreamOps.streamPrioritySample(s, dir),
+      Some(s"""SELECT doc_id, n_chars,
+              |  CAST(n_chars * 65536 AS DOUBLE) /
+              |    CAST(${Sampling.u16Sql("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+              |    AS priority
+              |FROM documents
+              |ORDER BY priority DESC, doc_id LIMIT 20""".stripMargin)),
+
     // Misra-Gries heavy-hitters sketch (functions.HeavyHitters): one pass,
     // 32 counters per partial, shuffle carries sketches not distinct
     // items. The MG guarantee — every item with true frequency > n/(k+1)

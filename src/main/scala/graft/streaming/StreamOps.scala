@@ -311,6 +311,53 @@ object StreamOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Streaming priority sample — the streaming twin of
+    * q48_priority_sample: maintain the k-row weighted
+    * sample-without-replacement of everything seen so far. Because each
+    * doc's priority (w·65536 / (u16(md5)+1)) is deterministic and
+    * data-independent, and "keep the k largest priorities" is an
+    * associative, commutative monoid fold, the running sample equals
+    * the batch top-k REGARDLESS of micro-batch slicing or arrival
+    * order — so it faces the exact q48 oracle. Per trigger the
+    * distributed work is a TakeOrderedAndProject(k) over the
+    * micro-batch only; the carried state is the k-row sample itself
+    * (driver-scale by definition of a sample, same stance as the
+    * materialized IVF centroids).
+    */
+  def streamPrioritySample(spark: SparkSession, sfDir: String): DataFrame =
+    streamPrioritySampleFrom(
+      spark, tableStream(spark, sfDir, "documents"), 20)
+
+  /** The pipeline behind [[streamPrioritySample]], parameterized on the
+    * document stream so the spec can force scrambled multi-micro-batch
+    * arrival and assert batch-equivalence.
+    */
+  def streamPrioritySampleFrom(
+      spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    def scored(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("n_chars"),
+        ((col("n_chars") * lit(65536L)).cast("double") /
+          (graft.queries.Sampling.u16(col("doc_id")) + lit(1L))
+            .cast("double")).as("priority"))
+    var sample = Vector.empty[(Long, Long, Double)]
+    val q = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val top = scored(batch.toDF())
+          .orderBy(col("priority").desc, col("doc_id").asc)
+          .limit(k).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        sample = (sample ++ top)
+          .sortBy { case (id, _, p) => (-p, id) }
+          .take(k)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import spark.implicits._
+    sample.toDF("doc_id", "n_chars", "priority")
+      .orderBy(col("priority").desc, col("doc_id").asc)
+  }
+
   /** Incremental SCD2 dimension maintenance from the CDC/event stream —
     * the streaming twin of q33_scd2. Each micro-batch (a) appends to a
     * bronze event log, (b) recomputes the type-2 history ONLY for the
