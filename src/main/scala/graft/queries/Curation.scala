@@ -429,5 +429,6 @@ object Curation {
              |SELECT tot.doc_id, COALESCE(text_clean, '') AS text_clean,
              |  COALESCE(n_kept, 0) AS n_kept,
              |  tot.n_blocks - COALESCE(n_kept, 0) AS n_dropped
-             |FROM tot LEFT JOIN g USING (doc_id) ORDER BY tot.doc_id""".stripMargin)))
+             |FROM tot LEFT JOIN g USING (doc_id) ORDER BY tot.doc_id""".stripMargin),
+      bench = true))
 }

@@ -162,7 +162,8 @@ object Lexical {
              |        6) AS cosine
              |FROM d JOIN n2 na ON d.doc_a = na.doc_id
              |       JOIN n2 nb ON d.doc_b = nb.doc_id
-             |ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""".stripMargin))
+             |ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""".stripMargin),
+      bench = true)
   )
 
   /** Exact cosine over integer tf vectors in pruned content-term space,

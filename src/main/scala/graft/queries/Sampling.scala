@@ -230,7 +230,8 @@ object Sampling {
              |FROM d JOIN n2 na ON d.vec_a = na.vec_id
              |       JOIN n2 nb ON d.vec_b = nb.vec_id
              |WHERE na.n2 > 0 AND nb.n2 > 0
-             |ORDER BY cosine_red DESC, vec_a, vec_b LIMIT 20""".stripMargin)),
+             |ORDER BY cosine_red DESC, vec_a, vec_b LIMIT 20""".stripMargin),
+      bench = true),
 
     // ------------------------------------ balanced export sharding
     // The training-shard writer's balancing step: assign every doc to
@@ -263,7 +264,8 @@ object Sampling {
              |  count(*) AS n_docs,
              |  CAST(sum(n_tokens) AS BIGINT) AS tok_mass,
              |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
-             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true)
   )
 
   /** Round-robin shard assignment over the token-size-DESC global order

@@ -55,4 +55,45 @@ class LexicalSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Double]("cosine") == 1.0))
     assert(r.forall(_.getAs[Long]("dot") == 1L))
   }
+
+  test("sparseCosinePairs equals a brute-force model on random corpora") {
+    // Seeded random corpora over a small alphabet vs a straight-line
+    // in-memory tf-cosine model with the same relative max-df pruning
+    // and the same HALF_UP round-6 — dot exact, cosine bit-equal.
+    val rnd = new scala.util.Random(20260813L)
+    val words = Vector("a", "b", "c", "d", "e")
+    for (_ <- 1 to 12) {
+      val n = 2 + rnd.nextInt(6)
+      val dfDenom = 1 + rnd.nextInt(3)
+      val corpus = (1 to n).map { id =>
+        val len = 1 + rnd.nextInt(12)
+        (id.toLong, Seq.fill(len)(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val tf = corpus.map { case (id, text) =>
+        id -> text.split(" ").groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+      }.toMap
+      val df = tf.values.flatMap(_.keys).groupBy(identity).map { case (w, xs) => w -> xs.size }
+      val kept = df.collect { case (w, d) if d.toLong * dfDenom <= n => w }.toSet
+      val pruned = tf.map { case (id, m) => id -> m.filter(kw => kept(kw._1)) }
+      val expect = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        dot = pruned(a).keySet.intersect(pruned(b).keySet).toSeq
+          .map(w => pruned(a)(w) * pruned(b)(w)).sum
+        if dot > 0
+      } yield {
+        def n2(id: Long) = pruned(id).values.map(v => v * v).sum
+        val cos = dot.toDouble / (math.sqrt(n2(a).toDouble) * math.sqrt(n2(b).toDouble))
+        val rounded = BigDecimal(cos)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (a, b, dot, rounded)
+      }).toSet
+      import spark.implicits._
+      val got = Lexical.sparseCosinePairs(
+          corpus.toDF("doc_id", "text"), dfDenom)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Long]("dot"), r.getAs[Double]("cosine"))).toSet
+      assert(got == expect, s"n=$n dfDenom=$dfDenom")
+    }
+  }
 }
