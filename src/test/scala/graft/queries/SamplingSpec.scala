@@ -122,6 +122,50 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows.toSeq == run().toSeq)
   }
 
+  test("jlCosinePairs equals a straight-line model on random vectors") {
+    // Pins the whole arithmetic chain — per-dim min/max, centered SQ8
+    // codes, md5 sign matrix, integer projection, round-6 cosine —
+    // against an in-memory replica on seeded random float vectors.
+    import java.security.MessageDigest
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val dims = 6
+    val k = 4
+    val n = 5
+    val vecs = (0 until n).map(id =>
+      (id.toLong, Seq.fill(dims)(rnd.nextFloat() * 2f - 1f)))
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val v = vecs.map { case (id, xs) => id -> xs.map(_.toDouble) }.toMap
+    val mn = (0 until dims).map(i => vecs.map(_._2(i).toDouble).min)
+    val mx = (0 until dims).map(i => vecs.map(_._2(i).toDouble).max)
+    def code(id: Long, i: Int): Long =
+      (if (mx(i) == mn(i)) 0L
+       else math.max(0L, math.min(255L,
+         math.floor((v(id)(i) - mn(i)) * 255.0 / (mx(i) - mn(i))).toLong))) - 128L
+    def sgn(j: Int, i: Int): Long =
+      if ("01234567".contains(md5hex(s"${j}_${i + 1}").charAt(0))) 1L else -1L
+    def red(id: Long): Seq[Long] =
+      (0 until k).map(j => (0 until dims).map(i => code(id, i) * sgn(j, i)).sum)
+    val expect = (for {
+      a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+      ra = red(a); rb = red(b)
+      na = ra.map(x => x * x).sum; nb = rb.map(x => x * x).sum
+      if na > 0 && nb > 0
+    } yield {
+      val dot = ra.zip(rb).map { case (x, y) => x * y }.sum
+      val cos = BigDecimal(dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, dot, cos)
+    }).toSet
+    val got = Sampling.jlCosinePairs(vecs.toDF("vec_id", "embedding"), k)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Long]("dot_red"), r.getAs[Double]("cosine_red"))).toSet
+    assert(got == expect)
+  }
+
   test("balancedShards: round-robin doc counts, mass beats contiguous chunks") {
     import spark.implicits._
     // Heavily skewed sizes: doc i has i tokens (1..400). Round-robin
