@@ -135,6 +135,20 @@ object Streaming {
              |  max(valid_from) AS last_change_ts
              |FROM hist GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Spark 4 transformWithState (the modern arbitrary-state API —
+    // typed ValueState/MapState, declarative per-state TTL, RocksDB
+    // store): per-user running count / exact cents / distinct-type set.
+    // Commutative aggregates → the final emitted version per user
+    // equals the batch rollup under any slicing or arrival order.
+    QueryDef(
+      "q20_stream_tws_stats",
+      (s, dir) => graft.streaming.StreamOps.streamUserStatsTws(s, dir),
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Streaming priority sample: the k-row weighted reservoir of
     // everything seen so far, maintained across micro-batches. Priority
     // is deterministic per doc and top-k is an associative monoid fold,

@@ -311,6 +311,61 @@ object StreamOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-user running stats through Spark 4's `transformWithState` —
+    * the modern arbitrary-state API (typed `ValueState` + `MapState`
+    * with per-state TTL, RocksDB-backed) that supersedes
+    * flatMapGroupsWithState. The aggregate is commutative (count, exact
+    * cents sum, distinct-type set), so the final emitted version per
+    * user equals the batch rollup under any micro-batch slicing or
+    * arrival order. State shapes: one tuple ValueState + one MapState
+    * keyed by event_type per user, partitioned by key in the state
+    * store — nothing accumulates on the driver. TTLConfig.NONE here
+    * (bounded drive); production unbounded runs would set a TTL to
+    * bound idle-user state, which this API makes per-state declarative
+    * instead of hand-rolled timeout bookkeeping.
+    */
+  def streamUserStatsTws(spark: SparkSession, sfDir: String): DataFrame =
+    streamUserStatsTwsFrom(spark, eventsStream(spark, sfDir))
+
+  /** The pipeline behind [[streamUserStatsTws]], parameterized on the
+    * event stream so the spec can force scrambled multi-micro-batch
+    * arrival and assert batch-equivalence.
+    */
+  def streamUserStatsTwsFrom(spark: SparkSession, events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store; scope the
+    // provider switch to this drive and restore the session default.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = events
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("event_type"))
+        .as[(Long, Long, String)]
+      val out = ds.groupByKey(_._1)
+        .transformWithState(new UserStatsProcessor,
+          TimeMode.None(), OutputMode.Append())
+      val table = runToMemory(spark, out.toDF(),
+        s"tws_${System.nanoTime()}", "append")
+      // every batch emits a versioned row per touched user; the final
+      // version is the converged aggregate
+      table.groupBy(col("user_id"))
+        .agg(max(struct(col("ver"), col("n_events"), col("total_cents"),
+          col("n_types"))).as("s"))
+        .select(col("user_id"), col("s.n_events").as("n_events"),
+          col("s.total_cents").as("total_cents"),
+          col("s.n_types").as("n_types"))
+        .orderBy("user_id")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Streaming priority sample — the streaming twin of
     * q48_priority_sample: maintain the k-row weighted
     * sample-without-replacement of everything seen so far. Because each
@@ -434,5 +489,51 @@ object StreamOps {
           .as("n_current"),
         max(col("valid_from")).as("last_change_ts"))
       .orderBy("event_type")
+  }
+}
+
+/** Emitted once per (touched user, micro-batch); `ver` increases per
+  * batch so the converged aggregate is the per-user max-ver row.
+  */
+private[streaming] case class UserStatsRow(
+    user_id: Long, n_events: Long, total_cents: Long, n_types: Long,
+    ver: Long)
+
+/** StatefulProcessor for [[StreamOps.streamUserStatsTws]]: a tuple
+  * ValueState carries (n_events, total_cents, ver); a MapState keyed by
+  * event_type carries the distinct-type set (set-union in state instead
+  * of a re-scannable list — idempotent under replay of the same type).
+  */
+private[streaming] class UserStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, String), UserStatsRow] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode,
+    TimerValues, TTLConfig, ValueState}
+
+  @transient private var agg: ValueState[(Long, Long, Long)] = _
+  @transient private var types: MapState[String, Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    agg = getHandle.getValueState[(Long, Long, Long)]("agg",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong),
+      TTLConfig.NONE)
+    types = getHandle.getMapState[String, Boolean]("types",
+      Encoders.STRING, Encoders.scalaBoolean, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[(Long, Long, String)],
+      timerValues: TimerValues): Iterator[UserStatsRow] = {
+    var (n, cents, ver) = if (agg.exists()) agg.get() else (0L, 0L, 0L)
+    rows.foreach { case (_, c, t) =>
+      n += 1
+      cents += c
+      if (!types.containsKey(t)) types.updateValue(t, true)
+    }
+    ver += 1
+    agg.update((n, cents, ver))
+    Iterator.single(UserStatsRow(key, n, cents, types.keys().size.toLong, ver))
   }
 }

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The property the oracle can't see: the transformWithState per-user
+  * aggregate must equal the batch rollup when events arrive across MANY
+  * micro-batches out of event-time order — the state transition is
+  * commutative (count, exact cents, type-set union), and this pins it.
+  */
+class StreamTwsSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("scrambled multi-micro-batch arrival equals the batch rollup") {
+    val events = graft.Tables.load(spark, sf, "events")
+    val batchTruth = events
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("total_cents"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy("user_id")
+      .collect().map(_.toSeq).toSeq
+    assert(batchTruth.nonEmpty)
+
+    val splitDir = Files.createTempDirectory("graft_tws_split").toString
+    events.repartition(5, xxhash64(col("event_id")))
+      .write.mode("overwrite").parquet(splitDir)
+    val schema = spark.read.parquet(splitDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitDir)
+    val streamed = StreamOps.streamUserStatsTwsFrom(spark, stream)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batchTruth)
+  }
+}
