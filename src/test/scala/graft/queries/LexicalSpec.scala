@@ -56,6 +56,13 @@ class LexicalSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Long]("dot") == 1L))
   }
 
+  test("sparseCosinePairs: empty when pruning removes the whole vocabulary") {
+    // The round-6 regression shape: every term ubiquitous → no pairs,
+    // not an error (and not a silent mis-prune of only some terms).
+    val d = docs((1L, "the of"), (2L, "the of"), (3L, "the of"))
+    assert(Lexical.sparseCosinePairs(d, 2).isEmpty)
+  }
+
   test("sparseCosinePairs equals a brute-force model on random corpora") {
     // Seeded random corpora over a small alphabet vs a straight-line
     // in-memory tf-cosine model with the same relative max-df pruning

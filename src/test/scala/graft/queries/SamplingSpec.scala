@@ -189,4 +189,12 @@ class SamplingSpec extends AnyFunSuite {
       s"round-robin spread $rrSpread not « chunk spread $chunkSpread")
     assert(masses.sum == (1 to 400).map(_.toLong).sum) // conservation
   }
+
+  test("balancedShards: fewer docs than shards yields singleton shards") {
+    import spark.implicits._
+    val docs = (1 to 3).map(i => (i.toLong, "w w w")).toDF("doc_id", "text")
+    val r = Sampling.balancedShards(docs, 8, 4).collect()
+    assert(r.length == 3) // only shards 0..2 materialize
+    assert(r.forall(_.getAs[Long]("n_docs") == 1L))
+  }
 }
