@@ -31,13 +31,7 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$nErr}"""
   }
 
-  private def jsonString(s: String): String =
-    "\"" + s.flatMap {
-      case '"'           => "\\\""
-      case '\\'          => "\\\\"
-      case c if c < ' '  => " "
-      case c             => c.toString
-    } + "\""
+  private def jsonString(s: String): String = JsonText.quote(s)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -619,9 +619,7 @@ object LlmOps {
           .select(col("doc_a").as("a"), col("doc_b").as("b"))
         val clusters = DedupCluster.connectedComponents(vertices, edges)
           .select(col("node").as("doc_id"), col("cluster_id"))
-        val bucket =
-          conv(substring(md5(col("cluster_id").cast("string")), 1, 4), 16, 10)
-            .cast("long") % 100
+        val bucket = Sampling.u16(col("cluster_id")) % 100
         clusters
           .select(col("doc_id"), col("cluster_id"),
             when(bucket < 80, "train").when(bucket < 90, "val")
@@ -639,14 +637,7 @@ object LlmOps {
            |cl AS (SELECT node AS doc_id, min(label) AS cluster_id
            |       FROM reach GROUP BY node),
            |b AS (SELECT doc_id, cluster_id,
-           |  ((strpos('0123456789abcdef',
-           |      substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
-           |   (strpos('0123456789abcdef',
-           |      substring(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1) * 256 +
-           |   (strpos('0123456789abcdef',
-           |      substring(md5(CAST(cluster_id AS VARCHAR)), 3, 1)) - 1) * 16 +
-           |   (strpos('0123456789abcdef',
-           |      substring(md5(CAST(cluster_id AS VARCHAR)), 4, 1)) - 1)) % 100
+           |  ${Sampling.u16Sql("CAST(cluster_id AS VARCHAR)")} % 100
            |    AS bucket
            |  FROM cl)
            |SELECT doc_id, cluster_id,

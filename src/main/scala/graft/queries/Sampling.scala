@@ -50,6 +50,27 @@ object Sampling {
       s"(strpos('0123456789abcdef', substring(md5($keyExpr), $i, 1)) - 1) * $shift"
     }.mkString("(", " +\n       ", ")")
 
+  /** Duffield–Lund–Thorup priority = w·65536/(u16(key)+1): ONE double
+    * division of two exactly-represented integers, so every engine and
+    * every caller (batch q48, streaming q20_stream_sample, specs)
+    * computes bit-identical priorities from one definition.
+    */
+  private[graft] def priorityCol(
+      weight: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (weight * lit(65536L)).cast("double") / (u16(key) + lit(1L)).cast("double")
+
+  /** The oracle-side twin of [[priorityCol]] over the documents table —
+    * shared verbatim by q48_priority_sample and q20_stream_sample.
+    */
+  private[graft] val prioritySampleOracle: String =
+    s"""SELECT doc_id, n_chars,
+       |  CAST(n_chars * 65536 AS DOUBLE) /
+       |    CAST(${u16Sql("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+       |    AS priority
+       |FROM documents
+       |ORDER BY priority DESC, doc_id LIMIT 20""".stripMargin
+
   /** Exact ntile(k) bucket from a 1-based global position and total n,
     * front-loading the remainder like the SQL window function:
     * q = n div k, r = n mod k; the first r buckets hold q+1 rows.
@@ -77,16 +98,10 @@ object Sampling {
       (s, dir) =>
         t(s, dir, "documents")
           .select(col("doc_id"), col("n_chars"),
-            ((col("n_chars") * lit(65536L)).cast("double") /
-              (u16(col("doc_id")) + lit(1L)).cast("double")).as("priority"))
+            priorityCol(col("n_chars"), col("doc_id")).as("priority"))
           .orderBy(col("priority").desc, col("doc_id").asc)
           .limit(20),
-      Some(s"""SELECT doc_id, n_chars,
-              |  CAST(n_chars * 65536 AS DOUBLE) /
-              |    CAST(${u16Sql("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
-              |    AS priority
-              |FROM documents
-              |ORDER BY priority DESC, doc_id LIMIT 20""".stripMargin)),
+      Some(prioritySampleOracle)),
 
     // ----------------------------------------------- SQ8 quantized ANN
     // Scalar 8-bit quantization of the embedding index: per-dimension

@@ -157,12 +157,9 @@ object Streaming {
     QueryDef(
       "q20_stream_sample",
       (s, dir) => graft.streaming.StreamOps.streamPrioritySample(s, dir),
-      Some(s"""SELECT doc_id, n_chars,
-              |  CAST(n_chars * 65536 AS DOUBLE) /
-              |    CAST(${Sampling.u16Sql("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
-              |    AS priority
-              |FROM documents
-              |ORDER BY priority DESC, doc_id LIMIT 20""".stripMargin)),
+      // literally q48_priority_sample's oracle: the stream must converge
+      // to the batch sample, so they share one definition
+      Some(Sampling.prioritySampleOracle)),
 
     // Misra-Gries heavy-hitters sketch (functions.HeavyHitters): one pass,
     // 32 counters per partial, shuffle carries sketches not distinct

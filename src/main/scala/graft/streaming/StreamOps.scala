@@ -391,9 +391,8 @@ object StreamOps {
       spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
     def scored(df: DataFrame): DataFrame =
       df.select(col("doc_id"), col("n_chars"),
-        ((col("n_chars") * lit(65536L)).cast("double") /
-          (graft.queries.Sampling.u16(col("doc_id")) + lit(1L))
-            .cast("double")).as("priority"))
+        graft.queries.Sampling.priorityCol(col("n_chars"), col("doc_id"))
+          .as("priority"))
     var sample = Vector.empty[(Long, Long, Double)]
     val q = docs.writeStream
       .outputMode("append")
@@ -402,7 +401,10 @@ object StreamOps {
           .orderBy(col("priority").desc, col("doc_id").asc)
           .limit(k).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        sample = (sample ++ top)
+        // distinct makes the merge idempotent: foreachBatch is
+        // at-least-once, and a retried batch re-appends identical rows
+        // which must not occupy two of the k slots
+        sample = (sample ++ top).distinct
           .sortBy { case (id, _, p) => (-p, id) }
           .take(k)
       }

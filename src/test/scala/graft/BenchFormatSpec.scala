@@ -25,7 +25,9 @@ class BenchFormatSpec extends AnyFunSuite {
   test("error messages are JSON-escaped (quotes, backslashes, control chars)") {
     val out = Bench.formatResults(
       Seq("q" -> Left("bad \"col\"\nback\\slash")), "sf")
-    assert(out.contains("""{"err":"bad \"col\" back\\slash"}"""))
+    // lossless: the newline survives as \n (shared JsonText escaper, the
+    // same semantic Verify's artifacts use) instead of being flattened
+    assert(out.contains("""{"err":"bad \"col\"\nback\\slash"}"""))
     // the whole line must still be parseable by any JSON reader: balanced
     // braces, no raw newline
     assert(!out.contains("\n"))

@@ -87,9 +87,16 @@ class ZstdEnvelopeSpec extends AnyFunSuite {
 
   test("the sink does not override the zstd level (crate-default parity)") {
     // parquet-java's default level is 3 == ZstdLevel::default() in the
-    // reference's parquet crate; asserting the conf is unset pins that we
-    // inherit that default instead of silently diverging
+    // reference's parquet crate. The level knob parquet-java actually
+    // reads at write time is the HADOOP conf key
+    // parquet.compression.codec.zstd.level — assert it is unset on the
+    // configuration Spark hands to writers, so we inherit the default
+    // instead of silently diverging. (The observable output contract —
+    // ZSTD chunks, sane size band — is the footer test above; this one
+    // only pins that no config override sneaks in.)
+    assert(
+      spark.sparkContext.hadoopConfiguration
+        .get("parquet.compression.codec.zstd.level") == null)
     assert(!spark.conf.getAll.contains("parquet.compression.codec.zstd.level"))
-    assert(spark.conf.get("spark.sql.parquet.compression.codec", "zstd") == "zstd")
   }
 }

@@ -26,9 +26,8 @@ class StreamSampleSpec extends AnyFunSuite {
     val docs = graft.Tables.load(spark, sf, "documents")
     val batchTruth = docs
       .select(col("doc_id"), col("n_chars"),
-        ((col("n_chars") * lit(65536L)).cast("double") /
-          (graft.queries.Sampling.u16(col("doc_id")) + lit(1L))
-            .cast("double")).as("priority"))
+        graft.queries.Sampling.priorityCol(col("n_chars"), col("doc_id"))
+          .as("priority"))
       .orderBy(col("priority").desc, col("doc_id").asc)
       .limit(20).collect().map(_.toSeq).toSeq
     assert(batchTruth.size == 20)
