@@ -149,6 +149,24 @@ object Streaming {
              |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Warm-started transformWithState (StatefulProcessorWithInitialState):
+    // state bootstrapped from a batch aggregate of the even-event_id half,
+    // stream delivers only the odd half — yet every emitted user equals
+    // the FULL-corpus rollup, proving batch→stream state continuity.
+    // Oracle restricts to users the stream touches (bootstrap-only users
+    // hold state but, with no input row, never emit).
+    QueryDef(
+      "q20_stream_tws_bootstrap",
+      (s, dir) => graft.streaming.StreamOps.streamUserStatsBootstrap(s, dir),
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+             |FROM events
+             |WHERE user_id IN
+             |  (SELECT user_id FROM events WHERE event_id % 2 = 1)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Streaming priority sample: the k-row weighted reservoir of
     // everything seen so far, maintained across micro-batches. Priority
     // is deterministic per doc and top-k is an associative monoid fold,

@@ -366,6 +366,58 @@ object StreamOps {
     }
   }
 
+  /** Warm-started transformWithState — the backfill-then-stream
+    * continuity pattern: per-user state is BOOTSTRAPPED from a batch
+    * aggregate of the historical half of events (even event_ids), then
+    * the stream delivers only the other half (odd event_ids), yet the
+    * emitted aggregates equal the FULL-corpus rollup for every user the
+    * stream touches. At 100 TB this is how a streaming pipeline takes
+    * over from a batch backfill without reprocessing the corpus: one
+    * batch aggregate seeds the state store, increments stream from the
+    * cutover point.
+    */
+  def streamUserStatsBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def shaped(df: DataFrame): DataFrame =
+        df.select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("event_type"), col("event_id"))
+      val initState = shaped(graft.Tables.load(spark, sfDir, "events"))
+        .filter(col("event_id") % 2 === 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          collect_set(col("event_type")).as("types"))
+        .as[(Long, Long, Long, Seq[String])]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3, t._4))
+      val ds = shaped(eventsStream(spark, sfDir))
+        .filter(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("cents"), col("event_type"))
+        .as[(Long, Long, String)]
+      val out = ds.groupByKey(_._1)
+        .transformWithState(new UserStatsBootstrapProcessor,
+          TimeMode.None(), OutputMode.Append(), initState)
+      val table = runToMemory(spark, out.toDF(),
+        s"twsboot_${System.nanoTime()}", "append")
+      table.groupBy(col("user_id"))
+        .agg(max(struct(col("ver"), col("n_events"), col("total_cents"),
+          col("n_types"))).as("s"))
+        .select(col("user_id"), col("s.n_events").as("n_events"),
+          col("s.total_cents").as("total_cents"),
+          col("s.n_types").as("n_types"))
+        .orderBy("user_id")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Streaming priority sample — the streaming twin of
     * q48_priority_sample: maintain the k-row weighted
     * sample-without-replacement of everything seen so far. Because each
@@ -501,20 +553,21 @@ private[streaming] case class UserStatsRow(
     user_id: Long, n_events: Long, total_cents: Long, n_types: Long,
     ver: Long)
 
-/** StatefulProcessor for [[StreamOps.streamUserStatsTws]]: a tuple
-  * ValueState carries (n_events, total_cents, ver); a MapState keyed by
-  * event_type carries the distinct-type set (set-union in state instead
-  * of a re-scannable list — idempotent under replay of the same type).
+/** Shared state + transition for the tws per-user stats processors: a
+  * tuple ValueState carries (n_events, total_cents, ver); a MapState
+  * keyed by event_type carries the distinct-type set (set-union in
+  * state instead of a re-scannable list — idempotent under replay of
+  * the same type).
   */
-private[streaming] class UserStatsProcessor
-    extends org.apache.spark.sql.streaming.StatefulProcessor[
-      Long, (Long, Long, String), UserStatsRow] {
+private[streaming] trait UserStatsLogic {
+  self: org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, String), UserStatsRow] =>
   import org.apache.spark.sql.Encoders
   import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode,
     TimerValues, TTLConfig, ValueState}
 
-  @transient private var agg: ValueState[(Long, Long, Long)] = _
-  @transient private var types: MapState[String, Boolean] = _
+  @transient protected var agg: ValueState[(Long, Long, Long)] = _
+  @transient protected var types: MapState[String, Boolean] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     agg = getHandle.getValueState[(Long, Long, Long)]("agg",
@@ -537,5 +590,28 @@ private[streaming] class UserStatsProcessor
     ver += 1
     agg.update((n, cents, ver))
     Iterator.single(UserStatsRow(key, n, cents, types.keys().size.toLong, ver))
+  }
+}
+
+/** StatefulProcessor for [[StreamOps.streamUserStatsTws]]. */
+private[streaming] class UserStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, String), UserStatsRow] with UserStatsLogic
+
+/** Warm-start variant for [[StreamOps.streamUserStatsBootstrap]]: the
+  * initial per-user state (count, cents, distinct types) comes from a
+  * BATCH aggregate of the historical corpus, then the stream applies
+  * increments on top — the backfill-then-stream continuity pattern
+  * (state starts at ver 0; every emission reflects history + stream).
+  */
+private[streaming] class UserStatsBootstrapProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Long, (Long, Long, String), UserStatsRow, (Long, Long, Seq[String])]
+    with UserStatsLogic {
+  override def handleInitialState(
+      key: Long, initialState: (Long, Long, Seq[String]),
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Unit = {
+    agg.update((initialState._1, initialState._2, 0L))
+    initialState._3.foreach(t => types.updateValue(t, true))
   }
 }

@@ -44,4 +44,29 @@ class StreamTwsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(streamed == batchTruth)
   }
+
+  test("bootstrap: half-corpus stream + batch-seeded state = full rollup") {
+    val events = graft.Tables.load(spark, sf, "events")
+    // ground truth over the WHOLE corpus, restricted to users the odd
+    // (streamed) half touches — bootstrap-only users hold state but
+    // never emit, by design
+    val touched = events.filter(col("event_id") % 2 === 1)
+      .select("user_id").distinct()
+    val batchTruth = events.join(touched, "user_id")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("total_cents"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy("user_id")
+      .collect().map(_.toSeq).toSeq
+    val got = StreamOps.streamUserStatsBootstrap(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got == batchTruth)
+    // the warm start is load-bearing: the stream half alone is NOT the
+    // full rollup (otherwise this test proves nothing)
+    val streamOnly = events.filter(col("event_id") % 2 === 1)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(streamOnly.map(_(1)) != batchTruth.map(_(1)))
+  }
 }
