@@ -331,16 +331,10 @@ object StreamOps {
     * event stream so the spec can force scrambled multi-micro-batch
     * arrival and assert batch-equivalence.
     */
-  def streamUserStatsTwsFrom(spark: SparkSession, events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    import spark.implicits._
-    // transformWithState requires the RocksDB state store; scope the
-    // provider switch to this drive and restore the session default.
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+  def streamUserStatsTwsFrom(spark: SparkSession, events: DataFrame): DataFrame =
+    withRocksDbStateStore(spark) {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      import spark.implicits._
       val ds = events
         .select(col("user_id"),
           round(col("value") * 100).cast("long").as("cents"),
@@ -349,22 +343,36 @@ object StreamOps {
       val out = ds.groupByKey(_._1)
         .transformWithState(new UserStatsProcessor,
           TimeMode.None(), OutputMode.Append())
-      val table = runToMemory(spark, out.toDF(),
-        s"tws_${System.nanoTime()}", "append")
-      // every batch emits a versioned row per touched user; the final
-      // version is the converged aggregate
-      table.groupBy(col("user_id"))
-        .agg(max(struct(col("ver"), col("n_events"), col("total_cents"),
-          col("n_types"))).as("s"))
-        .select(col("user_id"), col("s.n_events").as("n_events"),
-          col("s.total_cents").as("total_cents"),
-          col("s.n_types").as("n_types"))
-        .orderBy("user_id")
-    } finally prev match {
+      convergedUserStats(
+        runToMemory(spark, out.toDF(), s"tws_${System.nanoTime()}", "append"))
+    }
+
+  /** transformWithState requires the RocksDB state store; scope the
+    * provider switch to one drive and restore the session default.
+    */
+  private def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
   }
+
+  /** Every batch emits a versioned row per touched user; the converged
+    * aggregate is the per-user max-ver row.
+    */
+  private def convergedUserStats(table: DataFrame): DataFrame =
+    table.groupBy(col("user_id"))
+      .agg(max(struct(col("ver"), col("n_events"), col("total_cents"),
+        col("n_types"))).as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        col("s.total_cents").as("total_cents"),
+        col("s.n_types").as("n_types"))
+      .orderBy("user_id")
 
   /** Warm-started transformWithState — the backfill-then-stream
     * continuity pattern: per-user state is BOOTSTRAPPED from a batch
@@ -376,14 +384,19 @@ object StreamOps {
     * batch aggregate seeds the state store, increments stream from the
     * cutover point.
     */
-  def streamUserStatsBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+  def streamUserStatsBootstrap(spark: SparkSession, sfDir: String): DataFrame =
+    streamUserStatsBootstrapFrom(spark, sfDir, eventsStream(spark, sfDir))
+
+  /** The pipeline behind [[streamUserStatsBootstrap]], parameterized on
+    * the event stream so the spec can force scrambled multi-micro-batch
+    * arrival of the streamed half (initial state must survive — and be
+    * applied exactly once — across every batch, not just batch 0).
+    */
+  def streamUserStatsBootstrapFrom(
+      spark: SparkSession, sfDir: String, events: DataFrame): DataFrame =
+    withRocksDbStateStore(spark) {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      import spark.implicits._
       def shaped(df: DataFrame): DataFrame =
         df.select(col("user_id"),
           round(col("value") * 100).cast("long").as("cents"),
@@ -396,27 +409,17 @@ object StreamOps {
         .as[(Long, Long, Long, Seq[String])]
         .groupByKey(_._1)
         .mapValues(t => (t._2, t._3, t._4))
-      val ds = shaped(eventsStream(spark, sfDir))
+      val ds = shaped(events)
         .filter(col("event_id") % 2 === 1)
         .select(col("user_id"), col("cents"), col("event_type"))
         .as[(Long, Long, String)]
       val out = ds.groupByKey(_._1)
         .transformWithState(new UserStatsBootstrapProcessor,
           TimeMode.None(), OutputMode.Append(), initState)
-      val table = runToMemory(spark, out.toDF(),
-        s"twsboot_${System.nanoTime()}", "append")
-      table.groupBy(col("user_id"))
-        .agg(max(struct(col("ver"), col("n_events"), col("total_cents"),
-          col("n_types"))).as("s"))
-        .select(col("user_id"), col("s.n_events").as("n_events"),
-          col("s.total_cents").as("total_cents"),
-          col("s.n_types").as("n_types"))
-        .orderBy("user_id")
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+      convergedUserStats(
+        runToMemory(spark, out.toDF(),
+          s"twsboot_${System.nanoTime()}", "append"))
     }
-  }
 
   /** Streaming priority sample — the streaming twin of
     * q48_priority_sample: maintain the k-row weighted

@@ -59,7 +59,17 @@ class StreamTwsSpec extends AnyFunSuite {
         countDistinct(col("event_type")).as("n_types"))
       .orderBy("user_id")
       .collect().map(_.toSeq).toSeq
-    val got = StreamOps.streamUserStatsBootstrap(spark, sf)
+    // deliver the streamed half across 5 hash-scrambled micro-batches:
+    // the batch-seeded state must survive, and be applied exactly once,
+    // across every batch — not just batch 0
+    val splitDir = Files.createTempDirectory("graft_twsboot_split").toString
+    events.repartition(5, xxhash64(col("event_id")))
+      .write.mode("overwrite").parquet(splitDir)
+    val schema = spark.read.parquet(splitDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitDir)
+    val got = StreamOps.streamUserStatsBootstrapFrom(spark, sf, stream)
       .collect().map(_.toSeq).toSeq
     assert(got == batchTruth)
     // the warm start is load-bearing: the stream half alone is NOT the
