@@ -57,18 +57,10 @@ class RegistrySpec extends AnyFunSuite {
     assume(java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get("/root/testdata/sf0.001")), "testdata missing")
 
-    // JSON-escape exactly like graft.Verify's dump
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // JSON-escape exactly like graft.Verify's dump (same shared escaper)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${JsonText.quote(k)}: ${JsonText.quote(v)}" }
+      .mkString("{", ",", "}")
     val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
     java.nio.file.Files.writeString(tmp, json)
 
