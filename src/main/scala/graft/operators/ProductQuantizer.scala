@@ -198,11 +198,13 @@ object ProductQuantizer {
     val l2 = VectorFns.normSq(col("cv")) -
       lit(2.0) * VectorFns.dot(col("cv"), col("qv")) +
       VectorFns.normSq(col("qv"))
-    val probeW = Window.orderBy(col("qd").asc, col("cell_id"))
+    // Probe selection is a top-nProbe over the coarse centroids: the
+    // orderBy+limit form plans as TakeOrderedAndProject (no window, no
+    // single-partition exchange) — tie-safe via the cell_id key.
     val probes = coarse.crossJoin(broadcast(q))
       .withColumn("qd", l2)
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nProbe)
+      .orderBy(col("qd").asc, col("cell_id").asc)
+      .limit(nProbe)
       .select(col("cell_id"),
         zip_with(col("qv"), col("cv"), (x, c) => x.cast("double") - c).as("qr"))
     val luts = ivfPqLutRows(probes, m, books)

@@ -63,6 +63,23 @@ object Semantic {
       .orderBy("vec_id")
   }
 
+  /** Distributed, tie-safe top-k ranking over `(id, <score>)`:
+    * `orderBy(score desc, id asc).limit(k)` plans as
+    * TakeOrderedAndProject — per-partition bounded heaps merged at the
+    * driver, k rows moved — never a corpus-scale single-partition
+    * window. The `row_number` window is then attached to the k-row
+    * result only (driver-scale input, the same shape as
+    * [[graft.operators.GlobalIndex]]'s offset table). Because limit(k)
+    * preserves exactly the top-k of the SAME total order the window
+    * re-sorts by, the ranks equal the global `row_number` at any
+    * partition count. Exposed for unit testing.
+    */
+  def topKRanked(scored: DataFrame, score: String, rank: String, k: Int): DataFrame = {
+    val order = Seq(col(score).desc, col("id").asc)
+    scored.orderBy(order: _*).limit(k)
+      .withColumn(rank, row_number().over(Window.orderBy(order: _*)))
+  }
+
   /** Reciprocal-rank fusion of two rank lists `(id, r_lex)` / `(id,
     * r_den)`: full-outer join so an id ranked by only one modality
     * still scores, rrf = Σ 1/(k + rank). Exposed for unit testing.
@@ -120,10 +137,13 @@ object Semantic {
     // dense cosine ranking (query vector = vec_id 0, q24 semantics over
     // the embeddings table), fused by reciprocal-rank fusion
     // rrf = Σ 1/(60 + rank). Both rankings are tie-safe (rounded score
-    // desc, id asc), so row_number is deterministic in both engines.
-    // Scale: each side is its own single-pass ranking; the fusion joins
-    // two TOP-50 lists — driver-scale rows, full-outer so a doc ranked
-    // by only one modality still scores.
+    // desc, id asc), so ranks are deterministic in both engines.
+    // Scale: each side is a distributed TakeOrderedAndProject top-50
+    // ([[topKRanked]] — per-partition heaps, k rows to the driver,
+    // ranks attached by a window over the 50-row result only); the
+    // fusion joins two TOP-50 lists — driver-scale rows, full-outer so
+    // a doc ranked by only one modality still scores. No corpus-scale
+    // row ever crosses a single-partition exchange.
     QueryDef(
       "q44_rrf_fusion",
       (s, dir) => {
@@ -148,20 +168,18 @@ object Semantic {
             (f + lit(k1) * (lit(1.0 - bP) + lit(bP) * col("dl") /
               (col("sum_dl") / col("n_docs"))))
         }
-        val wLex = Window.orderBy(col("bm25").desc, col("id").asc)
-        val lex = docs.crossJoin(broadcast(stats))
-          .select(col("doc_id").as("id"),
-            round(terms.map(termScore).reduce(_ + _), 6).as("bm25"))
-          .withColumn("r_lex", row_number().over(wLex))
-          .filter(col("r_lex") <= 50)
+        val lex = topKRanked(
+          docs.crossJoin(broadcast(stats))
+            .select(col("doc_id").as("id"),
+              round(terms.map(termScore).reduce(_ + _), 6).as("bm25")),
+          "bm25", "r_lex", 50)
         val e = t(s, dir, "embeddings")
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-        val wDen = Window.orderBy(col("sim").desc, col("id").asc)
-        val den = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-          .select(col("vec_id").as("id"),
-            round(VectorFns.cosine(col("embedding"), col("qv")), 6).as("sim"))
-          .withColumn("r_den", row_number().over(wDen))
-          .filter(col("r_den") <= 50)
+        val den = topKRanked(
+          e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+            .select(col("vec_id").as("id"),
+              round(VectorFns.cosine(col("embedding"), col("qv")), 6).as("sim")),
+          "sim", "r_den", 50)
         rrfFuse(lex.select("id", "r_lex"), den.select("id", "r_den"), 60)
           .limit(10)
       },

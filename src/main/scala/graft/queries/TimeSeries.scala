@@ -114,9 +114,14 @@ object TimeSeries {
   // seen — the growth-curve query. Exact cumulative distincts without
   // per-day re-distincting: reduce each user to their FIRST day (one
   // aggregate keyed by user), count by day, running-sum the counts.
-  // The window at the end runs over days, not users — a few thousand
-  // rows even for a decade — so the expensive part is exactly one
-  // user-keyed aggregate over the log.
+  // The running sum at the end runs over days, not users — a few
+  // thousand rows even for a decade — so the expensive part is exactly
+  // one user-keyed aggregate over the log. The prefix sum itself goes
+  // through GlobalIndex.withRunningTotal (range shuffle + per-partition
+  // scan + ≤numPartitions-row offset window) rather than a
+  // partition-less SQL window: provably distributed at ANY day count,
+  // which also keeps the registry-wide WindowGuard sweep whitelist-free
+  // for this query.
   private def cumUniquesQ: QueryDef = QueryDef(
     "q42_cum_uniques",
     (s, dir) => {
@@ -125,11 +130,9 @@ object TimeSeries {
         .agg(to_date(min(col("ts"))).as("first_day"))
       val daily = firstSeen.groupBy("first_day")
         .agg(count(lit(1)).as("n_new"))
-      daily
-        .withColumn("cum_users",
-          sum(col("n_new")).over(
-            Window.orderBy(col("first_day")).rowsBetween(
-              Window.unboundedPreceding, Window.currentRow)))
+      graft.operators.GlobalIndex.withRunningTotal(
+          daily, Seq(col("first_day")), "n_new", "_cu_pos", "cum_users", 8)
+        .select(col("first_day"), col("n_new"), col("cum_users"))
         .orderBy("first_day")
     },
     Some("""WITH fs AS (

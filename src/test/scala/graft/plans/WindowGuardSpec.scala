@@ -1,0 +1,207 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Attribute, IntegerLiteral}
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.expressions.{Window => WSpec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Registry-wide ban on partition-less windows over corpus-scale input.
+  *
+  * `row_number() OVER (ORDER BY ...)` with no PARTITION BY moves every
+  * input row through ONE task — the scale cliff
+  * [[graft.operators.GlobalIndex]] exists to avoid, and the defect the
+  * round-6 audit found in q44_rrf_fusion. This guard walks the
+  * OPTIMIZED logical plan of every registered query and requires each
+  * partition-less Window to sit over an input with a PROVABLE row
+  * bound ≤ [[WindowGuard.DriverScale]]:
+  *
+  *   - `GlobalLimit(k)` — distributed top-k (TakeOrderedAndProject)
+  *     feeding a k-row rank attach, the q44 fix shape;
+  *   - ungrouped `Aggregate` — a 1-row scalar;
+  *   - `Aggregate` grouped solely on GlobalIndex partition ids
+  *     (`_gi_pid`, ≤ numPartitions rows by construction —
+  *     GlobalIndex.scala:53-57, the documented offset-table windows);
+  *   - `LocalRelation` — literal probe tables;
+  *   - joins/unions/expands of bounded inputs (bounds compose).
+  *
+  * Anything else — in particular a scan, Generate, or grouped
+  * aggregate on a data column — is corpus-scale, and a partition-less
+  * window over it fails the build. Streaming drives execute their
+  * windows inside the micro-batch run before returning a result table,
+  * so their plans are asserted in the streaming specs instead.
+  */
+object WindowGuard {
+
+  /** Inputs provably at or under this many rows are driver-scale. */
+  val DriverScale: BigInt = BigInt(100000)
+
+  /** GlobalIndex's offset aggregate is bounded by the partition count;
+    * this is generous headroom over any sane `spark.sql.shuffle
+    * .partitions` (a 1000-executor cluster runs tens of thousands).
+    */
+  private val MaxPartitions: BigInt = BigInt(65536)
+
+  /** Upper bound on the rows `plan` can emit, or None if corpus-scale.
+    * Conservative: unknown operators (scans, Generate, ...) are
+    * unbounded; only row-preserving/reducing operators pass a child's
+    * bound through.
+    */
+  def rowBound(plan: LogicalPlan): Option[BigInt] = plan match {
+    case GlobalLimit(IntegerLiteral(n), child) =>
+      rowBound(child).map(_ min BigInt(n)).orElse(Some(BigInt(n)))
+    case l: LocalRelation => Some(BigInt(l.data.size))
+    case _: OneRowRelation => Some(BigInt(1))
+    case a: Aggregate =>
+      if (a.groupingExpressions.isEmpty) Some(BigInt(1))
+      else if (a.groupingExpressions.forall {
+        case att: Attribute => att.name == "_gi_pid"
+        case _ => false
+      }) Some(MaxPartitions)
+      else rowBound(a.child) // grouping never grows rows
+    case j: Join => j.joinType match {
+      case LeftSemi | LeftAnti => rowBound(j.left)
+      case _ =>
+        for (l <- rowBound(j.left); r <- rowBound(j.right))
+          yield l * r + l + r // inner ≤ l*r; outer adds unmatched sides
+    }
+    case u: Union =>
+      val bs = u.children.map(rowBound)
+      if (bs.forall(_.isDefined)) Some(bs.flatten.sum) else None
+    case e: Expand => rowBound(e.child).map(_ * e.projections.size)
+    case p: Project => rowBound(p.child)
+    case f: Filter => rowBound(f.child)
+    case s: Sort => rowBound(s.child)
+    case w: Window => rowBound(w.child)
+    case s: SubqueryAlias => rowBound(s.child)
+    case l: LocalLimit => rowBound(l.child)
+    case r: Repartition => rowBound(r.child)
+    case r: RepartitionByExpression => rowBound(r.child)
+    case d: Distinct => rowBound(d.child)
+    case d: Deduplicate => rowBound(d.child)
+    case _ => None
+  }
+
+  /** (windowNode, bound) for every partition-less Window in `plan`
+    * whose input is NOT provably driver-scale.
+    */
+  def violations(plan: LogicalPlan): Seq[Window] =
+    plan.collect {
+      case w: Window if w.partitionSpec.isEmpty &&
+        !rowBound(w.child).exists(_ <= DriverScale) => w
+    }
+}
+
+class WindowGuardSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      graft.RunPaths.scratch("graft_warehouse_wg"))
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("guard is red on an unfiltered corpus-scale global-numbering window") {
+    // Negative control. Note the round-6 q44 formulation proper —
+    // rank-then-filter(r <= 50) — is ALREADY rescued by Catalyst:
+    // Spark 4.1's LimitPushDownThroughWindow/InferWindowGroupLimit
+    // rewrites a rank predicate adjacent to a partition-less row_number
+    // into Window-over-GlobalLimit(k) (verified below), which this
+    // guard then proves bounded. The shape the optimizer CANNOT rescue
+    // is global numbering with no rank predicate — every corpus row
+    // through one WindowExec task, the GlobalIndex-motivating cliff —
+    // and that is what the guard must flag.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val numbered = docs.select(col("doc_id").as("id"),
+        col("n_chars").cast("double").as("score"))
+      .withColumn("r", row_number().over(
+        WSpec.orderBy(col("score").desc, col("id").asc)))
+    assert(WindowGuard.violations(numbered.queryExecution.optimizedPlan).nonEmpty,
+      "guard failed to flag a corpus-scale partition-less window")
+  }
+
+  test("Catalyst rewrites rank-then-filter to a bounded window (documented rescue)") {
+    // Pins the optimizer behavior the negative control's comment
+    // relies on: if a Spark upgrade ever stops rewriting the r6 q44
+    // formulation into Window-over-GlobalLimit, this fails and the
+    // guard's documentation (and any code leaning on the rescue) must
+    // be revisited.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val old = docs.select(col("doc_id").as("id"),
+        col("n_chars").cast("double").as("score"))
+      .withColumn("r", row_number().over(
+        WSpec.orderBy(col("score").desc, col("id").asc)))
+      .filter(col("r") <= 50)
+    val plan = old.queryExecution.optimizedPlan
+    assert(plan.collect { case g: GlobalLimit => g }.nonEmpty,
+      s"expected Catalyst to push a limit below the rank filter:\n$plan")
+    assert(WindowGuard.violations(plan).isEmpty)
+  }
+
+  test("guard is green on the fixed top-k-then-rank shape") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fixed = graft.queries.Semantic.topKRanked(
+      docs.select(col("doc_id").as("id"),
+        col("n_chars").cast("double").as("score")),
+      "score", "r", 50)
+    val plan = fixed.queryExecution.optimizedPlan
+    // the rank window is still partition-less, but over GlobalLimit(50)
+    assert(plan.collect { case w: Window if w.partitionSpec.isEmpty => w }.nonEmpty)
+    assert(WindowGuard.violations(plan).isEmpty)
+  }
+
+  test("guard recognizes the GlobalIndex offset-table window as driver-scale") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val indexed = graft.operators.GlobalIndex.withPosition(
+      docs, Seq(col("doc_id")), "pos", 4)
+    assert(WindowGuard.violations(indexed.queryExecution.optimizedPlan).isEmpty)
+  }
+
+  // Queries whose partition-less windows ARE driver-scale but whose
+  // bound the estimator cannot prove: the PQ codebook-densify rank
+  // (ProductQuantizer.scala:107) runs over the trained codebook —
+  // m·ksub rows (e.g. 8×256 = 2048), a model-scale object grouped by
+  // (sub_id, code) whose domain the plan doesn't carry. Every entry
+  // must still TRIGGER the guard (anti-rot assertion below): if the
+  // query is restructured so the bound becomes provable, the stale
+  // whitelist row fails the build and must be deleted.
+  private val boundedByDomain: Map[String, String] = Map(
+    "q24_pq_train" -> "codebook densify rank: m*ksub rows (model-scale)",
+    "q24_ann_pq" -> "codebook densify rank inside train(): m*ksub rows",
+    "q24_ann_ivfpq" -> "residual codebook densify rank: m*ksub rows")
+
+  test("no partition-less corpus-scale window anywhere in the registry") {
+    // Builds every registered query's DataFrame (constructor side
+    // effects run, but nothing is executed beyond what construction
+    // itself triggers) and sweeps the optimized plan. Failures name
+    // the query and the offending window's input subtree.
+    val flagged = SparkEntry.registry.map { q =>
+      val df =
+        try q.run(spark, sf)
+        catch { case e: Throwable =>
+          fail(s"${q.name} failed to construct: ${e.getMessage}", e)
+        }
+      q.name -> WindowGuard.violations(df.queryExecution.optimizedPlan)
+    }.toMap
+    val bad = flagged.collect {
+      case (name, ws) if ws.nonEmpty && !boundedByDomain.contains(name) =>
+        s"$name: partition-less window over unbounded input:\n" +
+          ws.head.child.treeString.linesIterator.take(12).mkString("\n")
+    }
+    assert(bad.isEmpty, bad.mkString("\n\n"))
+    // anti-rot: a whitelisted query that no longer trips the guard
+    // means the whitelist entry is stale — remove it
+    val stale = boundedByDomain.keys.filter(n => flagged.getOrElse(n, Nil).isEmpty)
+    assert(stale.isEmpty,
+      s"stale whitelist entries (guard no longer fires): ${stale.mkString(", ")}")
+  }
+}

@@ -56,6 +56,32 @@ class SemanticSpec extends AnyFunSuite {
     assert(kept == Seq(1L))
   }
 
+  test("topKRanked equals the global-window ranking on a multi-partition input") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // scores with ties (score = id % 7) force the id tie-break to matter
+    val scored = (1L to 200L).map(i => (i, (i % 7).toDouble))
+      .toDF("id", "score").repartition(8)
+    val got = Semantic.topKRanked(scored, "score", "r", 10)
+      .select("id", "r").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = scored
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("score").desc, col("id").asc)))
+      .filter(col("r") <= 10)
+      .select("id", "r").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == want)
+  }
+
+  test("topKRanked plans a distributed TakeOrderedAndProject for the corpus pass") {
+    import spark.implicits._
+    val scored = (1L to 200L).map(i => (i, i.toDouble)).toDF("id", "score")
+      .repartition(8)
+    val p = Semantic.topKRanked(scored, "score", "r", 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("rrfFuse scores both-modality ids above single-modality ids") {
     import spark.implicits._
     val lex = Seq((10L, 1), (11L, 2)).toDF("id", "r_lex")
