@@ -18,17 +18,25 @@ object Bench {
 
   /** Render the one-line JSON result. Successes render as seconds;
     * failures render as {"err": msg} objects and are excluded from the
-    * total. Kept free of SparkSession so it can be spec'd directly.
+    * total. `solo` (optional) adds a sibling "solo" map with the
+    * decoupled per-query timings — a separate field so any consumer of
+    * "queries" keeps parsing numbers. Kept free of SparkSession so it
+    * can be spec'd directly.
     */
   def formatResults(
-      results: Seq[(String, Either[String, Double])], sfDir: String): String = {
+      results: Seq[(String, Either[String, Double])], sfDir: String,
+      solo: Seq[(String, Double)] = Nil): String = {
     val qs = results.map {
-      case (k, Right(sec)) => s""""$k":$sec"""
-      case (k, Left(msg))  => s""""$k":{"err":${jsonString(msg)}}"""
+      case (k, Right(sec)) => s"${jsonString(k)}:$sec"
+      case (k, Left(msg))  => s"${jsonString(k)}:{\"err\":${jsonString(msg)}}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(sec)) => sec }.sum
     val nErr = results.count(_._2.isLeft)
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$nErr}"""
+    val soloJson =
+      if (solo.isEmpty) ""
+      else solo.map { case (k, sec) => s"${jsonString(k)}:$sec" }
+        .mkString(""","solo":{""", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jsonString(sfDir)},"errors":$nErr$soloJson}"""
   }
 
   private def jsonString(s: String): String = JsonText.quote(s)
@@ -49,30 +57,47 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows the set for local iteration;
     // the driver never sets it, so the reported set stays the full one
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results: Seq[(String, Either[String, Double])] =
-      SparkEntry.benchQueries
-        .filter(q => only.forall(_.contains(q.name)))
-        .map { q =>
-          def once(): Either[String, Double] = {
-            val t0 = System.nanoTime()
-            try {
-              q.run(spark, sfDir).count()
-              Right((System.nanoTime() - t0) / 1e9)
-            } catch {
-              case e: Throwable =>
-                val msg = Option(e.getMessage).getOrElse("")
-                  .linesIterator.toSeq.headOption.getOrElse("")
-                Left(s"${e.getClass.getSimpleName}: $msg")
-            }
-          }
-          val runs = Seq(once(), once(), once())
-          val secs = runs.collect { case Right(s) => s }
-          val result =
-            if (secs.size == runs.size) Right(secs.min)
-            else runs.collectFirst { case Left(m) => Left(m) }.get
-          (q.name, result)
+    val set = SparkEntry.benchQueries.filter(q => only.forall(_.contains(q.name)))
+
+    def measure(q: graft.queries.QueryDef): Either[String, Double] = {
+      def once(): Either[String, Double] = {
+        val t0 = System.nanoTime()
+        try {
+          q.run(spark, sfDir).count()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse("")
+              .linesIterator.toSeq.headOption.getOrElse("")
+            Left(s"${e.getClass.getSimpleName}: $msg")
         }
-    println(formatResults(results, sfDir))
+      }
+      val runs = Seq(once(), once(), once())
+      val secs = runs.collect { case Right(s) => s }
+      if (secs.size == runs.size) Right(secs.min)
+      else runs.collectFirst { case Left(m) => Left(m) }.get
+    }
+
+    val results: Seq[(String, Either[String, Double])] =
+      set.map(q => (q.name, measure(q)))
+
+    // Second, DECOUPLED pass ("solo"): SCALING.md measured ±30%
+    // set-composition effects on in-set numbers (a query pays for its
+    // predecessor's heap debris and promotion-triggered GCs). Before each
+    // solo measurement the JVM is full-GC'd and given a settle pause, so
+    // the number attributes to the query's own plan rather than to set
+    // composition. (A true cold-JVM solo would need one JVM per query —
+    // outside the driver's single-invocation contract; this is the
+    // in-contract approximation, applied identically every round so
+    // round-over-round deltas stay attributable.)
+    val solo: Seq[(String, Double)] = set
+      .filter(q => results.toMap.apply(q.name).isRight)
+      .flatMap { q =>
+        System.gc(); Thread.sleep(250)
+        measure(q).toOption.map(q.name -> _)
+      }
+
+    println(formatResults(results, sfDir, solo))
     spark.stop()
   }
 }

@@ -23,7 +23,10 @@ object Tables {
       // NTZ wall-clock values are preserved by the cast, matching what
       // DuckDB sees).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeEventsTs(spark.read.parquet(path))
+      val df = spark.read.parquet(path)
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        requireTsNanos(spark, path, df)
+      normalizeEventsTs(df)
     } else spark.read.parquet(path)
   }
 
@@ -39,4 +42,53 @@ object Tables {
       case org.apache.spark.sql.types.TimestampType => df
       case _ => df.withColumn("ts", col("ts").cast("timestamp"))
     }
+
+  /** Guard for the LongType branch of [[normalizeEventsTs]]: a `ts` that
+    * loads as INT64 is only divisible-by-1000-able if the values really
+    * are NANOSECONDS. Proof order:
+    *   1. parquet footer annotation TIMESTAMP(NANOS) — the one encoding
+    *      the nanosAsLong conf surfaces as Long — accepted, free;
+    *   2. any OTHER timestamp/integer annotation — a micros/millis column
+    *      some future Spark surfaces as Long — rejected loudly;
+    *   3. no annotation (raw INT64): value plausibility — min/max must
+    *      land in [2000, 2100) when read as nanos. Micros (or millis,
+    *      seconds) from any plausible testdata land ~1970 under that
+    *      reading and fail. One 1-column min/max job, only on this branch.
+    * A third encoding must fail HERE instead of loading every timestamp
+    * off by 1000x (the silent-drift class round 5 was bitten by).
+    */
+  private def requireTsNanos(
+      spark: SparkSession, path: String, df: DataFrame): Unit = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val part = p.getFileSystem(conf).listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).headOption
+      .getOrElse(throw new IllegalStateException(s"no parquet part files under $path"))
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(part, conf))
+    val annotation =
+      try reader.getFooter.getFileMetaData.getSchema
+        .getType(Seq("ts"): _*).asPrimitiveType().getLogicalTypeAnnotation
+      finally reader.close()
+    annotation match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+          if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => ()
+      case null =>
+        val nanos2000 = 946684800L * 1000000000L
+        val nanos2100 = 4102444800L * 1000000000L
+        val mm = df.agg(min(col("ts")), max(col("ts"))).head()
+        val plausible = mm.isNullAt(0) ||
+          (mm.getLong(0) >= nanos2000 && mm.getLong(1) < nanos2100)
+        if (!plausible) throw new IllegalStateException(
+          s"events.ts is unannotated INT64 with range [${mm.get(0)}, ${mm.get(1)}] " +
+            "— not plausible as epoch NANOSECONDS (expected [2000, 2100)); " +
+            "refusing to guess the time unit — update Tables.normalizeEventsTs " +
+            s"for this encoding ($part)")
+      case other => throw new IllegalStateException(
+        s"events.ts loaded as INT64 but its parquet logical type is $other " +
+          "(expected TIMESTAMP(NANOS) or none); refusing to guess the time " +
+          s"unit — update Tables.normalizeEventsTs for this encoding ($part)")
+    }
+  }
 }

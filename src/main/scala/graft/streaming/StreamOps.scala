@@ -349,6 +349,15 @@ object StreamOps {
 
   /** transformWithState requires the RocksDB state store; scope the
     * provider switch to one drive and restore the session default.
+    *
+    * INVARIANT: drives are strictly sequential within a session. The
+    * provider class is SESSION conf — a second drive started in the same
+    * session while this one is inside `body` would race the set/restore
+    * and could bind its state store to the restored default provider.
+    * Verify and Bench both run queries one at a time (and the driver
+    * contract is one query per invocation), so this holds today; if
+    * parallel drives ever arrive, switch to an isolated
+    * `spark.newSession()` per drive instead of set/restore.
     */
   private def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"

@@ -33,9 +33,24 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!out.contains("\n"))
   }
 
+  test("sfDir and query-name keys share the same escaping semantic") {
+    val out = Bench.formatResults(
+      Seq("q\"uoted" -> Right(1.0)), """/tmp/sf "0.1"\x""")
+    assert(out.contains(""""q\"uoted":1.0"""))
+    assert(out.contains(""""sf":"/tmp/sf \"0.1\"\\x""""))
+  }
+
   test("all-green results keep the original shape") {
     val out = Bench.formatResults(Seq("a" -> Right(2.0)), "sfX")
     assert(out ===
       """{"metric":"total","value":2.0,"unit":"sec","queries":{"a":2.0},"sf":"sfX","errors":0}""")
+  }
+
+  test("solo timings render as a sibling map; queries stays numeric") {
+    val out = Bench.formatResults(
+      Seq("a" -> Right(2.0), "b" -> Right(1.0)), "sfX",
+      solo = Seq("a" -> 1.8, "b" -> 0.9))
+    assert(out ===
+      """{"metric":"total","value":3.0,"unit":"sec","queries":{"a":2.0,"b":1.0},"sf":"sfX","errors":0,"solo":{"a":1.8,"b":0.9}}""")
   }
 }

@@ -93,6 +93,26 @@ class TablesSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("an unannotated INT64 ts that is not plausibly nanos fails loudly") {
+    // the hypothetical THIRD encoding ADVICE r6 warned about: raw INT64
+    // micros. Under the nanos reading these land in 1970 — the loader
+    // must refuse instead of silently loading every timestamp 1000x off.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tables_micros").toString
+    fixtureMicros.toDF("event_id", "us")
+      .select(
+        col("event_id"), col("us").as("ts"),
+        (col("event_id") % 7).as("user_id"),
+        lit("click").as("event_type"),
+        col("us").cast("double").as("value"),
+        lit("""{"k":1}""").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] {
+      Tables.load(spark, dir, "events")
+    }
+    assert(e.getMessage.contains("not plausible"))
+  }
+
   test("the real testdata events table loads with TimestampType") {
     val df = Tables.load(spark, "/root/testdata/sf0.001", "events")
     assert(df.schema("ts").dataType === TimestampType)
