@@ -33,15 +33,24 @@ object LlmOps {
     * the structure (explode tables -> equi-join on (table, key) -> dedup
     * -> rank) is unchanged.
     */
-  def annTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
-    val nTables = 8; val bits = 6
+  def annTopK(s: SparkSession, dir: String, k: Int): DataFrame =
+    signLshTopK(t(s, dir, "embeddings"), "embedding", k)
+
+  /** The sign-LSH serving shape behind [[annTopK]], parameterized on the
+    * vector table `(vec_id, <vecCol>)` so it serves RAW embeddings (q24)
+    * and JL-REDUCED vectors (q59) through one implementation. Query =
+    * the `vec_id === 0` row; everything else is data.
+    */
+  private[graft] def signLshTopK(
+      vecs: DataFrame, vecCol: String, k: Int,
+      nTables: Int = 8, bits: Int = 6): DataFrame = {
     val mask = (1L << bits) - 1
     def tableKey(sig: Column, tbl: Int): Column =
       shiftright(sig, tbl * bits).bitwiseAND(lit(mask))
-    val e = t(s, dir, "embeddings")
-      .withColumn("sig", VectorFns.signBits(col("embedding"), nTables * bits))
+    val e = vecs
+      .withColumn("sig", VectorFns.signBits(col(vecCol), nTables * bits))
     val dataKeys = e.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col(vecCol),
         explode(array((0 until nTables).map(tbl =>
           struct(lit(tbl).as("t"), tableKey(col("sig"), tbl).as("k"))): _*)).as("tk"))
     val probeCols = for {
@@ -53,11 +62,11 @@ object LlmOps {
         (if (flip < 0) key else key.bitwiseXOR(lit(1L << flip))).as("k"))
     }
     val probes = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qv"), explode(array(probeCols: _*)).as("tk"))
+      .select(col(vecCol).as("qv"), explode(array(probeCols: _*)).as("tk"))
     dataKeys
       .join(broadcast(probes), dataKeys("tk") === probes("tk"))
       .select(col("vec_id"),
-        round(VectorFns.cosine(col("embedding"), col("qv")), 6).as("sim"))
+        round(VectorFns.cosine(col(vecCol), col("qv")), 6).as("sim"))
       .dropDuplicates("vec_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
@@ -163,6 +172,32 @@ object LlmOps {
     verifyJaccardPairs(s, dir, cand, minJ)
   }
 
+  /** Input cap for the DECLARED-SMALL-SCALE exact all-pairs forms
+    * ([[cosinePairs]], [[Sampling.jlCosinePairs]]): n vectors enumerate
+    * n(n-1)/2 pairs, so 2^16 inputs is already ~2.1e9 pairs — beyond it
+    * the enumeration is a scale bug, not a data property, and the
+    * operator REFUSES (the [[graft.operators.DedupCluster]] stance:
+    * throw at the cap instead of silently grinding). Callers that truly
+    * want a bigger exact verification pass an explicit override; the
+    * scale path is the LSH/IVF bucketing these verifiers feed
+    * (q24_ann_lsh / q24_ann_ivf / q59_jl_ann).
+    */
+  val MaxExactAllPairs: Long = 1L << 16
+
+  /** Enforce [[MaxExactAllPairs]]: one count of the (narrow) input —
+    * driver-side, before any pair is enumerated.
+    */
+  private[graft] def requireSmallExact(
+      vecs: DataFrame, op: String, maxExact: Long): Unit = {
+    val n = vecs.count()
+    require(n <= maxExact,
+      s"$op is a declared-small-scale EXACT all-pairs operator: input has " +
+        s"$n vectors > cap $maxExact (~${n * (n - 1) / 2} pairs). At scale, " +
+        "serve through the bucketed ANN paths (q24_ann_lsh / q24_ann_ivf / " +
+        "q59_jl_ann) and use this form only to exact-verify their candidates; " +
+        "pass maxExact explicitly to override for a deliberate larger run.")
+  }
+
   /** Exact cosine near-dup pairs over the embeddings table (all pairs
     * with round(cosine, 6) >= minCos, a < b). One side broadcast, pairs
     * enumerated by the `<` join, and the dot product computed per pair
@@ -174,10 +209,13 @@ object LlmOps {
     * the cost, and the in-order fold is just as deterministic. At
     * 100 TB the all-pairs enumeration is pre-pruned by LSH/IVF
     * bucketing (q24_ann_lsh / q24_ann_ivf); this is the exact verifier
-    * they feed.
+    * they feed — and [[MaxExactAllPairs]] enforces that stance.
     */
-  def cosinePairs(s: SparkSession, dir: String, minCos: Double): DataFrame = {
+  def cosinePairs(
+      s: SparkSession, dir: String, minCos: Double,
+      maxExact: Long = MaxExactAllPairs): DataFrame = {
     val e = t(s, dir, "embeddings")
+    requireSmallExact(e.select("vec_id"), "cosinePairs", maxExact)
     val norms = e.select(col("vec_id"),
       sqrt(VectorFns.normSq(col("embedding"))).as("nrm"))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))

@@ -280,6 +280,45 @@ object Sampling {
              |  CAST(sum(n_tokens) AS BIGINT) AS tok_mass,
              |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
              |FROM p GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
+    // --------------------------- JL projection → bucketed ANN (end-to-end)
+    // The composition the q56 pair stage PROMISES: project 64 → 16 dims
+    // with the deterministic ±1 JL matrix, then serve cosine top-10
+    // through the multi-table multiprobe sign-LSH path — the same
+    // serving shape as q24_ann_lsh, but bucketing REDUCED vectors, so
+    // both the index (16 ints/vector) and every candidate scoring fold
+    // are 4x narrower than raw. No all-pairs stage anywhere: candidates
+    // come from (table, key) equi-joins against 56 broadcast probe
+    // keys; only candidates are scored. The declared contract is the
+    // measurable one (same stance as q24_ann_lsh): result size and
+    // recall@10 against the EXACT reduced-space ranking (brute-force
+    // over the stored index — one broadcast query row + map +
+    // TakeOrderedAndProject, itself scale-safe) — deterministic for the
+    // fixed md5-derived projection + hyperplanes, so oracle-hashable.
+    QueryDef(
+      "q59_jl_ann",
+      (s, dir) => {
+        val red = jlReducedIndex(t(s, dir, "embeddings"), 16)
+        val ann = jlAnnTopK(red, 10)
+        val q = red.filter(col("vec_id") === 0)
+          .select(col("rv").as("qv"), col("n2").as("qn2"))
+        val exact = red.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(VectorFns.dot(col("rv"), col("qv")) /
+              (sqrt(col("n2")) * sqrt(col("qn2"))), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(10)
+        exact.select(col("vec_id").as("e_id"))
+          .join(ann.select(col("vec_id").as("a_id")),
+            col("e_id") === col("a_id"), "left")
+          .agg(count(lit(1)).as("n_exact"), count(col("a_id")).as("n_hit"))
+          .select(
+            col("n_exact"),
+            (col("n_hit").cast("double") / col("n_exact") >= 0.6).as("recall_ok"))
+      },
+      Some("SELECT CAST(10 AS BIGINT) AS n_exact, true AS recall_ok"),
       bench = true)
   )
 
@@ -302,14 +341,18 @@ object Sampling {
         max("n_tokens").as("max_tokens"))
   }
 
-  /** Centered SQ8 codes → deterministic ±1 JL projection to `k` dims →
-    * exact reduced-space cosine for every vec pair (pre-top-k). Input
-    * needs (vec_id, embedding: array<float/double>). The sign matrix is
-    * md5-derived from (j, i) only, so the projection is identical on
-    * every run, engine, and cluster size. Integer arithmetic throughout;
-    * one double division per pair at the end.
+  /** Centered SQ8 codes → deterministic ±1 JL projection to `k` dims:
+    * the reduced index `(vec_id, rv: array<double> of integer values,
+    * n2)` every downstream consumer shares (exact pair stage, sign-LSH
+    * serving, recall ground truth). The sign matrix is md5-derived from
+    * (j, i) only, so the projection is identical on every run, engine,
+    * and cluster size. Integer arithmetic throughout — every value is an
+    * integer < 2^53 (|r_j| ≤ 128·64, so dots/norms ≤ ~4.3e9), so double
+    * folds over rv are exact. Scale shapes: quantize = 64-key shuffle;
+    * project = 1024-row broadcast sign join + map-side-combined
+    * (vec_id, j) partial agg; reassembly = one shuffle on vec_id.
     */
-  def jlCosinePairs(emb: DataFrame, k: Int): DataFrame = {
+  def jlReducedVectors(emb: DataFrame, k: Int): DataFrame = {
     val ex = emb
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), (col("pos") + 1).as("i"),
@@ -331,18 +374,29 @@ object Sampling {
     val red = codes.join(broadcast(signs), Seq("i"))
       .groupBy("vec_id", "j")
       .agg(sum(col("c") * col("sgn")).as("r"))
-    // Reassemble the k reduced components per vector and pair via the
-    // q24_cosine_pairs shape: broadcast pair enumeration feeding the
-    // codegen'd DotF fold — NOT an equi-join on j, whose 16-key space
-    // would funnel the quadratic stage through 16 skewed tasks. Every
-    // value is an integer < 2^53 (|r_j| ≤ 128·64, so dots/norms ≤
-    // ~4.3e9), so the double fold is exact and the BIGINT cast lossless.
-    val redVec = red
+    red
       .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("j"), col("r")))),
         x => x.getField("r").cast("double")).as("rv"))
-    val withN = redVec.select(col("vec_id"), col("rv"),
-      VectorFns.normSq(col("rv")).as("n2"))
+      .select(col("vec_id"), col("rv"), VectorFns.normSq(col("rv")).as("n2"))
+  }
+
+  /** Exact reduced-space cosine for every vec pair (pre-top-k) over
+    * [[jlReducedVectors]] — the DECLARED-SMALL-SCALE exact form
+    * (enforced via [[LlmOps.MaxExactAllPairs]]): at 100 TB the reduced
+    * vectors feed the q59 sign-LSH bucketing instead, and this is its
+    * exact verifier. One double division per pair at the end.
+    */
+  def jlCosinePairs(
+      emb: DataFrame, k: Int,
+      maxExact: Long = LlmOps.MaxExactAllPairs): DataFrame = {
+    LlmOps.requireSmallExact(
+      emb.select("vec_id"), "jlCosinePairs", maxExact)
+    val withN = jlReducedVectors(emb, k)
+    // Pair via the q24_cosine_pairs shape: broadcast pair enumeration
+    // feeding the codegen'd DotF fold — NOT an equi-join on j, whose
+    // 16-key space would funnel the quadratic stage through 16 skewed
+    // tasks.
     val a = withN.select(
       col("vec_id").as("vec_a"), col("rv").as("ra"), col("n2").as("na"))
     val b = withN.select(
@@ -354,4 +408,25 @@ object Sampling {
         round(VectorFns.dot(col("ra"), col("rb")) /
           (sqrt(col("na")) * sqrt(col("nb"))), 6).as("cosine_red"))
   }
+
+  /** The stored JL index: [[jlReducedVectors]] with zero-norm rows
+    * dropped, MATERIALIZED (eager localCheckpoint) — at 100 TB this
+    * table is index-build output written next to the corpus (kDims ints
+    * per vector, a 16x scan cut vs the raw 64-dim floats), and serving
+    * reads it several ways (LSH buckets, query probes, recall ground
+    * truth) without recomputing the projection subtree per reference.
+    */
+  def jlReducedIndex(emb: DataFrame, kDims: Int): DataFrame =
+    jlReducedVectors(emb, kDims)
+      .filter(col("n2") > 0)
+      .localCheckpoint(true)
+
+  /** The scale path the JL projection exists FOR (the promise recorded
+    * at the q56 pair stage, now a query): project 64 → kDims dims
+    * first, then serve top-k through the multi-table multiprobe
+    * sign-LSH bucketing ([[LlmOps.signLshTopK]]) over the REDUCED
+    * vectors of a [[jlReducedIndex]].
+    */
+  def jlAnnTopK(red: DataFrame, k: Int): DataFrame =
+    LlmOps.signLshTopK(red.select("vec_id", "rv"), "rv", k)
 }
