@@ -11,6 +11,69 @@ import graft.operators.{AsOfJoin, SaltedJoin}
   */
 object Extended {
 
+  /** AQE skew-join demonstration — the runtime counterpart of
+    * [[graft.operators.SaltedJoin]]'s build-time salting: a 90%-hot join
+    * key whose sort-merge join AQE's OptimizeSkewedJoin splits at
+    * runtime. When to use which (the q06 pair documents both): AQE
+    * handles skew it can SEE — shuffle-map partition sizes of a
+    * sort-merge/shuffled-hash join — with zero code changes and no extra
+    * shuffle, so it is the default; explicit salting remains the tool
+    * for what AQE cannot touch (broadcast-ineligible extreme single-key
+    * skew where splitting one partition still leaves one straggler per
+    * split limit, aggregations keyed by the hot column, and engines/
+    * paths without adaptive execution).
+    *
+    * Built on an ISOLATED child session (`newSession`: same
+    * SparkContext, own conf) so the demonstration's aggressive skew
+    * thresholds — sized for the test SFs, where default 256 MB
+    * thresholds would never fire — cannot leak into other queries
+    * sharing the driver session. The `merge` hint pins the sort-merge
+    * join (the dim side would otherwise broadcast and dissolve the
+    * skew), mirroring production skew cases where the big side's
+    * partner is over the broadcast threshold.
+    */
+  private[graft] def skewAqeJoin(
+      s0: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+    // repartition(16) exists only to give the join shuffle MULTIPLE map
+    // tasks: AQE splits a skewed reducer partition at map-output-block
+    // boundaries, so a single-mapper stage (one local parquet file = one
+    // scan task) is unsplittable no matter how skewed — "left 0 skewed
+    // partitions" with a 17x max/median ratio. A real cluster input has
+    // thousands of mappers and needs no such step.
+    val events = Tables.load(s, dir, "events")
+      .repartition(16)
+      .withColumn("skew_key",
+        when(col("event_id") % 10 < 9, lit("hot"))
+          .otherwise(concat(lit("cold_"), (col("event_id") % 97).cast("string"))))
+    // The dim is built from range/union, NOT events.select(key).distinct():
+    // a distinct puts a HashAggregate between the join's Sort and its
+    // shuffle stage, and OptimizeSkewedJoin only matches
+    // SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) — a derived dim
+    // silently disqualifies the join from skew handling.
+    val dim = s.range(0, 97)
+      .select(concat(lit("cold_"), col("id").cast("string")).as("d_key"))
+      .union(s.range(0, 1).select(lit("hot").as("d_key")))
+      .withColumn("key_len", length(col("d_key")).cast("long"))
+    // The rollup groups by a DERIVED key class, not skew_key itself:
+    // grouping by the join key would let the final aggregate ride the
+    // join's hash partitioning, and OptimizeSkewedJoin (correctly)
+    // refuses to split a partition some downstream operator still
+    // requires intact — the classic silent reason "why didn't my skew
+    // join fire". A derived grouping key needs its own exchange anyway,
+    // so the join stage ends at a shuffle and the split is free to apply.
+    events.join(dim.hint("merge"), col("skew_key") === col("d_key"))
+      .groupBy(substring(col("skew_key"), 1, 4).as("key_class"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(27, 2)))
+          .cast("double").as("sum_value"),
+        sum(col("key_len")).as("key_len_mass"))
+      .orderBy("key_class")
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------- as-of join
@@ -114,6 +177,29 @@ object Extended {
              |       count(*) AS n_events,
              |       CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // --------------------------------------------- AQE runtime skew join
+    // The adaptive twin of q06_join_salted (see [[skewAqeJoin]]): a
+    // deliberately 90%-hot key, sort-merge joined, left for AQE's
+    // OptimizeSkewedJoin to split at RUNTIME from observed shuffle-map
+    // sizes — no salting code, no extra shuffle. The executed plan is
+    // asserted in SkewJoinSpec (SortMergeJoin(skew=true)); the oracle
+    // checks the result equals the plain join, which is AQE's contract
+    // (the dim join is an identity on the derived key, so the oracle
+    // reduces to the direct rollup).
+    QueryDef(
+      "q06_join_skew_aqe",
+      (s, dir) => skewAqeJoin(s, dir),
+      Some("""WITH e AS (
+             |  SELECT *, CASE WHEN event_id % 10 < 9 THEN 'hot'
+             |                 ELSE 'cold_' || CAST(event_id % 97 AS VARCHAR)
+             |            END AS skew_key
+             |  FROM events)
+             |SELECT substring(skew_key, 1, 4) AS key_class,
+             |       count(*) AS n_events,
+             |       CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value,
+             |       CAST(sum(length(skew_key)) AS BIGINT) AS key_len_mass
+             |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // -------------------------------------------- explode + array_contains
     QueryDef(
