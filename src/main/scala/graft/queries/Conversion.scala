@@ -131,6 +131,59 @@ object Conversion {
       Some("SELECT CAST(200000 AS BIGINT) AS n_rows"),
       bench = true),
 
+    // Splittable single-sheet conversion (the 100 TB story for R1/R9):
+    // the SAME 200k-row workbook as q02_convert_throughput, but scanned
+    // as 8 byte-range partitions of the inflated sheet XML
+    // (sheetPartitions=8 — one task per range, the unit of parallelism
+    // when the corpus is one huge workbook rather than many files). The
+    // timed work is the full convert plus an ORDER-PARITY contract,
+    // proven distributively (no collect, no window): per part-file
+    // (min, max, count) must tile [1, 200000] contiguously — mx-mn+1 =
+    // cnt within each file, global count exact — and file-name order
+    // (= scan partition ordinal) must equal row order — each file's mn
+    // is 1 + the total count of all lexicographically-earlier files (an
+    // 8-row broadcast self-join on the checkpointed per-file stats).
+    // The fixture's id column is 1..200000 in sheet order, so these
+    // together are EQUIVALENT to "the split conversion reproduces the
+    // single-partition global row order".
+    QueryDef(
+      "q02_convert_split",
+      (s, _) => {
+        val src = ensureBenchFixture()
+        val out = graft.RunPaths.scratch("graft_bench_200k_split.parquet")
+        graft.ExcelToParquet.convert(s,
+          graft.ExcelToParquet.Options(src, out, sheetPartitions = 8))
+        // Parity is proven on the conversion OUTPUT, not a second xlsx
+        // scan: each scan partition writes its own part file, the writer
+        // preserves within-partition order, and part-file names carry
+        // the partition ordinal (part-0000i) — so per-FILE stats tiling
+        // [1, 200000] in file-name order is the whole-pipeline order
+        // contract, at the price of one parquet re-read instead of a
+        // duplicate two-pass workbook parse.
+        val parts = s.read.parquet(out)
+          .select(col("id").cast("long").as("id"),
+            input_file_name().as("f"))
+          .groupBy("f")
+          .agg(min("id").as("mn"), max("id").as("mx"),
+            count(lit(1)).as("cnt"))
+          .localCheckpoint(true) // 8 rows
+        val ordered = parts.join(
+            parts.select(col("f").as("bf"), col("cnt").as("bcnt")),
+            col("bf") < col("f"), "left")
+          .groupBy(col("f"), col("mn"), col("mx"), col("cnt"))
+          .agg(coalesce(sum(col("bcnt")), lit(0L)).as("before"))
+        ordered.agg(
+          sum(col("cnt")).as("n_rows"),
+          (countDistinct(col("f")) === 8).as("split_ok"),
+          (count(when(col("mx") - col("mn") + 1 =!= col("cnt"), 1)) === 0)
+            .as("contiguous_ok"),
+          (count(when(col("mn") =!= col("before") + 1, 1)) === 0)
+            .as("ordered_ok"))
+      },
+      Some("""SELECT CAST(200000 AS BIGINT) AS n_rows, true AS split_ok,
+             |       true AS contiguous_ok, true AS ordered_ok""".stripMargin),
+      bench = true),
+
     // Conversion through the parquet sink and back (R1+R10 end-to-end):
     // convert the fixture to zstd parquet, then aggregate over the result.
     QueryDef(
