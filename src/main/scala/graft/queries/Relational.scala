@@ -549,6 +549,92 @@ object Relational {
             get_json_object(col("props"), "$.k").cast("long").as("k"))
           .orderBy("event_id"),
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------ VARIANT (Spark 4)
+    // Semi-structured JSON through the modern column type: parse_json →
+    // VariantType, typed path extraction with variant_get (nested
+    // object + array index + boolean), and try_variant_get's null
+    // contract on a missing path. The nested document is synthesized
+    // deterministically from event fields (q25_pii_scrub precedent:
+    // testdata's props is a flat {"k": n}, too thin to exercise
+    // nesting) so both engines see identical input. At 100 TB VARIANT
+    // is the semi-structured scan story: parquet shredding stores
+    // extracted paths columnar, so variant_get reads a column instead
+    // of re-parsing JSON per row — same pipeline code, storage-level
+    // win. Everything extracted is integer/string/boolean — exact.
+    QueryDef(
+      "q19_variant",
+      (s, dir) => {
+        val j = concat(
+          lit("""{"user":{"id":"""), col("user_id"),
+          lit(""","type":""""), col("event_type"), lit("\""),
+          lit("""},"vals":["""), col("event_id") % 7, lit(","),
+          col("event_id") % 11, lit("""],"flag":"""),
+          when(col("event_id") % 2 === 0, lit("true")).otherwise(lit("false")),
+          lit("}"))
+        t(s, dir, "events")
+          .select(parse_json(j).as("v"))
+          .select(
+            variant_get(col("v"), "$.user.type", "string").as("vtype"),
+            variant_get(col("v"), "$.user.id", "bigint").as("uid"),
+            (variant_get(col("v"), "$.vals[0]", "bigint") +
+              variant_get(col("v"), "$.vals[1]", "bigint")).as("val_sum"),
+            variant_get(col("v"), "$.flag", "boolean").as("flag"),
+            try_variant_get(col("v"), "$.missing", "bigint").as("absent"))
+          .groupBy(col("vtype"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("uid")).as("uid_sum"),
+            sum(col("val_sum")).as("vals_sum"),
+            sum(when(col("flag"), 1L).otherwise(0L)).as("n_flagged"),
+            count(col("absent")).as("n_absent"))
+          .orderBy("vtype")
+      },
+      Some("""WITH j AS (
+             |  SELECT '{"user":{"id":' || user_id ||
+             |         ',"type":"' || event_type || '"' ||
+             |         '},"vals":[' || (event_id % 7) || ',' || (event_id % 11) ||
+             |         '],"flag":' || (CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END) ||
+             |         '}' AS v
+             |  FROM events)
+             |SELECT json_extract_string(v, '$.user.type') AS vtype,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(json_extract(v, '$.user.id') AS BIGINT)) AS BIGINT) AS uid_sum,
+             |  CAST(sum(CAST(json_extract(v, '$.vals[0]') AS BIGINT)
+             |         + CAST(json_extract(v, '$.vals[1]') AS BIGINT)) AS BIGINT) AS vals_sum,
+             |  CAST(sum(CASE WHEN CAST(json_extract(v, '$.flag') AS BOOLEAN) THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+             |  CAST(count(json_extract(v, '$.missing')) AS BIGINT) AS n_absent
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --------------------------------------- SQL pipe syntax (Spark 4)
+    // The same TPC-H-Q1-shaped rollup phrased in Spark 4's SQL pipe
+    // syntax (|> operators compose left-to-right — the ergonomic
+    // surface for exploratory pipelines). Pipe syntax desugars to the
+    // identical logical plan, so it inherits every Catalyst
+    // optimization; the oracle is the plain-SQL phrasing, proving the
+    // two surfaces agree.
+    QueryDef(
+      "q05_sql_pipe",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .createOrReplaceTempView(graft.RunPaths.suffixed("lineitem_pipe"))
+        s.sql(s"""
+          FROM ${graft.RunPaths.suffixed("lineitem_pipe")}
+          |> WHERE l_shipdate <= DATE '1998-09-02'
+          |> AGGREGATE count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+               GROUP BY l_returnflag, l_linestatus
+          |> ORDER BY l_returnflag, l_linestatus""")
+          .select("l_returnflag", "l_linestatus", "n_rows", "sum_qty", "sum_price")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem
+             |WHERE l_shipdate <= DATE '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin))
   )
 }
