@@ -47,9 +47,24 @@ object Semantic {
     * the KEPT rows as `(vec_id, bucket)`. Exposed for unit testing —
     * `q44_semdedup` is exactly this at threshold 0.4.
     */
-  def semdedup(e0: DataFrame, threshold: Double): DataFrame = {
-    val e = e0.select(col("vec_id"), col("embedding"),
-      signBucket(col("embedding")).as("bucket"))
+  def semdedup(e0: DataFrame, threshold: Double): DataFrame =
+    semdedupBy(
+      e0.select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding")).as("bucket")),
+      threshold)
+      .select(col("vec_id"), col("bucket"))
+      .orderBy("vec_id")
+
+  /** The pruning stage of [[semdedup]], parameterized on a PRE-BUCKETED
+    * `(vec_id, embedding, bucket)` input so one implementation serves
+    * both cluster keys: the SQL-replicable sign buckets (q44_semdedup)
+    * and the trained IVF cell ids (q60_semdedup_ivf) — the swap the
+    * SemDeDup paper's k-means clustering corresponds to at scale. ONE
+    * shuffle on the bucket key; pair work quadratic only within a
+    * bucket, which cluster granularity bounds by construction. Returns
+    * kept rows with their bucket and embedding.
+    */
+  def semdedupBy(e: DataFrame, threshold: Double): DataFrame = {
     val a = e.select(col("bucket"), col("vec_id").as("ia"),
       col("embedding").as("ea"))
     val b = e.select(col("bucket"), col("vec_id").as("ib"),
@@ -59,8 +74,6 @@ object Semantic {
       .filter(round(VectorFns.cosine(col("ea"), col("eb")), 6) >= threshold)
       .select(col("ib").as("vec_id")).distinct()
     e.join(dropped, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("bucket"))
-      .orderBy("vec_id")
   }
 
   /** Distributed, tie-safe top-k ranking over `(id, <score>)`:
@@ -233,6 +246,60 @@ object Semantic {
              |      + coalesce(1.0 / (60 + r_den), 0.0), 6) AS rrf
              |FROM lex FULL OUTER JOIN den ON lex.id = den.id
              |ORDER BY rrf DESC, id LIMIT 10""".stripMargin)),
+
+    // ----------------------------------- SemDeDup over trained IVF cells
+    // The composition the q44_semdedup comment promises ("at scale the
+    // key is swapped for the IVF cell id without touching the pair/drop
+    // stages"), now a query: cluster with the trained k-means cells
+    // (LlmOps.ivfCentroids — the same index q24_ann_ivf serves from),
+    // assign every vector to its cell, run the IDENTICAL
+    // [[semdedupBy]] pair/drop stage keyed on cell_id. Because trained
+    // centroid values are float-summation-order dependent, cluster
+    // membership — and therefore the kept SET — is not hash-stable, so
+    // (as with q24_ivf_train) the oracle pins the deterministic
+    // CONTRACT instead: conservation (kept + dropped = corpus), the
+    // greedy invariant that each cell's minimum vec_id always survives,
+    // and the defining postcondition that NO within-cell pair at
+    // cosine >= threshold survives among the kept — all recomputed
+    // in-query from the actual assignment. (assignment_ok guards the
+    // clustering step itself: argmax assignment must map every corpus
+    // vector to exactly one cell — no drops, no tie duplication.)
+    QueryDef(
+      "q60_semdedup_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cents = LlmOps.ivfCentroids(s, dir, e)
+        val assigned = graft.operators.KMeans
+          .assign(e, "vec_id", "embedding", cents)
+          .select(col("vec_id"), col("embedding"),
+            col("cell_id").as("bucket"))
+          .localCheckpoint(true) // assignment reused by kept + checks
+        val kept = semdedupBy(assigned, 0.4).localCheckpoint(true)
+        val ka = kept.select(col("bucket"), col("vec_id").as("ia"),
+          col("embedding").as("ea"))
+        val kb = kept.select(col("bucket"), col("vec_id").as("ib"),
+          col("embedding").as("eb"))
+        val surviving = ka.join(kb, Seq("bucket"))
+          .filter(col("ia") < col("ib"))
+          .filter(round(VectorFns.cosine(col("ea"), col("eb")), 6) >= 0.4)
+          .agg(count(lit(1)).as("n_surviving"))
+        val mins = assigned.groupBy("bucket")
+          .agg(min(col("vec_id")).as("min_id"))
+          .join(kept.select(col("vec_id").as("min_id")), Seq("min_id"),
+            "left_anti")
+          .agg(count(lit(1)).as("n_lost_mins"))
+        val counts = e.agg(count(lit(1)).as("n_total"))
+          .crossJoin(assigned.agg(count(lit(1)).as("n_assigned")))
+        counts.crossJoin(surviving).crossJoin(mins)
+          .select(
+            col("n_total"),
+            (col("n_assigned") === col("n_total")).as("assignment_ok"),
+            (col("n_surviving") === 0).as("no_surviving_pair"),
+            (col("n_lost_mins") === 0).as("min_ids_kept"))
+      },
+      Some("""SELECT count(*) AS n_total, true AS assignment_ok,
+             |       true AS no_surviving_pair, true AS min_ids_kept
+             |FROM embeddings""".stripMargin)),
 
     // ----------------------------------------------------- dataset card
     // The release datasheet: one scan of the corpus producing, per

@@ -56,6 +56,30 @@ class SemanticSpec extends AnyFunSuite {
     assert(kept == Seq(1L))
   }
 
+  test("semdedupBy with an explicit bucket column honors the given clustering") {
+    import org.apache.spark.sql.functions._
+    val v = Seq(1f, 2f, 3f, 4f, 5f)
+    // identical vectors FORCED into different buckets: nothing drops —
+    // the pair stage must key on the provided clustering, not recompute
+    // its own (this is what makes the IVF swap of q60 a pure key change)
+    val separated = emb(1L -> v, 2L -> v)
+      .withColumn("bucket", col("vec_id") % 2)
+    assert(Semantic.semdedupBy(separated, 0.9).count() == 2)
+    // and co-bucketed they dedup exactly like semdedup
+    val together = emb(1L -> v, 2L -> v).withColumn("bucket", lit(0L))
+    assert(Semantic.semdedupBy(together, 0.9)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("q60_semdedup_ivf contract holds on real data") {
+    val row = graft.SparkEntry.queries("q60_semdedup_ivf")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(row.getLong(0) > 0)
+    assert(row.getBoolean(1), "assignment_ok")
+    assert(row.getBoolean(2), "no_surviving_pair")
+    assert(row.getBoolean(3), "min_ids_kept")
+  }
+
   test("topKRanked equals the global-window ranking on a multi-partition input") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
