@@ -1,0 +1,126 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed batch-perceptron training — the quality-classifier-in-
+  * the-loop TRAINING half (q45's kNN / centroid / DSIR queries only
+  * evaluate or apply a model; this trains one on the cluster).
+  *
+  * The model is a linear classifier over hashed bag-of-words count
+  * features (the fastText-style quality-filter shape: CCNet, GPT-3 and
+  * FineWeb all gate documents on a cheap linear scorer). Training is
+  * the BATCH perceptron: per epoch, every document misclassified under
+  * the current weights contributes `y·x` to one summed update. Unlike
+  * SGD (inherently sequential) or logistic regression (float exp), the
+  * batch-perceptron step is a plain commutative integer sum — so the
+  * trained weights are BIT-IDENTICAL on any partitioning, any executor
+  * count, any shuffle order, and an SQL engine can replay the whole
+  * training run exactly (the q61 oracle unrolls the epochs as CTEs).
+  *
+  * Scale shape: the corpus is featurized ONCE into `(doc_id, y,
+  * bucket, x)` rows (one map-side-combined shuffle) and persisted;
+  * every epoch is then two keyed shuffles over that table — a per-doc
+  * margin aggregate and a per-bucket update aggregate — of which the
+  * driver collects exactly `buckets + 1` longs (the new weight
+  * vector). Per-epoch driver traffic is O(weights), executor work is
+  * linear in corpus tokens, epochs are a fixed constant. The bias is
+  * weight[-1] on a constant feature, so it rides the same aggregates.
+  */
+object Perceptron {
+
+  /** Bias rides as bucket -1 with x = 1 on every doc. */
+  val BiasBucket: Long = -1L
+
+  final case class TrainResult(
+      weights: Map[Long, Long], // bucket (incl. BiasBucket) -> weight
+      mistakes: Seq[Long],      // per-epoch misclassified count (under w_{t-1})
+      finalErrors: Long)        // misclassified count under the final weights
+
+  /** Appends the per-doc bias row (bucket -1, x = 1) to a raw hashed
+    * feature table `(doc_id, y, bucket, x)`.
+    */
+  def withBias(feat0: DataFrame): DataFrame =
+    feat0.unionByName(
+      feat0.select(col("doc_id"), col("y")).distinct()
+        .select(col("doc_id"), col("y"),
+          lit(BiasBucket).as("bucket"), lit(1L).as("x")))
+
+  /** Per-doc integer margin `m = w·x` under fixed weights — the SERVE
+    * side: one map-side-combined aggregate keyed by doc, the weights a
+    * literal map baked into the plan (a model of buckets+1 longs is
+    * plan metadata, not a join). Input must already carry bias rows.
+    * Returns `(doc_id, y, m)`.
+    */
+  def margins(feat: DataFrame, w: Map[Long, Long]): DataFrame = {
+    val entries = w.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    feat.groupBy(col("doc_id"), col("y"))
+      .agg(sum(element_at(map(entries: _*), col("bucket")) * col("x"))
+        .as("m"))
+  }
+
+  /** Per-ROW integer margin `w·x` computed inside ONE codegen'd
+    * expression over the raw text — the zero-shuffle serving path: no
+    * explode, no per-doc aggregate, just a `functions.aggregate` fold
+    * adding the hashed bucket's weight per token (init = bias). Same
+    * integer result as [[margins]] (addition is commutative), proven
+    * equal in PerceptronSpec. This is the form that gates a 100 TB
+    * scan — or an ingestion stream (q20_stream_quality) — map-only.
+    * The tokenize/hash here must stay in lockstep with
+    * `Classifier.perceptronFeatures`.
+    */
+  def marginExpr(textCol: Column, w: Map[Long, Long]): Column = {
+    val entries = w.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    val wmap = map(entries: _*)
+    aggregate(
+      split(textCol, " "),
+      lit(w(BiasBucket)),
+      (acc, word) => acc + element_at(wmap,
+        conv(substring(md5(word), 1, 2), 16, 10).cast("long") % 32))
+  }
+
+  /** `feat` columns: `doc_id: Long`, `y: Long` (+1/-1), `bucket: Long`
+    * in `[0, buckets)`, `x: Long` (count feature). A bias row
+    * (bucket = -1, x = 1) is appended per doc here — callers pass raw
+    * hashed counts. Weights start at zero, learning rate 1, a margin
+    * of exactly 0 counts as a mistake (so epoch 1 updates on every
+    * doc — pinned in PerceptronSpec and the SQL oracle).
+    */
+  def train(feat0: DataFrame, buckets: Int, epochs: Int): TrainResult = {
+    val feat = withBias(feat0).persist(StorageLevel.MEMORY_AND_DISK)
+
+    var w: Map[Long, Long] =
+      (BiasBucket until buckets.toLong).map(_ -> 0L).toMap
+    val mistakes = ArrayBuffer.empty[Long]
+
+    def misclassified(): DataFrame =
+      margins(feat, w)
+        .filter(col("y") * col("m") <= 0)
+        .select(col("doc_id"))
+
+    (1 to epochs).foreach { _ =>
+      val mis = misclassified().persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        // one collect of <= buckets+1 rows: the summed update vector
+        val upd = feat.join(mis, Seq("doc_id"))
+          .groupBy("bucket")
+          .agg(sum(col("y") * col("x")).as("dw"), count_distinct(col("doc_id")).as("n"))
+          .collect()
+        mistakes += upd.find(_.getLong(0) == BiasBucket).map(_.getLong(2)).getOrElse(0L)
+        upd.foreach { r =>
+          val b = r.getLong(0)
+          w = w.updated(b, w(b) + r.getLong(1))
+        }
+      } finally mis.unpersist()
+    }
+
+    val finalErrors = misclassified().count()
+    feat.unpersist()
+    TrainResult(w, mistakes.toSeq, finalErrors)
+  }
+}

@@ -86,6 +86,139 @@ object Classifier {
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("cv")))),
         x => x.getField("cv")).as("centroid"))
 
+  /** Hashed bag-of-words count features for the q61 perceptron family:
+    * label +1 = long/content-rich doc, 32 md5 token buckets, integer
+    * counts. Exposed for the q61 queries and ClassifierSpec.
+    */
+  def perceptronFeatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        when(col("n_chars") >= 300, 1L).otherwise(-1L).as("y"),
+        col("text"))
+      .select(col("doc_id"), col("y"),
+        explode(TextFns.tokens(col("text"))).as("word"))
+      .withColumn("bucket",
+        conv(substring(md5(col("word")), 1, 2), 16, 10).cast("long") % 32)
+      .groupBy("doc_id", "y", "bucket")
+      .agg(count(lit(1)).as("x"))
+
+  /** The q61 training run replayed as SQL: featurize + 4 unrolled
+    * batch-perceptron epochs, ending with weight table `w4`, per-epoch
+    * mistake sets `m1..m4`, and the final margin table `s5`. Shared by
+    * both q61 oracles.
+    */
+  private[queries] val perceptronSqlPrefix: String =
+    """WITH lab AS (
+      |  SELECT doc_id, CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS y,
+      |         text
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, y,
+      |    CAST(((strpos('0123456789abcdef', substring(md5(w), 1, 1)) - 1)
+      |            * 16
+      |          + (strpos('0123456789abcdef', substring(md5(w), 2, 1)) - 1))
+      |         % 32 AS BIGINT) AS bucket,
+      |    count(*) AS x
+      |  FROM (SELECT doc_id, y, unnest(string_split(text, ' ')) AS w
+      |        FROM lab)
+      |  GROUP BY 1, 2, 3),
+      |feat AS (
+      |  SELECT doc_id, y, bucket, CAST(x AS BIGINT) AS x FROM tf
+      |  UNION ALL
+      |  SELECT doc_id, y, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM lab),
+      |w0 AS (SELECT CAST(u.b AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS wt
+      |       FROM (SELECT unnest(range(-1, 32)) AS b) u),
+      |s1 AS (SELECT f.doc_id, f.y, sum(w.wt * f.x) AS dot
+      |       FROM feat f JOIN w0 w USING (bucket) GROUP BY 1, 2),
+      |m1 AS (SELECT doc_id FROM s1 WHERE y * dot <= 0),
+      |u1 AS (SELECT f.bucket, CAST(sum(f.y * f.x) AS BIGINT) AS dw
+      |       FROM feat f JOIN m1 USING (doc_id) GROUP BY 1),
+      |w1 AS (SELECT w.bucket, w.wt + coalesce(u.dw, 0) AS wt
+      |       FROM w0 w LEFT JOIN u1 u USING (bucket)),
+      |s2 AS (SELECT f.doc_id, f.y, sum(w.wt * f.x) AS dot
+      |       FROM feat f JOIN w1 w USING (bucket) GROUP BY 1, 2),
+      |m2 AS (SELECT doc_id FROM s2 WHERE y * dot <= 0),
+      |u2 AS (SELECT f.bucket, CAST(sum(f.y * f.x) AS BIGINT) AS dw
+      |       FROM feat f JOIN m2 USING (doc_id) GROUP BY 1),
+      |w2 AS (SELECT w.bucket, w.wt + coalesce(u.dw, 0) AS wt
+      |       FROM w1 w LEFT JOIN u2 u USING (bucket)),
+      |s3 AS (SELECT f.doc_id, f.y, sum(w.wt * f.x) AS dot
+      |       FROM feat f JOIN w2 w USING (bucket) GROUP BY 1, 2),
+      |m3 AS (SELECT doc_id FROM s3 WHERE y * dot <= 0),
+      |u3 AS (SELECT f.bucket, CAST(sum(f.y * f.x) AS BIGINT) AS dw
+      |       FROM feat f JOIN m3 USING (doc_id) GROUP BY 1),
+      |w3 AS (SELECT w.bucket, w.wt + coalesce(u.dw, 0) AS wt
+      |       FROM w2 w LEFT JOIN u3 u USING (bucket)),
+      |s4 AS (SELECT f.doc_id, f.y, sum(w.wt * f.x) AS dot
+      |       FROM feat f JOIN w3 w USING (bucket) GROUP BY 1, 2),
+      |m4 AS (SELECT doc_id FROM s4 WHERE y * dot <= 0),
+      |u4 AS (SELECT f.bucket, CAST(sum(f.y * f.x) AS BIGINT) AS dw
+      |       FROM feat f JOIN m4 USING (doc_id) GROUP BY 1),
+      |w4 AS (SELECT w.bucket, w.wt + coalesce(u.dw, 0) AS wt
+      |       FROM w3 w LEFT JOIN u4 u USING (bucket)),
+      |s5 AS (SELECT f.doc_id, f.y, CAST(sum(w.wt * f.x) AS BIGINT) AS dot
+      |       FROM feat f JOIN w4 w USING (bucket) GROUP BY 1, 2)""".stripMargin
+
+  /** [[perceptronSqlPrefix]] extended with the threshold-sweep CTEs:
+    * `tot` (total positives), `g` (per-distinct-margin counts), `c`
+    * (cumulative tp / predicted-positive counts in margin-DESC order —
+    * the window formulation of the GlobalIndex prefix sums).
+    */
+  private[queries] val perceptronSweepSql: String =
+    perceptronSqlPrefix + ",\n" +
+      """tot AS (SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+        |                    AS BIGINT) AS pos_total FROM s5),
+        |g AS (SELECT dot AS m,
+        |        CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS npos,
+        |        count(*) AS ntot
+        |      FROM s5 GROUP BY 1),
+        |c AS (SELECT m,
+        |        CAST(sum(npos) OVER (ORDER BY m DESC) AS BIGINT) AS tp,
+        |        CAST(sum(ntot) OVER (ORDER BY m DESC) AS BIGINT) AS ctot
+        |      FROM g)""".stripMargin
+
+  /** Threshold-sweep curve over per-doc integer margins `(doc_id, y,
+    * m)`: one row per distinct margin with exact tp/fp/fn counts
+    * (GlobalIndex prefix sums — no partition-less window) and rounded
+    * prec/rec/f1 (ONE double division each). Shared by
+    * q61_threshold_calibrate and the streaming deploy's operating-point
+    * pick.
+    */
+  def calibrationCurve(marg: DataFrame): DataFrame = {
+    import graft.operators.GlobalIndex
+    val grouped = marg.groupBy(col("m")).agg(
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("npos"),
+      count(lit(1)).as("ntot"))
+    val cPos = GlobalIndex.withRunningTotal(grouped,
+        Seq(col("m").desc), "npos", "pos_a", "tp", 32)
+      .select(col("m"), col("tp"))
+    val cTot = GlobalIndex.withRunningTotal(grouped,
+        Seq(col("m").desc), "ntot", "pos_b", "ctot", 32)
+      .select(col("m").as("m2"), col("ctot"))
+    val totPos = marg.agg(
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos_total"))
+    cPos.join(cTot, col("m") === col("m2")).drop("m2")
+      .crossJoin(broadcast(totPos))
+      .select(col("m").as("threshold"), col("tp"),
+        (col("ctot") - col("tp")).as("fp"),
+        (col("pos_total") - col("tp")).as("fn"),
+        round(col("tp").cast("double") / col("ctot"), 9).as("prec"),
+        round(col("tp").cast("double") / col("pos_total"), 9).as("rec"),
+        round(lit(2.0) * col("tp") /
+          (lit(2) * col("tp") + (col("ctot") - col("tp")) +
+            (col("pos_total") - col("tp"))), 9).as("f1"))
+  }
+
+  /** The calibrated operating point: best-F1 threshold (ties → lower
+    * threshold), collected as ONE scalar — the filter cutoff a deploy
+    * ships with.
+    */
+  def calibratedThreshold(marg: DataFrame): Long =
+    calibrationCurve(marg)
+      .orderBy(col("f1").desc, col("threshold").asc)
+      .limit(1).select("threshold").collect()(0).getLong(0)
+
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------ leave-one-out kNN eval
@@ -270,6 +403,87 @@ object Classifier {
              |WHERE lang <> 'en'
              |GROUP BY doc_id, lang
              |ORDER BY dsir_score DESC, doc_id LIMIT 20""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // ---------------------------------- batch-perceptron quality filter
+    // The TRAINING half of classifier-in-the-loop: a linear quality
+    // classifier (hashed bag-of-words counts -> long/content-rich
+    // label) trained ON THE CLUSTER with the batch perceptron — the
+    // one linear-model trainer whose update step is a commutative
+    // integer sum, so the trained weights are bit-identical on any
+    // partitioning AND replayable by the SQL oracle (epochs unrolled
+    // as CTEs). Scale: featurize once (one map-combined shuffle,
+    // persisted); each of the 4 epochs is two keyed shuffles of that
+    // table and a <=33-long collect; serving is the same margin
+    // aggregate once more. See operators/Perceptron.
+    QueryDef(
+      "q61_quality_perceptron",
+      (s, dir) => {
+        import s.implicits._
+        val feat = perceptronFeatures(t(s, dir, "documents"))
+        val r = graft.operators.Perceptron.train(feat, buckets = 32, epochs = 4)
+        val rows: Seq[(String, Long, Long)] =
+          (0L until 32L).map(b => ("weight", b, r.weights(b))) ++
+            Seq(("bias", -1L, r.weights(graft.operators.Perceptron.BiasBucket))) ++
+            r.mistakes.zipWithIndex.map { case (m, i) =>
+              ("mistakes", (i + 1).toLong, m)
+            } ++
+            Seq(("final_errors", 0L, r.finalErrors))
+        rows.toDF("kind", "k", "v").orderBy("kind", "k")
+      },
+      Some(perceptronSqlPrefix + "\n" +
+        """SELECT 'weight' AS kind, bucket AS k, wt AS v
+             |FROM w4 WHERE bucket >= 0
+             |UNION ALL
+             |SELECT 'bias', CAST(-1 AS BIGINT), wt FROM w4 WHERE bucket = -1
+             |UNION ALL
+             |SELECT 'mistakes', CAST(1 AS BIGINT),
+             |       (SELECT count(*) FROM m1)
+             |UNION ALL
+             |SELECT 'mistakes', CAST(2 AS BIGINT),
+             |       (SELECT count(*) FROM m2)
+             |UNION ALL
+             |SELECT 'mistakes', CAST(3 AS BIGINT),
+             |       (SELECT count(*) FROM m3)
+             |UNION ALL
+             |SELECT 'mistakes', CAST(4 AS BIGINT),
+             |       (SELECT count(*) FROM m4)
+             |UNION ALL
+             |SELECT 'final_errors', CAST(0 AS BIGINT),
+             |       (SELECT count(*) FROM s5 WHERE y * dot <= 0)
+             |ORDER BY kind, k""".stripMargin),
+      bench = true),
+
+    // ------------------------------ classifier threshold calibration
+    // The step between training a quality scorer and shipping a
+    // filter: sweep every candidate threshold over the trained
+    // perceptron's per-doc margins and pick the best-F1 operating
+    // point (the FineWeb-Edu "score >= 3" cutoff, chosen from data).
+    // Margins are integers, so the sweep is engine-exact: cumulative
+    // TP / predicted-positive counts over the margin-DESC order come
+    // from GlobalIndex.withRunningTotal (the distributed prefix sum —
+    // one range shuffle each, NO single-partition window even though
+    // distinct margins are corpus-scale in the worst case); precision,
+    // recall, F1 are each ONE rounded double division from exact
+    // integers. The oracle replays training via the shared CTE prefix
+    // and sweeps with the window formulation the operator avoids.
+    QueryDef(
+      "q61_threshold_calibrate",
+      (s, dir) => {
+        import graft.operators.Perceptron
+        val feat = perceptronFeatures(t(s, dir, "documents"))
+        val r = Perceptron.train(feat, buckets = 32, epochs = 4)
+        calibrationCurve(Perceptron.margins(Perceptron.withBias(feat), r.weights))
+          .orderBy(col("f1").desc, col("threshold").asc)
+          .limit(1)
+      },
+      Some(perceptronSweepSql + "\n" +
+        """SELECT m AS threshold, tp, ctot - tp AS fp, pos_total - tp AS fn,
+          |  round(CAST(tp AS DOUBLE) / ctot, 9) AS prec,
+          |  round(CAST(tp AS DOUBLE) / pos_total, 9) AS rec,
+          |  round(2.0 * tp / (2 * tp + (ctot - tp) + (pos_total - tp)), 9)
+          |    AS f1
+          |FROM c, tot
+          |ORDER BY f1 DESC, threshold LIMIT 1""".stripMargin))
   )
 }

@@ -241,6 +241,27 @@ object Streaming {
     QueryDef(
       "q20_stream_neardup",
       (s, dir) => graft.streaming.StreamOps.streamNearDup(s, dir),
-      Some(LlmOps.duckJaccardPairsSql))
+      Some(LlmOps.duckJaccardPairsSql)),
+
+    // Ingestion-time quality filter: the q61 perceptron trained offline
+    // (batch), its best-F1 cutoff calibrated offline (q61 sweep), then
+    // served on the document stream as ONE codegen'd fold expression
+    // per arriving row — the deploy step of train→calibrate→filter.
+    // The oracle replays training + calibration (shared CTE prefixes)
+    // and scores every doc with the final weights and cutoff.
+    QueryDef(
+      "q20_stream_quality",
+      (s, dir) => graft.streaming.StreamOps.streamQuality(s, dir),
+      Some(Classifier.perceptronSweepSql + ",\n" +
+        """curve AS (SELECT m,
+          |    round(2.0 * tp / (2 * tp + (ctot - tp) + (pos_total - tp)), 9)
+          |      AS f1
+          |  FROM c, tot),
+          |best AS (SELECT m FROM curve ORDER BY f1 DESC, m LIMIT 1)
+          |SELECT d.lang, (s.dot >= (SELECT m FROM best)) AS keep,
+          |       count(*) AS n
+          |FROM s5 s JOIN documents d ON s.doc_id = d.doc_id
+          |GROUP BY 1, 2
+          |ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -447,6 +447,36 @@ object StreamOps {
     streamPrioritySampleFrom(
       spark, tableStream(spark, sfDir, "documents"), 20)
 
+  /** Ingestion-time quality filtering with the q61 batch-trained
+    * perceptron — the DEPLOY step of train→calibrate→filter: weights
+    * come from `Perceptron.train` on the static corpus, the cutoff
+    * from `Classifier.calibratedThreshold` (the best-F1 operating
+    * point — both offline, both driver-scale artifacts); every
+    * ARRIVING document is then scored by `Perceptron.marginExpr` —
+    * ONE codegen'd fold expression with model + threshold baked into
+    * the plan, no shuffle, no per-doc state; the only streaming state
+    * is the tiny per-(lang, keep) running counts. Batch-equivalent by
+    * construction (stateless scoring + commutative counts), so it
+    * faces a full SQL oracle that replays training, calibration AND
+    * scoring.
+    */
+  def streamQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Perceptron
+    import graft.queries.Classifier
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val feat = Classifier.perceptronFeatures(docs)
+    val r = Perceptron.train(feat, buckets = 32, epochs = 4)
+    val theta = Classifier.calibratedThreshold(
+      Perceptron.margins(Perceptron.withBias(feat), r.weights))
+    val scored = tableStream(spark, sfDir, "documents")
+      .select(col("lang"),
+        (Perceptron.marginExpr(col("text"), r.weights) >= theta).as("keep"))
+    val agg = scored.groupBy(col("lang"), col("keep"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(spark, agg, "stream_quality", "complete")
+      .orderBy("lang", "keep")
+  }
+
   /** The pipeline behind [[streamPrioritySample]], parameterized on the
     * document stream so the spec can force scrambled multi-micro-batch
     * arrival and assert batch-equivalence.

@@ -55,4 +55,23 @@ class ClassifierSpec extends AnyFunSuite {
     assert(got(0) == Seq(2.0, 0.5))
     assert(got(1) == Seq(10.0, 20.0))
   }
+
+  test("calibrationCurve: hand-computed confusion counts and best-F1 pick") {
+    import spark.implicits._
+    // margins: positives at 10, 10, 5; negatives at 7, 2
+    // threshold 10: tp=2 fp=0 fn=1 | 7: tp=2 fp=1 fn=1
+    // threshold 5:  tp=3 fp=1 fn=0 | 2: tp=3 fp=2 fn=0
+    val marg = Seq(
+      (1L, 1L, 10L), (2L, 1L, 10L), (3L, 1L, 5L),
+      (4L, -1L, 7L), (5L, -1L, 2L)
+    ).toDF("doc_id", "y", "m")
+    val rows = Classifier.calibrationCurve(marg).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows === Map(
+      10L -> ((2L, 0L, 1L)), 7L -> ((2L, 1L, 1L)),
+      5L -> ((3L, 1L, 0L)), 2L -> ((3L, 2L, 0L))))
+    // f1: θ=10 → 4/5, θ=7 → 2/3, θ=5 → 6/7 (best), θ=2 → 3/4
+    assert(Classifier.calibratedThreshold(marg) === 5L)
+  }
 }
