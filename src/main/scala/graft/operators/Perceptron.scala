@@ -92,7 +92,15 @@ object Perceptron {
     * doc — pinned in PerceptronSpec and the SQL oracle).
     */
   def train(feat0: DataFrame, buckets: Int, epochs: Int): TrainResult = {
-    val feat = withBias(feat0).persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE shuffle on the doc key, then persist: hash-partitioning on
+    // doc_id satisfies both per-epoch distributions (the (doc_id, y)
+    // margin aggregate — subset clustering — and the doc_id equi-join
+    // back), so every epoch reuses this layout and only the tiny
+    // misclassified-id side moves. The 100 TB form of the same
+    // decision is a feature table written bucketed by doc key.
+    val feat = withBias(feat0)
+      .repartition(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     var w: Map[Long, Long] =
       (BiasBucket until buckets.toLong).map(_ -> 0L).toMap
@@ -104,19 +112,18 @@ object Perceptron {
         .select(col("doc_id"))
 
     (1 to epochs).foreach { _ =>
-      val mis = misclassified().persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        // one collect of <= buckets+1 rows: the summed update vector
-        val upd = feat.join(mis, Seq("doc_id"))
-          .groupBy("bucket")
-          .agg(sum(col("y") * col("x")).as("dw"), count_distinct(col("doc_id")).as("n"))
-          .collect()
-        mistakes += upd.find(_.getLong(0) == BiasBucket).map(_.getLong(2)).getOrElse(0L)
-        upd.foreach { r =>
-          val b = r.getLong(0)
-          w = w.updated(b, w(b) + r.getLong(1))
-        }
-      } finally mis.unpersist()
+      // one collect of <= buckets+1 rows: the summed update vector.
+      // Every doc carries exactly one bias row (x = 1), so the bias
+      // bucket's plain row count IS the misclassified-doc count.
+      val upd = feat.join(misclassified(), Seq("doc_id"))
+        .groupBy("bucket")
+        .agg(sum(col("y") * col("x")).as("dw"), count(lit(1)).as("n"))
+        .collect()
+      mistakes += upd.find(_.getLong(0) == BiasBucket).map(_.getLong(2)).getOrElse(0L)
+      upd.foreach { r =>
+        val b = r.getLong(0)
+        w = w.updated(b, w(b) + r.getLong(1))
+      }
     }
 
     val finalErrors = misclassified().count()
