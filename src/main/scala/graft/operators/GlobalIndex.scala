@@ -86,51 +86,76 @@ object GlobalIndex {
       valueCol: String,
       posCol: String,
       cumCol: String,
+      numPartitions: Int): DataFrame =
+    withRunningTotals(df, sortCols, Seq(valueCol), posCol, Seq(cumCol),
+      numPartitions)
+
+  /** [[withRunningTotal]] for SEVERAL value columns in ONE pass: all
+    * running totals share the single range shuffle and per-partition
+    * scan instead of paying one scan each and a join to reassemble
+    * (the q61 calibration sweep needs cumulative tp AND
+    * predicted-positive counts over the same margin order).
+    * `valueCols(i)`'s inclusive running total lands in `cumCols(i)`.
+    */
+  def withRunningTotals(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCols: Seq[String],
+      posCol: String,
+      cumCols: Seq[String],
       numPartitions: Int): DataFrame = {
     require(sortCols.nonEmpty, "GlobalIndex needs at least one sort column")
+    require(valueCols.nonEmpty && valueCols.size == cumCols.size,
+      "valueCols and cumCols must pair up")
     val ranged = df
       .repartitionByRange(numPartitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_gi_pid", spark_partition_id())
-    val vIdx = ranged.schema.fieldIndex(valueCol)
-    require(ranged.schema(vIdx).dataType == LongType,
-      s"withRunningTotal needs LongType for $valueCol")
-    val schema = ranged.schema
-      .add("_gi_rank", LongType, nullable = false)
-      .add("_gi_run", LongType, nullable = false)
+    val vIdxs = valueCols.map(ranged.schema.fieldIndex)
+    vIdxs.zip(valueCols).foreach { case (i, c) =>
+      require(ranged.schema(i).dataType == LongType,
+        s"withRunningTotals needs LongType for $c")
+    }
+    val schema = cumCols.indices
+      .foldLeft(ranged.schema.add("_gi_rank", LongType, nullable = false)) {
+        (s, i) => s.add(s"_gi_run_$i", LongType, nullable = false)
+      }
     val ranked = ranged.mapPartitions { it =>
       var i = 0L
-      var run = 0L
+      val runs = Array.fill(vIdxs.size)(0L)
       it.map { r =>
         i += 1
-        run += r.getLong(vIdx)
-        Row.fromSeq(r.toSeq :+ i :+ run)
+        var j = 0
+        while (j < runs.length) { runs(j) += r.getLong(vIdxs(j)); j += 1 }
+        Row.fromSeq(r.toSeq ++ (i +: runs.toSeq))
       }
     }(Encoders.row(schema))
-    val offsets = ranged
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_gi_pid"))
+      .rowsBetween(Long.MinValue, -1)
+    val offsets0 = ranged
       .groupBy(col("_gi_pid"))
-      .agg(count(lit(1)).as("_gi_n"), sum(col(valueCol)).as("_gi_s"))
-      .withColumn(
-        "_gi_off",
-        coalesce(
-          sum(col("_gi_n")).over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("_gi_pid"))
-              .rowsBetween(Long.MinValue, -1)),
-          lit(0L)))
-      .withColumn(
-        "_gi_soff",
-        coalesce(
-          sum(col("_gi_s")).over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("_gi_pid"))
-              .rowsBetween(Long.MinValue, -1)),
-          lit(0L)))
-      .select(col("_gi_pid"), col("_gi_off"), col("_gi_soff"))
-    ranked
+      .agg(count(lit(1)).as("_gi_n"),
+        valueCols.zipWithIndex.map { case (c, i) =>
+          sum(col(c)).as(s"_gi_s_$i")
+        }: _*)
+      .withColumn("_gi_off", coalesce(sum(col("_gi_n")).over(win), lit(0L)))
+    val offsets = valueCols.indices
+      .foldLeft(offsets0) { (d, i) =>
+        d.withColumn(s"_gi_soff_$i",
+          coalesce(sum(col(s"_gi_s_$i")).over(win), lit(0L)))
+      }
+      .select(col("_gi_pid") +: col("_gi_off") +:
+        valueCols.indices.map(i => col(s"_gi_soff_$i")): _*)
+    val joined = ranked
       .join(broadcast(offsets), "_gi_pid")
       .withColumn(posCol, (col("_gi_off") + col("_gi_rank")).cast("long"))
-      .withColumn(cumCol, (col("_gi_soff") + col("_gi_run")).cast("long"))
-      .drop("_gi_pid", "_gi_rank", "_gi_run", "_gi_off", "_gi_soff")
+    val withCums = cumCols.zipWithIndex.foldLeft(joined) { case (d, (c, i)) =>
+      d.withColumn(c,
+        (col(s"_gi_soff_$i") + col(s"_gi_run_$i")).cast("long"))
+    }
+    withCums.drop(
+      Seq("_gi_pid", "_gi_rank", "_gi_off") ++
+        valueCols.indices.flatMap(i => Seq(s"_gi_run_$i", s"_gi_soff_$i")): _*)
   }
 }

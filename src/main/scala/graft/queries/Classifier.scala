@@ -190,16 +190,14 @@ object Classifier {
     val grouped = marg.groupBy(col("m")).agg(
       sum(when(col("y") === 1L, 1L).otherwise(0L)).as("npos"),
       count(lit(1)).as("ntot"))
-    val cPos = GlobalIndex.withRunningTotal(grouped,
-        Seq(col("m").desc), "npos", "pos_a", "tp", 32)
-      .select(col("m"), col("tp"))
-    val cTot = GlobalIndex.withRunningTotal(grouped,
-        Seq(col("m").desc), "ntot", "pos_b", "ctot", 32)
-      .select(col("m").as("m2"), col("ctot"))
+    // both cumulative counts ride ONE range shuffle + local scan
+    val c = GlobalIndex.withRunningTotals(grouped,
+        Seq(col("m").desc), Seq("npos", "ntot"), "pos_a",
+        Seq("tp", "ctot"), 32)
+      .select(col("m"), col("tp"), col("ctot"))
     val totPos = marg.agg(
       sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos_total"))
-    cPos.join(cTot, col("m") === col("m2")).drop("m2")
-      .crossJoin(broadcast(totPos))
+    c.crossJoin(broadcast(totPos))
       .select(col("m").as("threshold"), col("tp"),
         (col("ctot") - col("tp")).as("fp"),
         (col("pos_total") - col("tp")).as("fn"),
@@ -214,10 +212,14 @@ object Classifier {
     * threshold), collected as ONE scalar — the filter cutoff a deploy
     * ships with.
     */
-  def calibratedThreshold(marg: DataFrame): Long =
-    calibrationCurve(marg)
+  def calibratedThreshold(marg: DataFrame): Long = {
+    val best = calibrationCurve(marg)
       .orderBy(col("f1").desc, col("threshold").asc)
-      .limit(1).select("threshold").collect()(0).getLong(0)
+      .limit(1).select("threshold").collect()
+    require(best.nonEmpty,
+      "calibratedThreshold: no margins to calibrate on (empty input)")
+    best(0).getLong(0)
+  }
 
   val all: Seq[QueryDef] = Seq(
 

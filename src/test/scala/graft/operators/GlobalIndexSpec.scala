@@ -114,4 +114,26 @@ class GlobalIndexSpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("id", "k", "s", "pos"))
     assert(out.count() == 500)
   }
+
+  test("withRunningTotals: several columns in one pass equal one pass each") {
+    val in = sample
+      .withColumn("v1", (col("id") % 7).cast("long"))
+      .withColumn("v2", (col("id") % 3).cast("long"))
+    val sort = Seq(col("k"), col("id"))
+    val both = GlobalIndex
+      .withRunningTotals(in, sort, Seq("v1", "v2"), "pos",
+        Seq("c1", "c2"), 4)
+      .select("id", "pos", "c1", "c2")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val one = GlobalIndex.withRunningTotal(in, sort, "v1", "pos", "c1", 4)
+    val other = GlobalIndex.withRunningTotal(in, sort, "v2", "pos2", "c2", 4)
+    val expect = one.select("id", "pos", "c1")
+      .join(other.select("id", "c2"), "id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(both == expect)
+  }
 }

@@ -74,4 +74,13 @@ class ClassifierSpec extends AnyFunSuite {
     // f1: θ=10 → 4/5, θ=7 → 2/3, θ=5 → 6/7 (best), θ=2 → 3/4
     assert(Classifier.calibratedThreshold(marg) === 5L)
   }
+
+  test("calibratedThreshold refuses an empty margin table loudly") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("doc_id", "y", "m")
+    val e = intercept[IllegalArgumentException] {
+      Classifier.calibratedThreshold(empty)
+    }
+    assert(e.getMessage.contains("no margins"))
+  }
 }
