@@ -63,17 +63,28 @@ object Perceptron {
         .as("m"))
   }
 
-  /** Per-ROW integer margin `w·x` computed inside ONE codegen'd
-    * expression over the raw text — the zero-shuffle serving path: no
-    * explode, no per-doc aggregate, just a `functions.aggregate` fold
-    * adding the hashed bucket's weight per token (init = bias). Same
-    * integer result as [[margins]] (addition is commutative), proven
-    * equal in PerceptronSpec. This is the form that gates a 100 TB
-    * scan — or an ingestion stream (q20_stream_quality) — map-only.
-    * The tokenize/hash here must stay in lockstep with
-    * `Classifier.perceptronFeatures`.
+  /** Per-ROW integer margin `w·x` computed inside ONE expression over
+    * the raw text — the zero-shuffle serving path: no explode, no
+    * per-doc aggregate. Backed by the native codegen'd
+    * [[graft.functions.PerceptronMarginF]] kernel (the declarative HOF
+    * fold is CodegenFallback — see [[marginExprHof]], kept as the
+    * spec's reference formulation). Same integer result as [[margins]]
+    * (addition is commutative), proven equal in PerceptronSpec. This
+    * is the form that gates a 100 TB scan — or an ingestion stream
+    * (q20_stream_quality) — map-only. The tokenize/hash must stay in
+    * lockstep with `Classifier.perceptronFeatures`.
     */
-  def marginExpr(textCol: Column, w: Map[Long, Long]): Column = {
+  def marginExpr(textCol: Column, w: Map[Long, Long]): Column =
+    graft.functions.PerceptronMarginF(textCol, w)
+
+  /** The declarative higher-order-function formulation of
+    * [[marginExpr]] — `aggregate` evaluates its lambda interpreted
+    * (ArrayAggregate is CodegenFallback), so this is NOT the serving
+    * path; it exists as the independently-derived reference the
+    * kernel is spec'd against (PerceptronSpec pins equality on empty /
+    * multi-space / non-ASCII inputs).
+    */
+  def marginExprHof(textCol: Column, w: Map[Long, Long]): Column = {
     val entries = w.toSeq.sortBy(_._1)
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
     val wmap = map(entries: _*)

@@ -245,8 +245,9 @@ object Streaming {
 
     // Ingestion-time quality filter: the q61 perceptron trained offline
     // (batch), its best-F1 cutoff calibrated offline (q61 sweep), then
-    // served on the document stream as ONE codegen'd fold expression
-    // per arriving row — the deploy step of train→calibrate→filter.
+    // served on the document stream by the native codegen'd
+    // PerceptronMarginF kernel, one expression per arriving row — the
+    // deploy step of train→calibrate→filter.
     // The oracle replays training + calibration (shared CTE prefixes)
     // and scores every doc with the final weights and cutoff.
     QueryDef(

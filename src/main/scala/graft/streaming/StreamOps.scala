@@ -453,8 +453,9 @@ object StreamOps {
     * from `Classifier.calibratedThreshold` (the best-F1 operating
     * point — both offline, both driver-scale artifacts); every
     * ARRIVING document is then scored by `Perceptron.marginExpr` —
-    * ONE codegen'd fold expression with model + threshold baked into
-    * the plan, no shuffle, no per-doc state; the only streaming state
+    * the native codegen'd `PerceptronMarginF` kernel with model +
+    * threshold baked into the plan as constants — no shuffle, no
+    * per-doc state; the only streaming state
     * is the tiny per-(lang, keep) running counts. Batch-equivalent by
     * construction (stateless scoring + commutative counts), so it
     * faces a full SQL oracle that replays training, calibration AND

@@ -94,6 +94,26 @@ class PerceptronSpec extends AnyFunSuite {
     assert(viaExpr === viaAgg)
   }
 
+  test("native margin kernel equals the HOF fold on edge-case texts") {
+    import spark.implicits._
+    // empty text, leading/trailing/double spaces (empty tokens are
+    // REAL tokens under split limit -1), non-ASCII multi-byte chars
+    val texts = Seq(
+      (1L, ""), (2L, " "), (3L, "a  b"), (4L, " lead"), (5L, "trail "),
+      (6L, "héllo wörld"), (7L, "日本語 テキスト と spaces"),
+      (8L, "plain old text row"), (9L, "  "), (10L, "émoji 🙂 end")
+    ).toDF("doc_id", "text")
+    val w: Map[Long, Long] =
+      ((-1L until 32L).map(b => b -> (b * 37 - 11))).toMap
+    val kernel = texts.select(col("doc_id"),
+        Perceptron.marginExpr(col("text"), w).as("m"))
+      .as[(Long, Long)].collect().toMap
+    val hof = texts.select(col("doc_id"),
+        Perceptron.marginExprHof(col("text"), w).as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(kernel === hof)
+  }
+
   test("epoch 1 updates on every doc (margin 0 counts as a mistake)") {
     val r = Perceptron.train(featDf(2), buckets = 4, epochs = 1)
     assert(r.mistakes === Seq(docs.size.toLong))
