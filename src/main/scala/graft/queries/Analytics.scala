@@ -774,6 +774,39 @@ object Analytics {
              |SELECT 'c_name', n1, d1, mn1, mx1 FROM one
              |UNION ALL
              |SELECT 'c_nationkey', n2, d2, mn2, mx2 FROM one
-             |ORDER BY col_name""".stripMargin))
+             |ORDER BY col_name""".stripMargin)),
+
+    // ------------------------------------ observed export accounting
+    // The `Observation` API: release-accounting metrics (doc / char /
+    // token mass, id bounds) collected ON the export scan itself — the
+    // write action drives them, so a 100 TB export pays ZERO extra
+    // passes for its datasheet row (q29_profile-style accounting would
+    // re-read the corpus). Metrics are commutative aggregates delivered
+    // to the driver by the observation listener, not a second query.
+    QueryDef(
+      "q62_observed_export",
+      (s, dir) => {
+        import s.implicits._
+        val obs = org.apache.spark.sql.Observation()
+        val out = tmp("graft_q62_export")
+        t(s, dir, "documents")
+          .observe(obs,
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .write.mode("overwrite").parquet(out)
+        val m = obs.get
+        Seq((m("n_docs").asInstanceOf[Long], m("n_chars").asInstanceOf[Long],
+          m("n_tokens").asInstanceOf[Long], m("min_id").asInstanceOf[Long],
+          m("max_id").asInstanceOf[Long]))
+          .toDF("n_docs", "n_chars", "n_tokens", "min_id", "max_id")
+      },
+      Some("""SELECT count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM documents""".stripMargin))
   )
 }

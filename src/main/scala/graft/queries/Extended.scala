@@ -316,6 +316,44 @@ object Extended {
              |                          AND o_totalprice > 400000)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // --------------------------------------- LATERAL subquery (SQL)
+    // Correlated LATERAL derived table with ORDER BY + LIMIT — the
+    // "top-N per row" SQL surface. Catalyst DECORRELATES it (domain
+    // join + per-key rank) instead of executing a per-customer nested
+    // loop; the query REQUIRES the executed plan to be free of nested
+    // loops so a regression in decorrelation fails the drive, not just
+    // the stopwatch. DuckDB runs the identical LATERAL phrasing.
+    QueryDef(
+      "q05_sql_lateral",
+      (s, dir) => {
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer_lat")
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders_lat")
+        val df = s.sql("""
+          SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          FROM customer_lat c, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders_lat
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2) o
+          WHERE c.c_mktsegment = 'AUTOMOBILE'
+          ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          "LATERAL subquery was not decorrelated — nested loop in plan")
+        df
+      },
+      Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+             |FROM customer c, LATERAL (
+             |  SELECT o_orderkey, o_totalprice
+             |  FROM orders
+             |  WHERE o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey
+             |  LIMIT 2) o
+             |WHERE c.c_mktsegment = 'AUTOMOBILE'
+             |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)),
+
     // ------------------------------------------- TPC-H Q5 (SQL surface)
     // Six-table join (the full snowflake) + one-year filter + per-nation
     // revenue. Catalyst picks the join order and broadcasts every
