@@ -175,6 +175,116 @@ object Multimodal {
       }(enc)
   }
 
+  // ------------------------------------------------------------------
+  // REAL image codec: PPM (P6). Unlike decodeStub (kept for formats
+  // that need external libraries this container lacks), PPM is a
+  // header + raw-RGB format parseable in pure JVM code — so this path
+  // runs an ACTUAL encode → store → parse → feature round trip: the
+  // encoder writes genuine P6 files, the decoder is a strict parser
+  // (magic, whitespace/comment-tolerant header, exact payload length),
+  // and q26_ppm_decode's oracle recomputes channel sums closed-form —
+  // a header-skip or stride bug mismatches the hash.
+  // ------------------------------------------------------------------
+
+  /** Encode a genuine PPM (P6) image: `pixel(x, y, c)` gives channel
+    * `c` (0=R,1=G,2=B) of pixel (x, y) in [0, 255]; layout is the spec's
+    * row-major interleaved RGB after an ASCII `P6\nW H\n255\n` header.
+    */
+  def encodePpm(width: Int, height: Int, pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "PPM dimensions must be positive")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val body = new Array[Byte](width * height * 3)
+    var i = 0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        var c = 0
+        while (c < 3) { body(i) = (pixel(x, y, c) & 0xff).toByte; i += 1; c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    header ++ body
+  }
+
+  /** Strict P6 parser → `(w, h, sumR, sumG, sumB)`; None on anything
+    * malformed (bad magic, non-numeric header, maxval != 255, short or
+    * oversized payload). Header tokenization skips whitespace and
+    * `#`-comments per the netpbm spec; exactly ONE whitespace byte
+    * separates maxval from the binary raster.
+    */
+  def decodePpm(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    if (payload == null || payload.length < 2 ||
+      payload(0) != 'P' || payload(1) != '6') return None
+    var i = 2
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def nextInt(): Option[Int] = {
+      while (i < payload.length &&
+        (isWs(payload(i)) || payload(i) == '#')) {
+        if (payload(i) == '#') {
+          while (i < payload.length && payload(i) != '\n') i += 1
+        } else i += 1
+      }
+      val start = i
+      var v = 0L
+      while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+        v = v * 10 + (payload(i) - '0')
+        if (v > Int.MaxValue) return None
+        i += 1
+      }
+      if (i == start) None else Some(v.toInt)
+    }
+    for {
+      w <- nextInt()
+      h <- nextInt()
+      maxval <- nextInt()
+      if maxval == 255 && w > 0 && h > 0
+      if i < payload.length && isWs(payload(i))
+      _ = { i += 1 } // the single whitespace before the raster
+      if (payload.length - i).toLong == w.toLong * h * 3
+    } yield {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var p = i
+      val end = payload.length
+      while (p < end) {
+        sr += payload(p) & 0xffL
+        sg += payload(p + 1) & 0xffL
+        sb += payload(p + 2) & 0xffL
+        p += 3
+      }
+      (w, h, sr, sg, sb)
+    }
+  }
+
+  val ppmFeatureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("w", LongType, nullable = true),
+    StructField("h", LongType, nullable = true),
+    StructField("sum_r", LongType, nullable = true),
+    StructField("sum_g", LongType, nullable = true),
+    StructField("sum_b", LongType, nullable = true)))
+
+  /** Partition-wise PPM decode over `(asset_id, payload)`: real parse,
+    * per-channel integer sums; malformed payloads surface as null
+    * features (visible in the output, never silently dropped).
+    */
+  def decodePpmFeatures(assets: DataFrame): DataFrame = {
+    val enc = Encoders.row(ppmFeatureSchema)
+    assets.select(col("asset_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          decodePpm(payload) match {
+            case Some((w, h, sr, sg, sb)) =>
+              Row(id, w.toLong, h.toLong, sr, sg, sb)
+            case None => Row(id, null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
   /** Build an asset table from documents (text payload stands in for a
     * real media payload) — used by q26 and the specs.
     */

@@ -1409,6 +1409,47 @@ object LlmOps {
              |  CAST(list_sum(cs) AS BIGINT) AS sum_amp,
              |  CAST(list_sum([c * c FOR c IN cs]) AS BIGINT) AS sum_sq,
              |  CAST(list_max(cs) AS BIGINT) AS peak
-             |FROM codes ORDER BY asset_id, window_idx""".stripMargin))
+             |FROM codes ORDER BY asset_id, window_idx""".stripMargin)),
+
+    // ------------------------------------------- REAL image decode (PPM)
+    // The one image format decodable without external libraries: encode
+    // GENUINE PPM (P6) files from a closed-form pixel function, round-
+    // trip them through the zstd parquet binary column, parse them back
+    // with the strict netpbm parser (operators/Multimodal.decodePpm),
+    // and report per-channel sums. The oracle recomputes the sums
+    // closed-form from the same pixel formula — any header-skip,
+    // stride, or sign bug in the parser mismatches the hash. Scale:
+    // encode and decode are both mapPartitions (map-only); the parquet
+    // hop is the storage path any 100 TB media corpus takes.
+    QueryDef(
+      "q26_ppm_decode",
+      (s, dir) => {
+        import s.implicits._
+        val W = 16
+        val H = 12
+        val ids = t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id")).as[Long]
+        val assets = ids.mapPartitions(_.map { id =>
+          (id, graft.operators.Multimodal.encodePpm(W, H,
+            (x, y, c) => ((id * 31 + x * 7 + y * 13 + c * 101) % 256).toInt))
+        }).toDF("asset_id", "payload")
+        val out = graft.RunPaths.scratch("graft_q26_ppm.parquet")
+        assets.write.mode("overwrite")
+          .option("compression", "zstd").parquet(out)
+        graft.operators.Multimodal
+          .decodePpmFeatures(s.read.parquet(out))
+          .orderBy("asset_id")
+      },
+      Some("""WITH px AS (
+             |  SELECT d.doc_id, x.x, y.y
+             |  FROM documents d, range(0, 16) x(x), range(0, 12) y(y)
+             |  WHERE d.doc_id % 3 = 0)
+             |SELECT doc_id AS asset_id,
+             |  CAST(16 AS BIGINT) AS w, CAST(12 AS BIGINT) AS h,
+             |  CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+             |  CAST(sum((doc_id * 31 + x * 7 + y * 13 + 101) % 256) AS BIGINT) AS sum_g,
+             |  CAST(sum((doc_id * 31 + x * 7 + y * 13 + 202) % 256) AS BIGINT) AS sum_b
+             |FROM px GROUP BY doc_id ORDER BY asset_id""".stripMargin))
   )
 }

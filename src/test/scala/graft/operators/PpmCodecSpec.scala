@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The PPM codec must round-trip exactly, tolerate the header freedoms
+  * the netpbm spec allows (arbitrary whitespace, # comments), and
+  * refuse every malformation class rather than mis-parse it.
+  */
+class PpmCodecSpec extends AnyFunSuite {
+
+  private def pixel(x: Int, y: Int, c: Int): Int = (x * 7 + y * 13 + c * 101) % 256
+
+  test("encode → decode round-trips dimensions and channel sums exactly") {
+    val w = 5
+    val h = 3
+    val bytes = Multimodal.encodePpm(w, h, pixel)
+    val want = (0 until 3).map { c =>
+      (for { y <- 0 until h; x <- 0 until w } yield pixel(x, y, c).toLong).sum
+    }
+    assert(Multimodal.decodePpm(bytes) ===
+      Some((w, h, want(0), want(1), want(2))))
+  }
+
+  test("header tolerates comments and extra whitespace") {
+    val raster = Array.tabulate(4 * 2 * 3)(i => (i * 3 % 256).toByte)
+    val header = "P6 # a comment\n #another\n  4\t2\r\n255\n".getBytes("US-ASCII")
+    val got = Multimodal.decodePpm(header ++ raster)
+    assert(got.isDefined)
+    assert(got.get._1 === 4)
+    assert(got.get._2 === 2)
+  }
+
+  test("malformed inputs are refused, not mis-parsed") {
+    val good = Multimodal.encodePpm(4, 2, pixel)
+    assert(Multimodal.decodePpm(null) === None)
+    assert(Multimodal.decodePpm(Array[Byte]('P', '5')) === None) // wrong magic
+    assert(Multimodal.decodePpm(good.dropRight(1)) === None) // short raster
+    assert(Multimodal.decodePpm(good :+ 0.toByte) === None) // trailing junk
+    val maxval254 = "P6\n4 2\n254\n".getBytes("US-ASCII") ++ good.takeRight(24)
+    assert(Multimodal.decodePpm(maxval254) === None) // unsupported maxval
+    assert(Multimodal.decodePpm("P6\n4 2\n255\n".getBytes("US-ASCII")) === None)
+  }
+}
