@@ -285,6 +285,145 @@ object Multimodal {
       }(enc)
   }
 
+  // ------------------------------------------------------------------
+  // REAL audio codec: WAV (RIFF, PCM16 mono). Like PPM, WAV is
+  // parseable in pure JVM code — the encoder writes genuine RIFF files
+  // and the decoder is a strict chunk walker (magic, fmt validation,
+  // unknown-chunk skipping with even padding, exact data length), so
+  // q26_wav_decode runs an actual encode → store → parse → window-
+  // feature round trip against a closed-form oracle.
+  // ------------------------------------------------------------------
+
+  private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >>> 8) & 0xff).toByte
+    b(off + 2) = ((v >>> 16) & 0xff).toByte
+    b(off + 3) = ((v >>> 24) & 0xff).toByte
+  }
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** Encode genuine mono PCM16 WAV: RIFF header, canonical 16-byte
+    * `fmt ` chunk, `data` chunk of little-endian samples.
+    */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+    putLe32(out, 4, 36 + dataLen)
+    "WAVE".getBytes("US-ASCII").copyToArray(out, 8)
+    "fmt ".getBytes("US-ASCII").copyToArray(out, 12)
+    putLe32(out, 16, 16) // fmt chunk size
+    out(20) = 1 // PCM
+    out(22) = 1 // mono
+    putLe32(out, 24, sampleRate)
+    putLe32(out, 28, sampleRate * 2) // byte rate
+    out(32) = 2 // block align
+    out(34) = 16 // bits per sample
+    "data".getBytes("US-ASCII").copyToArray(out, 36)
+    putLe32(out, 40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      out(44 + 2 * i) = (s & 0xff).toByte
+      out(45 + 2 * i) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Strict RIFF/WAVE walker → (sampleRate, samples); None on anything
+    * malformed (bad magic, wrong RIFF size, non-PCM16-mono fmt, odd or
+    * overrunning data length, missing chunks). Unknown chunks are
+    * skipped with the spec's even-byte padding.
+    */
+  def decodeWavPcm16(payload: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (payload == null || payload.length < 44) return None
+    def tag(off: Int): String = new String(payload, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    if (le32(payload, 4) != payload.length - 8) return None
+    var fmtOk = false
+    var sampleRate = 0
+    var samples: Array[Short] = null
+    var i = 12
+    while (i + 8 <= payload.length) {
+      val id = tag(i)
+      val size = le32(payload, i + 4)
+      if (size < 0 || i + 8 + size > payload.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val codec = le16(payload, i + 8)
+          val channels = le16(payload, i + 10)
+          sampleRate = le32(payload, i + 12)
+          val bits = le16(payload, i + 22)
+          if (codec != 1 || channels != 1 || bits != 16) return None
+          fmtOk = true
+        case "data" =>
+          if (!fmtOk || size % 2 != 0) return None
+          val n = size / 2
+          samples = new Array[Short](n)
+          var j = 0
+          while (j < n) {
+            samples(j) = le16(payload, i + 8 + 2 * j).toShort
+            j += 1
+          }
+        case _ => () // unknown chunk: skip
+      }
+      i += 8 + size + (size & 1) // chunks pad to even length
+    }
+    if (fmtOk && samples != null) Some((sampleRate, samples)) else None
+  }
+
+  val wavWindowSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("window_idx", LongType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("sum_amp", LongType, nullable = true),
+    StructField("sum_sq", LongType, nullable = true),
+    StructField("peak_abs", LongType, nullable = true)))
+
+  /** Partition-wise WAV decode + windowed PCM features over
+    * `(asset_id, payload)`: real parse, then per fixed-size sample
+    * window exact integer stats (sum, sum of squares, peak |amp|).
+    * Malformed payloads emit one all-null row — visible, never dropped.
+    */
+  def decodeWavWindows(assets: DataFrame, windowSamples: Int): DataFrame = {
+    require(windowSamples > 0, "windowSamples must be positive")
+    val enc = Encoders.row(wavWindowSchema)
+    assets.select(col("asset_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          decodeWavPcm16(payload) match {
+            case None =>
+              Iterator.single(Row(id, null, null, null, null, null))
+            case Some((_, samples)) =>
+              val nWin = (samples.length + windowSamples - 1) / windowSamples
+              (0 until nWin).iterator.map { w =>
+                val start = w * windowSamples
+                val end = math.min(start + windowSamples, samples.length)
+                var j = start; var sum = 0L; var sumSq = 0L; var peak = 0L
+                while (j < end) {
+                  val v = samples(j).toLong
+                  sum += v; sumSq += v * v
+                  val a = math.abs(v)
+                  if (a > peak) peak = a
+                  j += 1
+                }
+                Row(id, w.toLong, (end - start).toLong, sum, sumSq, peak)
+              }
+          }
+        }
+      }(enc)
+  }
+
   /** Build an asset table from documents (text payload stands in for a
     * real media payload) — used by q26 and the specs.
     */

@@ -1450,6 +1450,51 @@ object LlmOps {
              |  CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
              |  CAST(sum((doc_id * 31 + x * 7 + y * 13 + 101) % 256) AS BIGINT) AS sum_g,
              |  CAST(sum((doc_id * 31 + x * 7 + y * 13 + 202) % 256) AS BIGINT) AS sum_b
-             |FROM px GROUP BY doc_id ORDER BY asset_id""".stripMargin))
+             |FROM px GROUP BY doc_id ORDER BY asset_id""".stripMargin)),
+
+    // ------------------------------------------- REAL audio decode (WAV)
+    // The audio sibling of q26_ppm_decode: genuine RIFF/PCM16-mono WAV
+    // files encoded from a closed-form sample function, parquet
+    // round-trip, then the strict RIFF chunk walker
+    // (operators/Multimodal.decodeWavPcm16) parses them back and emits
+    // per-64-sample-window exact integer stats. The oracle recomputes
+    // the windows closed-form — an endianness, chunk-offset, or
+    // sign-extension bug in the parser mismatches the hash. Encode and
+    // decode are both map-only partition passes.
+    QueryDef(
+      "q26_wav_decode",
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id")).as[Long]
+        val assets = ids.mapPartitions(_.map { id =>
+          val n = (200 + id % 57).toInt
+          val samples = Array.tabulate(n) { i =>
+            (((id * 131 + i.toLong * 17) % 65536) - 32768).toShort
+          }
+          (id, graft.operators.Multimodal.encodeWavPcm16(samples))
+        }).toDF("asset_id", "payload")
+        val out = graft.RunPaths.scratch("graft_q26_wav.parquet")
+        assets.write.mode("overwrite")
+          .option("compression", "zstd").parquet(out)
+        graft.operators.Multimodal
+          .decodeWavWindows(s.read.parquet(out), 64)
+          .orderBy("asset_id", "window_idx")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, 200 + doc_id % 57 AS n FROM documents
+             |  WHERE doc_id % 3 = 1),
+             |idx AS (SELECT doc_id, unnest(range(0, n)) AS i FROM a),
+             |smp AS (SELECT doc_id, i,
+             |          ((doc_id * 131 + i * 17) % 65536) - 32768 AS s
+             |        FROM idx)
+             |SELECT doc_id AS asset_id, CAST(i // 64 AS BIGINT) AS window_idx,
+             |  count(*) AS n_samples,
+             |  CAST(sum(s) AS BIGINT) AS sum_amp,
+             |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+             |  CAST(max(abs(s)) AS BIGINT) AS peak_abs
+             |FROM smp GROUP BY doc_id, i // 64
+             |ORDER BY asset_id, window_idx""".stripMargin))
   )
 }
