@@ -35,6 +35,9 @@ object GraftSession {
       // metadata-cheap); set so deployments that switch the source list
       // to V2 inherit it
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // SQL scripting (BEGIN...END, DECLARE, WHILE — Spark 4): a parse
+      // capability gate only; non-script statements are unaffected
+      .config("spark.sql.scripting.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.warehouse.dir",

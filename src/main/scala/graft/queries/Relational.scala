@@ -635,6 +635,51 @@ object Relational {
              |FROM lineitem
              |WHERE l_shipdate <= DATE '1998-09-02'
              |GROUP BY l_returnflag, l_linestatus
-             |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // --------------------------------------- SQL scripting (Spark 4)
+    // The third Spark-4 SQL surface (after VARIANT and pipe syntax):
+    // procedural BEGIN...END with DECLARE / WHILE / IF local control
+    // flow, each statement a full Catalyst query. The script sweeps
+    // five quantity thresholds, accumulating hit counts and recording
+    // the first threshold covering more than half the table; the
+    // oracle is the set-based formulation of the same sweep — proving
+    // the procedural surface and the relational one agree. (Scripting
+    // is enabled engine-wide in GraftSession: a parse gate only.)
+    QueryDef(
+      "q63_sql_script",
+      (s, dir) => {
+        val v = graft.RunPaths.suffixed("lineitem_script")
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView(v)
+        s.sql(s"""
+          BEGIN
+            DECLARE i INT DEFAULT 1;
+            DECLARE acc BIGINT DEFAULT 0;
+            DECLARE c BIGINT DEFAULT 0;
+            DECLARE first_over INT DEFAULT 0;
+            DECLARE half BIGINT DEFAULT 0;
+            SET half = (SELECT count(*) FROM $v) DIV 2;
+            WHILE i <= 5 DO
+              SET c = (SELECT count(*) FROM $v WHERE l_quantity < i * 10);
+              SET acc = acc + c;
+              IF first_over = 0 AND c > half THEN
+                SET first_over = i;
+              END IF;
+              SET i = i + 1;
+            END WHILE;
+            SELECT acc AS total_hits,
+                   CAST(first_over AS BIGINT) AS first_over_half;
+          END""")
+      },
+      Some("""WITH t AS (
+             |  SELECT i,
+             |    (SELECT count(*) FROM lineitem WHERE l_quantity < i * 10)
+             |      AS cnt
+             |  FROM range(1, 6) r(i)),
+             |half AS (SELECT count(*) // 2 AS h FROM lineitem)
+             |SELECT CAST(sum(cnt) AS BIGINT) AS total_hits,
+             |  CAST(coalesce(min(CASE WHEN cnt > h THEN i END), 0) AS BIGINT)
+             |    AS first_over_half
+             |FROM t, half""".stripMargin))
   )
 }
