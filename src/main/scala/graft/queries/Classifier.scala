@@ -486,6 +486,81 @@ object Classifier {
           |  round(2.0 * tp / (2 * tp + (ctot - tp) + (pos_total - tp)), 9)
           |    AS f1
           |FROM c, tot
-          |ORDER BY f1 DESC, threshold LIMIT 1""".stripMargin))
+          |ORDER BY f1 DESC, threshold LIMIT 1""".stripMargin)),
+
+    // -------------------------- quality pipeline composed (round 7 ops)
+    // The round-7 classifier loop deployed inside an export pipeline:
+    // calibrated perceptron filter (map-only PerceptronMarginF kernel,
+    // cutoff from the q61 sweep) → exact md5 dedup (keep lowest id) →
+    // 8 balanced export shards (GlobalIndex size-DESC round-robin, the
+    // q58 shape). Per-stage doc/token accounting rides along so the
+    // release datasheet shows WHERE mass was lost. Shuffle budget:
+    // training's per-epoch pair + one fingerprint aggregate + one
+    // range exchange — the filter stage itself moves nothing. The
+    // oracle replays training, calibration, filtering, dedup, and
+    // sharding end-to-end.
+    QueryDef(
+      "q64_pipeline_quality",
+      (s, dir) => {
+        import graft.operators.{GlobalIndex, Perceptron}
+        val docs = t(s, dir, "documents")
+        val feat = perceptronFeatures(docs)
+        val r = Perceptron.train(feat, buckets = 32, epochs = 4)
+        val theta = calibratedThreshold(
+          Perceptron.margins(Perceptron.withBias(feat), r.weights))
+        val kept = docs
+          .filter(Perceptron.marginExpr(col("text"), r.weights) >= theta)
+          .select(col("doc_id"), col("text"),
+            size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+        val fp = kept.withColumn("fp", md5(col("text")))
+        val deduped = fp
+          .join(fp.groupBy("fp").agg(min(col("doc_id")).as("doc_id")),
+            Seq("fp", "doc_id"))
+          .select(col("doc_id"), col("n_tokens"))
+        val sharded = GlobalIndex
+          .withPosition(deduped,
+            Seq(col("n_tokens").desc, col("doc_id")), "pos", 32)
+          .select(col("n_tokens"), ((col("pos") - 1) % 8).as("shard"))
+        def acc(df: DataFrame, kind: String, k: Column) =
+          df.groupBy(k.as("k"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_tokens")).as("tok_mass"))
+            .select(lit(kind).as("kind"), col("k").cast("long"),
+              col("n_docs"), col("tok_mass"))
+        acc(sharded, "shard", col("shard"))
+          .unionByName(acc(kept, "stage", lit(0L)))
+          .unionByName(acc(deduped, "stage", lit(1L)))
+          .orderBy("kind", "k")
+      },
+      Some(perceptronSweepSql + ",\n" +
+        """curve AS (SELECT m,
+          |    round(2.0 * tp / (2 * tp + (ctot - tp) + (pos_total - tp)), 9)
+          |      AS f1
+          |  FROM c, tot),
+          |best AS (SELECT m FROM curve ORDER BY f1 DESC, m LIMIT 1),
+          |kept AS (
+          |  SELECT d.doc_id, d.text,
+          |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+          |  FROM documents d JOIN s5 s ON s.doc_id = d.doc_id
+          |  WHERE s.dot >= (SELECT m FROM best)),
+          |ded AS (
+          |  SELECT doc_id, n_tokens FROM kept
+          |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+          |                             ORDER BY doc_id) = 1),
+          |sh AS (
+          |  SELECT doc_id, n_tokens,
+          |    (row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % 8
+          |      AS shard
+          |  FROM ded)
+          |SELECT 'shard' AS kind, CAST(shard AS BIGINT) AS k,
+          |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tok_mass
+          |FROM sh GROUP BY 2
+          |UNION ALL
+          |SELECT 'stage', CAST(0 AS BIGINT), count(*),
+          |       CAST(sum(n_tokens) AS BIGINT) FROM kept
+          |UNION ALL
+          |SELECT 'stage', CAST(1 AS BIGINT), count(*),
+          |       CAST(sum(n_tokens) AS BIGINT) FROM ded
+          |ORDER BY kind, k""".stripMargin))
   )
 }
