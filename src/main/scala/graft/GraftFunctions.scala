@@ -55,6 +55,27 @@ object GraftFunctions {
     "graft_minhash_band_keys" -> { args =>
       arity("graft_minhash_band_keys", args, 3)
       MinHashBandKeys(args.head, lit(args(1), "bands"), lit(args(2), "rows"))
+    },
+    // graft_perceptron_margin(text, array(w0, ..., w_{b-1}, bias)):
+    // the q61 serving kernel from SQL — weights must be a literal
+    // array (the model is a plan constant, not a per-row input)
+    "graft_perceptron_margin" -> { args =>
+      arity("graft_perceptron_margin", args, 2)
+      if (!args(1).foldable)
+        throw new IllegalArgumentException(
+          "graft_perceptron_margin weights must be a literal array")
+      import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+      val arr = (args(1).dataType, args(1).eval()) match {
+        case (ArrayType(LongType, _),
+            a: org.apache.spark.sql.catalyst.util.ArrayData) =>
+          a.toLongArray()
+        case (ArrayType(IntegerType, _),
+            a: org.apache.spark.sql.catalyst.util.ArrayData) =>
+          a.toIntArray().map(_.toLong)
+        case (dt, _) => throw new IllegalArgumentException(
+          s"graft_perceptron_margin weights must be array<bigint|int>, got $dt")
+      }
+      graft.functions.PerceptronMarginF(args.head, arr)
     })
 
   private def info(name: String): ExpressionInfo =

@@ -51,6 +51,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql.forall(r => r.getInt(3) == 16 && r.getInt(4) == 4))
   }
 
+  test("graft_perceptron_margin from SQL equals the operator's kernel") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq("alpha beta gamma", "delta", "").toDF("text")
+    docs.createOrReplaceTempView("ext_pm")
+    // 32 bucket weights + bias, matching the kernel's layout
+    val w: Map[Long, Long] = (-1L until 32L).map(b => b -> (b * 5 - 3)).toMap
+    val arrSql = (0L until 32L).map(w).mkString(",") + "," + w(-1L)
+    val viaSql = spark.sql(
+      s"SELECT graft_perceptron_margin(text, array($arrSql)) AS m FROM ext_pm")
+      .as[Long].collect().toSeq
+    val viaApi = docs.select(
+      graft.operators.Perceptron.marginExpr(col("text"), w).as("m"))
+      .as[Long].collect().toSeq
+    assert(viaSql === viaApi)
+    // a per-row (non-literal) weights array must be refused
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_perceptron_margin(text, array(length(text))) FROM ext_pm")
+        .collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("non-literal shingle width is rejected with a clear error") {
     import spark.implicits._
     Seq("a b c d").toDF("text").createOrReplaceTempView("ext_nonlit")
