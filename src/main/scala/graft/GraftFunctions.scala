@@ -65,13 +65,17 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           "graft_perceptron_margin weights must be a literal array")
       import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+      def noNulls(a: org.apache.spark.sql.catalyst.util.ArrayData): Unit =
+        if ((0 until a.numElements()).exists(a.isNullAt))
+          throw new IllegalArgumentException(
+            "graft_perceptron_margin weights must not contain NULL elements")
       val arr = (args(1).dataType, args(1).eval()) match {
         case (ArrayType(LongType, _),
             a: org.apache.spark.sql.catalyst.util.ArrayData) =>
-          a.toLongArray()
+          noNulls(a); a.toLongArray()
         case (ArrayType(IntegerType, _),
             a: org.apache.spark.sql.catalyst.util.ArrayData) =>
-          a.toIntArray().map(_.toLong)
+          noNulls(a); a.toIntArray().map(_.toLong)
         case (dt, _) => throw new IllegalArgumentException(
           s"graft_perceptron_margin weights must be array<bigint|int>, got $dt")
       }

@@ -354,7 +354,9 @@ object Multimodal {
     while (i + 8 <= payload.length) {
       val id = tag(i)
       val size = le32(payload, i + 4)
-      if (size < 0 || i + 8 + size > payload.length) return None
+      // Long arithmetic: a corrupt ~2^31 size field must fail the bound
+      // check, not wrap negative past it
+      if (size < 0 || i.toLong + 8 + size > payload.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None

@@ -85,6 +85,7 @@ object Perceptron {
     * multi-space / non-ASCII inputs).
     */
   def marginExprHof(textCol: Column, w: Map[Long, Long]): Column = {
+    val buckets = w.keys.max + 1 // same bucket count the kernel derives
     val entries = w.toSeq.sortBy(_._1)
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
     val wmap = map(entries: _*)
@@ -92,7 +93,7 @@ object Perceptron {
       split(textCol, " "),
       lit(w(BiasBucket)),
       (acc, word) => acc + element_at(wmap,
-        conv(substring(md5(word), 1, 2), 16, 10).cast("long") % 32))
+        conv(substring(md5(word), 1, 2), 16, 10).cast("long") % buckets))
   }
 
   /** `feat` columns: `doc_id: Long`, `y: Long` (+1/-1), `bucket: Long`

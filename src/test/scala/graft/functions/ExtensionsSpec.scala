@@ -72,6 +72,13 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()
     }
     assert(e.getMessage.contains("literal"), e.getMessage)
+    // NULL weight elements are refused with the descriptive message,
+    // not an internal NPE
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_perceptron_margin(text, array(1, CAST(NULL AS BIGINT), 3)) FROM ext_pm")
+        .collect()
+    }
+    assert(e2.getMessage.contains("NULL elements"), e2.getMessage)
   }
 
   test("non-literal shingle width is rejected with a clear error") {

@@ -112,6 +112,16 @@ class PerceptronSpec extends AnyFunSuite {
         Perceptron.marginExprHof(col("text"), w).as("m"))
       .as[(Long, Long)].collect().toMap
     assert(kernel === hof)
+    // both derive the bucket count from the model, not a constant:
+    // a 4-bucket model must agree too
+    val w4: Map[Long, Long] = (-1L until 4L).map(b => b -> (b * 7 + 2)).toMap
+    val k4 = texts.select(col("doc_id"),
+        Perceptron.marginExpr(col("text"), w4).as("m"))
+      .as[(Long, Long)].collect().toMap
+    val h4 = texts.select(col("doc_id"),
+        Perceptron.marginExprHof(col("text"), w4).as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(k4 === h4)
   }
 
   test("epoch 1 updates on every doc (margin 0 counts as a mistake)") {

@@ -51,5 +51,11 @@ class WavCodecSpec extends AnyFunSuite {
     val overrun = good.clone()
     overrun(40) = ((samples.length * 2 + 2) & 0xff).toByte
     assert(Multimodal.decodeWavPcm16(overrun) === None)
+    // ~2^31 chunk size must fail the bounds check, not wrap Int-negative
+    // past it and crash the walker
+    val hugeChunk = good.clone()
+    hugeChunk(16) = 0xff.toByte; hugeChunk(17) = 0xff.toByte
+    hugeChunk(18) = 0xff.toByte; hugeChunk(19) = 0x7f.toByte
+    assert(Multimodal.decodeWavPcm16(hugeChunk) === None)
   }
 }
