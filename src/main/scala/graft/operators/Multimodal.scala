@@ -208,13 +208,13 @@ object Multimodal {
     header ++ body
   }
 
-  /** Strict P6 parser → `(w, h, sumR, sumG, sumB)`; None on anything
+  /** Strict P6 header parse → `(w, h, rasterOffset)`; None on anything
     * malformed (bad magic, non-numeric header, maxval != 255, short or
     * oversized payload). Header tokenization skips whitespace and
     * `#`-comments per the netpbm spec; exactly ONE whitespace byte
     * separates maxval from the binary raster.
     */
-  def decodePpm(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+  def parsePpmHeader(payload: Array[Byte]): Option[(Int, Int, Int)] = {
     if (payload == null || payload.length < 2 ||
       payload(0) != 'P' || payload(1) != '6') return None
     var i = 2
@@ -243,9 +243,14 @@ object Multimodal {
       if i < payload.length && isWs(payload(i))
       _ = { i += 1 } // the single whitespace before the raster
       if (payload.length - i).toLong == w.toLong * h * 3
-    } yield {
+    } yield (w, h, i)
+  }
+
+  /** Strict P6 parse → `(w, h, sumR, sumG, sumB)`; None on malformed. */
+  def decodePpm(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    parsePpmHeader(payload).map { case (w, h, off) =>
       var sr = 0L; var sg = 0L; var sb = 0L
-      var p = i
+      var p = off
       val end = payload.length
       while (p < end) {
         sr += payload(p) & 0xffL
@@ -254,6 +259,21 @@ object Multimodal {
         p += 3
       }
       (w, h, sr, sg, sb)
+    }
+
+  /** REAL image resize: nearest-neighbor downscale of a P6 image by an
+    * integer factor — output pixel (x, y) samples source
+    * (x·factor, y·factor) — re-encoded as P6. The decode → transform →
+    * re-encode loop the byte-stub `resize` stands in for on formats
+    * needing external codecs. None on malformed input.
+    */
+  def resizePpm(payload: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    require(factor > 0, "resize factor must be positive")
+    parsePpmHeader(payload).map { case (w, h, off) =>
+      val ow = (w - 1) / factor + 1
+      val oh = (h - 1) / factor + 1
+      encodePpm(ow, oh, (x, y, c) =>
+        payload(off + (y * factor * w + x * factor) * 3 + c) & 0xff)
     }
   }
 
@@ -264,6 +284,26 @@ object Multimodal {
     StructField("sum_r", LongType, nullable = true),
     StructField("sum_g", LongType, nullable = true),
     StructField("sum_b", LongType, nullable = true)))
+
+  val ppmAssetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Partition-wise REAL resize over `(asset_id, payload)` P6 assets:
+    * payload → payload, malformed → null payload (propagates to null
+    * feature rows downstream, never dropped).
+    */
+  def resizePpmAssets(assets: DataFrame, factor: Int): DataFrame = {
+    val enc = Encoders.row(ppmAssetSchema)
+    assets.select(col("asset_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val p = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          Row(id, resizePpm(p, factor).orNull)
+        }
+      }(enc)
+  }
 
   /** Partition-wise PPM decode over `(asset_id, payload)`: real parse,
     * per-channel integer sums; malformed payloads surface as null

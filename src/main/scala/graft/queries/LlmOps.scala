@@ -1495,6 +1495,45 @@ object LlmOps {
              |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
              |  CAST(max(abs(s)) AS BIGINT) AS peak_abs
              |FROM smp GROUP BY doc_id, i // 64
-             |ORDER BY asset_id, window_idx""".stripMargin))
+             |ORDER BY asset_id, window_idx""".stripMargin)),
+
+    // -------------------------------------- REAL image resize (PPM)
+    // The transform step between q26_ppm_decode's codec ends: decode →
+    // nearest-neighbor 2x downscale → re-encode as P6 → decode again
+    // (all map-only partition passes; the parquet storage hop is
+    // covered by q26_ppm_decode). Output pixel (x,y) samples source
+    // (2x,2y), so the oracle recomputes the downscaled channel sums
+    // closed-form over the even source coordinates — an off-by-one in
+    // the sampling grid or re-encode stride mismatches the hash.
+    QueryDef(
+      "q26_ppm_resize",
+      (s, dir) => {
+        import s.implicits._
+        val W = 16
+        val H = 12
+        val ids = t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id")).as[Long]
+        val assets = ids.mapPartitions(_.map { id =>
+          (id, graft.operators.Multimodal.encodePpm(W, H,
+            (x, y, c) => ((id * 31 + x * 7 + y * 13 + c * 101) % 256).toInt))
+        }).toDF("asset_id", "payload")
+        graft.operators.Multimodal.decodePpmFeatures(
+          graft.operators.Multimodal.resizePpmAssets(assets, 2))
+          .orderBy("asset_id")
+      },
+      Some("""WITH px AS (
+             |  SELECT d.doc_id, x.x * 2 AS sx, y.y * 2 AS sy
+             |  FROM documents d, range(0, 8) x(x), range(0, 6) y(y)
+             |  WHERE d.doc_id % 3 = 2)
+             |SELECT doc_id AS asset_id,
+             |  CAST(8 AS BIGINT) AS w, CAST(6 AS BIGINT) AS h,
+             |  CAST(sum((doc_id * 31 + sx * 7 + sy * 13) % 256) AS BIGINT)
+             |    AS sum_r,
+             |  CAST(sum((doc_id * 31 + sx * 7 + sy * 13 + 101) % 256) AS BIGINT)
+             |    AS sum_g,
+             |  CAST(sum((doc_id * 31 + sx * 7 + sy * 13 + 202) % 256) AS BIGINT)
+             |    AS sum_b
+             |FROM px GROUP BY doc_id ORDER BY asset_id""".stripMargin))
   )
 }

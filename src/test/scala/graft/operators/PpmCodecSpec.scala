@@ -30,6 +30,21 @@ class PpmCodecSpec extends AnyFunSuite {
     assert(got.get._2 === 2)
   }
 
+  test("resizePpm samples the nearest-neighbor grid and re-encodes valid P6") {
+    val src = Multimodal.encodePpm(5, 3, pixel) // odd dims: ceil division
+    val out = Multimodal.resizePpm(src, 2)
+    assert(out.isDefined)
+    // 5x3 / 2 -> 3x2; output pixel (x,y,c) = source (2x,2y,c)
+    val want = (0 until 3).map { c =>
+      (for { y <- 0 until 2; x <- 0 until 3 } yield pixel(2 * x, 2 * y, c).toLong).sum
+    }
+    assert(Multimodal.decodePpm(out.get) ===
+      Some((3, 2, want(0), want(1), want(2))))
+    // factor 1 is the identity
+    assert(Multimodal.resizePpm(src, 1).map(_.toSeq) === Some(src.toSeq))
+    assert(Multimodal.resizePpm(Array[Byte]('P', '5'), 2) === None)
+  }
+
   test("malformed inputs are refused, not mis-parsed") {
     val good = Multimodal.encodePpm(4, 2, pixel)
     assert(Multimodal.decodePpm(null) === None)
