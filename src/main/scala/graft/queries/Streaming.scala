@@ -243,6 +243,38 @@ object Streaming {
       (s, dir) => graft.streaming.StreamOps.streamNearDup(s, dir),
       Some(LlmOps.duckJaccardPairsSql)),
 
+    // Ingestion-time drift monitor: per-day fixed-edge bucket counts of
+    // `value` maintained as streaming state, scored per day against the
+    // static full-corpus reference with the population stability index
+    // (the q29_drift_psi shape run on the stream; see
+    // StreamOps.streamDrift for the state/scale notes).
+    QueryDef(
+      "q20_stream_drift",
+      (s, dir) => graft.streaming.StreamOps.streamDrift(s, dir),
+      Some("""WITH e AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |         least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket
+             |  FROM events),
+             |c AS (SELECT day, bucket, count(*) AS n FROM e GROUP BY 1, 2),
+             |tot AS (SELECT day, sum(n) AS tot FROM c GROUP BY 1),
+             |r AS (SELECT bucket, count(*) AS n_ref FROM e GROUP BY 1),
+             |rt AS (SELECT sum(n_ref) AS rt FROM r),
+             |grid AS (
+             |  SELECT d.day, b.bucket
+             |  FROM (SELECT DISTINCT day FROM e) d
+             |  CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) b),
+             |sm AS (
+             |  SELECT g.day,
+             |    (coalesce(c.n, 0) + 1.0) / (tot.tot + 10.0) AS p_cur,
+             |    (coalesce(r.n_ref, 0) + 1.0) / (rt.rt + 10.0) AS p_ref
+             |  FROM grid g
+             |  LEFT JOIN c ON c.day = g.day AND c.bucket = g.bucket
+             |  JOIN tot ON tot.day = g.day
+             |  LEFT JOIN r ON r.bucket = g.bucket, rt)
+             |SELECT day, round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6)
+             |  AS psi
+             |FROM sm GROUP BY day ORDER BY day""".stripMargin)),
+
     // Ingestion-time quality filter: the q61 perceptron trained offline
     // (batch), its best-F1 cutoff calibrated offline (q61 sweep), then
     // served on the document stream by the native codegen'd

@@ -447,6 +447,51 @@ object StreamOps {
     streamPrioritySampleFrom(
       spark, tableStream(spark, sfDir, "documents"), 20)
 
+  /** Ingestion-time drift monitoring: the q29_drift_psi shape run ON
+    * the stream — per-day fixed-edge bucket counts of `value`
+    * maintained as streaming state (days × 10 buckets, driver-scale by
+    * construction), then each day's smoothed distribution scored
+    * against the STATIC full-corpus reference with the population
+    * stability index. Fixed bucket edges are what make the monitor
+    * exact and mergeable — no quantile estimation in the hot path.
+    * Batch-equivalent (stateless bucketing + commutative counts), so
+    * it faces a full SQL oracle.
+    */
+  def streamDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    def bucket(c: org.apache.spark.sql.Column) =
+      least(floor(c / 50).cast("long"), lit(9L))
+    val agg = eventsStream(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), bucket(col("value")).as("bucket"))
+      .groupBy("day", "bucket")
+      .agg(count(lit(1)).as("n"))
+    // snapshot the memory-sink view (days × 10 rows): the monitor
+    // self-joins it (grid ⟕ counts ⟗ totals), and MemoryPlan views
+    // don't re-alias attributes across accesses
+    val cur = runToMemory(spark, agg, "stream_drift", "complete")
+      .localCheckpoint()
+    val static = graft.Tables.load(spark, sfDir, "events")
+      .select(bucket(col("value")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_ref"))
+    val refTot = static.agg(sum(col("n_ref")).as("rt"))
+    val grid = cur.select(col("day")).distinct()
+      .crossJoin(spark.range(0, 10).select(col("id").as("bucket")))
+    val tots = cur.groupBy("day").agg(sum(col("n")).as("tot"))
+    grid
+      .join(cur, Seq("day", "bucket"), "left")
+      .join(tots, Seq("day"))
+      .join(static, Seq("bucket"), "left")
+      .crossJoin(broadcast(refTot))
+      .select(col("day"),
+        ((coalesce(col("n"), lit(0L)) + lit(1.0)) / (col("tot") + lit(10.0)))
+          .as("p_cur"),
+        ((coalesce(col("n_ref"), lit(0L)) + lit(1.0)) / (col("rt") + lit(10.0)))
+          .as("p_ref"))
+      .groupBy("day")
+      .agg(round(sum((col("p_cur") - col("p_ref")) *
+        log(col("p_cur") / col("p_ref"))), 6).as("psi"))
+      .orderBy("day")
+  }
+
   /** Ingestion-time quality filtering with the q61 batch-trained
     * perceptron — the DEPLOY step of train→calibrate→filter: weights
     * come from `Perceptron.train` on the static corpus, the cutoff
