@@ -340,6 +340,108 @@ object Semantic {
              |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
              |  CAST(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
              |FROM d GROUP BY source, lang
-             |ORDER BY source, lang""".stripMargin))
+             |ORDER BY source, lang""".stripMargin)),
+
+    // ------------------------------- MMR diversity re-ranking (top-k)
+    // Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    // SIGIR'98) of a retrieved page: greedily pick the candidate
+    // maximizing λ·rel − (1−λ)·max-sim-to-selected — the diversity
+    // pass that de-dupes RAG context windows and eval retrieval sets.
+    // Scale altitude: candidate generation is DISTRIBUTED (broadcast
+    // query + map-only cosine + TakeOrderedAndProject top-20, the q24
+    // serving shape — IVF/LSH at 100 TB); the greedy loop then runs on
+    // the RETRIEVED PAGE (20 rows, driver-scale by the same contract
+    // as any reranker). Engine-exactness: similarities become integer
+    // micros (round(cos·1e6), computed by the same in-order DotF fold
+    // in Spark and unnest+sum in DuckDB), and with λ = 1/2 the MMR
+    // argmax equals argmax of the INTEGER rel_u − max(sim_u) — zero
+    // float arithmetic in the greedy, so the oracle unrolls the 5
+    // selection steps as CTEs and hashes exactly.
+    QueryDef(
+      "q65_mmr_rerank",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        val cand = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("embedding"),
+            round(VectorFns.cosine(col("embedding"), col("qe")) * 1e6)
+              .cast("long").as("rel_u"))
+          .orderBy(col("rel_u").desc, col("vec_id").asc)
+          .limit(20)
+          .localCheckpoint() // 20-row page, reused by both sim sides
+        val a = cand.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+        val b = cand.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+        val sim: Map[(Long, Long), Long] = a
+          .join(b, col("ia") =!= col("ib"))
+          .select(col("ia"), col("ib"),
+            round(VectorFns.cosine(col("ea"), col("eb")) * 1e6)
+              .cast("long").as("s"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val rels: Seq[(Long, Long)] = cand.select("vec_id", "rel_u")
+          .collect().toSeq.map(r => r.getLong(0) -> r.getLong(1))
+        val first = rels.maxBy { case (id, rel) => (rel, -id) }
+        var selected = Vector((first._1, first._2, first._2))
+        while (selected.size < 5) {
+          val chosen = selected.map(_._1).toSet
+          val best = rels.filterNot(r => chosen(r._1))
+            .map { case (id, rel) =>
+              (id, rel, rel - selected.map(sl => sim((id, sl._1))).max)
+            }
+            .maxBy { case (id, _, m) => (m, -id) }
+          selected :+= best
+        }
+        selected.zipWithIndex
+          .map { case ((id, rel, m), i) => ((i + 1).toLong, id, rel, m) }
+          .toDF("rank", "vec_id", "rel_u", "mmr_u")
+          .orderBy("rank")
+      },
+      Some {
+        def cosU(l: String, r: String) =
+          s"""CAST(round(
+             |      (SELECT sum(CAST(z.p AS DOUBLE) * CAST(z.q AS DOUBLE))
+             |       FROM (SELECT unnest($l) AS p, unnest($r) AS q) z)
+             |      / (sqrt((SELECT sum(CAST(z.x AS DOUBLE) * CAST(z.x AS DOUBLE))
+             |               FROM (SELECT unnest($l) AS x) z))
+             |         * sqrt((SELECT sum(CAST(z.x AS DOUBLE) * CAST(z.x AS DOUBLE))
+             |                 FROM (SELECT unnest($r) AS x) z)))
+             |      * 1e6) AS BIGINT)""".stripMargin
+        def step(t: Int, sel: String) =
+          s"""m$t AS (
+             |  SELECT c.vec_id, c.rel_u, c.rel_u - max(s.s) AS mmr_u
+             |  FROM cand c JOIN sim s ON s.ia = c.vec_id
+             |  WHERE s.ib IN ($sel) AND c.vec_id NOT IN ($sel)
+             |  GROUP BY 1, 2),
+             |s$t AS (SELECT * FROM m$t ORDER BY mmr_u DESC, vec_id LIMIT 1)"""
+            .stripMargin
+        val sels = (2 to 5).map { t =>
+          val sel = (1 until t).map(i => s"SELECT vec_id FROM s$i")
+            .mkString(" UNION ALL ")
+          step(t, sel)
+        }.mkString(",\n")
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |cand AS (
+           |  SELECT e.vec_id, e.embedding,
+           |    ${cosU("e.embedding", "q.qe")} AS rel_u
+           |  FROM embeddings e, q WHERE e.vec_id <> 0
+           |  ORDER BY rel_u DESC, vec_id LIMIT 20),
+           |sim AS (
+           |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+           |    ${cosU("a.embedding", "b.embedding")} AS s
+           |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+           |s1 AS (SELECT vec_id, rel_u FROM cand
+           |       ORDER BY rel_u DESC, vec_id LIMIT 1),
+           |$sels
+           |SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel_u, rel_u AS mmr_u
+           |FROM s1
+           |UNION ALL SELECT 2, vec_id, rel_u, mmr_u FROM s2
+           |UNION ALL SELECT 3, vec_id, rel_u, mmr_u FROM s3
+           |UNION ALL SELECT 4, vec_id, rel_u, mmr_u FROM s4
+           |UNION ALL SELECT 5, vec_id, rel_u, mmr_u FROM s5
+           |ORDER BY rank""".stripMargin
+      })
   )
 }
