@@ -488,6 +488,55 @@ object Classifier {
           |FROM c, tot
           |ORDER BY f1 DESC, threshold LIMIT 1""".stripMargin)),
 
+    // ----------------------------- token-budget-constrained selection
+    // "Fill a 100k-token training budget with the best data": rank
+    // every document by quality-per-token density (trained perceptron
+    // margin / token count — ONE rounded double division from exact
+    // integers) and take the longest density-ordered prefix whose
+    // token mass fits the budget. The prefix cut needs a GLOBAL
+    // running total over the density order — GlobalIndex prefix sums,
+    // one range shuffle, never a partition-less window. Output: the
+    // selected set's size, token mass, total margin, and the cutoff
+    // density (the marginal "price" of the last token bought). The
+    // oracle replays training + the window-cumsum formulation.
+    QueryDef(
+      "q66_token_budget_select",
+      (s, dir) => {
+        import graft.operators.{GlobalIndex, Perceptron}
+        val docs = t(s, dir, "documents")
+        val feat = perceptronFeatures(docs)
+        val r = Perceptron.train(feat, buckets = 32, epochs = 4)
+        val marg = Perceptron.margins(Perceptron.withBias(feat), r.weights)
+        val toks = docs.select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).cast("long").as("t"))
+        val d = marg.join(toks, Seq("doc_id"))
+          .select(col("doc_id"), col("m"), col("t"),
+            round(col("m").cast("double") / col("t"), 9).as("density"))
+        val c = GlobalIndex.withRunningTotal(d,
+          Seq(col("density").desc, col("doc_id")), "t", "pos", "cum_t", 32)
+        c.filter(col("cum_t") <= 100000L)
+          .agg(count(lit(1)).as("n_selected"),
+            sum(col("t")).as("tok_selected"),
+            sum(col("m")).as("margin_mass"),
+            round(min(col("density")), 9).as("cutoff_density"))
+      },
+      Some(perceptronSqlPrefix + ",\n" +
+        """d AS (
+          |  SELECT s.doc_id, s.dot AS m,
+          |    CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS t,
+          |    round(CAST(s.dot AS DOUBLE)
+          |          / len(string_split(doc.text, ' ')), 9) AS density
+          |  FROM s5 s JOIN documents doc ON s.doc_id = doc.doc_id),
+          |c AS (
+          |  SELECT d.*, CAST(sum(t) OVER (ORDER BY density DESC, doc_id)
+          |                   AS BIGINT) AS cum_t
+          |  FROM d)
+          |SELECT count(*) AS n_selected,
+          |  CAST(sum(t) AS BIGINT) AS tok_selected,
+          |  CAST(sum(m) AS BIGINT) AS margin_mass,
+          |  round(min(density), 9) AS cutoff_density
+          |FROM c WHERE cum_t <= 100000""".stripMargin)),
+
     // -------------------------- quality pipeline composed (round 7 ops)
     // The round-7 classifier loop deployed inside an export pipeline:
     // calibrated perceptron filter (map-only PerceptronMarginF kernel,
