@@ -537,6 +537,50 @@ object Classifier {
           |  round(min(density), 9) AS cutoff_density
           |FROM c WHERE cum_t <= 100000""".stripMargin)),
 
+    // ------------------------------ scorer reliability by margin decile
+    // The calibration DIAGNOSTIC behind the q61 threshold pick: exact
+    // equi-depth margin deciles (GlobalIndex positions + the q48
+    // front-loaded ntile arithmetic — proven ≡ window ntile by
+    // q48_equidepth_bins — so NO partition-less window over the
+    // corpus) with each bin's observed positive rate. A sharp scorer
+    // shows monotone pos_rate across deciles; a flat tail is the
+    // signal to retrain before trusting any cutoff. One division per
+    // bin; everything else integer-exact. Oracle = training replay +
+    // the window-ntile formulation.
+    QueryDef(
+      "q67_margin_reliability",
+      (s, dir) => {
+        import graft.operators.{GlobalIndex, Perceptron}
+        val feat = perceptronFeatures(t(s, dir, "documents"))
+        val r = Perceptron.train(feat, buckets = 32, epochs = 4)
+        val marg = Perceptron.margins(Perceptron.withBias(feat), r.weights)
+        val posn = GlobalIndex.withPosition(marg,
+          Seq(col("m"), col("doc_id")), "pos", 32)
+        posn.crossJoin(broadcast(marg.agg(count(lit(1)).as("n"))))
+          .select(col("m"), col("y"),
+            expr(Sampling.ntileExpr(10)).cast("long").as("bin"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+            round(sum(when(col("y") === 1L, 1L).otherwise(0L))
+              .cast("double") / count(lit(1)), 6).as("pos_rate"),
+            min(col("m")).as("min_margin"),
+            max(col("m")).as("max_margin"))
+          .orderBy("bin")
+      },
+      Some(perceptronSqlPrefix + ",\n" +
+        """p AS (
+          |  SELECT dot AS m, y,
+          |         CAST(ntile(10) OVER (ORDER BY dot, doc_id) AS BIGINT)
+          |           AS bin
+          |  FROM s5)
+          |SELECT bin, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          |  round(CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          |        / count(*), 6) AS pos_rate,
+          |  min(m) AS min_margin, max(m) AS max_margin
+          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // -------------------------- quality pipeline composed (round 7 ops)
     // The round-7 classifier loop deployed inside an export pipeline:
     // calibrated perceptron filter (map-only PerceptronMarginF kernel,
