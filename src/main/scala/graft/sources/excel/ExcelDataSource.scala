@@ -143,9 +143,12 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
     // one partition per workbook file — a directory / glob of N files is
     // an N-task scan, the file-parallel unit a 100 TB Excel corpus needs
     // (individual workbooks are ZIP-deflated and not block-splittable).
-    // With sheetPartitions > 1 and a SINGLE xlsx, one sheet is split
-    // into byte ranges of the inflated XML at row boundaries (two-pass
-    // splittable scan): partition ordinal = range order = row order.
+    // With sheetPartitions > 1 and a SINGLE xlsx, one sheet is split at
+    // `<row` boundaries of the inflated XML (rowSplits) and the inflated
+    // bytes are spilled ONCE into range-aligned chunk files
+    // (spillChunks); each task then parses only its own chunk — total
+    // inflate work is O(2 × sheet) for any partition count (no per-task
+    // prefix re-inflate). Partition ordinal = chunk order = row order.
     // positional mapping when nothing was pruned: with
     // headerDedup=reference the schema may contain DUPLICATE names, and
     // fieldIndex-by-name would send both occurrences to the first sheet
@@ -156,29 +159,47 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
         fullSchema.fieldNames.indices.toArray
       else required.fieldNames.map(fullSchema.fieldIndex)
     val expectNames = if (paths.length > 1) fullSchema.fieldNames else null
+    def serial(f: String): InputPartition = ExcelInputPartition(
+      f, o.sheetName, o.sheetIndex, o.skipRows, positions, expectNames,
+      headerDedup = o.headerDedup)
     if (o.sheetPartitions > 1 && paths.lengthCompare(1) == 0 &&
         paths.head.toLowerCase.endsWith(".xlsx")) {
       val wb = new XlsxParser.Workbook(paths.head)
       try {
         val sheet = wb.resolveSheet(o.sheetName, o.sheetIndex)
-        if (!wb.firstRowHasRef(sheet.target)) // fragments need absolute rows
-          Array(ExcelInputPartition(paths.head, o.sheetName, o.sheetIndex,
-            o.skipRows, positions, null, headerDedup = o.headerDedup))
-        else wb.rowSplits(sheet.target, o.sheetPartitions).map {
-          case (a, e) => ExcelInputPartition(paths.head, o.sheetName,
-            o.sheetIndex, o.skipRows, positions, null, a, e,
-            o.headerDedup): InputPartition
-        }.toArray
+        if (!wb.firstRowHasRef(sheet.target)) { // fragments need absolute rows
+          ExcelScan.log.warn(
+            s"sheetPartitions=${o.sheetPartitions} requested, but sheet " +
+              s"'${sheet.name}' of ${paths.head} has no r= attributes on its " +
+              "<row> elements; falling back to a single-partition scan")
+          Array(serial(paths.head))
+        } else {
+          val scratch = java.nio.file.Files.createTempDirectory("graft-xlsx-split-")
+          scratch.toFile.deleteOnExit()
+          val chunks = wb.spillRowChunks(sheet.target, o.sheetPartitions, scratch)
+          if (chunks.lengthCompare(1) <= 0) Array(serial(paths.head))
+          else chunks.map { cp =>
+            ExcelInputPartition(paths.head, o.sheetName, o.sheetIndex,
+              o.skipRows, positions, null, cp, o.headerDedup): InputPartition
+          }.toArray
+        }
       } finally wb.close()
-    } else
-      paths.map(f => ExcelInputPartition(
-        f, o.sheetName, o.sheetIndex, o.skipRows,
-        positions, expectNames,
-        headerDedup = o.headerDedup): InputPartition).toArray
+    } else {
+      if (o.sheetPartitions > 1) ExcelScan.log.warn(
+        s"sheetPartitions=${o.sheetPartitions} ignored: the splittable scan " +
+          s"needs exactly one .xlsx file (got ${paths.length} path(s)" +
+          (if (paths.exists(_.toLowerCase.endsWith(".xlsb"))) ", xlsb is not splittable" else "") +
+          "); scanning one partition per file")
+      paths.map(serial).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ExcelReaderFactory
+}
+
+object ExcelScan {
+  private[excel] val log = org.slf4j.LoggerFactory.getLogger(classOf[ExcelScan])
 }
 
 final case class ExcelInputPartition(
@@ -190,10 +211,9 @@ final case class ExcelInputPartition(
     // non-null for multi-file scans: every file must present this header
     // (positional mapping would silently misalign columns otherwise)
     expectedNames: Array[String],
-    // byte range of the inflated sheet XML for split single-sheet scans
-    // (-1 = whole sheet)
-    byteStart: Long = -1L,
-    byteEnd: Long = -1L,
+    // non-null for split single-sheet scans: path of the spilled
+    // inflated-XML chunk this task parses (complete row elements only)
+    chunkPath: String = null,
     headerDedup: String = "unique") extends InputPartition
 
 final class ExcelReaderFactory extends PartitionReaderFactory {
@@ -212,9 +232,9 @@ final class ExcelReaderFactory extends PartitionReaderFactory {
     val outPos = Array.fill(lay.numCols)(-1)
     p.requiredPositions.zipWithIndex.foreach { case (pos, out) => outPos(pos) = out }
     val rows =
-      if (p.byteStart >= 0)
-        ExcelRead.rowsForRange(opts, lay, outPos,
-          p.requiredPositions.length, p.byteStart, p.byteEnd)
+      if (p.chunkPath != null)
+        ExcelRead.rowsForChunk(opts, lay, outPos,
+          p.requiredPositions.length, p.chunkPath)
       else ExcelRead.rows(opts, lay, outPos, p.requiredPositions.length)
 
     new PartitionReader[InternalRow] {

@@ -74,27 +74,28 @@ object ExcelRead {
     * without copying.
     */
   def rows(opts: Options, lay: SheetLayout, outPos: Array[Int], outWidth: Int): RowIterator =
-    new RowIterator(opts, lay, outPos, outWidth, -1L, -1L)
+    new RowIterator(opts, lay, outPos, outWidth, null)
 
-  /** Byte-ranged variant for the splittable single-sheet scan: reads
-    * only the rows whose `<row` elements start in [byteStart, byteEnd)
-    * of the inflated sheet XML (ranges from XlsxParser.rowSplits).
+  /** Chunk variant for the splittable single-sheet scan: reads one
+    * spilled chunk file of complete row elements (planned by
+    * XlsxParser.rowSplits + spillChunks). The workbook is still opened
+    * for the shared-strings table; the sheet part itself is never
+    * re-inflated.
     */
-  def rowsForRange(
+  def rowsForChunk(
       opts: Options, lay: SheetLayout, outPos: Array[Int], outWidth: Int,
-      byteStart: Long, byteEnd: Long): RowIterator =
-    new RowIterator(opts, lay, outPos, outWidth, byteStart, byteEnd)
+      chunkPath: String): RowIterator =
+    new RowIterator(opts, lay, outPos, outWidth, chunkPath)
 
   final class RowIterator(
       opts: Options, lay: SheetLayout, outPos: Array[Int], outWidth: Int,
-      byteStart: Long, byteEnd: Long)
+      chunkPath: String)
       extends Iterator[Array[AnyRef]] with AutoCloseable {
 
     private val wb = WorkbookSource.open(opts.path)
     private val cells =
-      if (byteStart >= 0)
-        wb.asInstanceOf[XlsxParser.Workbook]
-          .cellsForRange(lay.target, byteStart, byteEnd)
+      if (chunkPath != null)
+        wb.asInstanceOf[XlsxParser.Workbook].chunkCells(chunkPath)
       else wb.cellsForScan(lay.target)
     private var pendingRow = -1
     private var pending: Array[AnyRef] = _
