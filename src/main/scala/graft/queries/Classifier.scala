@@ -40,7 +40,12 @@ object Classifier {
     * more votes, then smaller label). Returns `(vec_id, label, pred)`.
     * Exposed for unit testing.
     */
-  def knnPredict(e0: DataFrame, k: Int): DataFrame = {
+  def knnPredict(e0: DataFrame, k: Int,
+      maxExact: Long = LlmOps.MaxExactAllPairs): DataFrame = {
+    // Declared-small-scale exact all-pairs, same refusal stance as
+    // cosinePairs/jlCosinePairs (previously uncapped — an oversized
+    // input would have silently run the quadratic loop).
+    LlmOps.requireSmallExact(e0.select("vec_id"), "knnPredict", maxExact)
     // Norms once per vector, not per pair: the pair stage then runs ONE
     // codegen'd dot fold per pair instead of three (dot + both normSq),
     // the same shape as the oracle's precomputed-norms CTE.
@@ -48,8 +53,12 @@ object Classifier {
       sqrt(VectorFns.normSq(col("embedding"))).as("nrm"))
     val a = withN.select(col("vec_id").as("ia"), col("embedding").as("ea"),
       col("label").as("la"), col("nrm").as("na"))
+    // limit = the cap just proved, so it never truncates; it stamps a
+    // provable bound on the broadcast side for the registry-wide
+    // nested-loop guard (WindowGuardSpec)
     val b = withN.select(col("vec_id").as("ib"), col("embedding").as("eb"),
       col("label").as("lb"), col("nrm").as("nb"))
+      .limit(maxExact.toInt)
     // Exact all-pairs is the oracle-able formulation (cf. q24_cosine_pairs);
     // the 100 TB path replaces the broadcast nested loop with the q24
     // IVF/PQ candidate join and keeps everything downstream unchanged.

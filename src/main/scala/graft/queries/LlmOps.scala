@@ -219,7 +219,13 @@ object LlmOps {
     val norms = e.select(col("vec_id"),
       sqrt(VectorFns.normSq(col("embedding"))).as("nrm"))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    // limit = the cap requireSmallExact just PROVED holds, so it never
+    // truncates; it stamps the bound into the plan, making the
+    // broadcast side provably tiny for the registry-wide nested-loop
+    // guard (WindowGuardSpec.crossViolations) instead of only refused
+    // at runtime
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      .limit(maxExact.toInt)
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         VectorFns.dot(col("ea"), col("eb")).as("dot"))
@@ -802,7 +808,10 @@ object LlmOps {
       "q24_cosine_topk",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
+        // vec_id is unique, so limit(1) never drops a row: it stamps
+        // the 1-row bound into the plan for the nested-loop guard
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+          .limit(1)
         e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
@@ -838,7 +847,7 @@ object LlmOps {
           .filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(
             t(s, dir, "embeddings").filter(col("vec_id") === 0)
-              .select(col("embedding").as("qv"))))
+              .select(col("embedding").as("qv")).limit(1)))
           .select(col("vec_id"),
             round(VectorFns.cosine(col("embedding"), col("qv")), 6).as("sim"))
           .orderBy(col("sim").desc, col("vec_id").asc)
@@ -870,7 +879,7 @@ object LlmOps {
           .filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(
             t(s, dir, "embeddings").filter(col("vec_id") === 0)
-              .select(col("embedding").as("qv"))))
+              .select(col("embedding").as("qv")).limit(1)))
           .select(col("vec_id").as("e_id"),
             round(VectorFns.cosine(col("embedding"), col("qv")), 6).as("e_sim"))
         ivf.join(exact, col("vec_id") === col("e_id"))

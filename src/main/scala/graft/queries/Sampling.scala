@@ -301,8 +301,11 @@ object Sampling {
       (s, dir) => {
         val red = jlReducedIndex(t(s, dir, "embeddings"), 16)
         val ann = jlAnnTopK(red, 10)
+        // vec_id unique: limit(1) stamps the 1-row bound into the plan
+        // for the nested-loop guard, never drops a row
         val q = red.filter(col("vec_id") === 0)
           .select(col("rv").as("qv"), col("n2").as("qn2"))
+          .limit(1)
         val exact = red.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
@@ -399,8 +402,12 @@ object Sampling {
     // tasks.
     val a = withN.select(
       col("vec_id").as("vec_a"), col("rv").as("ra"), col("n2").as("na"))
+    // limit = the cap requireSmallExact just proved, so it never
+    // truncates; it stamps a provable bound on the broadcast side for
+    // the registry-wide nested-loop guard (WindowGuardSpec)
     val b = withN.select(
       col("vec_id").as("vec_b"), col("rv").as("rb"), col("n2").as("nb"))
+      .limit(maxExact.toInt)
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .filter(col("na") > 0 && col("nb") > 0)
       .select(col("vec_a"), col("vec_b"),

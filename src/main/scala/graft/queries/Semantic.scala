@@ -187,7 +187,10 @@ object Semantic {
               round(terms.map(termScore).reduce(_ + _), 6).as("bm25")),
           "bm25", "r_lex", 50)
         val e = t(s, dir, "embeddings")
+        // vec_id is unique: limit(1) never drops a row, it stamps the
+        // 1-row bound into the plan for the nested-loop guard
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+          .limit(1)
         val den = topKRanked(
           e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
             .select(col("vec_id").as("id"),

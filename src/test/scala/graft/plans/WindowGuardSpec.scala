@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Attribute, IntegerLiteral}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, IntegerLiteral, IsNull, Or}
 import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.expressions.{Window => WSpec}
@@ -56,6 +56,7 @@ object WindowGuard {
       rowBound(child).map(_ min BigInt(n)).orElse(Some(BigInt(n)))
     case l: LocalRelation => Some(BigInt(l.data.size))
     case _: OneRowRelation => Some(BigInt(1))
+    case r: Range => Some(r.numElements)
     case a: Aggregate =>
       if (a.groupingExpressions.isEmpty) Some(BigInt(1))
       else if (a.groupingExpressions.forall {
@@ -94,6 +95,59 @@ object WindowGuard {
       case w: Window if w.partitionSpec.isEmpty &&
         !rowBound(w.child).exists(_ <= DriverScale) => w
     }
+
+  /** Joins with no equi-key can only execute as
+    * BroadcastNestedLoopJoin or CartesianProduct — O(|left|·|right|)
+    * comparisons. Safe at 100 TB only when one side is provably tiny
+    * (the build/broadcast side streams against the big side). The
+    * bound mirrors the exact-all-pairs refusal threshold
+    * ([[graft.queries.LlmOps.MaxExactAllPairs]]).
+    */
+  val CrossScale: BigInt = BigInt(graft.queries.LlmOps.MaxExactAllPairs)
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** Does the join carry at least one left↔right attribute equality
+    * (i.e. can Spark pick a hash/sort-merge strategy)? Literal
+    * equalities don't count — they filter, they don't key.
+    */
+  def hasEquiKeys(j: Join): Boolean = {
+    def split(a: Expression, b: Expression): Boolean = {
+      val (ar, br) = (a.references, b.references)
+      ar.nonEmpty && br.nonEmpty &&
+        ((ar.subsetOf(j.left.outputSet) && br.subsetOf(j.right.outputSet)) ||
+         (br.subsetOf(j.left.outputSet) && ar.subsetOf(j.right.outputSet)))
+    }
+    def splitEq(e: Expression): Boolean = e match {
+      case EqualTo(a, b)       => split(a, b)
+      case EqualNullSafe(a, b) => split(a, b)
+      case _                   => false
+    }
+    j.condition.toSeq.flatMap(conjuncts).exists {
+      case e if splitEq(e) => true
+      // NOT IN → null-aware anti join: `a = b OR isnull(a = b)`.
+      // Spark executes the single-column form as a null-aware
+      // BroadcastHashJoin, not a nested loop.
+      case Or(e1, IsNull(e2)) if j.joinType == LeftAnti =>
+        splitEq(e1) && splitEq(e2)
+      case Or(IsNull(e2), e1) if j.joinType == LeftAnti =>
+        splitEq(e1) && splitEq(e2)
+      case _ => false
+    }
+  }
+
+  /** Every equi-key-less join where NEITHER side has a provable row
+    * bound ≤ [[CrossScale]] — the nested-loop scale cliff a future
+    * query must not silently reintroduce.
+    */
+  def crossViolations(plan: LogicalPlan): Seq[Join] = plan.collect {
+    case j: Join if !hasEquiKeys(j) &&
+      !(rowBound(j.left).exists(_ <= CrossScale) ||
+        rowBound(j.right).exists(_ <= CrossScale)) => j
+  }
 }
 
 class WindowGuardSpec extends AnyFunSuite {
@@ -179,19 +233,23 @@ class WindowGuardSpec extends AnyFunSuite {
     "q24_ann_pq" -> "codebook densify rank inside train(): m*ksub rows",
     "q24_ann_ivfpq" -> "residual codebook densify rank: m*ksub rows")
 
-  test("no partition-less corpus-scale window anywhere in the registry") {
-    // Builds every registered query's DataFrame (constructor side
-    // effects run, but nothing is executed beyond what construction
-    // itself triggers) and sweeps the optimized plan. Failures name
-    // the query and the offending window's input subtree.
-    val flagged = SparkEntry.registry.map { q =>
+  // One sweep serves both registry guards: builds every registered
+  // query's DataFrame (constructor side effects run, but nothing is
+  // executed beyond what construction itself triggers) and collects
+  // the optimized plan's window and cross-join violations.
+  private lazy val sweep: Map[String, (Seq[Window], Seq[Join])] =
+    SparkEntry.registry.map { q =>
       val df =
         try q.run(spark, sf)
         catch { case e: Throwable =>
           fail(s"${q.name} failed to construct: ${e.getMessage}", e)
         }
-      q.name -> WindowGuard.violations(df.queryExecution.optimizedPlan)
+      val plan = df.queryExecution.optimizedPlan
+      q.name -> (WindowGuard.violations(plan), WindowGuard.crossViolations(plan))
     }.toMap
+
+  test("no partition-less corpus-scale window anywhere in the registry") {
+    val flagged = sweep.view.mapValues(_._1).toMap
     val bad = flagged.collect {
       case (name, ws) if ws.nonEmpty && !boundedByDomain.contains(name) =>
         s"$name: partition-less window over unbounded input:\n" +
@@ -203,5 +261,48 @@ class WindowGuardSpec extends AnyFunSuite {
     val stale = boundedByDomain.keys.filter(n => flagged.getOrElse(n, Nil).isEmpty)
     assert(stale.isEmpty,
       s"stale whitelist entries (guard no longer fires): ${stale.mkString(", ")}")
+  }
+
+  test("cross-join guard is red on a deliberately unbounded crossJoin") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = docs.select(col("doc_id").as("a_id"))
+    val b = docs.select(col("doc_id").as("b_id"))
+    val cross = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+    assert(WindowGuard.crossViolations(cross.queryExecution.optimizedPlan).nonEmpty,
+      "guard failed to flag an unbounded corpus × corpus nested-loop join")
+    // and green when one side is provably tiny (broadcastable build)
+    val tiny = a.crossJoin(b.limit(8))
+    assert(WindowGuard.crossViolations(tiny.queryExecution.optimizedPlan).isEmpty)
+  }
+
+  // Equi-key-less joins whose small side IS provably tiny by
+  // construction, but whose bound the estimator cannot carry through
+  // the plan (localCheckpoint severs lineage into a LogicalRDD; a
+  // cached model table scans as a parquet relation). Same anti-rot
+  // contract as boundedByDomain: every entry must still TRIGGER the
+  // guard, so a restructure that makes the bound provable fails the
+  // build until the stale row is deleted.
+  private val crossBoundedByDomain: Map[String, String] = Map(
+    "q02_convert_split" -> ("8-row per-part-file stats behind an eager " +
+      "localCheckpoint (lineage severed to avoid re-running the convert); " +
+      "the distributed order contract is a theta self-join of those 8 rows"),
+    "q42_gapfill" -> ("derived-dimension spine cross join: hour sequence " +
+      "(Generate over a 1-row bounds aggregate) × distinct event types — " +
+      "both sides derived dimensions, sized hours × types, not corpus rows"),
+    "q45_centroid_assign" -> ("label-centroid table: grouped aggregate " +
+      "whose cardinality is the label domain (10), broadcast against the " +
+      "corpus scan — the estimator cannot carry a group-domain bound"))
+
+  test("no unbounded nested-loop join anywhere in the registry") {
+    val flagged = sweep.view.mapValues(_._2).toMap
+    val bad = flagged.collect {
+      case (name, js) if js.nonEmpty && !crossBoundedByDomain.contains(name) =>
+        s"$name: equi-key-less join with no provably tiny side:\n" +
+          js.head.treeString.linesIterator.take(12).mkString("\n")
+    }
+    assert(bad.isEmpty, bad.mkString("\n\n"))
+    val stale = crossBoundedByDomain.keys.filter(n => flagged.getOrElse(n, Nil).isEmpty)
+    assert(stale.isEmpty,
+      s"stale cross whitelist entries (guard no longer fires): ${stale.mkString(", ")}")
   }
 }
