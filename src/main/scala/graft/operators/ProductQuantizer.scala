@@ -165,16 +165,60 @@ object ProductQuantizer {
       coarse: DataFrame,
       every: Int,
       iters: Int): (DataFrame, DataFrame) = {
-    val assigned = KMeans.assign(data, idCol, vecCol, coarse)
-    val residuals = assigned.join(broadcast(coarse), "cell_id")
+    val residuals = residualsOf(data, idCol, vecCol, coarse)
+    val books = train(residuals, idCol, "rv", m, every, iters)
+    (encodeResiduals(residuals, idCol, m, books), books)
+  }
+
+  /** Just the residual-codebook training half of [[ivfPqEncode]] — for
+    * index builds that persist the models FIRST and then encode with
+    * the read-back frozen floats (q68), so every stored artifact is
+    * self-consistent even though k-means averaging is not bit-stable
+    * across executions.
+    */
+  def ivfPqTrainBooks(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      coarse: DataFrame,
+      every: Int,
+      iters: Int): DataFrame =
+    train(residualsOf(data, idCol, vecCol, coarse), idCol, "rv", m, every, iters)
+
+  /** Encode `data` into an EXISTING index's FROZEN models: assign each
+    * vector to its nearest frozen coarse cell, PQ-encode the residual
+    * with the frozen codebooks — no training pass. This is the append
+    * path of an incrementally maintained IVF-PQ index (q68): new
+    * batches are encoded against the persisted models and unioned with
+    * the stored codes, so index maintenance costs O(batch), not
+    * O(corpus re-train). Returns (cell_id, idCol, codes), the same
+    * shape [[ivfPqEncode]] produces.
+    */
+  def ivfPqEncodeWith(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      coarse: DataFrame,
+      books: DataFrame): DataFrame =
+    encodeResiduals(residualsOf(data, idCol, vecCol, coarse), idCol, m, books)
+
+  /** (cell_id, idCol, rv): per-vector residual against its nearest
+    * coarse centroid.
+    */
+  private def residualsOf(
+      data: DataFrame, idCol: String, vecCol: String, coarse: DataFrame): DataFrame =
+    KMeans.assign(data, idCol, vecCol, coarse)
+      .join(broadcast(coarse), "cell_id")
       .select(col("cell_id"), col(idCol),
         zip_with(col(vecCol), col("cv"), (x, c) => x.cast("double") - c).as("rv"))
-    val books = train(residuals, idCol, "rv", m, every, iters)
-    val codes = encode(residuals, idCol, "rv", m, books)
+
+  private def encodeResiduals(
+      residuals: DataFrame, idCol: String, m: Int, books: DataFrame): DataFrame =
+    encode(residuals, idCol, "rv", m, books)
       .join(residuals.select(col(idCol), col("cell_id")), idCol)
       .select(col("cell_id"), col(idCol), col("codes"))
-    (codes, books)
-  }
 
   /** IVF-PQ serving: rank the nProbe nearest coarse cells (tiny global
     * window over the centroid table), derive the query's PER-CELL

@@ -150,4 +150,53 @@ class ProductQuantizerSpec extends AnyFunSuite {
     assert(joined.length == 10)
     joined.foreach(r => assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9))
   }
+
+  test("incremental IVF-PQ: frozen-model append serves the merged index (q68 shape)") {
+    import graft.operators.KMeans
+    val base = clustered.filter(pmod($"vec_id", lit(10)) =!= 9)
+    val batch = clustered.filter(pmod($"vec_id", lit(10)) === 9)
+    val dir = java.nio.file.Files.createTempDirectory("pqinc").toString
+    // build: persist models first, then encode base with the READ-BACK
+    // frozen floats — the self-consistency order q68 uses
+    val trained = KMeans.fit(base, "vec_id", "embedding",
+      KMeans.initEvery(base, "vec_id", "embedding", 25), iters = 2)
+    spark.createDataFrame(
+        java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+      .write.mode("overwrite").parquet(s"$dir/coarse")
+    val coarse0 = spark.read.parquet(s"$dir/coarse")
+    ProductQuantizer.ivfPqTrainBooks(
+        base, "vec_id", "embedding", 4, coarse0, every = 25, iters = 2)
+      .write.mode("overwrite").parquet(s"$dir/books")
+    val coarseF = spark.read.parquet(s"$dir/coarse")
+    val booksF = spark.read.parquet(s"$dir/books")
+    ProductQuantizer.ivfPqEncodeWith(base, "vec_id", "embedding", 4, coarseF, booksF)
+      .write.mode("overwrite").parquet(s"$dir/codes/gen=0")
+    // append: frozen cells + frozen codebooks, O(batch)
+    ProductQuantizer.ivfPqEncodeWith(batch, "vec_id", "embedding", 4, coarseF, booksF)
+      .write.mode("overwrite").parquet(s"$dir/codes/gen=1")
+    val stored = spark.read.parquet(s"$dir/codes")
+      .select($"cell_id", $"vec_id", $"codes")
+    assert(stored.count() == 100, "merged index must cover base + batch")
+    // re-deriving the batch codes from the frozen models is exact —
+    // the persistence-roundtrip/determinism contract
+    val re = ProductQuantizer.ivfPqEncodeWith(
+      batch, "vec_id", "embedding", 4, coarseF, booksF)
+    val mismatched = spark.read.parquet(s"$dir/codes/gen=1")
+      .select($"vec_id", $"cell_id".as("c1"), $"codes".as("k1"))
+      .join(re.select($"vec_id", $"cell_id".as("c2"), $"codes".as("k2")),
+        Seq("vec_id"), "full")
+      .filter($"c1".isNull || $"c2".isNull || $"c1" =!= $"c2" || $"k1" =!= $"k2")
+    assert(mismatched.count() == 0, "frozen re-encode must match the stored generation")
+    // serving the merged index: a query at cluster A's center must
+    // retrieve only cluster-A ids, and at k=50 ALL of cluster A —
+    // including every appended batch member (the index is not stale)
+    val q = Seq(Tuple1((0 until 16).map(i => if (i < 8) 10.0f else 0.0f)))
+      .toDF("embedding")
+    val ids = ProductQuantizer.ivfPqTopK(
+        q, "embedding", 4, coarseF, booksF, stored, "vec_id", nProbe = 2, k = 50)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(ids.forall(_ < 50), s"cluster-A query retrieved cluster-B ids: ${ids.filter(_ >= 50)}")
+    assert(Set(9L, 19L, 29L, 39L, 49L).subsetOf(ids),
+      s"appended batch vectors missing from serving: ${Set(9L, 19L, 29L, 39L, 49L) -- ids}")
+  }
 }

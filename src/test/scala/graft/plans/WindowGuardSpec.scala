@@ -231,7 +231,9 @@ class WindowGuardSpec extends AnyFunSuite {
   private val boundedByDomain: Map[String, String] = Map(
     "q24_pq_train" -> "codebook densify rank: m*ksub rows (model-scale)",
     "q24_ann_pq" -> "codebook densify rank inside train(): m*ksub rows",
-    "q24_ann_ivfpq" -> "residual codebook densify rank: m*ksub rows")
+    "q24_ann_ivfpq" -> "residual codebook densify rank: m*ksub rows",
+    "q68_ann_incremental" ->
+      "from-scratch comparison index's codebook densify rank: m*ksub rows")
 
   // One sweep serves both registry guards: builds every registered
   // query's DataFrame (constructor side effects run, but nothing is
