@@ -69,7 +69,15 @@ object GraftFunctions {
         if ((0 until a.numElements()).exists(a.isNullAt))
           throw new IllegalArgumentException(
             "graft_perceptron_margin weights must not contain NULL elements")
-      val arr = (args(1).dataType, args(1).eval()) match {
+      val evaluated = args(1).eval()
+      // a foldable NULL (e.g. CAST(NULL AS ARRAY<BIGINT>)) has the right
+      // TYPE, so report the null VALUE before the type dispatch — the
+      // catch-all's "must be array<bigint|int>, got ArrayType(...)"
+      // would mislead
+      if (evaluated == null)
+        throw new IllegalArgumentException(
+          "graft_perceptron_margin weights must not be NULL")
+      val arr = (args(1).dataType, evaluated) match {
         case (ArrayType(LongType, _),
             a: org.apache.spark.sql.catalyst.util.ArrayData) =>
           noNulls(a); a.toLongArray()

@@ -446,6 +446,12 @@ object Multimodal {
           decodeWavPcm16(payload) match {
             case None =>
               Iterator.single(Row(id, null, null, null, null, null))
+            case Some((_, samples)) if samples.isEmpty =>
+              // structurally valid WAV with an empty data chunk: emit
+              // one zero-sample row so the asset stays VISIBLE in the
+              // feature table (the same accounting contract malformed
+              // payloads get via their all-null row)
+              Iterator.single(Row(id, 0L, 0L, 0L, 0L, 0L))
             case Some((_, samples)) =>
               val nWin = (samples.length + windowSamples - 1) / windowSamples
               (0 until nWin).iterator.map { w =>

@@ -204,8 +204,17 @@ object Classifier {
         Seq(col("m").desc), Seq("npos", "ntot"), "pos_a",
         Seq("tp", "ctot"), 32)
       .select(col("m"), col("tp"), col("ctot"))
+    // A zero-positive-label corpus would make every rec 0/0 = NaN and
+    // silently corrupt the best-F1 threshold pick downstream; fail
+    // loudly inside the plan instead. assert_true evaluates to NULL
+    // when the guard holds, so the added term is exactly zero.
     val totPos = marg.agg(
-      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos_total"))
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos_total"))
+      .select((col("pos_total") +
+        coalesce(assert_true(col("pos_total") > 0,
+          lit("calibrationCurve: the corpus has no positive labels — " +
+            "rec/f1 would be NaN; check the label column")).cast("long"),
+          lit(0L))).as("pos_total"))
     c.crossJoin(broadcast(totPos))
       .select(col("m").as("threshold"), col("tp"),
         (col("ctot") - col("tp")).as("fp"),

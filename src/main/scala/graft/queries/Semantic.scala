@@ -386,6 +386,10 @@ object Semantic {
           .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
         val rels: Seq[(Long, Long)] = cand.select("vec_id", "rel_u")
           .collect().toSeq.map(r => r.getLong(0) -> r.getLong(1))
+        require(rels.size >= 5,
+          s"q65_mmr_rerank needs at least 5 retrievable candidates to " +
+            s"select 5 diverse results; the embeddings table yielded " +
+            s"only ${rels.size} (excluding the query vector)")
         val first = rels.maxBy { case (id, rel) => (rel, -id) }
         var selected = Vector((first._1, first._2, first._2))
         while (selected.size < 5) {

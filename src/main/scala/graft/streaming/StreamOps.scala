@@ -325,50 +325,44 @@ object StreamOps {
     * instead of hand-rolled timeout bookkeeping.
     */
   def streamUserStatsTws(spark: SparkSession, sfDir: String): DataFrame =
-    streamUserStatsTwsFrom(spark, eventsStream(spark, sfDir))
+    streamUserStatsTwsFrom(spark, eventsStream(_, sfDir))
 
   /** The pipeline behind [[streamUserStatsTws]], parameterized on the
-    * event stream so the spec can force scrambled multi-micro-batch
-    * arrival and assert batch-equivalence.
+    * event-stream BUILDER so the spec can force scrambled
+    * multi-micro-batch arrival and assert batch-equivalence. A builder
+    * rather than a DataFrame because the whole pipeline runs on the
+    * isolated RocksDB session (see [[rocksDbSession]]) and the source
+    * must be constructed there.
     */
-  def streamUserStatsTwsFrom(spark: SparkSession, events: DataFrame): DataFrame =
-    withRocksDbStateStore(spark) {
-      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-      import spark.implicits._
-      val ds = events
-        .select(col("user_id"),
-          round(col("value") * 100).cast("long").as("cents"),
-          col("event_type"))
-        .as[(Long, Long, String)]
-      val out = ds.groupByKey(_._1)
-        .transformWithState(new UserStatsProcessor,
-          TimeMode.None(), OutputMode.Append())
-      convergedUserStats(
-        runToMemory(spark, out.toDF(), s"tws_${System.nanoTime()}", "append"))
-    }
+  def streamUserStatsTwsFrom(
+      spark: SparkSession, mkEvents: SparkSession => DataFrame): DataFrame = {
+    val iso = rocksDbSession(spark)
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import iso.implicits._
+    val ds = mkEvents(iso)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("event_type"))
+      .as[(Long, Long, String)]
+    val out = ds.groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor,
+        TimeMode.None(), OutputMode.Append())
+    convergedUserStats(
+      runToMemory(iso, out.toDF(), s"tws_${System.nanoTime()}", "append"))
+  }
 
-  /** transformWithState requires the RocksDB state store; scope the
-    * provider switch to one drive and restore the session default.
-    *
-    * INVARIANT: drives are strictly sequential within a session. The
-    * provider class is SESSION conf — a second drive started in the same
-    * session while this one is inside `body` would race the set/restore
-    * and could bind its state store to the restored default provider.
-    * Verify and Bench both run queries one at a time (and the driver
-    * contract is one query per invocation), so this holds today; if
-    * parallel drives ever arrive, switch to an isolated
-    * `spark.newSession()` per drive instead of set/restore.
+  /** transformWithState requires the RocksDB state store. The drive
+    * runs on an ISOLATED child session (same SparkContext, own conf —
+    * the q06_join_skew_aqe pattern) with the provider set once, so a
+    * concurrent drive on the shared session can never observe the
+    * switch; the previous mutate-and-restore on the shared conf relied
+    * on a strictly-sequential-drives invariant this removes.
     */
-  private def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
+  private def rocksDbSession(spark: SparkSession): SparkSession = {
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    iso
   }
 
   /** Every batch emits a versioned row per touched user; the converged
@@ -394,7 +388,7 @@ object StreamOps {
     * cutover point.
     */
   def streamUserStatsBootstrap(spark: SparkSession, sfDir: String): DataFrame =
-    streamUserStatsBootstrapFrom(spark, sfDir, eventsStream(spark, sfDir))
+    streamUserStatsBootstrapFrom(spark, sfDir, eventsStream(_, sfDir))
 
   /** The pipeline behind [[streamUserStatsBootstrap]], parameterized on
     * the event stream so the spec can force scrambled multi-micro-batch
@@ -402,33 +396,34 @@ object StreamOps {
     * applied exactly once — across every batch, not just batch 0).
     */
   def streamUserStatsBootstrapFrom(
-      spark: SparkSession, sfDir: String, events: DataFrame): DataFrame =
-    withRocksDbStateStore(spark) {
-      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-      import spark.implicits._
-      def shaped(df: DataFrame): DataFrame =
-        df.select(col("user_id"),
-          round(col("value") * 100).cast("long").as("cents"),
-          col("event_type"), col("event_id"))
-      val initState = shaped(graft.Tables.load(spark, sfDir, "events"))
-        .filter(col("event_id") % 2 === 0)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
-          collect_set(col("event_type")).as("types"))
-        .as[(Long, Long, Long, Seq[String])]
-        .groupByKey(_._1)
-        .mapValues(t => (t._2, t._3, t._4))
-      val ds = shaped(events)
-        .filter(col("event_id") % 2 === 1)
-        .select(col("user_id"), col("cents"), col("event_type"))
-        .as[(Long, Long, String)]
-      val out = ds.groupByKey(_._1)
-        .transformWithState(new UserStatsBootstrapProcessor,
-          TimeMode.None(), OutputMode.Append(), initState)
-      convergedUserStats(
-        runToMemory(spark, out.toDF(),
-          s"twsboot_${System.nanoTime()}", "append"))
-    }
+      spark: SparkSession, sfDir: String,
+      mkEvents: SparkSession => DataFrame): DataFrame = {
+    val iso = rocksDbSession(spark)
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import iso.implicits._
+    def shaped(df: DataFrame): DataFrame =
+      df.select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("event_type"), col("event_id"))
+    val initState = shaped(graft.Tables.load(iso, sfDir, "events"))
+      .filter(col("event_id") % 2 === 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        collect_set(col("event_type")).as("types"))
+      .as[(Long, Long, Long, Seq[String])]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3, t._4))
+    val ds = shaped(mkEvents(iso))
+      .filter(col("event_id") % 2 === 1)
+      .select(col("user_id"), col("cents"), col("event_type"))
+      .as[(Long, Long, String)]
+    val out = ds.groupByKey(_._1)
+      .transformWithState(new UserStatsBootstrapProcessor,
+        TimeMode.None(), OutputMode.Append(), initState)
+    convergedUserStats(
+      runToMemory(iso, out.toDF(),
+        s"twsboot_${System.nanoTime()}", "append"))
+  }
 
   /** Streaming priority sample — the streaming twin of
     * q48_priority_sample: maintain the k-row weighted

@@ -79,6 +79,13 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()
     }
     assert(e2.getMessage.contains("NULL elements"), e2.getMessage)
+    // a foldable NULL weights VALUE has the correct type, so the error
+    // must name the null, not mislead with a type complaint
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT graft_perceptron_margin(text, CAST(NULL AS ARRAY<BIGINT>)) FROM ext_pm")
+        .collect()
+    }
+    assert(e3.getMessage.contains("must not be NULL"), e3.getMessage)
   }
 
   test("non-literal shingle width is rejected with a clear error") {

@@ -58,4 +58,33 @@ class WavCodecSpec extends AnyFunSuite {
     hugeChunk(18) = 0xff.toByte; hugeChunk(19) = 0x7f.toByte
     assert(Multimodal.decodeWavPcm16(hugeChunk) === None)
   }
+
+  test("empty-but-valid WAV stays visible in the windowed feature table") {
+    // a structurally valid file with a zero-sample data chunk must emit
+    // one zero-sample row, not vanish — same accounting contract as the
+    // malformed all-null row
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val empty = Multimodal.encodeWavPcm16(Array.empty[Short])
+    assert(Multimodal.decodeWavPcm16(empty).exists(_._2.isEmpty))
+    val assets = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, empty),
+        org.apache.spark.sql.Row(2L, Multimodal.encodeWavPcm16(samples)),
+        org.apache.spark.sql.Row(3L, Array[Byte](1, 2, 3))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("asset_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType, nullable = true))))
+    val rows = Multimodal.decodeWavWindows(assets, 64)
+      .collect().groupBy(_.getLong(0))
+    assert(rows(1L).toSeq.map(r => (r.getLong(1), r.getLong(2))) == Seq((0L, 0L)),
+      "empty WAV must emit exactly one zero-sample window row")
+    assert(rows(2L).length == (samples.length + 63) / 64)
+    assert(rows(3L).head.isNullAt(1), "malformed payload keeps its all-null row")
+  }
 }

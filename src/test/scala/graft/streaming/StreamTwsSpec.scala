@@ -37,10 +37,10 @@ class StreamTwsSpec extends AnyFunSuite {
     events.repartition(5, xxhash64(col("event_id")))
       .write.mode("overwrite").parquet(splitDir)
     val schema = spark.read.parquet(splitDir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(splitDir)
-    val streamed = StreamOps.streamUserStatsTwsFrom(spark, stream)
+    val streamed = StreamOps.streamUserStatsTwsFrom(spark,
+        s => s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(splitDir))
       .collect().map(_.toSeq).toSeq
     assert(streamed == batchTruth)
   }
@@ -66,10 +66,10 @@ class StreamTwsSpec extends AnyFunSuite {
     events.repartition(5, xxhash64(col("event_id")))
       .write.mode("overwrite").parquet(splitDir)
     val schema = spark.read.parquet(splitDir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(splitDir)
-    val got = StreamOps.streamUserStatsBootstrapFrom(spark, sf, stream)
+    val got = StreamOps.streamUserStatsBootstrapFrom(spark, sf,
+        s => s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(splitDir))
       .collect().map(_.toSeq).toSeq
     assert(got == batchTruth)
     // the warm start is load-bearing: the stream half alone is NOT the
