@@ -323,7 +323,8 @@ object Curation {
              |  round(1.0 - CAST(sum(se - ss + 1) AS DOUBLE) /
              |        CAST(n_tokens AS DOUBLE), 6) AS clean_frac
              |FROM sp GROUP BY doc_id, n_tokens
-             |ORDER BY doc_id""".stripMargin)),
+             |ORDER BY doc_id""".stripMargin),
+      bench = true),
 
     // --------------------------- corpus-internal duplicate passages
     QueryDef(

@@ -271,7 +271,8 @@ object Release {
           .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
         graft.operators.BpeTrainer.train(s, wc, 8).orderBy("merge_rank")
       },
-      Some(bpeTrainOracle(8))),
+      Some(bpeTrainOracle(8)),
+      bench = true),
 
     // --------------------------------------------- BPE encode (apply)
     // The serving half of the tokenizer: train the 8 merges, then apply

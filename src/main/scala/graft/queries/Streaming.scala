@@ -147,7 +147,8 @@ object Streaming {
              |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
              |    AS total_cents,
              |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      bench = true),
 
     // Warm-started transformWithState (StatefulProcessorWithInitialState):
     // state bootstrapped from a batch aggregate of the even-event_id half,

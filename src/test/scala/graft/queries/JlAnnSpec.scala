@@ -46,6 +46,40 @@ class JlAnnSpec extends AnyFunSuite {
       s"JL-ANN recall@10 $recall below the q59 contract threshold 0.6")
   }
 
+  test("sf0.01 recall@10 >= 0.9; a crippled probe budget is caught") {
+    // The query's oracle floor is recall_ok = recall >= 0.6, which an
+    // LSH regression that halves recall could hide under; this pins the
+    // real operating point at the verification SF.
+    val red = Sampling.jlReducedIndex(
+      graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings"), 16)
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double = {
+      val got = ann.collect().map(_.getLong(0)).toSet
+      val q = red.filter(col("vec_id") === 0)
+        .select(col("rv").as("qv"), col("n2").as("qn2")).limit(1)
+      val exact = red.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(graft.functions.VectorFns.dot(col("rv"), col("qv")) /
+            (sqrt(col("n2")) * sqrt(col("qn2"))), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(10)
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val shipped = recallOf(Sampling.jlAnnTopK(red, 10))
+    info(s"shipped recall@10 at sf0.01 = $shipped")
+    assert(shipped >= 0.9,
+      s"JL-ANN recall@10 $shipped at sf0.01 below 0.9 — probe budget regressed")
+    // negative control: one table, 12-bit keys (≈0.1 vectors/bucket,
+    // 13 probes) must fall below the assertion's bar — proving the 0.9
+    // floor has teeth against a broken probe count
+    val crippled = recallOf(LlmOps.signLshTopK(
+      red.select("vec_id", "rv"), "rv", 10, nTables = 1, bits = 12))
+    info(s"crippled recall@10 at sf0.01 = $crippled")
+    assert(crippled < 0.9,
+      s"negative control failed: crippled probe budget still recalls $crippled")
+  }
+
   test("q59_jl_ann emits its contract row and is deterministic") {
     val run1 = graft.SparkEntry.queries("q59_jl_ann")(spark, sf).collect()
     val run2 = graft.SparkEntry.queries("q59_jl_ann")(spark, sf).collect()
