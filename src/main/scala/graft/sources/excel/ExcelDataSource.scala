@@ -162,19 +162,24 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
     def serial(f: String): InputPartition = ExcelInputPartition(
       f, o.sheetName, o.sheetIndex, o.skipRows, positions, expectNames,
       headerDedup = o.headerDedup)
-    if (o.sheetPartitions > 1 && paths.lengthCompare(1) == 0 &&
-        paths.head.toLowerCase.endsWith(".xlsx")) {
-      val wb = new XlsxParser.Workbook(paths.head)
+    if (o.sheetPartitions > 1 && paths.lengthCompare(1) == 0) {
+      val wb = WorkbookSource.open(paths.head)
       try {
         val sheet = wb.resolveSheet(o.sheetName, o.sheetIndex)
-        if (!wb.firstRowHasRef(sheet.target)) { // fragments need absolute rows
+        // chunk fragments need absolute row positions: BIFF12 row
+        // headers always carry them; SpreadsheetML needs r= attributes
+        val refless = wb match {
+          case x: XlsxParser.Workbook => !x.firstRowHasRef(sheet.target)
+          case _ => false
+        }
+        if (refless) {
           ExcelScan.log.warn(
             s"sheetPartitions=${o.sheetPartitions} requested, but sheet " +
               s"'${sheet.name}' of ${paths.head} has no r= attributes on its " +
               "<row> elements; falling back to a single-partition scan")
           Array(serial(paths.head))
         } else {
-          val scratch = java.nio.file.Files.createTempDirectory("graft-xlsx-split-")
+          val scratch = java.nio.file.Files.createTempDirectory("graft-sheet-split-")
           scratch.toFile.deleteOnExit()
           val chunks = wb.spillRowChunks(sheet.target, o.sheetPartitions, scratch)
           if (chunks.lengthCompare(1) <= 0) Array(serial(paths.head))
@@ -187,9 +192,8 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
     } else {
       if (o.sheetPartitions > 1) ExcelScan.log.warn(
         s"sheetPartitions=${o.sheetPartitions} ignored: the splittable scan " +
-          s"needs exactly one .xlsx file (got ${paths.length} path(s)" +
-          (if (paths.exists(_.toLowerCase.endsWith(".xlsb"))) ", xlsb is not splittable" else "") +
-          "); scanning one partition per file")
+          s"needs exactly one workbook file (got ${paths.length} paths); " +
+          "scanning one partition per file")
       paths.map(serial).toArray
     }
   }

@@ -77,10 +77,10 @@ object ExcelRead {
     new RowIterator(opts, lay, outPos, outWidth, null)
 
   /** Chunk variant for the splittable single-sheet scan: reads one
-    * spilled chunk file of complete row elements (planned by
-    * XlsxParser.rowSplits + spillChunks). The workbook is still opened
-    * for the shared-strings table; the sheet part itself is never
-    * re-inflated.
+    * spilled chunk file of complete rows (planned by the workbook's
+    * spillRowChunks — XML row elements for xlsx, BIFF12 records for
+    * xlsb). The workbook is still opened for the shared-strings table;
+    * the sheet part itself is never re-inflated.
     */
   def rowsForChunk(
       opts: Options, lay: SheetLayout, outPos: Array[Int], outWidth: Int,
@@ -94,8 +94,7 @@ object ExcelRead {
 
     private val wb = WorkbookSource.open(opts.path)
     private val cells =
-      if (chunkPath != null)
-        wb.asInstanceOf[XlsxParser.Workbook].chunkCells(chunkPath)
+      if (chunkPath != null) wb.chunkCells(chunkPath)
       else wb.cellsForScan(lay.target)
     private var pendingRow = -1
     private var pending: Array[AnyRef] = _

@@ -13,6 +13,18 @@ trait WorkbookSource extends AutoCloseable {
     */
   def cellsForScan(target: String): Iterator[XlsxParser.Cell] with AutoCloseable =
     cells(target)
+
+  /** Splittable-scan planning: one pass over the inflated sheet part
+    * that spills its bytes into ≤ `n` row-aligned chunk files under
+    * `scratch` (cut exactly at row-start boundaries, so each chunk is a
+    * self-describing run of complete rows). Nil = no rows (caller falls
+    * back to the serial scan). Total inflate work is ONE pass for any
+    * `n`.
+    */
+  def spillRowChunks(target: String, n: Int, scratch: java.nio.file.Path): Seq[String]
+
+  /** Cell stream over one chunk file spilled by [[spillRowChunks]]. */
+  def chunkCells(chunkPath: String): Iterator[XlsxParser.Cell] with AutoCloseable
 }
 
 object WorkbookSource {

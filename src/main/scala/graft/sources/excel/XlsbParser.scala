@@ -121,6 +121,113 @@ object XlsbParser {
       new CellIterator(new Reader(in), sharedStrings)
     }
 
+    /** Single-pass splittable-scan planner for BIFF12 (the binary
+      * sibling of XlsxParser.spillRowChunks): records are
+      * length-prefixed, so one record walk over the inflated part
+      * tracks every record's start offset and spills the bytes into
+      * row-aligned chunk files, rotating exactly at the first
+      * `BrtRowHdr` record at or past each even-split target offset.
+      * Every chunk therefore begins with a BrtRowHdr — whose payload
+      * carries the ABSOLUTE row id, so chunk parsing needs no preceding
+      * context (the property the xlsx path needs r= attributes for,
+      * BIFF12 gives structurally). The prefix before the first row
+      * (BrtWsDim, BrtBeginSheetData, ...) is not spilled; the
+      * CellIterator ignores structural records and stops at
+      * BrtEndSheetData in the final chunk. Only the 1-3 framing-varint
+      * bytes per record go through per-byte reads (on a
+      * BufferedInputStream); payloads move in bulk — the per-inflated-
+      * byte read cliff rowSplits documents does not apply.
+      */
+    override def spillRowChunks(
+        target: String, n: Int, scratch: java.nio.file.Path): Seq[String] = {
+      val entry = zip.getEntry(target)
+      if (entry == null)
+        throw new IllegalArgumentException(s"$path: missing worksheet part $target")
+      val total = entry.getSize
+      if (total <= 0 || n <= 1) return Nil
+      val targets = (1 until n).map(i => total * i / n)
+      val files = mutable.ArrayBuffer.empty[java.io.File]
+      var out: java.io.OutputStream = null
+      def rotate(): Unit = {
+        if (out != null) out.close()
+        val f = scratch.resolve(f"chunk-${files.size}%05d.bin").toFile
+        f.deleteOnExit()
+        files += f
+        out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f), 1 << 16)
+      }
+      val in = new java.io.BufferedInputStream(zip.getInputStream(entry), 1 << 16)
+      try {
+        var off = 0L
+        var ti = 0
+        var firstSeen = false
+        val head = new java.io.ByteArrayOutputStream(8)
+        def readHeadByte(): Int = {
+          val b = in.read()
+          if (b >= 0) { off += 1; head.write(b) }
+          b
+        }
+        var done = false
+        while (!done) {
+          head.reset()
+          val recStart = off
+          val b0 = readHeadByte()
+          if (b0 < 0) done = true
+          else {
+            val id =
+              if ((b0 & 0x80) == 0) b0
+              else {
+                val b1 = readHeadByte()
+                if (b1 < 0) throw new java.io.EOFException(
+                  s"$path:$target: truncated BIFF12 record id")
+                (b0 & 0x7f) | ((b1 & 0x7f) << 7)
+              }
+            var size = 0
+            var shift = 0
+            var more = true
+            var i = 0
+            while (more && i < 4) {
+              val b = readHeadByte()
+              if (b < 0) throw new java.io.EOFException(
+                s"$path:$target: truncated BIFF12 record size")
+              size |= (b & 0x7f) << shift
+              more = (b & 0x80) != 0
+              shift += 7
+              i += 1
+            }
+            val payload = new Array[Byte](size)
+            var got = 0
+            while (got < size) {
+              val k = in.read(payload, got, size - got)
+              if (k < 0) throw new java.io.EOFException(
+                s"$path:$target: truncated BIFF12 payload")
+              got += k
+            }
+            off += size
+            if (id == BrtRowHdr) {
+              if (!firstSeen) { firstSeen = true; rotate() }
+              else if (ti < targets.length && recStart >= targets(ti)) rotate()
+              while (ti < targets.length && recStart >= targets(ti)) ti += 1
+            }
+            if (firstSeen) { head.writeTo(out); out.write(payload) }
+          }
+        }
+      } finally {
+        if (out != null) out.close()
+        in.close()
+      }
+      files.map(_.getAbsolutePath).toSeq
+    }
+
+    /** Cell stream over one spilled BIFF12 chunk (see
+      * [[spillRowChunks]]): a run of complete records starting at a
+      * BrtRowHdr, parsed by the ordinary record reader.
+      */
+    override def chunkCells(chunkPath: String): CellIterator = {
+      val in = new java.io.BufferedInputStream(
+        new java.io.FileInputStream(chunkPath), 1 << 16)
+      new CellIterator(new Reader(in), sharedStrings)
+    }
+
     override def close(): Unit = zip.close()
   }
 

@@ -108,6 +108,30 @@ class RowSplitScanSpec extends AnyFunSuite {
       (1 to 20000).map(i => s"$i"))
   }
 
+  test("xlsb: multi-partition read equals single-partition read, order preserved") {
+    // BIFF12 row headers always carry absolute row ids, so the split
+    // path needs no r=-style precondition: the planner walks the
+    // length-prefixed record stream once and spills row-aligned chunks
+    val p = Files.createTempDirectory("splitb").resolve("big.xlsb").toString
+    val rows = (1 to 8000).map { i =>
+      Seq(Some(XNum(i)), Some(XShared(s"name_$i")),
+        if (i % 7 == 0) None else Some(XNum(i * 1.25)),
+        Some(XShared(s"cat${i % 13}")))
+    }
+    graft.sources.excel.XlsbWriter.write(p, Seq(Sheet.dense("data",
+      Seq("id", "name", "amount", "cat").map(h => Option(XShared(h): XCell))
+        +: rows)))
+    val whole = spark.read.format("excel").load(p)
+      .collect().map(_.toSeq).toSeq
+    val split = spark.read.format("excel")
+      .option("sheetPartitions", "5").load(p)
+    assert(split.rdd.getNumPartitions == 5,
+      s"expected 5 partitions, got ${split.rdd.getNumPartitions}")
+    val got = split.collect().map(_.toSeq).toSeq
+    assert(got.size == 8000)
+    assert(got == whole, "xlsb split read must equal whole read in global order")
+  }
+
   test("fallback to a serial scan logs a loud warning") {
     import org.apache.logging.log4j.{Level, LogManager}
     import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
@@ -137,7 +161,7 @@ class RowSplitScanSpec extends AnyFunSuite {
         .option("sheetPartitions", "4").load(dir.toString)
       assert(df.count() == 6)
       assert(captured.asScala.exists(m =>
-        m.contains("sheetPartitions=4 ignored") && m.contains("2 path(s)")),
+        m.contains("sheetPartitions=4 ignored") && m.contains("2 paths")),
         s"expected a fallback warning, got: ${captured.asScala.mkString(" | ")}")
     } finally {
       lc.removeAppender("split-warn-capture")
