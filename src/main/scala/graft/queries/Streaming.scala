@@ -296,6 +296,25 @@ object Streaming {
           |       count(*) AS n
           |FROM s5 s JOIN documents d ON s.doc_id = d.doc_id
           |GROUP BY 1, 2
-          |ORDER BY 1, 2""".stripMargin))
+          |ORDER BY 1, 2""".stripMargin)),
+
+    // Streaming continuation of q68: arriving vector micro-batches are
+    // appended to the PERSISTED IVF-PQ index via foreachBatch — frozen
+    // cells + frozen codebooks, one new index generation per trigger,
+    // O(micro-batch) work, no retrain, no state store (the durable
+    // index IS the state). Contracts: full coverage, multi-trigger
+    // delivery, and serving equality (ids AND ADC distances) with a
+    // one-shot batch append of the same vectors — micro-batch slicing
+    // must not change the index.
+    QueryDef(
+      "q69_stream_index_append",
+      (s, dir) => graft.streaming.StreamOps.streamIndexAppend(s, dir),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_index,
+             |  CAST(sum(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_arrived,
+             |  true AS multi_trigger_ok,
+             |  CAST(10 AS BIGINT) AS n_results,
+             |  true AS same_as_batch_append
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin))
   )
 }

@@ -518,6 +518,99 @@ object StreamOps {
       .orderBy("lang", "keep")
   }
 
+  /** Streaming continuation of q68's persisted ANN index: new vector
+    * batches ARRIVE on a stream and are appended to the stored IVF-PQ
+    * index as they come — each micro-batch is assigned to the FROZEN
+    * coarse cells and PQ-encoded with the FROZEN codebooks
+    * (`ProductQuantizer.ivfPqEncodeWith`, no training pass) inside
+    * `foreachBatch`, landing as one new index generation per trigger;
+    * serving reads the union of all persisted generations. This is the
+    * ingestion-time shape of index maintenance at 100 TB: O(micro-batch)
+    * work per trigger, model tables broadcast, no retrain, no state
+    * store (the index itself IS the state, durable and queryable
+    * mid-stream).
+    *
+    * Contracts (one row, deterministic): the stored index covers
+    * base + every arrived vector; the arrivals really landed across
+    * multiple generations (multi-trigger delivery, not one big batch);
+    * and serving over the streamed index equals — same ids, same ADC
+    * distances — serving over the base generation plus a ONE-SHOT batch
+    * append of the same vectors (frozen-model encoding is deterministic,
+    * so micro-batch slicing must not change the index).
+    */
+  def streamIndexAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.ProductQuantizer
+    import graft.queries.LlmOps
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
+    val base = e.filter(col("vec_id") =!= 0 && pmod(col("vec_id"), lit(10)) =!= 9)
+    val arriving = e.filter(col("vec_id") =!= 0 && pmod(col("vec_id"), lit(10)) === 9)
+    val idx = graft.RunPaths.scratch(
+      "graft_q69_index_" + graft.RunPaths.keyFor(sfDir))
+    // offline build, q68's persist-first order: every stored artifact
+    // derives from the READ-BACK frozen floats
+    val coarse0 = LlmOps.ivfCentroids(spark, sfDir, base)
+    coarse0.write.mode("overwrite").parquet(s"$idx/coarse")
+    ProductQuantizer.ivfPqTrainBooks(
+        base, "vec_id", "embedding", m = 8, coarse0, every = 40, iters = 2)
+      .write.mode("overwrite").parquet(s"$idx/books")
+    val coarseF = spark.read.parquet(s"$idx/coarse")
+      .limit(LlmOps.MaxExactAllPairs.toInt) // provable-bound stamp (plan
+    // guard); centroid tables are model-scale, the limit never truncates
+    val booksF = spark.read.parquet(s"$idx/books")
+    ProductQuantizer.ivfPqEncodeWith(
+        base, "vec_id", "embedding", 8, coarseF, booksF)
+      .write.mode("overwrite").parquet(s"$idx/codes/gen=0")
+    // deliver the arrivals across 4 hash-scrambled micro-batches
+    val splitDir = graft.RunPaths.scratch(
+      "graft_q69_arrivals_" + graft.RunPaths.keyFor(sfDir))
+    arriving.repartition(4, xxhash64(col("vec_id")))
+      .write.mode("overwrite").parquet(splitDir)
+    val schema = spark.read.parquet(splitDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // gen 0 is the base build; micro-batch id b lands as gen b+1.
+        // overwrite per generation keeps re-runs idempotent.
+        ProductQuantizer.ivfPqEncodeWith(
+            batch, "vec_id", "embedding", 8, coarseF, booksF)
+          .write.mode("overwrite").parquet(s"$idx/codes/gen=${id + 1}")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val stored = spark.read.parquet(s"$idx/codes")
+    def serve(codes: DataFrame): DataFrame = ProductQuantizer.ivfPqTopK(
+      query, "embedding", 8, coarseF, booksF,
+      codes.select(col("cell_id"), col("vec_id"), col("codes")), "vec_id",
+      nProbe = 4, k = 10)
+    val top = serve(stored)
+    // one-shot comparison: base generation + a single batch-append of
+    // ALL arrivals — the index micro-batch slicing must reproduce
+    val oneShot = serve(
+      spark.read.parquet(s"$idx/codes/gen=0")
+        .select(col("cell_id"), col("vec_id"), col("codes"))
+        .unionByName(ProductQuantizer.ivfPqEncodeWith(
+          arriving, "vec_id", "embedding", 8, coarseF, booksF)))
+    val same = top.select(col("vec_id"), col("adc_dist").as("d_s"))
+      .join(oneShot.select(col("vec_id"), col("adc_dist").as("d_b")),
+        Seq("vec_id"), "full")
+      .agg((count(lit(1)) === 10).as("n_ok"),
+        (count(when(col("d_s").isNull || col("d_b").isNull ||
+          col("d_s") =!= col("d_b"), 1)) === 0).as("dist_ok"))
+    stored.agg(count(lit(1)).as("n_index"),
+        (count(when(col("gen") >= 1, 1))).as("n_arrived"),
+        (countDistinct(when(col("gen") >= 1, col("gen"))) >= 2)
+          .as("multi_trigger_ok"))
+      .crossJoin(top.agg(count(lit(1)).as("n_results")))
+      .crossJoin(same)
+      .select(col("n_index"), col("n_arrived"), col("multi_trigger_ok"),
+        col("n_results"),
+        (col("n_ok") && col("dist_ok")).as("same_as_batch_append"))
+  }
+
   /** The pipeline behind [[streamPrioritySample]], parameterized on the
     * document stream so the spec can force scrambled multi-micro-batch
     * arrival and assert batch-equivalence.
