@@ -1129,6 +1129,93 @@ object LlmOps {
              |FROM embeddings WHERE vec_id <> 0""".stripMargin),
       bench = true),
 
+    // ------------------------------ persisted-index lifecycle (q70)
+    // The rest of the q68/q69 index's life: DELETES and COMPACTION.
+    // Deletes are TOMBSTONES (a persisted id set; serving anti-joins it
+    // before scoring — logical deletion, zero index rewrite, the only
+    // delete an append-only 100 TB index can afford per-request).
+    // Compaction then folds all generations minus tombstones into ONE
+    // delete-free generation, repartitioned by cell_id so the probe
+    // join reads clustered cells (at scale: partitionBy(cell_id) →
+    // probe-side partition pruning). Contracts (one row, all
+    // deterministic — same frozen models throughout): compacted index
+    // = base + appended − deleted exactly; zero tombstoned ids survive
+    // compaction; no tombstoned id is ever served; and serving the
+    // compacted index equals serving generations+tombstones (ids AND
+    // ADC distances) — compaction is invisible to queries.
+    QueryDef(
+      "q70_index_lifecycle",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val query = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).limit(1)
+        val merged = e.filter(col("vec_id") =!= 0)
+        val base = merged.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+        val batch = merged.filter(pmod(col("vec_id"), lit(10)) === 9)
+        val idx = graft.RunPaths.scratch(
+          "graft_q70_index_" + graft.RunPaths.keyFor(dir))
+        // build + append, q68's persist-first frozen order
+        val coarse0 = ivfCentroids(s, dir, base)
+        coarse0.write.mode("overwrite").parquet(s"$idx/coarse")
+        ProductQuantizer.ivfPqTrainBooks(
+            base, "vec_id", "embedding", m = 8, coarse0, every = 40, iters = 2)
+          .write.mode("overwrite").parquet(s"$idx/books")
+        val coarseF = s.read.parquet(s"$idx/coarse")
+          .limit(MaxExactAllPairs.toInt) // provable-bound stamp (plan guard)
+        val booksF = s.read.parquet(s"$idx/books")
+        ProductQuantizer.ivfPqEncodeWith(
+            base, "vec_id", "embedding", 8, coarseF, booksF)
+          .write.mode("overwrite").parquet(s"$idx/codes/gen=0")
+        ProductQuantizer.ivfPqEncodeWith(
+            batch, "vec_id", "embedding", 8, coarseF, booksF)
+          .write.mode("overwrite").parquet(s"$idx/codes/gen=1")
+        // tombstone every indexed id ≡ 3 (mod 7)
+        merged.filter(pmod(col("vec_id"), lit(7)) === 3)
+          .select(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$idx/deletes")
+        val gens = s.read.parquet(s"$idx/codes")
+          .select(col("cell_id"), col("vec_id"), col("codes"))
+        val dead = s.read.parquet(s"$idx/deletes")
+        // compaction: generations − tombstones → one cell-clustered file
+        gens.join(dead, Seq("vec_id"), "left_anti")
+          .repartition(col("cell_id"))
+          .write.mode("overwrite").parquet(s"$idx/codes_compact")
+        val compact = s.read.parquet(s"$idx/codes_compact")
+        def serve(codes: DataFrame): DataFrame = ProductQuantizer.ivfPqTopK(
+          query, "embedding", 8, coarseF, booksF,
+          codes.select(col("cell_id"), col("vec_id"), col("codes")),
+          "vec_id", nProbe = 4, k = 10)
+        val live = serve(gens.join(dead, Seq("vec_id"), "left_anti"))
+        val comp = serve(compact)
+        val same = live.select(col("vec_id"), col("adc_dist").as("d_l"))
+          .join(comp.select(col("vec_id"), col("adc_dist").as("d_c")),
+            Seq("vec_id"), "full")
+          .agg(((count(lit(1)) === 10) &&
+            (count(when(col("d_l").isNull || col("d_c").isNull ||
+              col("d_l") =!= col("d_c"), 1)) === 0)).as("compaction_invisible"))
+        val servedClean = live.join(dead, Seq("vec_id"), "left_semi")
+          .agg((count(lit(1)) === 0).as("no_tombstones_served"))
+        val survivors = compact.join(dead, Seq("vec_id"), "left_semi")
+          .agg((count(lit(1)) === 0).as("deletes_compacted_out"))
+        compact.agg(count(lit(1)).as("n_live"))
+          .crossJoin(dead.agg(count(lit(1)).as("n_deleted")))
+          .crossJoin(survivors)
+          .crossJoin(servedClean)
+          .crossJoin(same)
+          .select(col("n_live"), col("n_deleted"),
+            col("deletes_compacted_out"), col("no_tombstones_served"),
+            col("compaction_invisible"))
+      },
+      Some("""SELECT
+             |  CAST(sum(CASE WHEN vec_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_live,
+             |  CAST(sum(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_deleted,
+             |  true AS deletes_compacted_out,
+             |  true AS no_tombstones_served,
+             |  true AS compaction_invisible
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
+
     // ----------------------------------------------------- text analysis
     QueryDef(
       "q25_text_stats",
