@@ -246,6 +246,64 @@ object Multimodal {
     } yield (w, h, i)
   }
 
+  /** 64-bit difference hash (dHash) of a P6 image — the standard
+    * perceptual near-dup key for image corpora: integer luminance
+    * (r+g+b, unscaled — monotone in brightness, which is all the sign
+    * comparisons need), exact box-average downsample to a 9×8 grid
+    * (grid cell (gx, gy) covers [gx·w/9, (gx+1)·w/9) × [gy·h/8,
+    * (gy+1)·h/8)), bit (gy·8 + gx) set iff cell (gx, gy) is darker than
+    * its right neighbor. All-integer arithmetic → deterministic; and
+    * because only ADJACENT-cell comparisons enter the hash, a global
+    * brightness shift (every pixel + k, no clamping) leaves the hash
+    * unchanged — the invariance that buckets re-encoded/re-exposed
+    * copies of one image together while distinct images separate.
+    * None for malformed payloads or images smaller than the 9×8 grid.
+    */
+  def dhash64(payload: Array[Byte]): Option[Long] =
+    parsePpmHeader(payload).flatMap { case (w, h, off) =>
+      if (w < 9 || h < 8) None
+      else {
+        val lum = new Array[Long](9 * 8)
+        var gy = 0
+        while (gy < 8) {
+          val y0 = gy * h / 8
+          val y1 = (gy + 1) * h / 8
+          var gx = 0
+          while (gx < 9) {
+            val x0 = gx * w / 9
+            val x1 = (gx + 1) * w / 9
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val p = off + (y * w + x) * 3
+                sum += (payload(p) & 0xff) + (payload(p + 1) & 0xff) +
+                  (payload(p + 2) & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            // average over the cell so uneven grid-cell sizes cannot
+            // bias the comparison; integer division is fine — both
+            // sides of every comparison use the same scale
+            lum(gy * 9 + gx) = sum / ((x1 - x0).toLong * (y1 - y0))
+            gx += 1
+          }
+          gy += 1
+        }
+        var bits = 0L
+        var i = 0
+        while (i < 8 * 8) {
+          val gy2 = i / 8
+          val gx2 = i % 8
+          if (lum(gy2 * 9 + gx2) < lum(gy2 * 9 + gx2 + 1)) bits |= 1L << i
+          i += 1
+        }
+        Some(bits)
+      }
+    }
+
   /** Strict P6 parse → `(w, h, sumR, sumG, sumB)`; None on malformed. */
   def decodePpm(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
     parsePpmHeader(payload).map { case (w, h, off) =>

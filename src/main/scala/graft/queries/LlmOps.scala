@@ -1736,6 +1736,64 @@ object LlmOps {
              |    AS sum_g,
              |  CAST(sum((doc_id * 31 + sx * 7 + sy * 13 + 202) % 256) AS BIGINT)
              |    AS sum_b
-             |FROM px GROUP BY doc_id ORDER BY asset_id""".stripMargin))
+             |FROM px GROUP BY doc_id ORDER BY asset_id""".stripMargin)),
+
+    // -------------------------------- image near-dup (perceptual hash)
+    // The image-modality sibling of q22/q23: exact-dup text dedup keys
+    // on a content hash; image corpora key on a PERCEPTUAL hash, because
+    // re-encoded/re-exposed copies differ byte-wise but not visually.
+    // Assets are genuine P6 images whose structure comes from a MOTIF
+    // (doc_id mod 37 — motif-dependent x/y gradients mod 193) and whose
+    // brightness from a per-asset offset (doc_id mod 7 × 8, max pixel
+    // 192+48 < 256 so no clamping): visually, each motif re-exposed 7
+    // ways. operators.Multimodal.dhash64 (integer luminance → 9×8 box
+    // grid → adjacent-darker bits) is invariant to the brightness shift
+    // by construction and separates distinct motifs, so grouping by the
+    // 8-byte hash — ONE shuffle of 8-byte keys, never of image bytes,
+    // the shape that dedups a 100 TB image corpus — recovers exactly
+    // the motif clusters. The oracle is closed-form over doc ids: one
+    // cluster per motif, represented by its lowest asset id. (At even
+    // larger scale the same key feeds Hamming-ball multiprobe like
+    // q24_ann_lsh's sign keys; exact-match buckets are the q22 tier.)
+    QueryDef(
+      "q71_image_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val W = 18
+        val H = 16
+        val ids = t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id")).as[Long]
+        val assets = ids.mapPartitions(_.map { id =>
+          val motif = id % 37
+          val bright = (id % 7) * 8
+          // coefficients sized so the mod-193 gradient WRAPS inside the
+          // image for every motif — without wraps, low motifs are all
+          // monotone left-to-right and dHash cannot tell them apart
+          // (verified: 37/37 distinct hashes, brightness-invariant)
+          val xc = (17 * motif + 23) % 193
+          val yc = (29 * motif + 41) % 193
+          (id, graft.operators.Multimodal.encodePpm(W, H,
+            (x, y, c) => (((x * xc + y * yc + c * 3) % 193) + bright).toInt))
+        }).toDF("asset_id", "payload")
+        val out = graft.RunPaths.scratch("graft_q71_ppm.parquet")
+        assets.write.mode("overwrite")
+          .option("compression", "zstd").parquet(out)
+        val hashed = s.read.parquet(out)
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, p) =>
+            (id, graft.operators.Multimodal.dhash64(p)
+              .getOrElse(sys.error(s"asset $id: malformed PPM")))
+          }).toDF("asset_id", "dhash")
+        hashed.groupBy(col("dhash"))
+          .agg(min(col("asset_id")).as("cluster_rep"),
+            count(lit(1)).as("n_members"))
+          .select(col("cluster_rep"), col("n_members"))
+          .orderBy("cluster_rep")
+      },
+      Some("""SELECT min(doc_id) AS cluster_rep,
+             |       count(*) AS n_members
+             |FROM documents WHERE doc_id % 3 = 2
+             |GROUP BY doc_id % 37 ORDER BY cluster_rep""".stripMargin))
   )
 }

@@ -55,4 +55,25 @@ class PpmCodecSpec extends AnyFunSuite {
     assert(Multimodal.decodePpm(maxval254) === None) // unsupported maxval
     assert(Multimodal.decodePpm("P6\n4 2\n255\n".getBytes("US-ASCII")) === None)
   }
+
+  test("dhash64: brightness-invariant, structure-sensitive, strict on input") {
+    def img(bright: Int, xc: Int, yc: Int) =
+      Multimodal.encodePpm(18, 16,
+        (x, y, c) => ((x * xc + y * yc + c * 3) % 193) + bright)
+    val base = Multimodal.dhash64(img(0, 23, 41))
+    assert(base.isDefined)
+    // a global brightness shift (no clamping: 192 + 48 < 256) must not
+    // change a single bit — the re-exposure invariance the near-dup
+    // bucketing relies on
+    for (b <- Seq(8, 24, 48))
+      assert(Multimodal.dhash64(img(b, 23, 41)) === base,
+        s"brightness +$b changed the perceptual hash")
+    // different gradients = different images must separate
+    assert(Multimodal.dhash64(img(0, 40, 70)) !== base)
+    // strictness: malformed or sub-grid images refuse, not mis-hash
+    assert(Multimodal.dhash64(null) === None)
+    assert(Multimodal.dhash64(
+      Multimodal.encodePpm(8, 8, (_, _, _) => 1)) === None) // < 9 wide
+    assert(Multimodal.dhash64(img(0, 23, 41).dropRight(1)) === None)
+  }
 }
