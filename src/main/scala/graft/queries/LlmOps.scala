@@ -1794,6 +1794,93 @@ object LlmOps {
       Some("""SELECT min(doc_id) AS cluster_rep,
              |       count(*) AS n_members
              |FROM documents WHERE doc_id % 3 = 2
-             |GROUP BY doc_id % 37 ORDER BY cluster_rep""".stripMargin))
+             |GROUP BY doc_id % 37 ORDER BY cluster_rep""".stripMargin)),
+
+    // ---------------------- image near-dup, Hamming tier (banded LSH)
+    // q71's exact-hash buckets only catch variants the hash is exactly
+    // invariant to; real image noise flips a FEW dHash bits, so the
+    // production tier clusters within a Hamming ball. Banded LSH on the
+    // 64-bit hash (4 × 16-bit bands): any pair within Hamming ≤ 3 has
+    // ≤ 3 differing bands, hence ≥ 1 identical band (pigeonhole), so
+    // the band equi-join is a COMPLETE candidate generator for the
+    // threshold; candidates verify with one bit_count(xor) and edges
+    // cluster via the same large-star/small-star components as text
+    // near-dup — one shuffle of 2-byte band keys, one of verified
+    // 8-byte-hash edges, never image bytes. Fixture is constructive:
+    // each asset's image is RENDERED from a target bit pattern (per-row
+    // ±1 luminance level walk whose adjacent-cell comparisons are the
+    // pattern bits, so dhash64 recovers it exactly); motifs are a
+    // 16×-repeated nibble code (cross-motif Hamming ≥ 16), noise flips
+    // the first (id mod 4) of 3 per-motif positions (nested → any two
+    // variants of one motif are ≤ 3 apart). Clusters therefore equal
+    // motif groups EXACTLY at any sf, with a closed-form oracle; and
+    // the verify threshold has real teeth — cross-motif noisy pairs sit
+    // ≥ 10 apart, within-motif at ≤ 3.
+    QueryDef(
+      "q72_image_neardup_hamming",
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id")).as[Long]
+        val assets = ids.mapPartitions(_.map { id =>
+          val motif = (id % 16).toInt
+          var pattern = 0L
+          (0 until 16).foreach { k =>
+            pattern |= motif.toLong << (4 * k)
+          }
+          (0 until (id % 4).toInt).foreach { j =>
+            pattern ^= 1L << ((motif * 7 + j * 13) % 64)
+          }
+          val bright = (id % 5).toInt * 8
+          // per-row ±1 level walk realizing the pattern's comparisons
+          val levels = Array.ofDim[Int](8, 9)
+          (0 until 8).foreach { gy =>
+            var lvl = 8
+            levels(gy)(0) = lvl
+            (0 until 8).foreach { gx =>
+              lvl += (if ((pattern >> (gy * 8 + gx) & 1L) != 0) 1 else -1)
+              levels(gy)(gx + 1) = lvl
+            }
+          }
+          (id, graft.operators.Multimodal.encodePpm(18, 16,
+            (x, y, _) => levels(y / 2)(x / 2) * 12 + bright))
+        }).toDF("asset_id", "payload")
+        val out = graft.RunPaths.scratch("graft_q72_ppm.parquet")
+        assets.write.mode("overwrite")
+          .option("compression", "zstd").parquet(out)
+        val hashed = s.read.parquet(out)
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, p) =>
+            (id, graft.operators.Multimodal.dhash64(p)
+              .getOrElse(sys.error(s"asset $id: malformed PPM")))
+          }).toDF("asset_id", "dhash")
+          .localCheckpoint() // hashed once; banding + verify + CC reuse it
+        val banded = hashed.select(col("asset_id"), col("dhash"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("dhash"), b * 16)
+                .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+        val edges = banded.as("a")
+          .join(banded.as("b"),
+            col("a.bk") === col("b.bk") &&
+              col("a.asset_id") < col("b.asset_id"))
+          .select(col("a.asset_id").as("a"), col("b.asset_id").as("b"),
+            col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+          .distinct()
+          .filter(expr("bit_count(ha ^ hb)") <= 3)
+          .select(col("a"), col("b"))
+        val vertices = hashed.select(col("asset_id").as("node"))
+        DedupCluster.connectedComponents(vertices, edges)
+          .groupBy(col("cluster_id"))
+          .agg(min(col("node")).as("cluster_rep"),
+            count(lit(1)).as("n_members"))
+          .select(col("cluster_rep"), col("n_members"))
+          .orderBy("cluster_rep")
+      },
+      Some("""SELECT min(doc_id) AS cluster_rep,
+             |       count(*) AS n_members
+             |FROM documents WHERE doc_id % 3 = 2
+             |GROUP BY doc_id % 16 ORDER BY cluster_rep""".stripMargin))
   )
 }
