@@ -1881,6 +1881,68 @@ object LlmOps {
       Some("""SELECT min(doc_id) AS cluster_rep,
              |       count(*) AS n_members
              |FROM documents WHERE doc_id % 3 = 2
-             |GROUP BY doc_id % 16 ORDER BY cluster_rep""".stripMargin))
+             |GROUP BY doc_id % 16 ORDER BY cluster_rep""".stripMargin)),
+
+    // ------------------------------ audio near-dup (energy fingerprint)
+    // Closes the modality triangle: text (q22/q23), image (q71/q72),
+    // and now audio. The fingerprint is the audio analogue of dHash —
+    // the sign of adjacent WINDOW-ENERGY deltas over the real WAV
+    // decode's per-window sum-of-squares (65 windows × 64 samples →
+    // 64 bits). Energy scales with the SQUARE of amplitude, so a global
+    // gain change (the re-mastered/re-encoded copy case) scales every
+    // window equally and flips no sign: gain is to audio what exposure
+    // is to images, and the fingerprint is invariant to it by
+    // construction. The whole fingerprint is BUILT-IN codegen'd HOFs
+    // (collect_list → array_sort → aggregate fold) over the decoded
+    // feature table — no UDF — and clustering is one shuffle of 8-byte
+    // fingerprints, never audio bytes. Fixture: 23 motif waveforms
+    // (motif-dependent sawtooth period mod 89, verified 23/23 distinct
+    // fingerprints) served at 4 gain levels; clusters equal motif
+    // groups exactly, closed-form oracle.
+    QueryDef(
+      "q73_audio_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val NW = 65
+        val WS = 64
+        val ids = t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id")).as[Long]
+        val assets = ids.mapPartitions(_.map { id =>
+          val motif = (id % 23).toInt
+          val gain = (id % 4).toInt + 1
+          // max sample 4500 × gain 4 = 18000 < 32767: no clipping, so
+          // gain invariance is exact integer arithmetic
+          val samples = Array.tabulate(NW * WS) { i =>
+            ((((i.toLong * (motif * 11 + 13)) % 89) * 50 + 100) * gain).toShort
+          }
+          (id, graft.operators.Multimodal.encodeWavPcm16(samples))
+        }).toDF("asset_id", "payload")
+        val out = graft.RunPaths.scratch("graft_q73_wav.parquet")
+        assets.write.mode("overwrite")
+          .option("compression", "zstd").parquet(out)
+        val prof = graft.operators.Multimodal
+          .decodeWavWindows(s.read.parquet(out), WS)
+          .groupBy(col("asset_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("window_idx"), col("sum_sq")))),
+            w => w.getField("sum_sq")).as("es"))
+        // 62 comparisons, not 64: the fold is acc*2+bit on a SIGNED
+        // long under ANSI mode, so the fingerprint must stay under 63
+        // bits (motif distinctness re-verified at 62)
+        prof.select(col("asset_id"),
+            aggregate(sequence(lit(1), lit(62)), lit(0L),
+              (acc, w) => acc * 2 + when(element_at(col("es"), w + 1) >
+                element_at(col("es"), w), 1L).otherwise(0L)).as("afp"))
+          .groupBy(col("afp"))
+          .agg(min(col("asset_id")).as("cluster_rep"),
+            count(lit(1)).as("n_members"))
+          .select(col("cluster_rep"), col("n_members"))
+          .orderBy("cluster_rep")
+      },
+      Some("""SELECT min(doc_id) AS cluster_rep,
+             |       count(*) AS n_members
+             |FROM documents WHERE doc_id % 3 = 1
+             |GROUP BY doc_id % 23 ORDER BY cluster_rep""".stripMargin))
   )
 }
