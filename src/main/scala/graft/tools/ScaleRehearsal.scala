@@ -29,7 +29,8 @@ object ScaleRehearsal {
 
   private val DefaultQueries = Seq(
     "q23_minhash_lsh", "q23_dedup_clusters", "q47_self_excise",
-    "q61_quality_perceptron")
+    "q61_quality_perceptron", "q24_ann_lsh", "q71_image_neardup",
+    "q73_audio_neardup")
 
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
