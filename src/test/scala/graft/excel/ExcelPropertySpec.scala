@@ -99,6 +99,43 @@ class ExcelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("split-scan property: any sheetPartitions equals the serial read, both formats") {
+    // the round-8 chunk-spill planner must be invisible: for random
+    // sparse grids (small → serial fallback and degraded chunk counts;
+    // large → real multi-chunk splits) and arbitrary partition counts,
+    // the split read must equal the serial read row for row, in order
+    val rnd = new scala.util.Random(20260814)
+    val dir = Files.createTempDirectory("propsplit")
+    (1 to 12).foreach { trial =>
+      val grid =
+        if (trial <= 6) randomGrid(rnd)
+        else { // larger sheets that genuinely split
+          val nRows = 100 + rnd.nextInt(300)
+          val base = randomGrid(rnd)
+          val wide = for {
+            r <- 1 to nRows
+            c <- 0 until 4
+            if rnd.nextDouble() < 0.8
+          } yield (1 + r, c) -> (XStr(s"v${r}_$c"): XCell)
+          (base.map { case ((r, c), v) => (r.min(0), c) -> v } // header band
+            ++ wide ++ Seq((0, 0) -> (XShared("anchor"): XCell))).toMap
+        }
+      val parts = Seq(2, 3, 5, 9, 64)(rnd.nextInt(5))
+      Seq("xlsx", "xlsb").foreach { fmt =>
+        val path = dir.resolve(s"t$trial.$fmt").toString
+        if (fmt == "xlsx") XlsxWriter.write(path, Seq(Sheet("s", grid)))
+        else XlsbWriter.write(path, Seq(Sheet("s", grid)))
+        val serial = spark.read.format("excel").load(path)
+          .collect().map(_.toSeq).toSeq
+        val split = spark.read.format("excel")
+          .option("sheetPartitions", parts.toString).load(path)
+          .collect().map(_.toSeq).toSeq
+        assert(split == serial,
+          s"trial $trial $fmt parts=$parts: split read diverged from serial")
+      }
+    }
+  }
+
   test("skipRows property: model agreement for offsets 0..2") {
     val rnd = new scala.util.Random(7)
     val dir = Files.createTempDirectory("propskip")
