@@ -55,10 +55,11 @@ object Classifier {
       col("label").as("la"), col("nrm").as("na"))
     // limit = the cap just proved, so it never truncates; it stamps a
     // provable bound on the broadcast side for the registry-wide
-    // nested-loop guard (WindowGuardSpec)
+    // nested-loop guard (WindowGuardSpec). Clamped so an override above
+    // Int.MaxValue degrades to a no-op, never wraps.
     val b = withN.select(col("vec_id").as("ib"), col("embedding").as("eb"),
       col("label").as("lb"), col("nrm").as("nb"))
-      .limit(maxExact.toInt)
+      .limit(math.min(maxExact, Int.MaxValue.toLong).toInt)
     // Exact all-pairs is the oracle-able formulation (cf. q24_cosine_pairs);
     // the 100 TB path replaces the broadcast nested loop with the q24
     // IVF/PQ candidate join and keeps everything downstream unchanged.

@@ -198,6 +198,22 @@ object LlmOps {
         "pass maxExact explicitly to override for a deliberate larger run.")
   }
 
+  /** Stamp a provable row bound on a READ-BACK model table (frozen
+    * centroids and the like) for the registry-wide nested-loop guard:
+    * require the count ≤ [[MaxExactAllPairs]] LOUDLY — a silently
+    * truncating bare `limit` would mis-assign vectors instead of
+    * failing — then attach the now-proven bound as a no-op limit. One
+    * count of a model-scale table: cheap by definition.
+    */
+  private[graft] def modelScaleStamp(df: DataFrame, what: String): DataFrame = {
+    val n = df.count()
+    require(n <= MaxExactAllPairs,
+      s"$what has $n rows > ${MaxExactAllPairs}: not a model-scale table — " +
+        "broadcasting it would not be safe; re-shard the model or raise the " +
+        "bound deliberately")
+    df.limit(MaxExactAllPairs.toInt)
+  }
+
   /** Exact cosine near-dup pairs over the embeddings table (all pairs
     * with round(cosine, 6) >= minCos, a < b). One side broadcast, pairs
     * enumerated by the `<` join, and the dot product computed per pair
@@ -223,9 +239,11 @@ object LlmOps {
     // truncates; it stamps the bound into the plan, making the
     // broadcast side provably tiny for the registry-wide nested-loop
     // guard (WindowGuardSpec.crossViolations) instead of only refused
-    // at runtime
+    // at runtime. Clamped, not .toInt: a deliberate maxExact override
+    // above Int.MaxValue must degrade to a no-op limit, never wrap to
+    // a garbage cap that silently truncates pairs.
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      .limit(maxExact.toInt)
+      .limit(math.min(maxExact, Int.MaxValue.toLong).toInt)
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         VectorFns.dot(col("ea"), col("eb")).as("dot"))
@@ -1063,10 +1081,8 @@ object LlmOps {
         ProductQuantizer.ivfPqTrainBooks(
             base, "vec_id", "embedding", m = 8, coarse0, every = 40, iters = 2)
           .write.mode("overwrite").parquet(s"$idx/books")
-        val coarseF = s.read.parquet(s"$idx/coarse")
-          .limit(MaxExactAllPairs.toInt) // provable-bound stamp for the
-        // plan guard; a trained centroid table is model-scale by
-        // construction (k ≈ n/every), so the limit never truncates
+        val coarseF = modelScaleStamp(s.read.parquet(s"$idx/coarse"),
+          "q68 frozen coarse-centroid table")
         val booksF = s.read.parquet(s"$idx/books")
         ProductQuantizer.ivfPqEncodeWith(
             base, "vec_id", "embedding", 8, coarseF, booksF)
@@ -1140,9 +1156,11 @@ object LlmOps {
     // probe-side partition pruning). Contracts (one row, all
     // deterministic — same frozen models throughout): compacted index
     // = base + appended − deleted exactly; zero tombstoned ids survive
-    // compaction; no tombstoned id is ever served; and serving the
-    // compacted index equals serving generations+tombstones (ids AND
-    // ADC distances) — compaction is invisible to queries.
+    // compaction; serving the compacted index equals serving
+    // generations+tombstones (ids AND ADC distances) — compaction is
+    // invisible to queries; and a negative control proves the equality
+    // has teeth: RAW serving (tombstones ignored) does surface deleted
+    // ids, so forgetting the anti-join cannot pass.
     QueryDef(
       "q70_index_lifecycle",
       (s, dir) => {
@@ -1160,8 +1178,8 @@ object LlmOps {
         ProductQuantizer.ivfPqTrainBooks(
             base, "vec_id", "embedding", m = 8, coarse0, every = 40, iters = 2)
           .write.mode("overwrite").parquet(s"$idx/books")
-        val coarseF = s.read.parquet(s"$idx/coarse")
-          .limit(MaxExactAllPairs.toInt) // provable-bound stamp (plan guard)
+        val coarseF = modelScaleStamp(s.read.parquet(s"$idx/coarse"),
+          "q70 frozen coarse-centroid table")
         val booksF = s.read.parquet(s"$idx/books")
         ProductQuantizer.ivfPqEncodeWith(
             base, "vec_id", "embedding", 8, coarseF, booksF)
@@ -1193,17 +1211,25 @@ object LlmOps {
           .agg(((count(lit(1)) === 10) &&
             (count(when(col("d_l").isNull || col("d_c").isNull ||
               col("d_l") =!= col("d_c"), 1)) === 0)).as("compaction_invisible"))
-        val servedClean = live.join(dead, Seq("vec_id"), "left_semi")
-          .agg((count(lit(1)) === 0).as("no_tombstones_served"))
+        // negative control: serving the RAW generations (tombstones
+        // ignored) must surface at least one deleted id in the top-k —
+        // proving the delete set actually intersects the serving region,
+        // so the live-vs-compacted equality above has detection power
+        // (a serving path that forgot the anti-join would diverge from
+        // the compacted index and fail compaction_invisible). Asserting
+        // "no tombstone in live" directly would be tautological: live is
+        // anti-joined by construction.
+        val rawHasDead = serve(gens).join(dead, Seq("vec_id"), "left_semi")
+          .agg((count(lit(1)) >= 1).as("deletes_visible_raw"))
         val survivors = compact.join(dead, Seq("vec_id"), "left_semi")
           .agg((count(lit(1)) === 0).as("deletes_compacted_out"))
         compact.agg(count(lit(1)).as("n_live"))
           .crossJoin(dead.agg(count(lit(1)).as("n_deleted")))
           .crossJoin(survivors)
-          .crossJoin(servedClean)
+          .crossJoin(rawHasDead)
           .crossJoin(same)
           .select(col("n_live"), col("n_deleted"),
-            col("deletes_compacted_out"), col("no_tombstones_served"),
+            col("deletes_compacted_out"), col("deletes_visible_raw"),
             col("compaction_invisible"))
       },
       Some("""SELECT
@@ -1212,7 +1238,7 @@ object LlmOps {
              |  CAST(sum(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_deleted,
              |  true AS deletes_compacted_out,
-             |  true AS no_tombstones_served,
+             |  true AS deletes_visible_raw,
              |  true AS compaction_invisible
              |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
 

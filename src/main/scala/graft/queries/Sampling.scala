@@ -404,10 +404,11 @@ object Sampling {
       col("vec_id").as("vec_a"), col("rv").as("ra"), col("n2").as("na"))
     // limit = the cap requireSmallExact just proved, so it never
     // truncates; it stamps a provable bound on the broadcast side for
-    // the registry-wide nested-loop guard (WindowGuardSpec)
+    // the registry-wide nested-loop guard (WindowGuardSpec). Clamped so
+    // an override above Int.MaxValue degrades to a no-op, never wraps.
     val b = withN.select(
       col("vec_id").as("vec_b"), col("rv").as("rb"), col("n2").as("nb"))
-      .limit(maxExact.toInt)
+      .limit(math.min(maxExact, Int.MaxValue.toLong).toInt)
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .filter(col("na") > 0 && col("nb") > 0)
       .select(col("vec_a"), col("vec_b"),

@@ -179,9 +179,8 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
               "<row> elements; falling back to a single-partition scan")
           Array(serial(paths.head))
         } else {
-          val scratch = java.nio.file.Files.createTempDirectory("graft-sheet-split-")
-          scratch.toFile.deleteOnExit()
-          val chunks = wb.spillRowChunks(sheet.target, o.sheetPartitions, scratch)
+          val chunks = ExcelScan.spillCached(
+            wb, paths.head, sheet.target, o.sheetPartitions)
           if (chunks.lengthCompare(1) <= 0) Array(serial(paths.head))
           else chunks.map { cp =>
             ExcelInputPartition(paths.head, o.sheetName, o.sheetIndex,
@@ -204,6 +203,35 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
 
 object ExcelScan {
   private[excel] val log = org.slf4j.LoggerFactory.getLogger(classOf[ExcelScan])
+
+  /** Process-global cache of spilled chunk files, keyed by workbook
+    * identity (absolute path, size, mtime) + sheet part + partition
+    * count. DSv2 re-plans the scan on EVERY action; without the cache
+    * each re-plan re-inflated and re-spilled the whole sheet into a
+    * fresh temp dir — unbounded temp-disk growth on a long-lived
+    * session (and a full redundant inflate pass per action). Entries
+    * are validated against the filesystem before reuse; a concurrent
+    * double-spill is benign (last put wins, both chunk sets are valid
+    * until JVM exit).
+    */
+  private val chunkCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, String, Int), Seq[String]]()
+
+  private[excel] def spillCached(
+      wb: WorkbookSource, path: String, target: String, n: Int): Seq[String] = {
+    val f = new java.io.File(path)
+    val key = (f.getAbsolutePath, f.length(), f.lastModified(), target, n)
+    val cached = chunkCache.get(key)
+    if (cached != null && cached.forall(c => new java.io.File(c).exists()))
+      cached
+    else {
+      val scratch = java.nio.file.Files.createTempDirectory("graft-sheet-split-")
+      scratch.toFile.deleteOnExit()
+      val chunks = wb.spillRowChunks(target, n, scratch)
+      chunkCache.put(key, chunks)
+      chunks
+    }
+  }
 }
 
 final case class ExcelInputPartition(

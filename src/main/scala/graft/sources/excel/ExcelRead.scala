@@ -26,8 +26,10 @@ object ExcelRead {
       sheetName: Option[String],
       sheetIndex: Option[Int],
       skipRows: Int,
-      // >1 splits ONE sheet into N byte-range partitions (xlsx with r=
-      // row refs only) — the two-pass splittable scan of SURVEY §7.4
+      // >1 splits ONE sheet into N row-aligned chunk partitions spilled
+      // in one planning pass over the inflated part (SURVEY §7.4): xlsx
+      // needs r= row refs, xlsb always splits (BIFF12 row headers carry
+      // absolute row ids)
       sheetPartitions: Int = 1,
       // "unique" (default) or "reference" — see HeaderNames
       headerDedup: String = "unique")

@@ -554,9 +554,8 @@ object StreamOps {
     ProductQuantizer.ivfPqTrainBooks(
         base, "vec_id", "embedding", m = 8, coarse0, every = 40, iters = 2)
       .write.mode("overwrite").parquet(s"$idx/books")
-    val coarseF = spark.read.parquet(s"$idx/coarse")
-      .limit(LlmOps.MaxExactAllPairs.toInt) // provable-bound stamp (plan
-    // guard); centroid tables are model-scale, the limit never truncates
+    val coarseF = LlmOps.modelScaleStamp(spark.read.parquet(s"$idx/coarse"),
+      "q69 frozen coarse-centroid table")
     val booksF = spark.read.parquet(s"$idx/books")
     ProductQuantizer.ivfPqEncodeWith(
         base, "vec_id", "embedding", 8, coarseF, booksF)

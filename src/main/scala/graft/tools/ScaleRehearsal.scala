@@ -123,8 +123,11 @@ object ScaleRehearsal {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events").foreach { t =>
       val link = Paths.get(out, s"$t.parquet")
+      // absolute target: a relative srcSfDir would otherwise produce a
+      // symlink resolved against the OUTPUT dir — i.e. dangling
       if (!Files.exists(link))
-        Files.createSymbolicLink(link, Paths.get(src, s"$t.parquet"))
+        Files.createSymbolicLink(link,
+          Paths.get(src, s"$t.parquet").toAbsolutePath)
     }
   }
 }
