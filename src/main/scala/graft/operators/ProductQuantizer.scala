@@ -76,6 +76,14 @@ object ProductQuantizer {
     * array<double>) with `code` a global dense rank across all
     * subspaces. Init takes every id ≡ 1 (mod `every`) vector's
     * subvectors as seed centroids (ksub ≈ n/every per subspace).
+    *
+    * ksub is CAPPED at `maxCodes` (default 256 — the byte-codable
+    * codebook size PQ exists for): an uncapped n/every init grows the
+    * per-subspace codebook with the corpus, making the assign pass
+    * O(n²/every) (the round-8 scale rehearsal measured the uncapped
+    * IVF sibling at 19.6× time for 10× data) and the codes wider than
+    * a byte. `every` is widened so n/every ≤ maxCodes; below ~10k
+    * vectors the cap never binds, so test-SF codebooks are unchanged.
     */
   def train(
       data: DataFrame,
@@ -83,9 +91,13 @@ object ProductQuantizer {
       vecCol: String,
       m: Int,
       every: Int,
-      iters: Int): DataFrame = {
+      iters: Int,
+      maxCodes: Int = 256): DataFrame = {
+    val n = data.select(idCol).count()
+    val cappedEvery =
+      math.max(every.toLong, (n + maxCodes - 1) / maxCodes).toInt
     val sv = subvectors(data, idCol, vecCol, m)
-    var books = sv.filter(pmod(col(idCol), lit(every)) === 1)
+    var books = sv.filter(pmod(col(idCol), lit(cappedEvery)) === 1)
       .select(col("sub_id"), col(idCol).cast("long").as("code"), col("sv").as("cv"))
     var i = 0
     while (i < iters) {

@@ -261,10 +261,23 @@ object LlmOps {
     * small output of an offline training job, and collecting it keeps the
     * serving plan free of the training subtree (which would otherwise be
     * recomputed per reference).
+    *
+    * The cell count is CAPPED at `maxCells` (default 256): an uncapped
+    * every-40th init grows k linearly with the corpus, which makes the
+    * assign pass O(n²/40) — measured 19.6× time at 10× data in the
+    * round-8 scale rehearsal — and would eventually produce an
+    * unbroadcastable centroid table. With the cap the training pass is
+    * n·maxCells, linear in the corpus; maxCells is the
+    * probe-selectivity-vs-training-cost knob (production IVF sizes it
+    * upward with memory, never with n/40). Below ~10k vectors the cap
+    * never binds, so test-SF results are unchanged.
     */
-  def ivfCentroids(s: SparkSession, dir: String, data: DataFrame): DataFrame = {
+  def ivfCentroids(s: SparkSession, dir: String, data: DataFrame,
+      maxCells: Int = 256): DataFrame = {
+    val n = data.select("vec_id").count()
+    val every = math.max(40L, (n + maxCells - 1) / maxCells).toInt
     val trained = KMeans.fit(data, "vec_id", "embedding",
-      KMeans.initEvery(data, "vec_id", "embedding", 40), iters = 2)
+      KMeans.initEvery(data, "vec_id", "embedding", every), iters = 2)
     s.createDataFrame(
       java.util.Arrays.asList(trained.collect(): _*), trained.schema)
   }
