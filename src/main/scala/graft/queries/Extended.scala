@@ -611,6 +611,69 @@ object Extended {
              | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----------------------- materialized-summary rewrite (q74)
+    // The warehouse accelerator as a Catalyst rule: a pre-computed
+    // summary cube over lineitem (dims × {cnt, sum_, min_, max_}) is
+    // registered with plans.SummaryRewriteRule, and the NAIVE aggregate
+    // over the FACT table — grouping by a strict SUBSET of the summary
+    // dims, so the rollup re-aggregation path is exercised — is
+    // optimizer-rewritten to read the summary instead. PLAN-REQUIRED:
+    // the query throws unless the optimized plan scans the summary and
+    // does NOT scan the fact. Measures are integer-exact (long sum,
+    // double min/max) so the two-level aggregation is order-free and
+    // oracle-hashable. Runs on a child session (the rule is an opt-in:
+    // a summary is only as fresh as its build job). At 100 TB this is
+    // the difference between reading the cube and re-scanning the fact
+    // per dashboard query.
+    QueryDef(
+      "q74_mv_rewrite",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val factPath = s"$dir/lineitem.parquet"
+        val sumPath = graft.RunPaths.scratch(
+          "graft_q74_summary_" + graft.RunPaths.keyFor(dir))
+        s.read.parquet(factPath)
+          .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_partkey")).as("sum_l_partkey"),
+            min(col("l_quantity")).as("min_l_quantity"),
+            max(col("l_quantity")).as("max_l_quantity"))
+          .write.mode("overwrite").parquet(sumPath)
+        graft.plans.SummaryRewriteRule.register(factPath,
+          graft.plans.SummaryRewriteRule.SummaryDef(sumPath,
+            dims = Set("l_returnflag", "l_linestatus", "l_linenumber"),
+            measures = Set("l_partkey", "l_quantity")))
+        val child = s.newSession()
+        child.experimental.extraOptimizations =
+          Seq(graft.plans.SummaryRewriteRule)
+        val df = child.read.parquet(factPath)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_partkey")).as("sum_pk"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"))
+          .orderBy("l_returnflag", "l_linestatus")
+        val scanned = df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty
+            }
+        }.flatten
+        require(scanned.exists(_.contains("graft_q74_summary")),
+          s"summary rewrite did not fire; scans: $scanned")
+        require(!scanned.exists(_.contains("lineitem")),
+          s"rewritten plan still scans the fact table: $scanned")
+        df
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  count(*) AS n_rows,
+             |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk,
+             |  min(l_quantity) AS min_qty,
+             |  max(l_quantity) AS max_qty
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // -------------------------------------- registered SQL functions
     // The custom Catalyst expressions exposed through the SQL surface
     // (GraftFunctions.register / GraftExtensions): the same codegen'd
