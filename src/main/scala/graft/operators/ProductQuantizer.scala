@@ -92,8 +92,13 @@ object ProductQuantizer {
       m: Int,
       every: Int,
       iters: Int,
-      maxCodes: Int = 256): DataFrame = {
-    val n = data.select(idCol).count()
+      maxCodes: Int = 256,
+      // pass the row count when the caller already knows it: counting
+      // here would EXECUTE `data`'s whole lineage once extra, and on
+      // the residual path that lineage is the coarse-assignment
+      // cross-join — roughly doubling the most expensive build phase
+      knownCount: Long = -1L): DataFrame = {
+    val n = if (knownCount >= 0) knownCount else data.select(idCol).count()
     val cappedEvery =
       math.max(every.toLong, (n + maxCodes - 1) / maxCodes).toInt
     val sv = subvectors(data, idCol, vecCol, m)
@@ -178,7 +183,10 @@ object ProductQuantizer {
       every: Int,
       iters: Int): (DataFrame, DataFrame) = {
     val residuals = residualsOf(data, idCol, vecCol, coarse)
-    val books = train(residuals, idCol, "rv", m, every, iters)
+    // count the BASE table (narrow scan), not the residuals, whose
+    // lineage is the coarse-assignment cross-join
+    val books = train(residuals, idCol, "rv", m, every, iters,
+      knownCount = data.select(idCol).count())
     (encodeResiduals(residuals, idCol, m, books), books)
   }
 
@@ -196,7 +204,8 @@ object ProductQuantizer {
       coarse: DataFrame,
       every: Int,
       iters: Int): DataFrame =
-    train(residualsOf(data, idCol, vecCol, coarse), idCol, "rv", m, every, iters)
+    train(residualsOf(data, idCol, vecCol, coarse), idCol, "rv", m, every,
+      iters, knownCount = data.select(idCol).count())
 
   /** Encode `data` into an EXISTING index's FROZEN models: assign each
     * vector to its nearest frozen coarse cell, PQ-encode the residual

@@ -54,16 +54,33 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
 
   private val catalog = new ConcurrentHashMap[String, SummaryDef]()
 
+  // analyzed summary plans, one per (session, path): re-analyzing the
+  // summary read (file listing + footer schema) on EVERY eligible
+  // query's planning would tax exactly the dashboard queries the rule
+  // exists to accelerate. Keyed by session identity because a
+  // LogicalRelation holds session state.
+  private val planCache =
+    new ConcurrentHashMap[(Int, String), LogicalPlan]()
+
   /** Register `summary` as the pre-aggregation of the fact table whose
     * file-source root path is `factPath`.
     */
   def register(factPath: String, summary: SummaryDef): Unit =
     catalog.put(normalize(factPath), summary)
 
-  def clear(): Unit = catalog.clear()
+  def clear(): Unit = { catalog.clear(); planCache.clear() }
 
-  private def normalize(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+  /** Scheme + authority + path — two buckets/filesystems with the same
+    * directory layout must NOT collide in the catalog. Scheme-less
+    * registrations and Hadoop-qualified rootPaths both normalize to the
+    * `file` default, so local registration by plain path still matches.
+    */
+  private def normalize(p: String): String = {
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    val scheme = Option(u.getScheme).getOrElse("file")
+    val auth = Option(u.getAuthority).getOrElse("")
+    s"$scheme://$auth${u.getPath}"
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(_, _, _, _) =>
@@ -81,9 +98,13 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
     case lr: LogicalRelation =>
       lr.relation match {
         case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-          fs.location.rootPaths.iterator
-            .map(p => catalog.get(normalize(p.toString)))
-            .collectFirst { case d if d != null => d }
+          // ALL root paths must be the one registered fact: a
+          // multi-path read (fact + extra dir) answered from a summary
+          // of only the fact would silently drop the extra rows
+          fs.location.rootPaths.map(p => normalize(p.toString)).distinct match {
+            case Seq(single) => Option(catalog.get(single))
+            case _ => None
+          }
         case _ => None
       }
     case _ => None
@@ -94,15 +115,20 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       case a: AttributeReference if d.dims.contains(a.name) => a
       case _ => return None
     }
-    val summaryPlan = SparkSession.active.read
-      .parquet(d.summaryPath).queryExecution.analyzed
+    val session = SparkSession.active
+    val summaryPlan = planCache.computeIfAbsent(
+      (System.identityHashCode(session), d.summaryPath),
+      _ => session.read.parquet(d.summaryPath).queryExecution.analyzed)
     val sAttr: Map[String, Attribute] =
       summaryPlan.output.map(a => a.name -> a).toMap
     def col(name: String): Option[Attribute] = sAttr.get(name)
 
     def mapAgg(fn: AggregateFunction): Option[Expression] = fn match {
       case c: Count if c.children == Seq(Literal(1)) =>
-        col("cnt").map(Sum(_).toAggregateExpression())
+        // coalesce: a GLOBAL count over an empty fact is 0, but a sum
+        // over the (empty) summary would be NULL
+        col("cnt").map(a =>
+          Coalesce(Seq(Sum(a).toAggregateExpression(), Literal(0L))))
       case s: Sum => s.child match {
         case a: AttributeReference if d.measures.contains(a.name) =>
           col(s"sum_${a.name}").map(Sum(_).toAggregateExpression())
@@ -124,8 +150,12 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
     val rewritten = agg.aggregateExpressions.map {
       case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
         col(a.name) match {
-          case Some(sa) => Alias(sa, a.name)(exprId = a.exprId)
-          case None => return None
+          // same dataType required: the alias reuses the original
+          // exprId, so a differently-typed summary dim would hand
+          // parent operators an attribute whose type silently changed
+          case Some(sa) if sa.dataType == a.dataType =>
+            Alias(sa, a.name)(exprId = a.exprId)
+          case _ => return None
         }
       case al @ Alias(ae: AggregateExpression, name)
           if !ae.isDistinct && ae.filter.isEmpty =>
@@ -137,8 +167,8 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       case _ => return None
     }
     val newGroups = groupAttrs.map(a => col(a.name) match {
-      case Some(sa) => sa
-      case None => return None
+      case Some(sa) if sa.dataType == a.dataType => sa
+      case _ => return None
     })
     Some(Aggregate(newGroups, rewritten, summaryPlan))
   }

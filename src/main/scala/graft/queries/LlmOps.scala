@@ -1200,24 +1200,31 @@ object LlmOps {
         ProductQuantizer.ivfPqEncodeWith(
             batch, "vec_id", "embedding", 8, coarseF, booksF)
           .write.mode("overwrite").parquet(s"$idx/codes/gen=1")
-        // tombstone every indexed id ≡ 3 (mod 7)
-        merged.filter(pmod(col("vec_id"), lit(7)) === 3)
-          .select(col("vec_id"))
-          .write.mode("overwrite").parquet(s"$idx/deletes")
         val gens = s.read.parquet(s"$idx/codes")
           .select(col("cell_id"), col("vec_id"), col("codes"))
+        def serveGens(codes: DataFrame): DataFrame = ProductQuantizer.ivfPqTopK(
+          query, "embedding", 8, coarseF, booksF,
+          codes.select(col("cell_id"), col("vec_id"), col("codes")),
+          "vec_id", nProbe = 4, k = 10)
+        // tombstone every indexed id ≡ 3 (mod 7), PLUS the raw top-1
+        // result (one driver-scale row): the delete set then provably
+        // intersects the serving region at ANY data generation, so the
+        // negative control below is structural, not a property of this
+        // particular embeddings table
+        val rawTopId = serveGens(gens)
+          .select(col("vec_id")).limit(1).collect().head.getLong(0)
+        merged.filter(pmod(col("vec_id"), lit(7)) === 3 ||
+            col("vec_id") === rawTopId)
+          .select(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$idx/deletes")
         val dead = s.read.parquet(s"$idx/deletes")
         // compaction: generations − tombstones → one cell-clustered file
         gens.join(dead, Seq("vec_id"), "left_anti")
           .repartition(col("cell_id"))
           .write.mode("overwrite").parquet(s"$idx/codes_compact")
         val compact = s.read.parquet(s"$idx/codes_compact")
-        def serve(codes: DataFrame): DataFrame = ProductQuantizer.ivfPqTopK(
-          query, "embedding", 8, coarseF, booksF,
-          codes.select(col("cell_id"), col("vec_id"), col("codes")),
-          "vec_id", nProbe = 4, k = 10)
-        val live = serve(gens.join(dead, Seq("vec_id"), "left_anti"))
-        val comp = serve(compact)
+        val live = serveGens(gens.join(dead, Seq("vec_id"), "left_anti"))
+        val comp = serveGens(compact)
         val same = live.select(col("vec_id"), col("adc_dist").as("d_l"))
           .join(comp.select(col("vec_id"), col("adc_dist").as("d_c")),
             Seq("vec_id"), "full")
@@ -1226,30 +1233,35 @@ object LlmOps {
               col("d_l") =!= col("d_c"), 1)) === 0)).as("compaction_invisible"))
         // negative control: serving the RAW generations (tombstones
         // ignored) must surface at least one deleted id in the top-k —
-        // proving the delete set actually intersects the serving region,
-        // so the live-vs-compacted equality above has detection power
-        // (a serving path that forgot the anti-join would diverge from
-        // the compacted index and fail compaction_invisible). Asserting
-        // "no tombstone in live" directly would be tautological: live is
-        // anti-joined by construction.
-        val rawHasDead = serve(gens).join(dead, Seq("vec_id"), "left_semi")
+        // structurally guaranteed by including the raw top-1 in the
+        // delete set above — so the live-vs-compacted equality has
+        // detection power (a serving path that forgot the anti-join
+        // would diverge from the compacted index and fail
+        // compaction_invisible). Asserting "no tombstone in live"
+        // directly would be tautological: live is anti-joined by
+        // construction.
+        val rawHasDead = serveGens(gens).join(dead, Seq("vec_id"), "left_semi")
           .agg((count(lit(1)) >= 1).as("deletes_visible_raw"))
         val survivors = compact.join(dead, Seq("vec_id"), "left_semi")
           .agg((count(lit(1)) === 0).as("deletes_compacted_out"))
+        // the delete set's size depends on whether the raw top-1 id
+        // already sits in the residue class, so absolute counts are not
+        // closed-form; the oracle-stable accounting claim is the
+        // conservation law live = index − deleted
         compact.agg(count(lit(1)).as("n_live"))
-          .crossJoin(dead.agg(count(lit(1)).as("n_deleted")))
+          .crossJoin(gens.agg(count(lit(1)).as("n_index")))
+          .crossJoin(dead.agg(count(lit(1)).as("n_dead")))
           .crossJoin(survivors)
           .crossJoin(rawHasDead)
           .crossJoin(same)
-          .select(col("n_live"), col("n_deleted"),
+          .select(col("n_index"),
+            (col("n_live") === col("n_index") - col("n_dead"))
+              .as("counts_consistent"),
             col("deletes_compacted_out"), col("deletes_visible_raw"),
             col("compaction_invisible"))
       },
-      Some("""SELECT
-             |  CAST(sum(CASE WHEN vec_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
-             |    AS n_live,
-             |  CAST(sum(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
-             |    AS n_deleted,
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_index,
+             |  true AS counts_consistent,
              |  true AS deletes_compacted_out,
              |  true AS deletes_visible_raw,
              |  true AS compaction_invisible

@@ -215,12 +215,20 @@ object ExcelScan {
     * until JVM exit).
     */
   private val chunkCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long, String, Int), Seq[String]]()
+    (String, Long, Long, String, String, Int), Seq[String]]()
 
   private[excel] def spillCached(
       wb: WorkbookSource, path: String, target: String, n: Int): Seq[String] = {
     val f = new java.io.File(path)
-    val key = (f.getAbsolutePath, f.length(), f.lastModified(), target, n)
+    // the filesystem fileKey (inode) distinguishes an atomically
+    // REPLACED workbook even when length and coarse mtime coincide;
+    // an in-place rewrite inside the mtime granularity remains the one
+    // documented staleness window
+    val fileKey =
+      try String.valueOf(java.nio.file.Files.readAttributes(
+        f.toPath, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
+      catch { case _: Throwable => "" }
+    val key = (f.getAbsolutePath, f.length(), f.lastModified(), fileKey, target, n)
     val cached = chunkCache.get(key)
     if (cached != null && cached.forall(c => new java.io.File(c).exists()))
       cached

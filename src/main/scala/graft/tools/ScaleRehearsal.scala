@@ -123,9 +123,15 @@ object ScaleRehearsal {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events").foreach { t =>
       val link = Paths.get(out, s"$t.parquet")
+      // NOFOLLOW: a dangling link (what a relative srcSfDir used to
+      // create) must be detected and replaced, not reported absent by
+      // the follow-the-target default and then collided with
+      if (Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+          !Files.exists(link))
+        Files.delete(link) // dangling: self-repair
       // absolute target: a relative srcSfDir would otherwise produce a
       // symlink resolved against the OUTPUT dir — i.e. dangling
-      if (!Files.exists(link))
+      if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
         Files.createSymbolicLink(link,
           Paths.get(src, s"$t.parquet").toAbsolutePath)
     }
