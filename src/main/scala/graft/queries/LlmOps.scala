@@ -172,6 +172,60 @@ object LlmOps {
     verifyJaccardPairs(s, dir, cand, minJ)
   }
 
+  /** Hamming-banded candidate pairs over a 64-bit perceptual hash —
+    * the image/audio sibling of [[lshCandidatePairs]], with the SAME
+    * capped-bucket discipline. `bands` bands of `bandBits` bits each
+    * (bands × bandBits ≤ 64): any pair within Hamming ≤ bands−1 differs
+    * in at most bands−1 bands, hence matches in ≥ 1 band (pigeonhole),
+    * so the band grouping is a COMPLETE candidate generator for that
+    * threshold. Shape: ONE shuffle of (band, key, id, hash) — postings
+    * lists, not a self-join (a self-join shuffles the hashed table
+    * twice AND, with only 2^bandBits distinct keys per band, explodes
+    * O(n²/2^bandBits) pairs on a uniform corpus before any verify
+    * filter can run). Buckets larger than `maxBucket` are dropped
+    * BEFORE pair expansion and surfaced as observed metrics
+    * (`hamming_buckets_dropped`, `hamming_docs_in_dropped`): bounded
+    * per-task work at any corpus size, and the drop is visible, never
+    * silent. Both hashes ride the postings list, so the verifier's
+    * bit_count(xor) needs no join back to the corpus.
+    */
+  private[graft] def hammingBandPairs(
+      hashed: DataFrame, idCol: String, hashCol: String,
+      bands: Int = 4, bandBits: Int = 16,
+      maxBucket: Int = LshMaxBucket,
+      obs: Option[Observation] = None): DataFrame = {
+    require(bands * bandBits <= 64,
+      s"hammingBandPairs: $bands bands x $bandBits bits exceed the 64-bit hash")
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val banded = hashed.select(
+      struct(col(idCol).as("id"), col(hashCol).as("h")).as("m"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col(hashCol), b * bandBits)
+            .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+    // sort_array orders structs field-by-field, so the postings list is
+    // id-ascending and in-group expansion emits each pair once (a < b)
+    val grouped = banded.groupBy(col("bk"))
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val metrics = Seq(
+      sum(when(size(col("ms")) > maxBucket, 1L).otherwise(0L))
+        .as("hamming_buckets_dropped"),
+      sum(when(size(col("ms")) > maxBucket, size(col("ms")))
+        .otherwise(0)).cast("long").as("hamming_docs_in_dropped"))
+    val observed = obs match {
+      case Some(o) => grouped.observe(o, metrics.head, metrics.tail: _*)
+      case None => grouped.observe("hamming_band_cap", metrics.head, metrics.tail: _*)
+    }
+    observed
+      .filter(size(col("ms")) <= maxBucket)
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "x")))
+      .select(col("x.id").as("a"), col("x.h").as("ha"),
+        explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("y"))
+      .select(col("a"), col("y.id").as("b"), col("ha"), col("y.h").as("hb"))
+      .dropDuplicates("a", "b")
+  }
+
   /** Input cap for the DECLARED-SMALL-SCALE exact all-pairs forms
     * ([[cosinePairs]], [[Sampling.jlCosinePairs]]): n vectors enumerate
     * n(n-1)/2 pairs, so 2^16 inputs is already ~2.1e9 pairs — beyond it
@@ -1827,7 +1881,8 @@ object LlmOps {
           (id, graft.operators.Multimodal.encodePpm(W, H,
             (x, y, c) => (((x * xc + y * yc + c * 3) % 193) + bright).toInt))
         }).toDF("asset_id", "payload")
-        val out = graft.RunPaths.scratch("graft_q71_ppm.parquet")
+        val out = graft.RunPaths.scratch(
+          "graft_q71_ppm_" + graft.RunPaths.keyFor(dir) + ".parquet")
         assets.write.mode("overwrite")
           .option("compression", "zstd").parquet(out)
         val hashed = s.read.parquet(out)
@@ -1897,7 +1952,8 @@ object LlmOps {
           (id, graft.operators.Multimodal.encodePpm(18, 16,
             (x, y, _) => levels(y / 2)(x / 2) * 12 + bright))
         }).toDF("asset_id", "payload")
-        val out = graft.RunPaths.scratch("graft_q72_ppm.parquet")
+        val out = graft.RunPaths.scratch(
+          "graft_q72_ppm_" + graft.RunPaths.keyFor(dir) + ".parquet")
         assets.write.mode("overwrite")
           .option("compression", "zstd").parquet(out)
         val hashed = s.read.parquet(out)
@@ -1907,18 +1963,12 @@ object LlmOps {
               .getOrElse(sys.error(s"asset $id: malformed PPM")))
           }).toDF("asset_id", "dhash")
           .localCheckpoint() // hashed once; banding + verify + CC reuse it
-        val banded = hashed.select(col("asset_id"), col("dhash"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"),
-              shiftright(col("dhash"), b * 16)
-                .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
-        val edges = banded.as("a")
-          .join(banded.as("b"),
-            col("a.bk") === col("b.bk") &&
-              col("a.asset_id") < col("b.asset_id"))
-          .select(col("a.asset_id").as("a"), col("b.asset_id").as("b"),
-            col("a.dhash").as("ha"), col("b.dhash").as("hb"))
-          .distinct()
+        // capped postings-list banding (hammingBandPairs): one shuffle of
+        // (band, key, id, hash), per-bucket pair expansion bounded by
+        // LshMaxBucket with observed drop metrics — the q23 text tier's
+        // discipline, because a band key is only 16 bits and an uncapped
+        // join would expand O(n²/65536) pairs on a uniform image corpus
+        val edges = hammingBandPairs(hashed, "asset_id", "dhash")
           .filter(expr("bit_count(ha ^ hb)") <= 3)
           .select(col("a"), col("b"))
         val vertices = hashed.select(col("asset_id").as("node"))
@@ -1969,7 +2019,8 @@ object LlmOps {
           }
           (id, graft.operators.Multimodal.encodeWavPcm16(samples))
         }).toDF("asset_id", "payload")
-        val out = graft.RunPaths.scratch("graft_q73_wav.parquet")
+        val out = graft.RunPaths.scratch(
+          "graft_q73_wav_" + graft.RunPaths.keyFor(dir) + ".parquet")
         assets.write.mode("overwrite")
           .option("compression", "zstd").parquet(out)
         val prof = graft.operators.Multimodal
