@@ -54,21 +54,43 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
 
   private val catalog = new ConcurrentHashMap[String, SummaryDef]()
 
-  // analyzed summary plans, one per (session, path): re-analyzing the
-  // summary read (file listing + footer schema) on EVERY eligible
+  // analyzed summary plans, one per (session UUID, path): re-analyzing
+  // the summary read (file listing + footer schema) on EVERY eligible
   // query's planning would tax exactly the dashboard queries the rule
-  // exists to accelerate. Keyed by session identity because a
-  // LogicalRelation holds session state.
+  // exists to accelerate. Keyed by sessionUUID — NOT identityHashCode,
+  // whose values can be reused after GC and would hand a new session a
+  // dead session's relation. Every substitution takes a FRESH instance
+  // of the cached relation (new exprIds), so only the file listing +
+  // schema work is amortized, never attribute identity.
   private val planCache =
-    new ConcurrentHashMap[(Int, String), LogicalPlan]()
+    new ConcurrentHashMap[(String, String), LogicalPlan]()
 
   /** Register `summary` as the pre-aggregation of the fact table whose
-    * file-source root path is `factPath`.
+    * file-source root path is `factPath`. Invalidate any cached plan
+    * for the summary's path (and for the path of the definition this
+    * one replaces): re-registering after a summary REBUILD is the
+    * freshness handshake, and a pinned file listing from before the
+    * rebuild would serve deleted part files — failed reads at best,
+    * silently stale aggregates if old files linger.
     */
-  def register(factPath: String, summary: SummaryDef): Unit =
-    catalog.put(normalize(factPath), summary)
+  def register(factPath: String, summary: SummaryDef): Unit = {
+    val old = Option(catalog.put(normalize(factPath), summary))
+    val stale = Set(summary.summaryPath) ++ old.map(_.summaryPath)
+    planCache.keySet.removeIf(k => stale.contains(k._2))
+  }
 
   def clear(): Unit = { catalog.clear(); planCache.clear() }
+
+  // a UUID per live session, held WEAKLY: unlike identityHashCode (whose
+  // values recur after GC and would hand a new session a dead session's
+  // cached relation), a collected session's id — and with it any
+  // planCache entries it anchored — can never be re-issued
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private def idOf(session: SparkSession): String =
+    sessionIds.computeIfAbsent(session,
+      _ => java.util.UUID.randomUUID().toString)
 
   /** Scheme + authority + path — two buckets/filesystems with the same
     * directory layout must NOT collide in the catalog. Scheme-less
@@ -84,17 +106,27 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(_, _, _, _) =>
-      factOf(agg.child).flatMap(rewrite(agg, _)).getOrElse(agg)
+      factOf(agg.child)
+        .flatMap { case (d, filters) => rewrite(agg, d, filters) }
+        .getOrElse(agg)
   }
 
   /** The registered summary behind `child`, looking through pruning
-    * projections and aliases.
+    * projections, aliases, and — because count/sum/min/max over a
+    * dims-restricted fact slice are still exactly answerable from the
+    * summary (a dims filter keeps or drops whole summary groups) —
+    * deterministic Filters, whose conditions are returned for
+    * re-application over the summary. Eligibility of the collected
+    * conditions (dims-only references) is checked in [[rewrite]].
     */
-  private def factOf(child: LogicalPlan): Option[SummaryDef] = child match {
+  private def factOf(
+      child: LogicalPlan): Option[(SummaryDef, Seq[Expression])] = child match {
     case SubqueryAlias(_, inner) => factOf(inner)
     case Project(projectList, inner)
         if projectList.forall(_.isInstanceOf[AttributeReference]) =>
       factOf(inner)
+    case Filter(cond, inner) if cond.deterministic =>
+      factOf(inner).map { case (d, fs) => (d, cond +: fs) }
     case lr: LogicalRelation =>
       lr.relation match {
         case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -102,7 +134,7 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
           // multi-path read (fact + extra dir) answered from a summary
           // of only the fact would silently drop the extra rows
           fs.location.rootPaths.map(p => normalize(p.toString)).distinct match {
-            case Seq(single) => Option(catalog.get(single))
+            case Seq(single) => Option(catalog.get(single)).map((_, Nil))
             case _ => None
           }
         case _ => None
@@ -110,15 +142,36 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def rewrite(agg: Aggregate, d: SummaryDef): Option[LogicalPlan] = {
+  /** A fresh-attribute copy of the cached summary plan. Substituting
+    * the cached instance VERBATIM would plant the same exprIds at every
+    * rewrite site: one query with two eligible aggregates (a union of
+    * rollups) would carry duplicate attribute ids across branches after
+    * analysis-time DeduplicateRelations has already run — violating the
+    * plan invariant downstream rules rely on.
+    */
+  private def freshInstance(plan: LogicalPlan): LogicalPlan = plan match {
+    case lr: LogicalRelation => lr.newInstance()
+    case other => other
+  }
+
+  private def rewrite(
+      agg: Aggregate, d: SummaryDef,
+      filters: Seq[Expression]): Option[LogicalPlan] = {
     val groupAttrs = agg.groupingExpressions.map {
       case a: AttributeReference if d.dims.contains(a.name) => a
       case _ => return None
     }
+    // every filter column must be a summary DIM: a dims-only predicate
+    // selects whole summary groups, so pre-aggregated values are exact
+    // under it; a measure/other-column predicate slices within groups
+    // and the rewrite must decline
+    filters.foreach { cond =>
+      if (!cond.references.forall(a => d.dims.contains(a.name))) return None
+    }
     val session = SparkSession.active
-    val summaryPlan = planCache.computeIfAbsent(
-      (System.identityHashCode(session), d.summaryPath),
-      _ => session.read.parquet(d.summaryPath).queryExecution.analyzed)
+    val summaryPlan = freshInstance(planCache.computeIfAbsent(
+      (idOf(session), d.summaryPath),
+      _ => session.read.parquet(d.summaryPath).queryExecution.analyzed))
     val sAttr: Map[String, Attribute] =
       summaryPlan.output.map(a => a.name -> a).toMap
     def col(name: String): Option[Attribute] = sAttr.get(name)
@@ -170,6 +223,16 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       case Some(sa) if sa.dataType == a.dataType => sa
       case _ => return None
     })
-    Some(Aggregate(newGroups, rewritten, summaryPlan))
+    // re-anchor the dims-only filters onto the summary's attributes
+    // (same name, same type — a differently-typed summary dim would
+    // silently change the predicate's semantics, so decline instead)
+    val newFilters = filters.map(_.transform {
+      case a: AttributeReference => col(a.name) match {
+        case Some(sa) if sa.dataType == a.dataType => sa
+        case _ => return None
+      }
+    })
+    val child = newFilters.foldRight(summaryPlan)(Filter(_, _))
+    Some(Aggregate(newGroups, rewritten, child))
   }
 }

@@ -674,6 +674,64 @@ object Extended {
              |  max(l_quantity) AS max_qty
              |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ------------------ summary rewrite under a dims-only filter (q74b)
+    // The dashboard shape proper: `WHERE <dim> = … GROUP BY <other dims>`.
+    // A dims-only predicate keeps or drops WHOLE summary groups, so the
+    // pre-aggregated values remain exact under it and the rule pushes
+    // the filter onto the summary scan; a measure-column predicate
+    // slices within groups and must decline (the negative case is
+    // spec-pinned in SummaryRewriteRuleSpec). Same plan requirement as
+    // q74: summary scanned, fact NOT scanned.
+    QueryDef(
+      "q74_mv_rewrite_dimfilter",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val factPath = s"$dir/lineitem.parquet"
+        val sumPath = graft.RunPaths.scratch(
+          "graft_q74_summary_" + graft.RunPaths.keyFor(dir))
+        s.read.parquet(factPath)
+          .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_partkey")).as("sum_l_partkey"),
+            min(col("l_quantity")).as("min_l_quantity"),
+            max(col("l_quantity")).as("max_l_quantity"))
+          .write.mode("overwrite").parquet(sumPath)
+        graft.plans.SummaryRewriteRule.register(factPath,
+          graft.plans.SummaryRewriteRule.SummaryDef(sumPath,
+            dims = Set("l_returnflag", "l_linestatus", "l_linenumber"),
+            measures = Set("l_partkey", "l_quantity")))
+        val child = s.newSession()
+        child.experimental.extraOptimizations =
+          Seq(graft.plans.SummaryRewriteRule)
+        val df = child.read.parquet(factPath)
+          .filter(col("l_returnflag") === "A" && col("l_linenumber") <= 4)
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_partkey")).as("sum_pk"),
+            max(col("l_quantity")).as("max_qty"))
+          .orderBy("l_linestatus")
+        val scanned = df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty
+            }
+        }.flatten
+        require(scanned.exists(_.contains("graft_q74_summary")),
+          s"summary rewrite did not fire under the dims filter; scans: $scanned")
+        require(!scanned.exists(_.contains("lineitem")),
+          s"rewritten plan still scans the fact table: $scanned")
+        df
+      },
+      Some("""SELECT l_linestatus,
+             |  count(*) AS n_rows,
+             |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk,
+             |  max(l_quantity) AS max_qty
+             |FROM lineitem
+             |WHERE l_returnflag = 'A' AND l_linenumber <= 4
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // -------------------------------------- registered SQL functions
     // The custom Catalyst expressions exposed through the SQL surface
     // (GraftFunctions.register / GraftExtensions): the same codegen'd

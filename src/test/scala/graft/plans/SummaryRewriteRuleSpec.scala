@@ -95,10 +95,9 @@ class SummaryRewriteRuleSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n")))
   }
 
-  test("a filter below the aggregate blocks the rewrite") {
-    // a WHERE on the fact cannot be answered from the cube (the summary
-    // has no per-row data) — the child is Filter(relation), which the
-    // matcher must not look through
+  test("a measure filter below the aggregate blocks the rewrite") {
+    // a WHERE on a NON-dim column slices within summary groups and
+    // cannot be answered from the cube — must be left untouched
     val child = childWithRule()
     val df = child.read.parquet(factPath)
       .filter(col("l_quantity") > 10)
@@ -106,5 +105,100 @@ class SummaryRewriteRuleSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"))
     assert(scansOf(df).exists(_.contains("lineitem")))
     assert(!scansOf(df).exists(_.contains("graft_mvspec_summary")))
+  }
+
+  test("a non-deterministic filter blocks the rewrite") {
+    // NB: a PROVABLY-true rand predicate (rand() < 2.0) is removed by
+    // the main optimizer before extra rules run — that shape rewrites,
+    // correctly. This one survives optimization and must block.
+    val child = childWithRule()
+    val df = child.read.parquet(factPath)
+      .filter(rand() < 0.9999)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+    assert(scansOf(df).exists(_.contains("lineitem")))
+    assert(!scansOf(df).exists(_.contains("graft_mvspec_summary")))
+  }
+
+  test("a dims-only filter is pushed onto the summary and stays exact") {
+    val child = childWithRule()
+    def q(s: SparkSession) = s.read.parquet(factPath)
+      .filter(col("l_returnflag") === "A" && col("l_linenumber") <= 3)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_partkey")).as("s"),
+        min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"))
+      .orderBy("l_linestatus")
+    val rewritten = q(child)
+    assert(scansOf(rewritten).exists(_.contains("graft_mvspec_summary")),
+      s"dims-filtered rewrite did not fire: ${scansOf(rewritten)}")
+    assert(!scansOf(rewritten).exists(_.contains("lineitem")))
+    assert(rewritten.collect().map(_.toSeq).toSeq ==
+      q(spark).collect().map(_.toSeq).toSeq,
+      "dims-filtered rewritten answer diverged from the fact-side answer")
+  }
+
+  test("two eligible aggregates in one query get DISTINCT relation instances") {
+    // substituting the cached plan verbatim would plant identical
+    // exprIds on both branches of the union — a plan-invariant
+    // violation after analysis-time DeduplicateRelations has run
+    val child = childWithRule()
+    val fact = child.read.parquet(factPath)
+    val a = fact.groupBy(col("l_returnflag").as("k"))
+      .agg(count(lit(1)).as("n"))
+    val b = fact.groupBy(col("l_linestatus").as("k"))
+      .agg(count(lit(1)).as("n"))
+    val u = a.unionByName(b)
+    val rels = u.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr
+    }
+    assert(rels.size == 2, s"expected two summary scans: ${u.queryExecution.optimizedPlan}")
+    val ids = rels.map(_.output.map(_.exprId).toSet)
+    assert(ids(0).intersect(ids(1)).isEmpty,
+      "both branches carry the same attribute ids — cached relation substituted verbatim")
+    // and the result is still exact
+    def plain(s: SparkSession) = {
+      val f = s.read.parquet(factPath)
+      f.groupBy(col("l_returnflag").as("k")).agg(count(lit(1)).as("n"))
+        .unionByName(
+          f.groupBy(col("l_linestatus").as("k")).agg(count(lit(1)).as("n")))
+    }
+    assert(u.orderBy("k", "n").collect().map(_.toSeq).toSeq ==
+      plain(spark).orderBy("k", "n").collect().map(_.toSeq).toSeq)
+  }
+
+  test("re-register after a summary rebuild serves the NEW files") {
+    // v1 summary is built from HALF the fact (deliberately wrong), the
+    // rebuild from the full fact; without register-time cache
+    // invalidation the second query would serve the stale v1 listing
+    // (failed reads at best, silently stale aggregates if files linger)
+    val ordersPath = s"$sf/orders.parquet"
+    val sumPath = graft.RunPaths.scratch("graft_mvspec_rebuild_summary")
+    def build(df: DataFrame): Unit = df
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_custkey")).as("sum_o_custkey"))
+      .write.mode("overwrite").parquet(sumPath)
+    def reg(): Unit = SummaryRewriteRule.register(ordersPath,
+      SummaryRewriteRule.SummaryDef(sumPath,
+        dims = Set("o_orderstatus", "o_orderpriority"),
+        measures = Set("o_custkey")))
+    val orders = spark.read.parquet(ordersPath)
+    build(orders.filter(col("o_orderkey") % 2 === 0))
+    reg()
+    val child = spark.newSession()
+    child.experimental.extraOptimizations = Seq(SummaryRewriteRule)
+    def q() = child.read.parquet(ordersPath)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+    assert(scansOf(q()).exists(_.contains("graft_mvspec_rebuild_summary")))
+    val v1 = q().collect().map(_.toSeq).toSeq
+    // rebuild at the SAME path (overwrite → new part files) + re-register
+    build(orders)
+    reg()
+    val v2 = q().collect().map(_.toSeq).toSeq
+    val truth = orders.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n")).orderBy("o_orderstatus")
+      .collect().map(_.toSeq).toSeq
+    assert(v1 != v2, "rebuild was invisible — stale plan served")
+    assert(v2 == truth, "post-rebuild answer must come from the new files")
   }
 }
