@@ -143,12 +143,13 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
     // one partition per workbook file — a directory / glob of N files is
     // an N-task scan, the file-parallel unit a 100 TB Excel corpus needs
     // (individual workbooks are ZIP-deflated and not block-splittable).
-    // With sheetPartitions > 1 and a SINGLE xlsx, one sheet is split at
-    // `<row` boundaries of the inflated XML (rowSplits) and the inflated
-    // bytes are spilled ONCE into range-aligned chunk files
+    // With sheetPartitions > 1, EACH file's sheet is additionally split
+    // at `<row` boundaries of the inflated XML (rowSplits) and the
+    // inflated bytes are spilled ONCE into range-aligned chunk files
     // (spillChunks); each task then parses only its own chunk — total
-    // inflate work is O(2 × sheet) for any partition count (no per-task
-    // prefix re-inflate). Partition ordinal = chunk order = row order.
+    // inflate work is O(2 × sheet) per file for any partition count (no
+    // per-task prefix re-inflate). Partition ordinal = (file, chunk)
+    // order = global row order.
     // positional mapping when nothing was pruned: with
     // headerDedup=reference the schema may contain DUPLICATE names, and
     // fieldIndex-by-name would send both occurrences to the first sheet
@@ -162,37 +163,45 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
     def serial(f: String): InputPartition = ExcelInputPartition(
       f, o.sheetName, o.sheetIndex, o.skipRows, positions, expectNames,
       headerDedup = o.headerDedup)
-    if (o.sheetPartitions > 1 && paths.lengthCompare(1) == 0) {
-      val wb = WorkbookSource.open(paths.head)
-      try {
-        val sheet = wb.resolveSheet(o.sheetName, o.sheetIndex)
-        // chunk fragments need absolute row positions: BIFF12 row
-        // headers always carry them; SpreadsheetML needs r= attributes
-        val refless = wb match {
-          case x: XlsxParser.Workbook => !x.firstRowHasRef(sheet.target)
-          case _ => false
-        }
-        if (refless) {
-          ExcelScan.log.warn(
-            s"sheetPartitions=${o.sheetPartitions} requested, but sheet " +
-              s"'${sheet.name}' of ${paths.head} has no r= attributes on its " +
-              "<row> elements; falling back to a single-partition scan")
-          Array(serial(paths.head))
-        } else {
-          val chunks = ExcelScan.spillCached(
-            wb, paths.head, sheet.target, o.sheetPartitions)
-          if (chunks.lengthCompare(1) <= 0) Array(serial(paths.head))
-          else chunks.map { cp =>
-            ExcelInputPartition(paths.head, o.sheetName, o.sheetIndex,
-              o.skipRows, positions, null, cp, o.headerDedup): InputPartition
-          }.toArray
-        }
-      } finally wb.close()
+    if (o.sheetPartitions > 1) {
+      // Splittable scan, one file at a time: each workbook's selected
+      // sheet is chunk-spilled into sheetPartitions ranges; partition
+      // ordinal = (file order, chunk order), so the global row order
+      // contract (lexicographic by path, then sheet row order) is the
+      // same as the serial multi-file scan's. A corpus of a FEW huge
+      // workbooks — where one task per file under-parallelizes — gets
+      // per-file splitting this way; a file whose rows can't be split
+      // (no r= attributes) falls back to one serial task for THAT file
+      // only.
+      paths.flatMap { path =>
+        val wb = WorkbookSource.open(path)
+        try {
+          val sheet = wb.resolveSheet(o.sheetName, o.sheetIndex)
+          // chunk fragments need absolute row positions: BIFF12 row
+          // headers always carry them; SpreadsheetML needs r= attributes
+          val refless = wb match {
+            case x: XlsxParser.Workbook => !x.firstRowHasRef(sheet.target)
+            case _ => false
+          }
+          if (refless) {
+            ExcelScan.log.warn(
+              s"sheetPartitions=${o.sheetPartitions} requested, but sheet " +
+                s"'${sheet.name}' of $path has no r= attributes on its " +
+                "<row> elements; scanning this file in a single partition")
+            Seq(serial(path))
+          } else {
+            val chunks = ExcelScan.spillCached(
+              wb, path, sheet.target, o.sheetPartitions)
+            if (chunks.lengthCompare(1) <= 0) Seq(serial(path))
+            else chunks.map { cp =>
+              ExcelInputPartition(path, o.sheetName, o.sheetIndex,
+                o.skipRows, positions, expectNames, cp,
+                o.headerDedup): InputPartition
+            }
+          }
+        } finally wb.close()
+      }.toArray
     } else {
-      if (o.sheetPartitions > 1) ExcelScan.log.warn(
-        s"sheetPartitions=${o.sheetPartitions} ignored: the splittable scan " +
-          s"needs exactly one workbook file (got ${paths.length} paths); " +
-          "scanning one partition per file")
       paths.map(serial).toArray
     }
   }
@@ -212,7 +221,10 @@ object ExcelScan {
     * session (and a full redundant inflate pass per action). Entries
     * are validated against the filesystem before reuse; a concurrent
     * double-spill is benign (last put wins, both chunk sets are valid
-    * until JVM exit).
+    * until JVM exit). When a spill observes that a cached (path, target)
+    * entry's version stamp no longer matches the file on disk, the
+    * superseded entry's chunk files are deleted eagerly — deleteOnExit
+    * remains only the last-resort cleanup for the LIVE entries.
     */
   private val chunkCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long, String, String, Int), Seq[String]]()
@@ -233,6 +245,28 @@ object ExcelScan {
     if (cached != null && cached.forall(c => new java.io.File(c).exists()))
       cached
     else {
+      // Evict SUPERSEDED versions eagerly: entries for the same
+      // (path, target) whose (size, mtime, fileKey) no longer match the
+      // file on disk describe a workbook that has been replaced — their
+      // spilled sheet copies would otherwise sit on temp disk until JVM
+      // exit (deleteOnExit), re-growing exactly the accumulation this
+      // cache exists to stop on a long-lived driver cycling workbooks.
+      // (Different-n entries for the LIVE version stay valid and cached.)
+      val it = chunkCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val k = e.getKey
+        if (k._1 == f.getAbsolutePath && k._5 == target &&
+            (k._2 != f.length() || k._3 != f.lastModified() || k._4 != fileKey)) {
+          it.remove()
+          e.getValue.foreach { c =>
+            val cf = new java.io.File(c)
+            val dir = cf.getParentFile
+            cf.delete()
+            if (dir != null) dir.delete() // succeeds once the dir is empty
+          }
+        }
+      }
       val scratch = java.nio.file.Files.createTempDirectory("graft-sheet-split-")
       scratch.toFile.deleteOnExit()
       val chunks = wb.spillRowChunks(target, n, scratch)

@@ -132,48 +132,80 @@ class RowSplitScanSpec extends AnyFunSuite {
     assert(got == whole, "xlsb split read must equal whole read in global order")
   }
 
-  test("fallback to a serial scan logs a loud warning") {
-    import org.apache.logging.log4j.{Level, LogManager}
-    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
-    import org.apache.logging.log4j.core.appender.AbstractAppender
-    import org.apache.logging.log4j.core.config.Property
-    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
-    val appender = new AbstractAppender(
-      "split-warn-capture", null, null, false, Property.EMPTY_ARRAY) {
-      override def append(event: LogEvent): Unit =
-        captured.add(event.getMessage.getFormattedMessage)
+  test("multi-file scan composes with sheetPartitions: per-file splits, global order") {
+    // a corpus of a few huge workbooks: one task per file
+    // under-parallelizes, so each file's sheet is chunk-split and the
+    // partition ordinal is (file order, chunk order) — the global row
+    // order must equal the serial multi-file scan's
+    val dir = Files.createTempDirectory("multisplit")
+    def rowsFor(n: Int, tag: String) = (1 to n).map { i =>
+      Seq(Some(XNum(i)), Some(XStr(s"${tag}_$i")),
+        if (i % 7 == 0) None else Some(XNum(i * 1.25)),
+        Some(XShared(s"cat${i % 13}")))
     }
-    appender.start()
-    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
-    val cfg = ctx.getConfiguration
-    val loggerName = classOf[graft.sources.excel.ExcelScan].getName
-    val lc = cfg.getLoggerConfig(loggerName)
-    lc.addAppender(appender, Level.WARN, null)
-    try {
-      // two workbooks under one directory: multi-file scans can't split a
-      // single sheet, so sheetPartitions must degrade loudly, not silently
-      val dir = Files.createTempDirectory("multi")
-      val rows = (1 to 3).map(i => Seq(Option(XNum(i): XCell)))
-      for (f <- Seq("a.xlsx", "b.xlsx"))
-        XlsxWriter.write(dir.resolve(f).toString, Seq(Sheet.dense("s",
-          Seq(Option(XShared("id"): XCell)) +: rows)))
-      val df = spark.read.format("excel")
-        .option("sheetPartitions", "4").load(dir.toString)
-      assert(df.count() == 6)
-      assert(captured.asScala.exists(m =>
-        m.contains("sheetPartitions=4 ignored") && m.contains("2 paths")),
-        s"expected a fallback warning, got: ${captured.asScala.mkString(" | ")}")
-    } finally {
-      lc.removeAppender("split-warn-capture")
-      appender.stop()
+    val header =
+      Seq("id", "name", "amount", "cat").map(h => Option(XShared(h): XCell))
+    XlsxWriter.write(dir.resolve("a.xlsx").toString,
+      Seq(Sheet.dense("data", header +: rowsFor(7000, "a"))))
+    XlsxWriter.write(dir.resolve("b.xlsx").toString,
+      Seq(Sheet.dense("data", header +: rowsFor(5000, "b"))))
+    val whole = spark.read.format("excel").load(dir.toString)
+      .collect().map(_.toSeq).toSeq
+    val split = spark.read.format("excel")
+      .option("sheetPartitions", "4").load(dir.toString)
+    assert(split.rdd.getNumPartitions == 8,
+      s"expected 4 chunks per file, got ${split.rdd.getNumPartitions}")
+    val got = split.collect().map(_.toSeq).toSeq
+    assert(got.size == 12000)
+    assert(got == whole,
+      "multi-file split read must equal the serial read in global order")
+    // header contract still enforced per file on the chunked path
+    val badDir = Files.createTempDirectory("multisplitbad")
+    XlsxWriter.write(badDir.resolve("a.xlsx").toString,
+      Seq(Sheet.dense("data", header +: rowsFor(10, "a"))))
+    XlsxWriter.write(badDir.resolve("b.xlsx").toString,
+      Seq(Sheet.dense("data",
+        Seq("other", "names", "here", "now").map(h => Option(XShared(h): XCell))
+          +: rowsFor(10, "b"))))
+    val err = intercept[org.apache.spark.SparkException] {
+      spark.read.format("excel")
+        .option("sheetPartitions", "2").load(badDir.toString).collect()
     }
+    assert(err.getMessage.contains("does not match") ||
+      Option(err.getCause).exists(_.getMessage.contains("does not match")))
   }
 
-  private implicit class JListOps[A](l: java.util.List[A]) {
-    def asScala: Seq[A] = {
-      val b = Seq.newBuilder[A]
-      l.forEach(a => b += a)
-      b.result()
+  test("a replaced workbook's superseded chunk spills are evicted eagerly") {
+    def spillDirs(): Set[java.nio.file.Path] = {
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val s = Files.list(tmp)
+      try {
+        val b = Set.newBuilder[java.nio.file.Path]
+        s.forEach(p =>
+          if (p.getFileName.toString.startsWith("graft-sheet-split-")) b += p)
+        b.result()
+      } finally s.close()
     }
+    def nonEmpty(p: java.nio.file.Path): Boolean =
+      Files.isDirectory(p) && { val s = Files.list(p); try s.findAny().isPresent finally s.close() }
+    val dir = Files.createTempDirectory("evict")
+    val path = dir.resolve("wb.xlsx").toString
+    def write(n: Int): Unit = XlsxWriter.write(path, Seq(Sheet.dense("data",
+      Seq(Option(XShared("id"): XCell)) +:
+        (1 to n).map(i => Seq(Option(XNum(i): XCell))))))
+    val before = spillDirs()
+    write(3000)
+    assert(spark.read.format("excel").option("sheetPartitions", "3")
+      .load(path).count() == 3000)
+    val v1Dirs = (spillDirs() -- before).filter(nonEmpty)
+    assert(v1Dirs.nonEmpty, "first split scan should have spilled chunks")
+    // replace the workbook (delete + rewrite: new size, mtime, inode)
+    Files.delete(java.nio.file.Paths.get(path))
+    write(4000)
+    new java.io.File(path).setLastModified(System.currentTimeMillis() + 2000)
+    assert(spark.read.format("excel").option("sheetPartitions", "3")
+      .load(path).count() == 4000)
+    assert(v1Dirs.forall(!nonEmpty(_)),
+      "superseded chunk files must be deleted eagerly, not at JVM exit")
   }
 }
