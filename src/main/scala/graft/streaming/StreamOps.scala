@@ -610,6 +610,110 @@ object StreamOps {
         (col("n_ok") && col("dist_ok")).as("same_as_batch_append"))
   }
 
+  /** Streaming DELETES for the persisted ANN index — the missing half
+    * of [[streamIndexAppend]]'s lifecycle (q70 proved tombstones +
+    * compaction batch-side; this wires the tombstone path into the
+    * stream). Delete requests ARRIVE as micro-batches of vec_ids; each
+    * trigger lands one persisted TOMBSTONE generation (a tiny id set —
+    * zero index rewrite per delete, the only delete an append-only
+    * 100 TB index can afford per-request), and serving anti-joins the
+    * union of tombstone generations before scoring.
+    *
+    * Contracts (one row, deterministic — frozen models throughout):
+    * multi-trigger delivery (tombstones landed across ≥ 2 generations);
+    * serving over the STREAMED tombstones equals — same ids, same ADC
+    * distances — serving after a one-shot batch delete of the same id
+    * set (micro-batch slicing must not change what a query sees); and
+    * the q70 structural negative control: the delete set includes the
+    * raw top-1 id, so RAW serving (tombstones ignored) provably
+    * surfaces a deleted id at any data generation — an anti-join
+    * accidentally dropped from the serving path cannot pass.
+    */
+  def streamIndexDelete(spark: SparkSession, sfDir: String): DataFrame =
+    streamIndexDeleteSliced(spark, sfDir, slices = 4)
+
+  /** [[streamIndexDelete]] parameterized on the micro-batch slicing so
+    * the spec can assert slicing invariance (the served result must be
+    * identical under any delivery chunking).
+    */
+  def streamIndexDeleteSliced(
+      spark: SparkSession, sfDir: String, slices: Int): DataFrame = {
+    import graft.operators.ProductQuantizer
+    import graft.queries.LlmOps
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
+    val merged = e.filter(col("vec_id") =!= 0)
+    val idx = graft.RunPaths.scratch(
+      s"graft_q75_index_${graft.RunPaths.keyFor(sfDir)}_$slices")
+    // offline build, q68's persist-first order: every stored artifact
+    // derives from the READ-BACK frozen floats
+    val coarse0 = LlmOps.ivfCentroids(spark, sfDir, merged)
+    coarse0.write.mode("overwrite").parquet(s"$idx/coarse")
+    ProductQuantizer.ivfPqTrainBooks(
+        merged, "vec_id", "embedding", m = 8, coarse0, every = 40, iters = 2)
+      .write.mode("overwrite").parquet(s"$idx/books")
+    val coarseF = LlmOps.modelScaleStamp(spark.read.parquet(s"$idx/coarse"),
+      "q75 frozen coarse-centroid table")
+    val booksF = spark.read.parquet(s"$idx/books")
+    ProductQuantizer.ivfPqEncodeWith(
+        merged, "vec_id", "embedding", 8, coarseF, booksF)
+      .write.mode("overwrite").parquet(s"$idx/codes/gen=0")
+    val gens = spark.read.parquet(s"$idx/codes")
+      .select(col("cell_id"), col("vec_id"), col("codes"))
+    def serve(codes: DataFrame): DataFrame = ProductQuantizer.ivfPqTopK(
+      query, "embedding", 8, coarseF, booksF,
+      codes.select(col("cell_id"), col("vec_id"), col("codes")), "vec_id",
+      nProbe = 4, k = 10)
+    // delete set: every id ≡ 3 (mod 7) PLUS the raw top-1 (one
+    // driver-scale row) — the q70 construction that makes the negative
+    // control structural rather than a property of this table
+    val rawTopId = serve(gens)
+      .select(col("vec_id")).limit(1).collect().head.getLong(0)
+    val deletes = merged.filter(pmod(col("vec_id"), lit(7)) === 3 ||
+      col("vec_id") === rawTopId).select(col("vec_id"))
+    // deliver the delete requests across hash-scrambled micro-batches
+    val splitDir = graft.RunPaths.scratch(
+      s"graft_q75_deletes_${graft.RunPaths.keyFor(sfDir)}_$slices")
+    deletes.repartition(slices, xxhash64(col("vec_id")))
+      .write.mode("overwrite").parquet(splitDir)
+    val schema = spark.read.parquet(splitDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // one tombstone generation per trigger; overwrite per
+        // generation keeps at-least-once retries idempotent
+        batch.write.mode("overwrite").parquet(s"$idx/deletes/gen=$id")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val deadGens = spark.read.parquet(s"$idx/deletes")
+    val dead = deadGens.select(col("vec_id"))
+    val live = serve(gens.join(dead, Seq("vec_id"), "left_anti"))
+    // one-shot comparison: a single batch anti-join of the same id set,
+    // straight from the corpus — the streamed tombstone path (parquet
+    // roundtrip + generation union) must be invisible to queries
+    val oneShot = serve(gens.join(deletes, Seq("vec_id"), "left_anti"))
+    val same = live.select(col("vec_id"), col("adc_dist").as("d_s"))
+      .join(oneShot.select(col("vec_id"), col("adc_dist").as("d_b")),
+        Seq("vec_id"), "full")
+      .agg(((count(lit(1)) === 10) &&
+        (count(when(col("d_s").isNull || col("d_b").isNull ||
+          col("d_s") =!= col("d_b"), 1)) === 0)).as("same_as_batch_delete"))
+    val rawHasDead = serve(gens).join(dead, Seq("vec_id"), "left_semi")
+      .agg((count(lit(1)) >= 1).as("deletes_visible_raw"))
+    gens.agg(count(lit(1)).as("n_index"))
+      .crossJoin(deadGens.agg(
+        (countDistinct(col("gen")) >= 2).as("multi_trigger_ok")))
+      .crossJoin(live.agg(count(lit(1)).as("n_results")))
+      .crossJoin(rawHasDead)
+      .crossJoin(same)
+      .select(col("n_index"), col("multi_trigger_ok"), col("n_results"),
+        col("deletes_visible_raw"), col("same_as_batch_delete"))
+  }
+
   /** The pipeline behind [[streamPrioritySample]], parameterized on the
     * document stream so the spec can force scrambled multi-micro-batch
     * arrival and assert batch-equivalence.
