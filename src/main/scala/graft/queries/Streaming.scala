@@ -315,6 +315,27 @@ object Streaming {
              |  true AS multi_trigger_ok,
              |  CAST(10 AS BIGINT) AS n_results,
              |  true AS same_as_batch_append
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
+
+    // Streaming DELETES for the persisted ANN index — the other half of
+    // q69's lifecycle (q70 proved tombstones + compaction batch-side;
+    // this wires the tombstone path into the stream). Each micro-batch
+    // of delete requests lands one persisted tombstone generation (tiny
+    // id set, zero index rewrite), and serving anti-joins the union of
+    // tombstone generations before scoring. Contracts: multi-trigger
+    // delivery, serving equality (ids AND ADC distances) with a
+    // one-shot batch delete of the same id set, and the q70 structural
+    // negative control — the delete set contains the raw top-1 id, so
+    // raw serving provably surfaces a deleted id at ANY data
+    // generation; an anti-join dropped from the serve path cannot pass.
+    QueryDef(
+      "q75_stream_index_delete",
+      (s, dir) => graft.streaming.StreamOps.streamIndexDelete(s, dir),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_index,
+             |  true AS multi_trigger_ok,
+             |  CAST(10 AS BIGINT) AS n_results,
+             |  true AS deletes_visible_raw,
+             |  true AS same_as_batch_delete
              |FROM embeddings WHERE vec_id <> 0""".stripMargin))
   )
 }
