@@ -336,6 +336,43 @@ object LlmOps {
       java.util.Arrays.asList(trained.collect(): _*), trained.schema)
   }
 
+  private val serveIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once-per-JVM persisted IVF-PQ index over the full corpus
+    * (q68's layout: frozen coarse + codebooks + two code generations),
+    * so `q68_ann_serve` times ONLY the serve path. Bench pre-builds it
+    * untimed; under Verify the first q68_ann_serve invocation pays the
+    * build once and the contract row is build-independent either way.
+    * Per-run scratch, not a shared fixture: k-means floats are not
+    * bit-stable across executions, but within one JVM the persisted
+    * models are frozen — the q68 self-consistency pattern.
+    */
+  def ensureAnnServeIndex(s: SparkSession, dir: String): String =
+    serveIndexCache.computeIfAbsent(dir, _ => {
+      val e = t(s, dir, "embeddings")
+      val merged = e.filter(col("vec_id") =!= 0)
+      val base = merged.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+      val batch = merged.filter(pmod(col("vec_id"), lit(10)) === 9)
+      val idx = graft.RunPaths.scratch(
+        "graft_q68srv_index_" + graft.RunPaths.keyFor(dir))
+      val coarse0 = ivfCentroids(s, dir, base)
+      coarse0.write.mode("overwrite").parquet(s"$idx/coarse")
+      ProductQuantizer.ivfPqTrainBooks(
+          base, "vec_id", "embedding", m = 8, coarse0, every = 40, iters = 2)
+        .write.mode("overwrite").parquet(s"$idx/books")
+      val coarseF = modelScaleStamp(s.read.parquet(s"$idx/coarse"),
+        "q68_ann_serve frozen coarse-centroid table")
+      val booksF = s.read.parquet(s"$idx/books")
+      ProductQuantizer.ivfPqEncodeWith(
+          base, "vec_id", "embedding", 8, coarseF, booksF)
+        .write.mode("overwrite").parquet(s"$idx/codes/gen=0")
+      ProductQuantizer.ivfPqEncodeWith(
+          batch, "vec_id", "embedding", 8, coarseF, booksF)
+        .write.mode("overwrite").parquet(s"$idx/codes/gen=1")
+      idx
+    })
+
   /** IVF (inverted-file) ANN: vectors are assigned to their nearest
     * k-means cell offline; a query ranks only the vectors in its
     * `nProbe` closest cells. Serving path: broadcast the (small) trained
@@ -1210,6 +1247,42 @@ object LlmOps {
              |       CAST(10 AS BIGINT) AS n_results,
              |       true AS frozen_ok, true AS recall_parity
              |FROM embeddings WHERE vec_id <> 0""".stripMargin),
+      bench = true),
+
+    // Serve-only sibling of q68: top-k over the ALREADY-PERSISTED index
+    // — frozen models + stored code generations read back from parquet,
+    // zero training in the timed path (Bench pre-builds the index
+    // untimed). This is the number the 100 TB design actually cares
+    // about round-over-round: q68 itself times two full trainings plus
+    // an exact baseline (contract scaffolding, ~10 s), which buried the
+    // serve cost it exists to prove cheap. Contracts are
+    // model-independent: full top-k, probed cells bounded by nProbe,
+    // finite ADC distances, non-decreasing score order.
+    QueryDef(
+      "q68_ann_serve",
+      (s, dir) => {
+        val idx = ensureAnnServeIndex(s, dir)
+        val coarseF = s.read.parquet(s"$idx/coarse")
+        val booksF = s.read.parquet(s"$idx/books")
+        val stored = s.read.parquet(s"$idx/codes")
+          .select(col("cell_id"), col("vec_id"), col("codes"))
+        val query = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).limit(1)
+        val top = ProductQuantizer.ivfPqTopK(
+          query, "embedding", 8, coarseF, booksF, stored, "vec_id",
+          nProbe = 4, k = 10)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        top.withColumn("prev", lag(col("adc_dist"), 1).over(w))
+          .agg(
+            count(lit(1)).as("n_results"),
+            (countDistinct(col("cell_id")) <= 4).as("cells_ok"),
+            (count(when(col("adc_dist").isNull || isnan(col("adc_dist")), 1)) === 0)
+              .as("finite_ok"),
+            (count(when(col("prev") > col("adc_dist"), 1)) === 0).as("ordered_ok"))
+      },
+      Some("""SELECT CAST(10 AS BIGINT) AS n_results, true AS cells_ok,
+             |       true AS finite_ok, true AS ordered_ok""".stripMargin),
       bench = true),
 
     // ------------------------------ persisted-index lifecycle (q70)
