@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrain trigger for frozen-model ANN indexes (q68/q69/q75).
+  *
+  * Incremental maintenance encodes every appended batch against FROZEN
+  * coarse centroids; the 100 TB question is when freezing breaks. The
+  * failure mode is distributional: a batch drawn from a region the
+  * centroids don't cover piles into few cells, candidate lists go
+  * imbalanced, and probe recall decays (measured by
+  * `graft.tools.RecallRehearsal`). The trigger is therefore the classic
+  * population-stability statistic over the index's OWN structure: compare
+  * the batch's cell-occupancy distribution against the base corpus's,
+  * PSI = Σ_cells (p_batch − p_base) · ln(p_batch / p_base), Laplace
+  * smoothing so empty cells stay finite.
+  *
+  * A fit-style statistic (mean cosine gap to the nearest centroid) was
+  * rehearsed first and rejected: on near-isotropic embeddings every
+  * transform lands within ±15% of the in-distribution gap, while
+  * cell-occupancy PSI separates an in-distribution batch (~0.2, sampling
+  * noise of n≈50 over K≈13 cells) from a shifted batch (~2.9) by an
+  * order of magnitude. The default threshold 0.75 sits midway between
+  * those in log space; at real batch sizes the in-distribution null
+  * shrinks as K/n, so 0.75 is conservative at scale.
+  *
+  * Cost shape: one broadcast-assign per side (map-side O(n·K), no
+  * shuffle) plus a K-row aggregate — O(batch) like the append itself, so
+  * the trigger can run on EVERY append. At 100 TB the base occupancy is
+  * computed once at build time and persisted beside the centroids; only
+  * the batch side is assigned per append.
+  */
+object IndexDrift {
+
+  /** (cell_id, n): how many of `data`'s vectors assign to each frozen
+    * cell. Cells nobody assigns to are absent (the PSI join restores
+    * them against the centroid grid).
+    */
+  def cellOccupancy(
+      data: DataFrame, idCol: String, vecCol: String,
+      coarse: DataFrame): DataFrame =
+    KMeans.assign(data, idCol, vecCol, coarse)
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+
+  /** One row (n_base, n_batch, psi): population-stability index of the
+    * batch's cell occupancy against the base corpus's, over the full
+    * centroid grid with add-one smoothing.
+    */
+  def occupancyPsi(
+      base: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
+      coarse: DataFrame): DataFrame = {
+    val grid = coarse.select(col("cell_id"))
+    val b = cellOccupancy(base, idCol, vecCol, coarse)
+      .withColumnRenamed("n", "nb")
+    val a = cellOccupancy(batch, idCol, vecCol, coarse)
+      .withColumnRenamed("n", "na")
+    // model-scale everywhere below: grid is the centroid table (≤256
+    // rows by ivfCentroids' cap), totals are 1-row aggregates
+    // coalesce: an empty side must mean n=0 (uniform smoothed
+    // distribution), not a null that silently nulls the whole statistic
+    val tot = b.agg(coalesce(sum(col("nb")), lit(0L)).as("n_base"))
+      .crossJoin(a.agg(coalesce(sum(col("na")), lit(0L)).as("n_batch")))
+      .crossJoin(grid.agg(count(lit(1)).as("k_cells")))
+    grid.join(b, Seq("cell_id"), "left").join(a, Seq("cell_id"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("n_base"), col("n_batch"),
+        ((coalesce(col("na"), lit(0L)) + 1.0) /
+          (col("n_batch") + col("k_cells"))).as("pa"),
+        ((coalesce(col("nb"), lit(0L)) + 1.0) /
+          (col("n_base") + col("k_cells"))).as("pb"))
+      .groupBy(col("n_base"), col("n_batch"))
+      .agg(sum((col("pa") - col("pb")) * log(col("pa") / col("pb")))
+        .as("psi"))
+  }
+
+  /** One row (n_base, n_batch, psi, retrain_needed): the append-time
+    * contract — encode the batch against the frozen models as usual, but
+    * when `psi > threshold` the caller must schedule a retrain (new
+    * centroid/codebook generation) instead of trusting frozen recall.
+    */
+  def retrainTrigger(
+      base: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
+      coarse: DataFrame, threshold: Double = 0.75): DataFrame =
+    occupancyPsi(base, batch, idCol, vecCol, coarse)
+      .select(col("n_base"), col("n_batch"), col("psi"),
+        (col("psi") > threshold).as("retrain_needed"))
+}

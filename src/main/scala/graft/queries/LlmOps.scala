@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{MinHashSignature, SimHash64, RollingHash64, TextFns, VectorFns, WordNgrams, WordShingles}
-import graft.operators.{DedupCluster, KMeans, ProductQuantizer}
+import graft.operators.{DedupCluster, IndexDrift, KMeans, ProductQuantizer}
 
 /** LLM-training-pipeline operators (SURVEY §2.2 Q21–Q26 + north-star
   * extensions): deduplication (exact / fingerprint / MinHash-LSH /
@@ -1284,6 +1284,43 @@ object LlmOps {
       Some("""SELECT CAST(10 AS BIGINT) AS n_results, true AS cells_ok,
              |       true AS finite_ok, true AS ordered_ok""".stripMargin),
       bench = true),
+
+    // Retrain trigger for the frozen-model index family (q68/q69/q75):
+    // cell-occupancy PSI of an appended batch against the base corpus
+    // (operators/IndexDrift.scala — statistic choice and thresholds
+    // rehearsed there). Two batches face the trigger: the held-out
+    // in-distribution batch (PSI ≈ sampling noise, must NOT trigger)
+    // and the same batch shifted +0.5 per component (a region the
+    // frozen centroids don't cover, must trigger). PSI floats are
+    // model-dependent (k-means is not bit-stable), so the contract row
+    // carries only counts and the threshold booleans, with ~3.5×
+    // rehearsed margin on each side of the 0.75 threshold.
+    QueryDef(
+      "q76_ann_drift_trigger",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val merged = e.filter(col("vec_id") =!= 0)
+        val base = merged.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+        val batch = merged.filter(pmod(col("vec_id"), lit(10)) === 9)
+        val drifted = batch.select(col("vec_id"),
+          transform(col("embedding"), x => (x + lit(0.5f)).cast("float"))
+            .as("embedding"))
+        val coarse = ivfCentroids(s, dir, base)
+        val inD = IndexDrift.retrainTrigger(
+          base, batch, "vec_id", "embedding", coarse)
+        val dr = IndexDrift.retrainTrigger(
+          base, drifted, "vec_id", "embedding", coarse)
+        inD.select(col("n_base"), col("n_batch"),
+            col("retrain_needed").as("in_dist_trigger"))
+          .crossJoin(dr.select(col("retrain_needed").as("drifted_trigger")))
+      },
+      Some("""SELECT
+             |  CAST(sum(CASE WHEN vec_id % 10 <> 9 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_base,
+             |  CAST(sum(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_batch,
+             |  false AS in_dist_trigger, true AS drifted_trigger
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
 
     // ------------------------------ persisted-index lifecycle (q70)
     // The rest of the q68/q69 index's life: DELETES and COMPACTION.
