@@ -163,17 +163,31 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
     def serial(f: String): InputPartition = ExcelInputPartition(
       f, o.sheetName, o.sheetIndex, o.skipRows, positions, expectNames,
       headerDedup = o.headerDedup)
-    if (o.sheetPartitions > 1) {
+    if (o.sheetPartitions > 1 && paths.length >= o.sheetPartitions) {
+      // Many-files guard: per-file splitting inflates and spills EVERY
+      // workbook's sheet serially on the driver at PLAN time — O(corpus)
+      // planning latency and temp disk. When the corpus already has at
+      // least sheetPartitions files, one task per file meets or beats
+      // the requested parallelism, so splitting buys nothing; scan
+      // serially per file and say so. (sheetPartitions exists for the
+      // few-huge-workbooks shape, not for directory corpora.)
+      ExcelScan.log.warn(
+        s"sheetPartitions=${o.sheetPartitions} ignored: ${paths.length} " +
+          "files already provide that much parallelism (one task per " +
+          "file); per-file splitting would spill every sheet on the driver")
+      paths.map(serial).toArray
+    } else if (o.sheetPartitions > 1) {
       // Splittable scan, one file at a time: each workbook's selected
       // sheet is chunk-spilled into sheetPartitions ranges; partition
       // ordinal = (file order, chunk order), so the global row order
       // contract (lexicographic by path, then sheet row order) is the
       // same as the serial multi-file scan's. A corpus of a FEW huge
       // workbooks — where one task per file under-parallelizes — gets
-      // per-file splitting this way; a file whose rows can't be split
-      // (no r= attributes) falls back to one serial task for THAT file
-      // only.
-      paths.flatMap { path =>
+      // per-file splitting this way (the branch above bounds "few": the
+      // file count is < sheetPartitions); a file whose rows can't be
+      // split (no r= attributes) falls back to one serial task for THAT
+      // file only.
+      val parts = paths.flatMap { path =>
         val wb = WorkbookSource.open(path)
         try {
           val sheet = wb.resolveSheet(o.sheetName, o.sheetIndex)
@@ -201,6 +215,17 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
           }
         } finally wb.close()
       }.toArray
+      // planning-time spill is real driver disk: surface the aggregate
+      // so a directory scan can't silently inflate a corpus into /tmp
+      val spilled = parts.collect {
+        case p: ExcelInputPartition if p.chunkPath != null =>
+          new java.io.File(p.chunkPath).length()
+      }.sum
+      if (spilled > 0)
+        ExcelScan.log.info(
+          f"split scan planned: ${paths.length} file(s), ${parts.length} " +
+            f"partitions, ${spilled / 1e6}%.1f MB spilled chunk XML")
+      parts
     } else {
       paths.map(serial).toArray
     }
@@ -223,11 +248,46 @@ object ExcelScan {
     * double-spill is benign (last put wins, both chunk sets are valid
     * until JVM exit). When a spill observes that a cached (path, target)
     * entry's version stamp no longer matches the file on disk, the
-    * superseded entry's chunk files are deleted eagerly — deleteOnExit
-    * remains only the last-resort cleanup for the LIVE entries.
+    * superseded entry is CONDEMNED: dropped from the cache at once (no
+    * new plan can reference it) but its chunk files are deleted only
+    * after a grace window (`graft.excel.evictGraceMs`, default 10 min),
+    * so tasks of an action whose plan captured the old chunk paths can
+    * finish reading them. A query against a replaced workbook that
+    * outlives the grace window fails loudly with FileNotFound — its
+    * old-version result was void the moment the file changed; the grace
+    * only protects in-flight work, it is not a consistency promise.
+    * deleteOnExit remains the last-resort cleanup for LIVE entries.
     */
   private val chunkCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long, String, String, Int), Seq[String]]()
+
+  /** Superseded chunk sets awaiting deletion, oldest first (appended in
+    * condemnation order, so the head is always the oldest entry).
+    */
+  private val condemned =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Seq[String], Long)]()
+
+  private def graceNanos: Long =
+    java.lang.Long.getLong("graft.excel.evictGraceMs", 600000L) * 1000000L
+
+  private def deleteChunkSet(chunks: Seq[String]): Unit =
+    chunks.foreach { c =>
+      val cf = new java.io.File(c)
+      val dir = cf.getParentFile
+      cf.delete()
+      if (dir != null) dir.delete() // succeeds once the dir is empty
+    }
+
+  /** Delete condemned chunk sets whose grace window has elapsed. */
+  private def sweepCondemned(): Unit = {
+    val now = System.nanoTime()
+    var head = condemned.peek()
+    while (head != null && now - head._2 >= graceNanos) {
+      val polled = condemned.poll() // atomic: one thread gets each entry
+      if (polled != null) deleteChunkSet(polled._1)
+      head = condemned.peek()
+    }
+  }
 
   private[excel] def spillCached(
       wb: WorkbookSource, path: String, target: String, n: Int): Seq[String] = {
@@ -245,12 +305,15 @@ object ExcelScan {
     if (cached != null && cached.forall(c => new java.io.File(c).exists()))
       cached
     else {
-      // Evict SUPERSEDED versions eagerly: entries for the same
-      // (path, target) whose (size, mtime, fileKey) no longer match the
-      // file on disk describe a workbook that has been replaced — their
-      // spilled sheet copies would otherwise sit on temp disk until JVM
-      // exit (deleteOnExit), re-growing exactly the accumulation this
-      // cache exists to stop on a long-lived driver cycling workbooks.
+      // Condemn SUPERSEDED versions: entries for the same (path, target)
+      // whose (size, mtime, fileKey) no longer match the file on disk
+      // describe a workbook that has been replaced — drop them from the
+      // cache now, delete their chunk files after the grace window (see
+      // the cache contract above), so an in-flight action planned
+      // against the old chunks can finish. Without this their spilled
+      // sheet copies would sit on temp disk until JVM exit
+      // (deleteOnExit), re-growing exactly the accumulation this cache
+      // exists to stop on a long-lived driver cycling workbooks.
       // (Different-n entries for the LIVE version stay valid and cached.)
       val it = chunkCache.entrySet().iterator()
       while (it.hasNext) {
@@ -259,14 +322,10 @@ object ExcelScan {
         if (k._1 == f.getAbsolutePath && k._5 == target &&
             (k._2 != f.length() || k._3 != f.lastModified() || k._4 != fileKey)) {
           it.remove()
-          e.getValue.foreach { c =>
-            val cf = new java.io.File(c)
-            val dir = cf.getParentFile
-            cf.delete()
-            if (dir != null) dir.delete() // succeeds once the dir is empty
-          }
+          condemned.add((e.getValue, System.nanoTime()))
         }
       }
+      sweepCondemned()
       val scratch = java.nio.file.Files.createTempDirectory("graft-sheet-split-")
       scratch.toFile.deleteOnExit()
       val chunks = wb.spillRowChunks(target, n, scratch)

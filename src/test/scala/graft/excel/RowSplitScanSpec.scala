@@ -175,37 +175,97 @@ class RowSplitScanSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("does not match")))
   }
 
-  test("a replaced workbook's superseded chunk spills are evicted eagerly") {
-    def spillDirs(): Set[java.nio.file.Path] = {
-      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      val s = Files.list(tmp)
-      try {
-        val b = Set.newBuilder[java.nio.file.Path]
-        s.forEach(p =>
-          if (p.getFileName.toString.startsWith("graft-sheet-split-")) b += p)
-        b.result()
-      } finally s.close()
-    }
-    def nonEmpty(p: java.nio.file.Path): Boolean =
-      Files.isDirectory(p) && { val s = Files.list(p); try s.findAny().isPresent finally s.close() }
-    val dir = Files.createTempDirectory("evict")
-    val path = dir.resolve("wb.xlsx").toString
-    def write(n: Int): Unit = XlsxWriter.write(path, Seq(Sheet.dense("data",
+  private def spillDirs(): Set[java.nio.file.Path] = {
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val s = Files.list(tmp)
+    try {
+      val b = Set.newBuilder[java.nio.file.Path]
+      s.forEach(p =>
+        if (p.getFileName.toString.startsWith("graft-sheet-split-")) b += p)
+      b.result()
+    } finally s.close()
+  }
+  private def nonEmpty(p: java.nio.file.Path): Boolean =
+    Files.isDirectory(p) && { val s = Files.list(p); try s.findAny().isPresent finally s.close() }
+  private def writeWb(path: String, n: Int): Unit =
+    XlsxWriter.write(path, Seq(Sheet.dense("data",
       Seq(Option(XShared("id"): XCell)) +:
         (1 to n).map(i => Seq(Option(XNum(i): XCell))))))
+  private def withGraceMs[A](ms: Long)(body: => A): A = {
+    val prev = System.getProperty("graft.excel.evictGraceMs")
+    System.setProperty("graft.excel.evictGraceMs", ms.toString)
+    try body
+    finally if (prev == null) System.clearProperty("graft.excel.evictGraceMs")
+    else System.setProperty("graft.excel.evictGraceMs", prev)
+  }
+
+  test("a replaced workbook's superseded chunk spills are swept once the " +
+      "grace window elapses") {
+    withGraceMs(0) {
+      val dir = Files.createTempDirectory("evict")
+      val path = dir.resolve("wb.xlsx").toString
+      val before = spillDirs()
+      writeWb(path, 3000)
+      assert(spark.read.format("excel").option("sheetPartitions", "3")
+        .load(path).count() == 3000)
+      val v1Dirs = (spillDirs() -- before).filter(nonEmpty)
+      assert(v1Dirs.nonEmpty, "first split scan should have spilled chunks")
+      // replace the workbook (delete + rewrite: new size, mtime, inode)
+      Files.delete(java.nio.file.Paths.get(path))
+      writeWb(path, 4000)
+      new java.io.File(path).setLastModified(System.currentTimeMillis() + 2000)
+      assert(spark.read.format("excel").option("sheetPartitions", "3")
+        .load(path).count() == 4000)
+      assert(v1Dirs.forall(!nonEmpty(_)),
+        "superseded chunk files must be deleted once out of grace, " +
+          "not at JVM exit")
+    }
+  }
+
+  test("inside the grace window superseded chunks stay readable for " +
+      "in-flight scans") {
+    withGraceMs(10 * 60 * 1000L) {
+      val dir = Files.createTempDirectory("evictgrace")
+      val path = dir.resolve("wb.xlsx").toString
+      val before = spillDirs()
+      writeWb(path, 3000)
+      // plan a lazy scan against v1 but do NOT execute it yet — its
+      // tasks will read the v1 chunk paths later, the in-flight shape
+      // the grace window exists for
+      val inFlight = spark.read.format("excel").option("sheetPartitions", "3")
+        .load(path)
+      assert(inFlight.count() == 3000)
+      val v1Dirs = (spillDirs() -- before).filter(nonEmpty)
+      assert(v1Dirs.nonEmpty)
+      Files.delete(java.nio.file.Paths.get(path))
+      writeWb(path, 4000)
+      new java.io.File(path).setLastModified(System.currentTimeMillis() + 2000)
+      // the v2 spill condemns v1 but must not delete it inside grace
+      assert(spark.read.format("excel").option("sheetPartitions", "3")
+        .load(path).count() == 4000)
+      assert(v1Dirs.exists(nonEmpty),
+        "condemned chunk files must survive the grace window")
+    }
+  }
+
+  test("many-files corpora ignore sheetPartitions instead of spilling " +
+      "every sheet at plan time") {
+    // 3 files >= sheetPartitions=3: file tasks already provide the
+    // parallelism, so the planner must NOT inflate+spill each sheet on
+    // the driver — partition count stays one per file
+    val dir = Files.createTempDirectory("manyfiles")
+    val header = Seq(Option(XShared("id"): XCell))
+    for (f <- Seq("a", "b", "c"))
+      XlsxWriter.write(dir.resolve(s"$f.xlsx").toString,
+        Seq(Sheet.dense("data", header +:
+          (1 to 100).map(i => Seq(Option(XStr(s"${f}_$i"): XCell))))))
     val before = spillDirs()
-    write(3000)
-    assert(spark.read.format("excel").option("sheetPartitions", "3")
-      .load(path).count() == 3000)
-    val v1Dirs = (spillDirs() -- before).filter(nonEmpty)
-    assert(v1Dirs.nonEmpty, "first split scan should have spilled chunks")
-    // replace the workbook (delete + rewrite: new size, mtime, inode)
-    Files.delete(java.nio.file.Paths.get(path))
-    write(4000)
-    new java.io.File(path).setLastModified(System.currentTimeMillis() + 2000)
-    assert(spark.read.format("excel").option("sheetPartitions", "3")
-      .load(path).count() == 4000)
-    assert(v1Dirs.forall(!nonEmpty(_)),
-      "superseded chunk files must be deleted eagerly, not at JVM exit")
+    val df = spark.read.format("excel").option("sheetPartitions", "3")
+      .load(dir.toString)
+    assert(df.rdd.getNumPartitions == 3,
+      s"expected one task per file, got ${df.rdd.getNumPartitions}")
+    assert(df.count() == 300)
+    assert((spillDirs() -- before).filter(nonEmpty).isEmpty,
+      "the guarded plan must not spill chunk files")
   }
 }
