@@ -62,8 +62,28 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
   // dead session's relation. Every substitution takes a FRESH instance
   // of the cached relation (new exprIds), so only the file listing +
   // schema work is amortized, never attribute identity.
-  private val planCache =
-    new ConcurrentHashMap[(String, String), LogicalPlan]()
+  //
+  // BOUNDED (LRU, access-order): each cached plan strongly references
+  // its SparkSession through HadoopFsRelation, so a cache entry pins
+  // the session — and that same pin means the weak sessionIds map can
+  // never observe the session's death while the entry lives (circular
+  // liveness: cache → plan → session → weak key). Weak-anchoring the
+  // plans to their session therefore CANNOT work; instead the cache is
+  // capped, so a newSession-per-query server accretes at most
+  // MaxCachedPlans pinned (session, file-listing) pairs — bounded
+  // steady-state, not a leak. An evicted entry costs one re-analysis
+  // on next use.
+  private val MaxCachedPlans = 64
+  private val planCache: java.util.Map[(String, String), LogicalPlan] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, String), LogicalPlan](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String), LogicalPlan]): Boolean =
+          size() > MaxCachedPlans
+      })
+
+  private[plans] def cachedPlanCount: Int = planCache.size()
 
   /** Register `summary` as the pre-aggregation of the fact table whose
     * file-source root path is `factPath`. Invalidate any cached plan
@@ -169,9 +189,21 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       if (!cond.references.forall(a => d.dims.contains(a.name))) return None
     }
     val session = SparkSession.active
-    val summaryPlan = freshInstance(planCache.computeIfAbsent(
-      (idOf(session), d.summaryPath),
-      _ => session.read.parquet(d.summaryPath).queryExecution.analyzed))
+    // get-then-put instead of computeIfAbsent: LinkedHashMap's LRU
+    // eviction hook is only reliably driven by put(); the benign race
+    // (two threads analyzing the same summary once each) costs one
+    // redundant file listing, not correctness
+    val cacheKey = (idOf(session), d.summaryPath)
+    val summaryPlan = freshInstance {
+      val cached = planCache.get(cacheKey)
+      if (cached != null) cached
+      else {
+        val analyzed =
+          session.read.parquet(d.summaryPath).queryExecution.analyzed
+        planCache.put(cacheKey, analyzed)
+        analyzed
+      }
+    }
     val sAttr: Map[String, Attribute] =
       summaryPlan.output.map(a => a.name -> a).toMap
     def col(name: String): Option[Attribute] = sAttr.get(name)

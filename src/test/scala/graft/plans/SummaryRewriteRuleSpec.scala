@@ -166,6 +166,83 @@ class SummaryRewriteRuleSpec extends AnyFunSuite {
       plain(spark).orderBy("k", "n").collect().map(_.toSeq).toSeq)
   }
 
+  test("HAVING on a group column still routes to the summary") {
+    // dashboards emit HAVING on dims; Catalyst pushes a group-column
+    // predicate below the aggregate, where factOf collects it — the
+    // rewrite must survive the round trip and stay exact
+    val child = childWithRule()
+    def q(s: SparkSession) = {
+      s.read.parquet(factPath).createOrReplaceTempView("f_having")
+      s.sql("""SELECT l_linestatus, count(*) AS n, sum(l_partkey) AS s
+              |FROM f_having
+              |GROUP BY l_linestatus
+              |HAVING l_linestatus <> 'Z'
+              |ORDER BY l_linestatus""".stripMargin)
+    }
+    val rewritten = q(child)
+    assert(scansOf(rewritten).exists(_.contains("graft_mvspec_summary")),
+      s"dims-HAVING rewrite did not fire: ${scansOf(rewritten)}")
+    assert(!scansOf(rewritten).exists(_.contains("lineitem")))
+    assert(rewritten.collect().map(_.toSeq).toSeq ==
+      q(spark).collect().map(_.toSeq).toSeq)
+  }
+
+  test("HAVING on a measure aggregate stays above the rewritten " +
+      "aggregate and stays exact") {
+    // the negative control for HAVING: a predicate over the AGGREGATED
+    // measure cannot be collected as a summary filter (it references
+    // post-aggregation values); it must remain a Filter above the
+    // rewritten aggregate, never be re-anchored into the summary scan
+    val child = childWithRule()
+    def q(s: SparkSession) = s.read.parquet(factPath)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_partkey")).as("s"))
+      .filter(col("s") > 100)
+      .orderBy("l_returnflag")
+    val rewritten = q(child)
+    assert(scansOf(rewritten).exists(_.contains("graft_mvspec_summary")),
+      s"measure-HAVING blocked the aggregate rewrite: ${scansOf(rewritten)}")
+    assert(!scansOf(rewritten).exists(_.contains("lineitem")))
+    assert(rewritten.collect().map(_.toSeq).toSeq ==
+      q(spark).collect().map(_.toSeq).toSeq)
+  }
+
+  test("Project-over-Filter-over-Project chains between aggregate and " +
+      "fact still rewrite") {
+    val child = childWithRule()
+    def q(s: SparkSession) = s.read.parquet(factPath)
+      .select("l_returnflag", "l_linestatus", "l_partkey")
+      .filter(col("l_returnflag") === "A")
+      .select("l_linestatus", "l_partkey")
+      .groupBy(col("l_linestatus"))
+      .agg(sum(col("l_partkey")).as("s"))
+      .orderBy("l_linestatus")
+    val rewritten = q(child)
+    assert(scansOf(rewritten).exists(_.contains("graft_mvspec_summary")),
+      s"project/filter/project rewrite did not fire: ${scansOf(rewritten)}")
+    assert(!scansOf(rewritten).exists(_.contains("lineitem")))
+    assert(rewritten.collect().map(_.toSeq).toSeq ==
+      q(spark).collect().map(_.toSeq).toSeq)
+  }
+
+  test("newSession-per-query servers cannot grow the plan cache without " +
+      "bound") {
+    // each cached plan strongly pins its session (HadoopFsRelation →
+    // session), so an unbounded cache would leak one session + file
+    // listing per newSession — the exact q74 serving pattern; the LRU
+    // cap turns that into a bounded steady-state
+    val child0 = childWithRule()
+    for (_ <- 1 to 80) {
+      val s = child0.newSession()
+      s.experimental.extraOptimizations = Seq(SummaryRewriteRule)
+      val df = s.read.parquet(factPath)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      assert(scansOf(df).exists(_.contains("graft_mvspec_summary")))
+    }
+    assert(SummaryRewriteRule.cachedPlanCount <= 64,
+      s"plan cache grew past its cap: ${SummaryRewriteRule.cachedPlanCount}")
+  }
+
   test("re-register after a summary rebuild serves the NEW files") {
     // v1 summary is built from HALF the fact (deliberately wrong), the
     // rebuild from the full fact; without register-time cache
