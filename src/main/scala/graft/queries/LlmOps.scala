@@ -2155,6 +2155,90 @@ object LlmOps {
       Some("""SELECT min(doc_id) AS cluster_rep,
              |       count(*) AS n_members
              |FROM documents WHERE doc_id % 3 = 1
-             |GROUP BY doc_id % 23 ORDER BY cluster_rep""".stripMargin))
+             |GROUP BY doc_id % 23 ORDER BY cluster_rep""".stripMargin)),
+
+    // ---------------------- audio near-dup, Hamming tier (banded LSH)
+    // q73's energy fingerprint dedups exact-bucket only — the gain-
+    // invariance case. Real re-encodes also PERTURB a few windows,
+    // flipping a few fingerprint bits; this tier clusters within a
+    // Hamming ball over the SAME 62-bit energy-delta fingerprint,
+    // through the SAME capped postings-list generator as the image tier
+    // (hammingBandPairs: one shuffle of (band, key, id, fp), buckets
+    // over LshMaxBucket dropped before pair expansion with observed
+    // metrics) — all three modalities now share one candidate
+    // discipline. Fixture is constructive like q72's: each asset's
+    // per-window sample LEVELS realize a ±1 walk whose adjacent
+    // energy comparisons are the target bit pattern (levels stay
+    // positive, so energy order = level order and the fingerprint
+    // recovers the pattern exactly; simulated: walk ∈ [8,132],
+    // max sample 6600 < 32767). Motifs are a 15×-repeated nibble code;
+    // noise flips the first (id/48 mod 4) of 3 per-motif positions —
+    // id/48 VARIES within a motif class (id%4 would not: ids sharing
+    // id%16 inside one mod-3 class are congruent mod 48), so variants
+    // sit at genuine Hamming 1–3 (simulated: 936 nonzero within-motif
+    // pairs, max 3) while cross-motif pairs stay ≥ 13. Clusters equal
+    // motif groups exactly at any sf — closed-form oracle.
+    QueryDef(
+      "q77_audio_neardup_hamming",
+      (s, dir) => {
+        import s.implicits._
+        val NW = 63
+        val WS = 64
+        val ids = t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id")).as[Long]
+        val assets = ids.mapPartitions(_.map { id =>
+          val motif = (id % 16).toInt
+          val noise = ((id / 48) % 4).toInt
+          var pattern = 0L
+          (0 until 15).foreach { k =>
+            pattern |= motif.toLong << (4 * k)
+          }
+          (0 until noise).foreach { j =>
+            pattern ^= 1L << ((motif * 7 + j * 13) % 62)
+          }
+          // 63 window levels: a ±1 walk realizing the pattern's
+          // adjacent-energy comparisons; all levels positive, so
+          // sum-of-squares order equals level order
+          var lvl = 70
+          val samples = Array.ofDim[Short](NW * WS)
+          (0 until NW).foreach { w =>
+            if (w > 0)
+              lvl += (if ((pattern >> (w - 1) & 1L) != 0) 1 else -1)
+            val v = (lvl * 50).toShort
+            java.util.Arrays.fill(samples, w * WS, (w + 1) * WS, v)
+          }
+          (id, graft.operators.Multimodal.encodeWavPcm16(samples))
+        }).toDF("asset_id", "payload")
+        val out = graft.RunPaths.scratch(
+          "graft_q77_wav_" + graft.RunPaths.keyFor(dir) + ".parquet")
+        assets.write.mode("overwrite")
+          .option("compression", "zstd").parquet(out)
+        val prof = graft.operators.Multimodal
+          .decodeWavWindows(s.read.parquet(out), WS)
+          .groupBy(col("asset_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("window_idx"), col("sum_sq")))),
+            w => w.getField("sum_sq")).as("es"))
+        val hashed = prof.select(col("asset_id"),
+            aggregate(sequence(lit(1), lit(62)), lit(0L),
+              (acc, w) => acc * 2 + when(element_at(col("es"), w + 1) >
+                element_at(col("es"), w), 1L).otherwise(0L)).as("afp"))
+          .localCheckpoint() // fingerprinted once; banding + CC reuse it
+        val edges = hammingBandPairs(hashed, "asset_id", "afp")
+          .filter(expr("bit_count(ha ^ hb)") <= 3)
+          .select(col("a"), col("b"))
+        val vertices = hashed.select(col("asset_id").as("node"))
+        DedupCluster.connectedComponents(vertices, edges)
+          .groupBy(col("cluster_id"))
+          .agg(min(col("node")).as("cluster_rep"),
+            count(lit(1)).as("n_members"))
+          .select(col("cluster_rep"), col("n_members"))
+          .orderBy("cluster_rep")
+      },
+      Some("""SELECT min(doc_id) AS cluster_rep,
+             |       count(*) AS n_members
+             |FROM documents WHERE doc_id % 3 = 0
+             |GROUP BY doc_id % 16 ORDER BY cluster_rep""".stripMargin))
   )
 }
