@@ -49,8 +49,6 @@ object Bench {
 
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     graft.queries.Conversion.ensureBenchFixture() // untimed fixture gen
-    // untimed index build: q68_ann_serve times ONLY the serve path
-    graft.queries.LlmOps.ensureAnnServeIndex(spark, sfDir)
 
     // min of three runs per query: later runs reuse codegen caches and
     // JIT-warm paths, and the min also rides out ambient host-load noise
@@ -60,6 +58,12 @@ object Bench {
     // the driver never sets it, so the reported set stays the full one
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val set = SparkEntry.benchQueries.filter(q => only.forall(_.contains(q.name)))
+
+    // untimed index build so q68_ann_serve times ONLY the serve path —
+    // gated on the (possibly narrowed) set so local BENCH_ONLY loops on
+    // other queries don't pay two trainings at every start
+    if (set.exists(_.name == "q68_ann_serve"))
+      graft.queries.LlmOps.ensureAnnServeIndex(spark, sfDir)
 
     def once(q: graft.queries.QueryDef): Either[String, Double] = {
       val t0 = System.nanoTime()

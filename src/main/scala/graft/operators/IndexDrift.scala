@@ -49,10 +49,22 @@ object IndexDrift {
     */
   def occupancyPsi(
       base: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
+      coarse: DataFrame): DataFrame =
+    occupancyPsiFromBase(
+      cellOccupancy(base, idCol, vecCol, coarse), batch, idCol, vecCol,
+      coarse)
+
+  /** [[occupancyPsi]] with the base occupancy PRECOMPUTED — the form an
+    * append pipeline actually uses (base occupancy persisted beside the
+    * centroids at build time; only the batch side assigned per append),
+    * and what lets a caller triggering on several batches (q76: in-dist
+    * AND drifted) pay the O(base · K) assign once.
+    */
+  def occupancyPsiFromBase(
+      baseOcc: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
       coarse: DataFrame): DataFrame = {
     val grid = coarse.select(col("cell_id"))
-    val b = cellOccupancy(base, idCol, vecCol, coarse)
-      .withColumnRenamed("n", "nb")
+    val b = baseOcc.withColumnRenamed("n", "nb")
     val a = cellOccupancy(batch, idCol, vecCol, coarse)
       .withColumnRenamed("n", "na")
     // model-scale everywhere below: grid is the centroid table (≤256
@@ -62,6 +74,10 @@ object IndexDrift {
     val tot = b.agg(coalesce(sum(col("nb")), lit(0L)).as("n_base"))
       .crossJoin(a.agg(coalesce(sum(col("na")), lit(0L)).as("n_batch")))
       .crossJoin(grid.agg(count(lit(1)).as("k_cells")))
+    // ungrouped final aggregate → provably ONE row (the registry-wide
+    // nested-loop guard needs this bound for q76's crossJoins; a
+    // groupBy on the derived totals reads as unbounded to it); n_base /
+    // n_batch are constant across the grid, so max() recovers them
     grid.join(b, Seq("cell_id"), "left").join(a, Seq("cell_id"), "left")
       .crossJoin(broadcast(tot))
       .select(col("n_base"), col("n_batch"),
@@ -69,9 +85,10 @@ object IndexDrift {
           (col("n_batch") + col("k_cells"))).as("pa"),
         ((coalesce(col("nb"), lit(0L)) + 1.0) /
           (col("n_base") + col("k_cells"))).as("pb"))
-      .groupBy(col("n_base"), col("n_batch"))
-      .agg(sum((col("pa") - col("pb")) * log(col("pa") / col("pb")))
-        .as("psi"))
+      .agg(max(col("n_base")).as("n_base"),
+        max(col("n_batch")).as("n_batch"),
+        sum((col("pa") - col("pb")) * log(col("pa") / col("pb")))
+          .as("psi"))
   }
 
   /** One row (n_base, n_batch, psi, retrain_needed): the append-time
@@ -82,7 +99,26 @@ object IndexDrift {
   def retrainTrigger(
       base: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
       coarse: DataFrame, threshold: Double = 0.75): DataFrame =
-    occupancyPsi(base, batch, idCol, vecCol, coarse)
+    retrainTriggerFromBase(
+      cellOccupancy(base, idCol, vecCol, coarse), batch, idCol, vecCol,
+      coarse, threshold)
+
+  /** [[retrainTrigger]] over a precomputed base occupancy. */
+  def retrainTriggerFromBase(
+      baseOcc: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
+      coarse: DataFrame, threshold: Double = 0.75): DataFrame =
+    occupancyPsiFromBase(baseOcc, batch, idCol, vecCol, coarse)
       .select(col("n_base"), col("n_batch"), col("psi"),
         (col("psi") > threshold).as("retrain_needed"))
+
+  /** The deliberate-drift transform the trigger, its spec, and the
+    * recall rehearsal all calibrate against — defined ONCE so the
+    * threshold, the q76 oracle, and the published rehearsal numbers
+    * cannot silently diverge.
+    */
+  def shifted(df: DataFrame, idCol: String, vecCol: String,
+      delta: Float = 0.5f): DataFrame =
+    df.select(col(idCol),
+      transform(col(vecCol), x => (x + lit(delta)).cast("float"))
+        .as(vecCol))
 }

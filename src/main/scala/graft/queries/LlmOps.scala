@@ -1271,18 +1271,23 @@ object LlmOps {
         val top = ProductQuantizer.ivfPqTopK(
           query, "embedding", 8, coarseF, booksF, stored, "vec_id",
           nProbe = 4, k = 10)
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("adc_dist").asc, col("vec_id").asc)
-        top.withColumn("prev", lag(col("adc_dist"), 1).over(w))
-          .agg(
+        // contracts are all falsifiable by a broken serve path: a full
+        // top-k, probed cells bounded by nProbe, finite ADC sums, and
+        // non-negative ADC distances (each LUT entry is a squared
+        // residual distance ‖qsv−cv‖² ≥ 0, so a negative sum means a
+        // sign/LUT-indexing bug). NOT asserted: output order — a lag
+        // over a re-sorted window is true by construction and verifies
+        // nothing; serve-order equality is covered by q69/q75's
+        // id+distance equality against independently-derived servings.
+        top.agg(
             count(lit(1)).as("n_results"),
             (countDistinct(col("cell_id")) <= 4).as("cells_ok"),
             (count(when(col("adc_dist").isNull || isnan(col("adc_dist")), 1)) === 0)
               .as("finite_ok"),
-            (count(when(col("prev") > col("adc_dist"), 1)) === 0).as("ordered_ok"))
+            (count(when(col("adc_dist") < 0, 1)) === 0).as("nonneg_ok"))
       },
       Some("""SELECT CAST(10 AS BIGINT) AS n_results, true AS cells_ok,
-             |       true AS finite_ok, true AS ordered_ok""".stripMargin),
+             |       true AS finite_ok, true AS nonneg_ok""".stripMargin),
       bench = true),
 
     // Retrain trigger for the frozen-model index family (q68/q69/q75):
@@ -1302,14 +1307,16 @@ object LlmOps {
         val merged = e.filter(col("vec_id") =!= 0)
         val base = merged.filter(pmod(col("vec_id"), lit(10)) =!= 9)
         val batch = merged.filter(pmod(col("vec_id"), lit(10)) === 9)
-        val drifted = batch.select(col("vec_id"),
-          transform(col("embedding"), x => (x + lit(0.5f)).cast("float"))
-            .as("embedding"))
+        val drifted = IndexDrift.shifted(batch, "vec_id", "embedding")
         val coarse = ivfCentroids(s, dir, base)
-        val inD = IndexDrift.retrainTrigger(
-          base, batch, "vec_id", "embedding", coarse)
-        val dr = IndexDrift.retrainTrigger(
-          base, drifted, "vec_id", "embedding", coarse)
+        // base occupancy computed ONCE (K rows, checkpointed) and fed
+        // to both triggers — the persisted-beside-the-centroids shape
+        val baseOcc = IndexDrift.cellOccupancy(
+          base, "vec_id", "embedding", coarse).localCheckpoint(true)
+        val inD = IndexDrift.retrainTriggerFromBase(
+          baseOcc, batch, "vec_id", "embedding", coarse)
+        val dr = IndexDrift.retrainTriggerFromBase(
+          baseOcc, drifted, "vec_id", "embedding", coarse)
         inD.select(col("n_base"), col("n_batch"),
             col("retrain_needed").as("in_dist_trigger"))
           .crossJoin(dr.select(col("retrain_needed").as("drifted_trigger")))
@@ -2072,20 +2079,30 @@ object LlmOps {
             (id, graft.operators.Multimodal.dhash64(p)
               .getOrElse(sys.error(s"asset $id: malformed PPM")))
           }).toDF("asset_id", "dhash")
+        // exact tier FIRST (the q71 layer, made literal): identical
+        // hashes collapse to one representative carrying the member
+        // count, so the banded tier sees only DISTINCT hashes —
+        // band-bucket size is bounded by the distinct-hash population
+        // at ANY sf, not by duplicate multiplicity (banding the raw
+        // corpus would blow every bucket past LshMaxBucket once a
+        // motif class exceeds it, dropping even Hamming-0 edges).
+        val uniq = hashed.groupBy(col("dhash"))
+          .agg(min(col("asset_id")).as("rep"), count(lit(1)).as("cnt"))
           .localCheckpoint() // hashed once; banding + verify + CC reuse it
         // capped postings-list banding (hammingBandPairs): one shuffle of
         // (band, key, id, hash), per-bucket pair expansion bounded by
         // LshMaxBucket with observed drop metrics — the q23 text tier's
         // discipline, because a band key is only 16 bits and an uncapped
         // join would expand O(n²/65536) pairs on a uniform image corpus
-        val edges = hammingBandPairs(hashed, "asset_id", "dhash")
+        val edges = hammingBandPairs(uniq, "rep", "dhash")
           .filter(expr("bit_count(ha ^ hb)") <= 3)
           .select(col("a"), col("b"))
-        val vertices = hashed.select(col("asset_id").as("node"))
+        val vertices = uniq.select(col("rep").as("node"))
         DedupCluster.connectedComponents(vertices, edges)
+          .join(uniq.select(col("rep").as("node"), col("cnt")), "node")
           .groupBy(col("cluster_id"))
           .agg(min(col("node")).as("cluster_rep"),
-            count(lit(1)).as("n_members"))
+            sum(col("cnt")).as("n_members"))
           .select(col("cluster_rep"), col("n_members"))
           .orderBy("cluster_rep")
       },
@@ -2224,15 +2241,27 @@ object LlmOps {
             aggregate(sequence(lit(1), lit(62)), lit(0L),
               (acc, w) => acc * 2 + when(element_at(col("es"), w + 1) >
                 element_at(col("es"), w), 1L).otherwise(0L)).as("afp"))
-          .localCheckpoint() // fingerprinted once; banding + CC reuse it
-        val edges = hammingBandPairs(hashed, "asset_id", "afp")
+        // exact tier FIRST: identical fingerprints collapse to one
+        // representative (min id) carrying the member count, and the
+        // Hamming tier bands only DISTINCT hashes — so band-bucket size
+        // is bounded by the distinct-hash population (≤ 64 here at ANY
+        // sf), not by duplicate multiplicity. Banding the raw corpus
+        // would blow every band bucket past LshMaxBucket once a motif
+        // class exceeds it (~12k docs for this fixture), dropping even
+        // Hamming-0 edges and breaking the closed-form oracle; at real
+        // scale the same layering is simply q71-then-q72.
+        val uniq = hashed.groupBy(col("afp"))
+          .agg(min(col("asset_id")).as("rep"), count(lit(1)).as("cnt"))
+          .localCheckpoint() // hashed once; banding + CC reuse it
+        val edges = hammingBandPairs(uniq, "rep", "afp")
           .filter(expr("bit_count(ha ^ hb)") <= 3)
           .select(col("a"), col("b"))
-        val vertices = hashed.select(col("asset_id").as("node"))
+        val vertices = uniq.select(col("rep").as("node"))
         DedupCluster.connectedComponents(vertices, edges)
+          .join(uniq.select(col("rep").as("node"), col("cnt")), "node")
           .groupBy(col("cluster_id"))
           .agg(min(col("node")).as("cluster_rep"),
-            count(lit(1)).as("n_members"))
+            sum(col("cnt")).as("n_members"))
           .select(col("cluster_rep"), col("n_members"))
           .orderBy("cluster_rep")
       },

@@ -163,18 +163,23 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
     def serial(f: String): InputPartition = ExcelInputPartition(
       f, o.sheetName, o.sheetIndex, o.skipRows, positions, expectNames,
       headerDedup = o.headerDedup)
-    if (o.sheetPartitions > 1 && paths.length >= o.sheetPartitions) {
-      // Many-files guard: per-file splitting inflates and spills EVERY
-      // workbook's sheet serially on the driver at PLAN time — O(corpus)
-      // planning latency and temp disk. When the corpus already has at
-      // least sheetPartitions files, one task per file meets or beats
-      // the requested parallelism, so splitting buys nothing; scan
-      // serially per file and say so. (sheetPartitions exists for the
-      // few-huge-workbooks shape, not for directory corpora.)
+    // Many-files guard: per-file splitting inflates and spills EVERY
+    // workbook's sheet serially on the driver at PLAN time — O(corpus)
+    // planning latency and temp disk. sheetPartitions stays a PER-FILE
+    // knob (a corpus of 8 huge workbooks × sheetPartitions=8 rightly
+    // plans 64 partitions), but the number of files it will split is
+    // bounded: past `graft.excel.maxSplitFiles` (default 16) the corpus
+    // is a directory-scale scan whose parallelism already comes from
+    // file count, and splitting it would inflate the whole corpus into
+    // driver /tmp — scan serially per file and say so.
+    val maxSplitFiles =
+      Integer.getInteger("graft.excel.maxSplitFiles", 16).intValue()
+    if (o.sheetPartitions > 1 && paths.length > maxSplitFiles) {
       ExcelScan.log.warn(
         s"sheetPartitions=${o.sheetPartitions} ignored: ${paths.length} " +
-          "files already provide that much parallelism (one task per " +
-          "file); per-file splitting would spill every sheet on the driver")
+          s"files exceed maxSplitFiles=$maxSplitFiles — per-file " +
+          "splitting would spill every sheet on the driver at plan " +
+          "time; scanning one task per file")
       paths.map(serial).toArray
     } else if (o.sheetPartitions > 1) {
       // Splittable scan, one file at a time: each workbook's selected
@@ -183,10 +188,9 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
       // contract (lexicographic by path, then sheet row order) is the
       // same as the serial multi-file scan's. A corpus of a FEW huge
       // workbooks — where one task per file under-parallelizes — gets
-      // per-file splitting this way (the branch above bounds "few": the
-      // file count is < sheetPartitions); a file whose rows can't be
-      // split (no r= attributes) falls back to one serial task for THAT
-      // file only.
+      // per-file splitting this way (the branch above bounds "few" at
+      // maxSplitFiles); a file whose rows can't be split (no r=
+      // attributes) falls back to one serial task for THAT file only.
       val parts = paths.flatMap { path =>
         val wb = WorkbookSource.open(path)
         try {
@@ -278,14 +282,22 @@ object ExcelScan {
       if (dir != null) dir.delete() // succeeds once the dir is empty
     }
 
-  /** Delete condemned chunk sets whose grace window has elapsed. */
+  /** Delete condemned chunk sets whose grace window has elapsed. The
+    * polled entry's OWN timestamp is re-checked after poll: two threads
+    * sweeping concurrently may each peek the same expired head, and the
+    * loser's poll() would otherwise hand it the NEXT (possibly still
+    * in-grace) entry to delete. A still-in-grace poll is re-enqueued
+    * (tail order is fine — deletion is gated on each entry's timestamp,
+    * never on queue position) and the sweep stops.
+    */
   private def sweepCondemned(): Unit = {
     val now = System.nanoTime()
-    var head = condemned.peek()
-    while (head != null && now - head._2 >= graceNanos) {
-      val polled = condemned.poll() // atomic: one thread gets each entry
-      if (polled != null) deleteChunkSet(polled._1)
-      head = condemned.peek()
+    var continue = true
+    while (continue) {
+      val polled = condemned.poll() // atomic: one thread owns each entry
+      if (polled == null) continue = false
+      else if (now - polled._2 >= graceNanos) deleteChunkSet(polled._1)
+      else { condemned.add(polled); continue = false }
     }
   }
 

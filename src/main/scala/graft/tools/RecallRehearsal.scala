@@ -60,9 +60,11 @@ object RecallRehearsal {
       .localCheckpoint(true)
     val base = corpus.filter(pmod(col("vec_id"), lit(10)) =!= 9)
     val appends = corpus.filter(pmod(col("vec_id"), lit(10)) === 9)
-    def shifted(df: DataFrame): DataFrame = df.select(col("vec_id"),
-      transform(col("embedding"), x => (x + lit(0.5f)).cast("float"))
-        .as("embedding"))
+    // the ONE drift transform (shared with q76 and its spec), so the
+    // rehearsal table and the trigger threshold stay calibrated to the
+    // same scenario
+    def shifted(df: DataFrame): DataFrame =
+      IndexDrift.shifted(df, "vec_id", "embedding")
 
     // frozen models: trained on base only, persisted + read back so all
     // scenarios serve the SAME floats (q68's self-consistency pattern)

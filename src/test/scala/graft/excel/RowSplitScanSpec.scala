@@ -248,24 +248,32 @@ class RowSplitScanSpec extends AnyFunSuite {
     }
   }
 
-  test("many-files corpora ignore sheetPartitions instead of spilling " +
-      "every sheet at plan time") {
-    // 3 files >= sheetPartitions=3: file tasks already provide the
-    // parallelism, so the planner must NOT inflate+spill each sheet on
-    // the driver — partition count stays one per file
-    val dir = Files.createTempDirectory("manyfiles")
-    val header = Seq(Option(XShared("id"): XCell))
-    for (f <- Seq("a", "b", "c"))
-      XlsxWriter.write(dir.resolve(s"$f.xlsx").toString,
-        Seq(Sheet.dense("data", header +:
-          (1 to 100).map(i => Seq(Option(XStr(s"${f}_$i"): XCell))))))
-    val before = spillDirs()
-    val df = spark.read.format("excel").option("sheetPartitions", "3")
-      .load(dir.toString)
-    assert(df.rdd.getNumPartitions == 3,
-      s"expected one task per file, got ${df.rdd.getNumPartitions}")
-    assert(df.count() == 300)
-    assert((spillDirs() -- before).filter(nonEmpty).isEmpty,
-      "the guarded plan must not spill chunk files")
+  test("corpora past maxSplitFiles ignore sheetPartitions instead of " +
+      "spilling every sheet at plan time") {
+    // sheetPartitions stays a PER-FILE knob (few huge workbooks split
+    // into files × sheetPartitions tasks), but past maxSplitFiles the
+    // scan is directory-scale and the planner must NOT inflate+spill
+    // each sheet on the driver — partition count stays one per file
+    val prev = System.getProperty("graft.excel.maxSplitFiles")
+    System.setProperty("graft.excel.maxSplitFiles", "2")
+    try {
+      val dir = Files.createTempDirectory("manyfiles")
+      val header = Seq(Option(XShared("id"): XCell))
+      for (f <- Seq("a", "b", "c"))
+        XlsxWriter.write(dir.resolve(s"$f.xlsx").toString,
+          Seq(Sheet.dense("data", header +:
+            (1 to 100).map(i => Seq(Option(XStr(s"${f}_$i"): XCell))))))
+      val before = spillDirs()
+      val df = spark.read.format("excel").option("sheetPartitions", "3")
+        .load(dir.toString)
+      assert(df.rdd.getNumPartitions == 3,
+        s"expected one task per file, got ${df.rdd.getNumPartitions}")
+      assert(df.count() == 300)
+      assert((spillDirs() -- before).filter(nonEmpty).isEmpty,
+        "the guarded plan must not spill chunk files")
+    } finally {
+      if (prev == null) System.clearProperty("graft.excel.maxSplitFiles")
+      else System.setProperty("graft.excel.maxSplitFiles", prev)
+    }
   }
 }

@@ -25,9 +25,7 @@ class IndexDriftSpec extends AnyFunSuite {
       .filter(col("vec_id") =!= 0)
     val base = e.filter(pmod(col("vec_id"), lit(10)) =!= 9)
     val batch = e.filter(pmod(col("vec_id"), lit(10)) === 9)
-    val drifted = batch.select(col("vec_id"),
-      transform(col("embedding"), x => (x + lit(0.5f)).cast("float"))
-        .as("embedding"))
+    val drifted = IndexDrift.shifted(batch, "vec_id", "embedding")
     val coarse = graft.queries.LlmOps.ivfCentroids(spark, sf, base)
 
     val inD = IndexDrift.retrainTrigger(
