@@ -1101,26 +1101,29 @@ object LlmOps {
           .join(broadcast(lutDf), "jcode")
           .groupBy(col("vec_id"), col("adc_dist"))
           .agg(sum(col("jd")).as("join_dist"))
-        val w = Window.orderBy(col("adc_dist").asc, col("vec_id").asc)
-        rescored
-          .withColumn("prev", lag(col("adc_dist"), 1).over(w))
-          .agg(
+        // non-negativity, not order: each LUT entry is a squared
+        // subspace distance, so a negative ADC sum means a sign or
+        // LUT-indexing bug — falsifiable, where a lag over a window
+        // re-sorted by adc_dist was true by construction (round-10
+        // self-review finding; the real scoring contract here is
+        // kernel_matches_join)
+        rescored.agg(
             count(lit(1)).as("n_results"),
             (count(when(abs(col("adc_dist") - col("join_dist")) > 1e-9, 1)) === 0)
               .as("kernel_matches_join"),
-            (count(when(col("prev") > col("adc_dist"), 1)) === 0).as("ordered_ok"))
+            (count(when(col("adc_dist") < 0, 1)) === 0).as("nonneg_ok"))
       },
       Some("""SELECT CAST(10 AS BIGINT) AS n_results,
              |       true AS kernel_matches_join,
-             |       true AS ordered_ok""".stripMargin)),
+             |       true AS nonneg_ok""".stripMargin)),
 
     // IVF-PQ: coarse k-means cells + PQ over RESIDUALS + per-cell query
     // LUTs (operators.ProductQuantizer.ivfPq*) — the billion-scale ANN
     // composition: the serving scan touches only probed cells' codes and
     // never a raw vector. Contract (all deterministic booleans): k
-    // results, drawn from ≤ nProbe cells, finite scores, ascending
-    // ranking. Recall and the LUT-vs-kernel scoring equivalence are
-    // asserted on clustered fixtures in ProductQuantizerSpec.
+    // results, drawn from ≤ nProbe cells, finite non-negative scores.
+    // Recall and the LUT-vs-kernel scoring equivalence are asserted on
+    // clustered fixtures in ProductQuantizerSpec.
     QueryDef(
       "q24_ann_ivfpq",
       (s, dir) => {
@@ -1132,18 +1135,18 @@ object LlmOps {
           data, "vec_id", "embedding", m = 8, coarse, every = 40, iters = 2)
         val top = ProductQuantizer.ivfPqTopK(
           query, "embedding", 8, coarse, books, codes, "vec_id", nProbe = 4, k = 10)
-        val w = Window.orderBy(col("adc_dist").asc, col("vec_id").asc)
-        top
-          .withColumn("prev", lag(col("adc_dist"), 1).over(w))
-          .agg(
+        // nonneg_ok replaces a lag-over-resorted-window order check that
+        // was true by construction (round-10 self-review finding): ADC
+        // sums of squared residual distances must be ≥ 0
+        top.agg(
             count(lit(1)).as("n_results"),
             (countDistinct(col("cell_id")) <= 4).as("cells_ok"),
             (count(when(col("adc_dist").isNull || isnan(col("adc_dist")), 1)) === 0)
               .as("finite_ok"),
-            (count(when(col("prev") > col("adc_dist"), 1)) === 0).as("ordered_ok"))
+            (count(when(col("adc_dist") < 0, 1)) === 0).as("nonneg_ok"))
       },
       Some("""SELECT CAST(10 AS BIGINT) AS n_results, true AS cells_ok,
-             |       true AS finite_ok, true AS ordered_ok""".stripMargin)),
+             |       true AS finite_ok, true AS nonneg_ok""".stripMargin)),
 
     // --------------------------------- incremental ANN index maintenance
     // The 100 TB ANN reality is a PERSISTED index maintained on append,
