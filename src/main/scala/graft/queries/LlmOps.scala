@@ -2037,11 +2037,13 @@ object LlmOps {
     // ±1 luminance level walk whose adjacent-cell comparisons are the
     // pattern bits, so dhash64 recovers it exactly); motifs are a
     // 16×-repeated nibble code (cross-motif Hamming ≥ 16), noise flips
-    // the first (id mod 4) of 3 per-motif positions (nested → any two
-    // variants of one motif are ≤ 3 apart). Clusters therefore equal
+    // the first (id/48 mod 4) of 3 per-motif positions (nested → any
+    // two variants of one motif are ≤ 3 apart, and id/48 VARIES within
+    // a motif class where id%4 would not). Clusters therefore equal
     // motif groups EXACTLY at any sf, with a closed-form oracle; and
     // the verify threshold has real teeth — cross-motif noisy pairs sit
-    // ≥ 10 apart, within-motif at ≤ 3.
+    // ≥ 14 apart, within-motif at ≤ 3 with 1,656 genuinely nonzero
+    // pairs in the first 800 ids (simulated).
     QueryDef(
       "q72_image_neardup_hamming",
       (s, dir) => {
@@ -2055,7 +2057,14 @@ object LlmOps {
           (0 until 16).foreach { k =>
             pattern |= motif.toLong << (4 * k)
           }
-          (0 until (id % 4).toInt).foreach { j =>
+          // noise keys on id/48, NOT id%4: ids sharing a motif inside
+          // one mod-3 class are congruent mod 48, so id%4 would give
+          // every variant of a motif the SAME flips — zero within-motif
+          // distance, a Hamming tier never exercised (round-10 finding,
+          // caught building q77). id/48 varies per variant: simulated
+          // 1,656 nonzero within-motif pairs at max Hamming 3,
+          // cross-motif ≥ 14.
+          (0 until ((id / 48) % 4).toInt).foreach { j =>
             pattern ^= 1L << ((motif * 7 + j * 13) % 64)
           }
           val bright = (id % 5).toInt * 8
