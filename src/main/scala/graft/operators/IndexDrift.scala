@@ -54,6 +54,14 @@ object IndexDrift {
       cellOccupancy(base, idCol, vecCol, coarse), batch, idCol, vecCol,
       coarse)
 
+  /** (cell_id, n) straight from an ALREADY-ENCODED codes table (gen
+    * rows carry their assigned cell_id) — the streaming-append form:
+    * the stored index IS the assignment, so per-trigger drift costs one
+    * count over the generation just written, no vector touched.
+    */
+  def occupancyOfCodes(codes: DataFrame): DataFrame =
+    codes.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+
   /** [[occupancyPsi]] with the base occupancy PRECOMPUTED — the form an
     * append pipeline actually uses (base occupancy persisted beside the
     * centroids at build time; only the batch side assigned per append),
@@ -62,11 +70,19 @@ object IndexDrift {
     */
   def occupancyPsiFromBase(
       baseOcc: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
+      coarse: DataFrame): DataFrame =
+    occupancyPsiFromOccupancies(baseOcc,
+      cellOccupancy(batch, idCol, vecCol, coarse), coarse)
+
+  /** PSI from two precomputed (cell_id, n) occupancies over the
+    * centroid grid — the core every other form delegates to.
+    */
+  def occupancyPsiFromOccupancies(
+      baseOcc: DataFrame, batchOcc: DataFrame,
       coarse: DataFrame): DataFrame = {
     val grid = coarse.select(col("cell_id"))
     val b = baseOcc.withColumnRenamed("n", "nb")
-    val a = cellOccupancy(batch, idCol, vecCol, coarse)
-      .withColumnRenamed("n", "na")
+    val a = batchOcc.withColumnRenamed("n", "na")
     // model-scale everywhere below: grid is the centroid table (≤256
     // rows by ivfCentroids' cap), totals are 1-row aggregates
     // coalesce: an empty side must mean n=0 (uniform smoothed

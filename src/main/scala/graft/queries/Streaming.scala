@@ -336,6 +336,25 @@ object Streaming {
              |  CAST(10 AS BIGINT) AS n_results,
              |  true AS deletes_visible_raw,
              |  true AS same_as_batch_delete
-             |FROM embeddings WHERE vec_id <> 0""".stripMargin))
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
+
+    // The retrain trigger riding the streaming append path (q69 + q76
+    // composed): each micro-batch lands one index generation AND one
+    // drift row — per-generation cell-occupancy PSI against the base
+    // occupancy persisted at build time, both sides read from STORED
+    // codes (the index is its own assignment record; one K-row count
+    // per trigger, no vector re-assigned). In-dist arrivals stream
+    // first (3 scrambled micro-batches), then a deliberately drifted
+    // batch with marker ids. Contracts: 4 triggers, multi-trigger clean
+    // delivery, no clean generation demands a retrain, the drifted one
+    // does.
+    QueryDef(
+      "q78_stream_index_drift",
+      (s, dir) => graft.streaming.StreamOps.streamIndexDrift(s, dir),
+      Some("""SELECT CAST(4 AS BIGINT) AS n_triggers,
+             |  true AS multi_trigger_ok,
+             |  true AS clean_quiet,
+             |  CAST(1 AS BIGINT) AS n_drifted,
+             |  true AS drifted_fires""".stripMargin))
   )
 }

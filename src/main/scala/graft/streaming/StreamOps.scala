@@ -714,6 +714,110 @@ object StreamOps {
         col("deletes_visible_raw"), col("same_as_batch_delete"))
   }
 
+  /** The retrain trigger RIDING the streaming append path — q69 and
+    * q76 composed into the production shape: every arriving micro-batch
+    * lands one index generation AND one persisted drift row. The drift
+    * statistic is cell-occupancy PSI of the generation just written
+    * against the base occupancy persisted at build time — both sides
+    * read from STORED CODES (`IndexDrift.occupancyOfCodes`): the index
+    * is its own assignment record, so per-trigger monitoring costs one
+    * K-row count over the new generation, no vector re-assigned, no
+    * state store. Delivery is two-phase so the contract is
+    * deterministic: the in-distribution arrivals stream first (3
+    * hash-scrambled micro-batches), then a deliberately drifted batch
+    * (the shared `IndexDrift.shifted` transform, ids offset by 10^6 so
+    * the drifted generation is structurally identifiable).
+    *
+    * Contracts (one row, deterministic booleans — PSI floats are
+    * model-dependent and never surfaced): 4 triggers, ≥ 2 clean
+    * generations (multi-trigger delivery), NO clean generation demands
+    * a retrain (rehearsed clean per-trigger PSI ≤ ~0.25 vs the 0.75
+    * threshold), and the one drifted generation DOES (rehearsed ~2.6).
+    */
+  def streamIndexDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{IndexDrift, ProductQuantizer}
+    import graft.queries.LlmOps
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val merged = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val base = merged.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+    val arriving = merged.filter(pmod(col("vec_id"), lit(10)) === 9)
+    val idx = graft.RunPaths.scratch(
+      "graft_q78_index_" + graft.RunPaths.keyFor(sfDir))
+    // offline build, q68's persist-first order — plus the base
+    // occupancy persisted BESIDE the models (the build-time artifact
+    // the per-append trigger reads)
+    val coarse0 = LlmOps.ivfCentroids(spark, sfDir, base)
+    coarse0.write.mode("overwrite").parquet(s"$idx/coarse")
+    ProductQuantizer.ivfPqTrainBooks(
+        base, "vec_id", "embedding", m = 8, coarse0, every = 40, iters = 2)
+      .write.mode("overwrite").parquet(s"$idx/books")
+    val coarseF = LlmOps.modelScaleStamp(spark.read.parquet(s"$idx/coarse"),
+      "q78 frozen coarse-centroid table")
+    val booksF = spark.read.parquet(s"$idx/books")
+    ProductQuantizer.ivfPqEncodeWith(
+        base, "vec_id", "embedding", 8, coarseF, booksF)
+      .write.mode("overwrite").parquet(s"$idx/codes/gen=0")
+    IndexDrift.occupancyOfCodes(spark.read.parquet(s"$idx/codes/gen=0"))
+      .write.mode("overwrite").parquet(s"$idx/base_occ")
+
+    def drive(srcDir: String, genOffset: Int): Unit = {
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val gen = genOffset + id + 1
+          ProductQuantizer.ivfPqEncodeWith(
+              batch, "vec_id", "embedding", 8, coarseF, booksF)
+            .write.mode("overwrite").parquet(s"$idx/codes/gen=$gen")
+          // the trigger's whole input is stored state: base occupancy
+          // from build time, generation occupancy from the codes just
+          // written — one K-row aggregate per trigger
+          IndexDrift.occupancyPsiFromOccupancies(
+              spark.read.parquet(s"$idx/base_occ"),
+              IndexDrift.occupancyOfCodes(
+                spark.read.parquet(s"$idx/codes/gen=$gen")),
+              coarseF)
+            .select(lit(gen).as("gen"), col("n_batch"), col("psi"),
+              (col("psi") > 0.75).as("retrain_needed"))
+            .crossJoin(batch.agg(
+              (coalesce(max(col("vec_id")), lit(0L)) >= 1000000L)
+                .as("drifted_batch")))
+            .write.mode("overwrite").parquet(s"$idx/drift/gen=$gen")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // phase 1: in-distribution arrivals, 3 hash-scrambled micro-batches
+    val split1 = graft.RunPaths.scratch(
+      "graft_q78_arrivals_" + graft.RunPaths.keyFor(sfDir))
+    arriving.repartition(3, xxhash64(col("vec_id")))
+      .write.mode("overwrite").parquet(split1)
+    drive(split1, 0)
+    // phase 2: the drifted batch (shifted embeddings, marker ids)
+    val split2 = graft.RunPaths.scratch(
+      "graft_q78_drifted_" + graft.RunPaths.keyFor(sfDir))
+    IndexDrift.shifted(arriving, "vec_id", "embedding")
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(split2)
+    drive(split2, 3)
+
+    val drift = spark.read.parquet(s"$idx/drift")
+    drift.agg(
+      count(lit(1)).as("n_triggers"),
+      (countDistinct(when(!col("drifted_batch"), col("gen"))) >= 2)
+        .as("multi_trigger_ok"),
+      (count(when(!col("drifted_batch") && col("retrain_needed"), 1)) === 0)
+        .as("clean_quiet"),
+      count(when(col("drifted_batch"), 1)).as("n_drifted"),
+      (count(when(col("drifted_batch") && !col("retrain_needed"), 1)) === 0)
+        .as("drifted_fires"))
+  }
+
   /** The pipeline behind [[streamPrioritySample]], parameterized on the
     * document stream so the spec can force scrambled multi-micro-batch
     * arrival and assert batch-equivalence.
