@@ -47,7 +47,7 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * a summary is only as fresh as its build job, and opting a session in
   * is the freshness contract.
   */
-object SummaryRewriteRule extends Rule[LogicalPlan] {
+object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
   final case class SummaryDef(
       summaryPath: String, dims: Set[String], measures: Set[String])
@@ -128,6 +128,7 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
     case agg @ Aggregate(_, _, _, _) =>
       factOf(agg.child)
         .flatMap { case (d, filters) => rewrite(agg, d, filters) }
+        .orElse(rewriteOverJoin(agg))
         .getOrElse(agg)
   }
 
@@ -174,6 +175,55 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
     case other => other
   }
 
+  /** A fresh-attributed analyzed plan of `d`'s summary for the active
+    * session, through the bounded LRU cache. get-then-put instead of
+    * computeIfAbsent: LinkedHashMap's LRU eviction hook is only
+    * reliably driven by put(); the benign race (two threads analyzing
+    * the same summary once each) costs one redundant file listing, not
+    * correctness.
+    */
+  private def summaryFor(session: SparkSession, d: SummaryDef): LogicalPlan =
+    freshInstance {
+      val cacheKey = (idOf(session), d.summaryPath)
+      val cached = planCache.get(cacheKey)
+      if (cached != null) cached
+      else {
+        val analyzed =
+          session.read.parquet(d.summaryPath).queryExecution.analyzed
+        planCache.put(cacheKey, analyzed)
+        analyzed
+      }
+    }
+
+  /** Map one fact-side aggregate function onto its summary
+    * re-aggregation, or None if not derivable.
+    */
+  private def mapAggWith(
+      fn: AggregateFunction, d: SummaryDef,
+      scol: String => Option[Attribute]): Option[Expression] = fn match {
+    case c: Count if c.children == Seq(Literal(1)) =>
+      // coalesce: a GLOBAL count over an empty fact is 0, but a sum
+      // over the (empty) summary would be NULL
+      scol("cnt").map(a =>
+        Coalesce(Seq(Sum(a).toAggregateExpression(), Literal(0L))))
+    case s: Sum => s.child match {
+      case a: AttributeReference if d.measures.contains(a.name) =>
+        scol(s"sum_${a.name}").map(Sum(_).toAggregateExpression())
+      case _ => None
+    }
+    case m: Min => m.child match {
+      case a: AttributeReference if d.measures.contains(a.name) =>
+        scol(s"min_${a.name}").map(Min(_).toAggregateExpression())
+      case _ => None
+    }
+    case m: Max => m.child match {
+      case a: AttributeReference if d.measures.contains(a.name) =>
+        scol(s"max_${a.name}").map(Max(_).toAggregateExpression())
+      case _ => None
+    }
+    case _ => None
+  }
+
   private def rewrite(
       agg: Aggregate, d: SummaryDef,
       filters: Seq[Expression]): Option[LogicalPlan] = {
@@ -189,48 +239,12 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       if (!cond.references.forall(a => d.dims.contains(a.name))) return None
     }
     val session = SparkSession.active
-    // get-then-put instead of computeIfAbsent: LinkedHashMap's LRU
-    // eviction hook is only reliably driven by put(); the benign race
-    // (two threads analyzing the same summary once each) costs one
-    // redundant file listing, not correctness
-    val cacheKey = (idOf(session), d.summaryPath)
-    val summaryPlan = freshInstance {
-      val cached = planCache.get(cacheKey)
-      if (cached != null) cached
-      else {
-        val analyzed =
-          session.read.parquet(d.summaryPath).queryExecution.analyzed
-        planCache.put(cacheKey, analyzed)
-        analyzed
-      }
-    }
+    val summaryPlan = summaryFor(session, d)
     val sAttr: Map[String, Attribute] =
       summaryPlan.output.map(a => a.name -> a).toMap
     def col(name: String): Option[Attribute] = sAttr.get(name)
-
-    def mapAgg(fn: AggregateFunction): Option[Expression] = fn match {
-      case c: Count if c.children == Seq(Literal(1)) =>
-        // coalesce: a GLOBAL count over an empty fact is 0, but a sum
-        // over the (empty) summary would be NULL
-        col("cnt").map(a =>
-          Coalesce(Seq(Sum(a).toAggregateExpression(), Literal(0L))))
-      case s: Sum => s.child match {
-        case a: AttributeReference if d.measures.contains(a.name) =>
-          col(s"sum_${a.name}").map(Sum(_).toAggregateExpression())
-        case _ => None
-      }
-      case m: Min => m.child match {
-        case a: AttributeReference if d.measures.contains(a.name) =>
-          col(s"min_${a.name}").map(Min(_).toAggregateExpression())
-        case _ => None
-      }
-      case m: Max => m.child match {
-        case a: AttributeReference if d.measures.contains(a.name) =>
-          col(s"max_${a.name}").map(Max(_).toAggregateExpression())
-        case _ => None
-      }
-      case _ => None
-    }
+    def mapAgg(fn: AggregateFunction): Option[Expression] =
+      mapAggWith(fn, d, col)
 
     val rewritten = agg.aggregateExpressions.map {
       case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
@@ -266,5 +280,130 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
     })
     val child = newFilters.foldRight(summaryPlan)(Filter(_, _))
     Some(Aggregate(newGroups, rewritten, child))
+  }
+
+  /** The star-join dashboard shape: `Aggregate(Join(fact, dim))` →
+    * `Aggregate(Join(summary, dim))` — grouping by dimension-table
+    * columns, aggregating fact measures.
+    *
+    * EXACTNESS. Eligible only when every join conjunct is an equi
+    * predicate between a fact column that is a SUMMARY DIM and a
+    * column of the other side. Then summary groups are homogeneous in
+    * the join key, so the inner join acts identically on group rows
+    * and on fact rows: an unmatched key drops whole groups (exactly
+    * the fact rows it would have dropped), and a key matching m dim
+    * rows replicates each group row m times — sum-of-partial-sums and
+    * sum-of-cnt replicate exactly like the underlying fact rows, and
+    * min/max are replication-invariant. Aggregates must reference ONLY
+    * the fact side (an aggregate over a dim column — e.g.
+    * sum(d.population) — weights each dim value by fact-row
+    * multiplicity, which the summary cannot reproduce: decline);
+    * groupings may come from either side (dim-side groupings
+    * re-partition whole group rows). Join types other than Inner
+    * decline (outer joins fabricate null-extended rows at ROW
+    * granularity). The non-fact side is substituted UNTOUCHED — its
+    * attribute ids stay live for the parent aggregate.
+    */
+  private def rewriteOverJoin(agg: Aggregate): Option[LogicalPlan] = {
+    def unwrap(p: LogicalPlan): Option[Join] = p match {
+      case SubqueryAlias(_, inner) => unwrap(inner)
+      case Project(pl, inner)
+          if pl.forall(_.isInstanceOf[AttributeReference]) => unwrap(inner)
+      case j: Join => Some(j)
+      case _ => None
+    }
+    unwrap(agg.child).flatMap { j =>
+      if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner) None
+      else j.condition.flatMap { cond =>
+        (factOf(j.left), factOf(j.right)) match {
+          case (Some((d, fs)), None) =>
+            rewriteJoin(agg, j, cond, d, fs, factLeft = true)
+          case (None, Some((d, fs))) =>
+            rewriteJoin(agg, j, cond, d, fs, factLeft = false)
+          case _ => None // fact on both sides (self-join): ambiguous
+        }
+      }
+    }
+  }
+
+  private def rewriteJoin(
+      agg: Aggregate, j: Join, cond: Expression, d: SummaryDef,
+      filters: Seq[Expression], factLeft: Boolean): Option[LogicalPlan] = {
+    val factSide = if (factLeft) j.left else j.right
+    val dimSide = if (factLeft) j.right else j.left
+    // fact-side WHERE filters collected below the join: dims-only, as
+    // in the plain rewrite
+    filters.foreach { c =>
+      if (!c.references.forall(a => d.dims.contains(a.name))) return None
+    }
+    // every join conjunct: fact-dim = dim-side column (either order)
+    val conjuncts = splitConjunctivePredicates(cond)
+    val keyPairs: Seq[(AttributeReference, AttributeReference)] =
+      conjuncts.map {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if factSide.outputSet.contains(a) &&
+              dimSide.outputSet.contains(b) && d.dims.contains(a.name) =>
+          (a, b)
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if factSide.outputSet.contains(b) &&
+              dimSide.outputSet.contains(a) && d.dims.contains(b.name) =>
+          (b, a)
+        case _ => return None
+      }
+    if (keyPairs.isEmpty) return None
+
+    val session = SparkSession.active
+    val summaryPlan = summaryFor(session, d)
+    val sAttr: Map[String, Attribute] =
+      summaryPlan.output.map(a => a.name -> a).toMap
+    def scol(name: String): Option[Attribute] = sAttr.get(name)
+    // re-anchor a fact attribute onto the summary, same name AND type
+    def sOf(a: AttributeReference): Option[Attribute] =
+      scol(a.name).filter(_.dataType == a.dataType)
+
+    val newCond = keyPairs.map { case (fa, da) =>
+      EqualTo(sOf(fa).getOrElse(return None), da): Expression
+    }.reduce(And)
+    val newFilters = filters.map(_.transform {
+      case a: AttributeReference => sOf(a).getOrElse(return None)
+    })
+    val fsPlan = newFilters.foldRight(summaryPlan)(Filter(_, _))
+    val newJoin =
+      if (factLeft)
+        Join(fsPlan, dimSide, org.apache.spark.sql.catalyst.plans.Inner,
+          Some(newCond), j.hint)
+      else
+        Join(dimSide, fsPlan, org.apache.spark.sql.catalyst.plans.Inner,
+          Some(newCond), j.hint)
+
+    val newGroups = agg.groupingExpressions.map {
+      case a: AttributeReference if dimSide.outputSet.contains(a) => a
+      case a: AttributeReference
+          if factSide.outputSet.contains(a) && d.dims.contains(a.name) =>
+        sOf(a).getOrElse(return None)
+      case _ => return None
+    }
+    val groupIds = agg.groupingExpressions.collect {
+      case a: AttributeReference => a.exprId
+    }.toSet
+    val rewritten = agg.aggregateExpressions.map {
+      case a: AttributeReference
+          if groupIds.contains(a.exprId) && dimSide.outputSet.contains(a) =>
+        a // dim-side grouping column: same live attribute
+      case a: AttributeReference if groupIds.contains(a.exprId) =>
+        // fact-side grouping column: summary attribute under the
+        // original exprId so parents are unaffected
+        Alias(sOf(a).getOrElse(return None), a.name)(exprId = a.exprId)
+      case al @ Alias(ae: AggregateExpression, name)
+          if !ae.isDistinct && ae.filter.isEmpty &&
+            ae.references.subsetOf(factSide.outputSet) =>
+        mapAggWith(ae.aggregateFunction, d, scol) match {
+          case Some(e) if e.dataType == al.dataType =>
+            Alias(e, name)(exprId = al.exprId)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    Some(Aggregate(newGroups, rewritten, newJoin))
   }
 }

@@ -732,6 +732,75 @@ object Extended {
              |WHERE l_returnflag = 'A' AND l_linenumber <= 4
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // --------------- summary rewrite OVER A STAR JOIN (q79)
+    // The flagship dashboard shape: aggregate the fact JOINED to a
+    // dimension table, grouping by DIM columns. Eligible when every
+    // join conjunct equates a summary DIM with a dim-side column: then
+    // summary groups are key-homogeneous, so the inner join drops and
+    // replicates group rows exactly as it would the underlying fact
+    // rows (drops are whole-group; an m-way key match replicates
+    // partial sums and cnt m times, matching m-way fact-row
+    // duplication; min/max are replication-invariant). The rewrite
+    // joins the SUMMARY to the untouched dim side — at 100 TB the
+    // dashboard's fact scan becomes a cube-times-dim broadcast join.
+    // PLAN-REQUIRED: summary scanned, fact NOT scanned, supplier still
+    // scanned. Aggregates over DIM columns are ineligible and decline
+    // (spec-pinned negative in SummaryRewriteRuleSpec).
+    QueryDef(
+      "q79_mv_rewrite_join",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val factPath = s"$dir/lineitem.parquet"
+        val sumPath = graft.RunPaths.scratch(
+          "graft_q79_summary_" + graft.RunPaths.keyFor(dir))
+        s.read.parquet(factPath)
+          .groupBy(col("l_suppkey"), col("l_returnflag"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_partkey")).as("sum_l_partkey"),
+            min(col("l_quantity")).as("min_l_quantity"),
+            max(col("l_quantity")).as("max_l_quantity"))
+          .write.mode("overwrite").parquet(sumPath)
+        graft.plans.SummaryRewriteRule.register(factPath,
+          graft.plans.SummaryRewriteRule.SummaryDef(sumPath,
+            dims = Set("l_suppkey", "l_returnflag"),
+            measures = Set("l_partkey", "l_quantity")))
+        val child = s.newSession()
+        child.experimental.extraOptimizations =
+          Seq(graft.plans.SummaryRewriteRule)
+        val supplier = Tables.load(child, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val df = child.read.parquet(factPath)
+          .filter(col("l_returnflag") === "A")
+          .join(supplier, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_partkey")).as("sum_pk"),
+            min(col("l_quantity")).as("min_qty"))
+          .orderBy("s_nationkey")
+        val scanned = df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty
+            }
+        }.flatten
+        require(scanned.exists(_.contains("graft_q79_summary")),
+          s"star-join summary rewrite did not fire; scans: $scanned")
+        require(!scanned.exists(_.contains("lineitem")),
+          s"rewritten plan still scans the fact table: $scanned")
+        require(scanned.exists(_.contains("supplier")),
+          s"dim side must remain a real scan: $scanned")
+        df
+      },
+      Some("""SELECT s_nationkey,
+             |  count(*) AS n_rows,
+             |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk,
+             |  min(l_quantity) AS min_qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE l_returnflag = 'A'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // -------------------------------------- registered SQL functions
     // The custom Catalyst expressions exposed through the SQL surface
     // (GraftFunctions.register / GraftExtensions): the same codegen'd

@@ -243,6 +243,59 @@ class SummaryRewriteRuleSpec extends AnyFunSuite {
       s"plan cache grew past its cap: ${SummaryRewriteRule.cachedPlanCount}")
   }
 
+  test("aggregate over a star join routes the FACT side to the summary") {
+    // Aggregate(Join(fact, dim)) with the join key a summary dim:
+    // group rows are key-homogeneous, so the join drops/replicates them
+    // exactly as it would fact rows — rewrite joins summary ⋈ dim
+    val child = childWithRule()
+    def q(s: SparkSession) = {
+      import s.implicits._
+      val dim = Seq((1, "first"), (2, "second"), (3, "third"))
+        .toDF("ln", "line_name")
+      s.read.parquet(factPath)
+        .join(dim, col("l_linenumber") === col("ln"))
+        .groupBy(col("line_name"))
+        .agg(count(lit(1)).as("n"), sum(col("l_partkey")).as("s"),
+          min(col("l_quantity")).as("mn"))
+        .orderBy("line_name")
+    }
+    val rewritten = q(child)
+    assert(scansOf(rewritten).exists(_.contains("graft_mvspec_summary")),
+      s"star-join rewrite did not fire: ${rewritten.queryExecution.optimizedPlan}")
+    assert(!scansOf(rewritten).exists(_.contains("lineitem")))
+    assert(rewritten.collect().map(_.toSeq).toSeq ==
+      q(spark).collect().map(_.toSeq).toSeq,
+      "star-join rewritten answer diverged from the fact-side answer")
+  }
+
+  test("star-join rewrite declines every inexact shape") {
+    val child = childWithRule()
+    import child.implicits._
+    def scansFact(df: DataFrame): Unit = {
+      assert(scansOf(df).exists(_.contains("lineitem")),
+        s"inexact join shape was rewritten: ${df.queryExecution.optimizedPlan}")
+      assert(!scansOf(df).exists(_.contains("graft_mvspec_summary")))
+    }
+    val fact = child.read.parquet(factPath)
+    val dim = Seq((1, "first", 10L), (2, "second", 20L))
+      .toDF("ln", "line_name", "weight")
+    // aggregate over a DIM column: fact-row multiplicity weights each
+    // dim value — not derivable from the summary
+    scansFact(fact.join(dim, col("l_linenumber") === col("ln"))
+      .groupBy(col("line_name")).agg(sum(col("weight")).as("w")))
+    // join on a fact MEASURE (not a summary dim): groups are not
+    // key-homogeneous, the join slices within them
+    scansFact(fact.join(dim, col("l_partkey") === col("ln"))
+      .groupBy(col("line_name")).agg(count(lit(1)).as("n")))
+    // outer join fabricates null-extended rows at row granularity
+    scansFact(fact.join(dim, col("l_linenumber") === col("ln"), "left")
+      .groupBy(col("line_name")).agg(count(lit(1)).as("n")))
+    // non-equi conjunct referencing the fact side
+    scansFact(fact.join(dim,
+        col("l_linenumber") === col("ln") && col("l_partkey") > col("weight"))
+      .groupBy(col("line_name")).agg(count(lit(1)).as("n")))
+  }
+
   test("re-register after a summary rebuild serves the NEW files") {
     // v1 summary is built from HALF the fact (deliberately wrong), the
     // rebuild from the full fact; without register-time cache
