@@ -305,53 +305,91 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     * attribute ids stay live for the parent aggregate.
     */
   private def rewriteOverJoin(agg: Aggregate): Option[LogicalPlan] = {
-    def unwrap(p: LogicalPlan): Option[Join] = p match {
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
       case SubqueryAlias(_, inner) => unwrap(inner)
       case Project(pl, inner)
           if pl.forall(_.isInstanceOf[AttributeReference]) => unwrap(inner)
-      case j: Join => Some(j)
-      case _ => None
+      case other => other
     }
-    unwrap(agg.child).flatMap { j =>
-      if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner) None
-      else j.condition.flatMap { cond =>
-        (factOf(j.left), factOf(j.right)) match {
-          case (Some((d, fs)), None) =>
-            rewriteJoin(agg, j, cond, d, fs, factLeft = true)
-          case (None, Some((d, fs))) =>
-            rewriteJoin(agg, j, cond, d, fs, factLeft = false)
-          case _ => None // fact on both sides (self-join): ambiguous
-        }
+    unwrap(agg.child) match {
+      case j: Join => locateFact(j).flatMap {
+        case (d, filters, factSide, path) =>
+          rewriteJoinChain(agg, d, filters, factSide, path)
       }
+      case _ => None
     }
   }
 
-  private def rewriteJoin(
-      agg: Aggregate, j: Join, cond: Expression, d: SummaryDef,
-      filters: Seq[Expression], factLeft: Boolean): Option[LogicalPlan] = {
-    val factSide = if (factLeft) j.left else j.right
-    val dimSide = if (factLeft) j.right else j.left
-    // fact-side WHERE filters collected below the join: dims-only, as
-    // in the plain rewrite
+  /** Walk a tree of INNER joins to the unique side that resolves to the
+    * registered fact. Returns the summary def, the fact-side filters
+    * factOf collected, the fact-side subplan (for its outputSet), and
+    * the path of (join, factWentLeft) from the fact-holding join
+    * OUTWARD to the root — the rebuild order. Declines on non-inner
+    * joins, condition-less joins, and a fact resolvable on both sides
+    * (self-join: ambiguous).
+    */
+  private def locateFact(
+      j: Join): Option[(SummaryDef, Seq[Expression], LogicalPlan,
+        List[(Join, Boolean)])] = {
+    if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner ||
+        j.condition.isEmpty) return None
+    def direct(side: LogicalPlan): Option[(SummaryDef, Seq[Expression])] =
+      factOf(side)
+    def descend(side: LogicalPlan): Option[(SummaryDef, Seq[Expression],
+        LogicalPlan, List[(Join, Boolean)])] = {
+      // column pruning plants attrs-only Projects between nested joins;
+      // strip them on the fact spine — the rebuild omits them (their
+      // lists name original fact attrs that substitution would dangle;
+      // dropping a pruning Project is semantics-free, and the rebuilt
+      // spine is summary + dims, all model-scale)
+      def strip(p: LogicalPlan): LogicalPlan = p match {
+        case SubqueryAlias(_, inner) => strip(inner)
+        case Project(pl, inner)
+            if pl.forall(_.isInstanceOf[AttributeReference]) => strip(inner)
+        case other => other
+      }
+      strip(side) match {
+        case inner: Join => locateFact(inner)
+        case _ => None
+      }
+    }
+    (direct(j.left), direct(j.right)) match {
+      case (Some(_), Some(_)) => None
+      case (Some((d, fs)), None) =>
+        Some((d, fs, j.left, List((j, true))))
+      case (None, Some((d, fs))) =>
+        Some((d, fs, j.right, List((j, false))))
+      case (None, None) =>
+        (descend(j.left), descend(j.right)) match {
+          case (Some(_), Some(_)) => None
+          case (Some((d, fs, f, path)), None) =>
+            Some((d, fs, f, path :+ ((j, true))))
+          case (None, Some((d, fs, f, path))) =>
+            Some((d, fs, f, path :+ ((j, false))))
+          case _ => None
+        }
+    }
+  }
+
+  /** Rebuild the located join chain with the filtered summary in the
+    * fact's place. Per-conjunct legality at EVERY level: a conjunct
+    * referencing no fact attribute passes through unchanged if
+    * deterministic (it filters the dim cross-product identically at
+    * group and at row granularity — this covers snowflake links like
+    * `s_nationkey = n_nationkey` and dim-only range predicates); a
+    * conjunct referencing the fact must be an equi predicate between a
+    * summary DIM and a non-fact column, re-anchored onto the summary.
+    * The fact-holding join must carry at least one such equi key (a
+    * keyless fact join would rebuild as a nested-loop against the
+    * summary — legal but a plan-shape regression; decline).
+    */
+  private def rewriteJoinChain(
+      agg: Aggregate, d: SummaryDef, filters: Seq[Expression],
+      factSide: LogicalPlan, path: List[(Join, Boolean)]): Option[LogicalPlan] = {
+    val factOut = factSide.outputSet
     filters.foreach { c =>
       if (!c.references.forall(a => d.dims.contains(a.name))) return None
     }
-    // every join conjunct: fact-dim = dim-side column (either order)
-    val conjuncts = splitConjunctivePredicates(cond)
-    val keyPairs: Seq[(AttributeReference, AttributeReference)] =
-      conjuncts.map {
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-            if factSide.outputSet.contains(a) &&
-              dimSide.outputSet.contains(b) && d.dims.contains(a.name) =>
-          (a, b)
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-            if factSide.outputSet.contains(b) &&
-              dimSide.outputSet.contains(a) && d.dims.contains(b.name) =>
-          (b, a)
-        case _ => return None
-      }
-    if (keyPairs.isEmpty) return None
-
     val session = SparkSession.active
     val summaryPlan = summaryFor(session, d)
     val sAttr: Map[String, Attribute] =
@@ -361,25 +399,49 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     def sOf(a: AttributeReference): Option[Attribute] =
       scol(a.name).filter(_.dataType == a.dataType)
 
-    val newCond = keyPairs.map { case (fa, da) =>
-      EqualTo(sOf(fa).getOrElse(return None), da): Expression
-    }.reduce(And)
+    // (rebuilt condition, number of re-anchored fact-equi conjuncts)
+    def rebuildCond(cond: Expression): Option[(Expression, Int)] = {
+      var keyed = 0
+      val parts = splitConjunctivePredicates(cond).map {
+        case c if c.references.intersect(factOut).isEmpty =>
+          if (c.deterministic) c else return None
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if factOut.contains(a) && !factOut.contains(b) &&
+              d.dims.contains(a.name) =>
+          keyed += 1
+          EqualTo(sOf(a).getOrElse(return None), b)
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if factOut.contains(b) && !factOut.contains(a) &&
+              d.dims.contains(b.name) =>
+          keyed += 1
+          EqualTo(sOf(b).getOrElse(return None), a)
+        case _ => return None
+      }
+      Some((parts.reduce(And), keyed))
+    }
+
     val newFilters = filters.map(_.transform {
       case a: AttributeReference => sOf(a).getOrElse(return None)
     })
-    val fsPlan = newFilters.foldRight(summaryPlan)(Filter(_, _))
-    val newJoin =
-      if (factLeft)
-        Join(fsPlan, dimSide, org.apache.spark.sql.catalyst.plans.Inner,
-          Some(newCond), j.hint)
-      else
-        Join(dimSide, fsPlan, org.apache.spark.sql.catalyst.plans.Inner,
-          Some(newCond), j.hint)
+    var rebuilt: LogicalPlan = newFilters.foldRight(summaryPlan)(Filter(_, _))
+    var level = 0
+    for ((j, factLeft) <- path) {
+      val (cond, keyed) = rebuildCond(j.condition.get).getOrElse(return None)
+      if (level == 0 && keyed == 0) return None
+      val other = if (factLeft) j.right else j.left
+      rebuilt =
+        if (factLeft)
+          Join(rebuilt, other, org.apache.spark.sql.catalyst.plans.Inner,
+            Some(cond), j.hint)
+        else
+          Join(other, rebuilt, org.apache.spark.sql.catalyst.plans.Inner,
+            Some(cond), j.hint)
+      level += 1
+    }
 
     val newGroups = agg.groupingExpressions.map {
-      case a: AttributeReference if dimSide.outputSet.contains(a) => a
-      case a: AttributeReference
-          if factSide.outputSet.contains(a) && d.dims.contains(a.name) =>
+      case a: AttributeReference if !factOut.contains(a) => a
+      case a: AttributeReference if d.dims.contains(a.name) =>
         sOf(a).getOrElse(return None)
       case _ => return None
     }
@@ -388,7 +450,7 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     }.toSet
     val rewritten = agg.aggregateExpressions.map {
       case a: AttributeReference
-          if groupIds.contains(a.exprId) && dimSide.outputSet.contains(a) =>
+          if groupIds.contains(a.exprId) && !factOut.contains(a) =>
         a // dim-side grouping column: same live attribute
       case a: AttributeReference if groupIds.contains(a.exprId) =>
         // fact-side grouping column: summary attribute under the
@@ -396,7 +458,11 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
         Alias(sOf(a).getOrElse(return None), a.name)(exprId = a.exprId)
       case al @ Alias(ae: AggregateExpression, name)
           if !ae.isDistinct && ae.filter.isEmpty &&
-            ae.references.subsetOf(factSide.outputSet) =>
+            ae.references.subsetOf(factOut) =>
+        // fact-only aggregates re-aggregate from the summary; an
+        // aggregate over a DIM column would weight dim values by
+        // fact-row multiplicity, which the summary cannot reproduce —
+        // the catch-all below declines it
         mapAggWith(ae.aggregateFunction, d, scol) match {
           case Some(e) if e.dataType == al.dataType =>
             Alias(e, name)(exprId = al.exprId)
@@ -404,6 +470,6 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
         }
       case _ => return None
     }
-    Some(Aggregate(newGroups, rewritten, newJoin))
+    Some(Aggregate(newGroups, rewritten, rebuilt))
   }
 }

@@ -801,6 +801,76 @@ object Extended {
              |WHERE l_returnflag = 'A'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ------------- summary rewrite through a SNOWFLAKE chain (q80)
+    // Two join levels: lineitem ⋈ supplier (fact-dim equi on a summary
+    // dim) ⋈ nation (a dim-to-dim link that references NO fact column
+    // and must pass through untouched). The rule walks the join chain
+    // to the fact (through the pruning Projects Catalyst plants between
+    // nested joins), substitutes the summary at the leaf, and rebuilds
+    // the chain — the TPC-H-Q5-style dashboard reads cube ⋈ supplier ⋈
+    // nation instead of scanning the fact. PLAN-REQUIRED: summary +
+    // supplier + nation scanned, lineitem not.
+    QueryDef(
+      "q80_mv_rewrite_snowflake",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val factPath = s"$dir/lineitem.parquet"
+        val sumPath = graft.RunPaths.scratch(
+          "graft_q80_summary_" + graft.RunPaths.keyFor(dir))
+        s.read.parquet(factPath)
+          .groupBy(col("l_suppkey"), col("l_returnflag"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_partkey")).as("sum_l_partkey"),
+            min(col("l_quantity")).as("min_l_quantity"),
+            max(col("l_quantity")).as("max_l_quantity"))
+          .write.mode("overwrite").parquet(sumPath)
+        graft.plans.SummaryRewriteRule.register(factPath,
+          graft.plans.SummaryRewriteRule.SummaryDef(sumPath,
+            dims = Set("l_suppkey", "l_returnflag"),
+            measures = Set("l_partkey", "l_quantity")))
+        val child = s.newSession()
+        child.experimental.extraOptimizations =
+          Seq(graft.plans.SummaryRewriteRule)
+        val supplier = Tables.load(child, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val nation = Tables.load(child, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val df = child.read.parquet(factPath)
+          .filter(col("l_returnflag") === "A")
+          .join(supplier, col("l_suppkey") === col("s_suppkey"))
+          .join(nation, col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_partkey")).as("sum_pk"),
+            max(col("l_quantity")).as("max_qty"))
+          .orderBy("n_name")
+        val scanned = df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty
+            }
+        }.flatten
+        require(scanned.exists(_.contains("graft_q80_summary")),
+          s"snowflake summary rewrite did not fire; scans: $scanned")
+        require(!scanned.exists(_.contains("lineitem")),
+          s"rewritten plan still scans the fact table: $scanned")
+        require(scanned.exists(_.contains("supplier")) &&
+          scanned.exists(_.contains("nation")),
+          s"both dim scans must remain: $scanned")
+        df
+      },
+      Some("""SELECT n_name,
+             |  count(*) AS n_rows,
+             |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk,
+             |  max(l_quantity) AS max_qty
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE l_returnflag = 'A'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // -------------------------------------- registered SQL functions
     // The custom Catalyst expressions exposed through the SQL surface
     // (GraftFunctions.register / GraftExtensions): the same codegen'd

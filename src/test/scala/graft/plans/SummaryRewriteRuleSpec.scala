@@ -268,6 +268,33 @@ class SummaryRewriteRuleSpec extends AnyFunSuite {
       "star-join rewritten answer diverged from the fact-side answer")
   }
 
+  test("two-dimension star/snowflake chain routes the fact to the summary") {
+    // fact ⋈ d1 ⋈ d2 where d2 links to d1 (snowflake): the d2 conjunct
+    // references no fact column and must pass through untouched; only
+    // the fact-holding join's key re-anchors onto the summary
+    val child = childWithRule()
+    def q(s: SparkSession) = {
+      import s.implicits._
+      val d1 = Seq((1, 10), (2, 20), (3, 30)).toDF("ln", "grp_key")
+      val d2 = Seq((10, "low"), (20, "mid"), (30, "high"))
+        .toDF("gk", "grp_name")
+      s.read.parquet(factPath)
+        .join(d1, col("l_linenumber") === col("ln"))
+        .join(d2, col("grp_key") === col("gk"))
+        .groupBy(col("grp_name"))
+        .agg(count(lit(1)).as("n"), sum(col("l_partkey")).as("s"),
+          max(col("l_quantity")).as("mx"))
+        .orderBy("grp_name")
+    }
+    val rewritten = q(child)
+    assert(scansOf(rewritten).exists(_.contains("graft_mvspec_summary")),
+      s"chain rewrite did not fire: ${rewritten.queryExecution.optimizedPlan}")
+    assert(!scansOf(rewritten).exists(_.contains("lineitem")))
+    assert(rewritten.collect().map(_.toSeq).toSeq ==
+      q(spark).collect().map(_.toSeq).toSeq,
+      "chain rewritten answer diverged from the fact-side answer")
+  }
+
   test("star-join rewrite declines every inexact shape") {
     val child = childWithRule()
     import child.implicits._
