@@ -304,14 +304,21 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     * granularity). The non-fact side is substituted UNTOUCHED — its
     * attribute ids stay live for the parent aggregate.
     */
+  /** Peel SubqueryAlias and attrs-only (pruning) Project wrappers —
+    * the shapes Catalyst plants around relations and between nested
+    * joins. Shared by join location and rebuild so the two can never
+    * disagree about what counts as a wrapper.
+    */
+  private def stripAliases(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, inner) => stripAliases(inner)
+    case Project(pl, inner)
+        if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      stripAliases(inner)
+    case other => other
+  }
+
   private def rewriteOverJoin(agg: Aggregate): Option[LogicalPlan] = {
-    def unwrap(p: LogicalPlan): LogicalPlan = p match {
-      case SubqueryAlias(_, inner) => unwrap(inner)
-      case Project(pl, inner)
-          if pl.forall(_.isInstanceOf[AttributeReference]) => unwrap(inner)
-      case other => other
-    }
-    unwrap(agg.child) match {
+    stripAliases(agg.child) match {
       case j: Join => locateFact(j).flatMap {
         case (d, filters, factSide, path) =>
           rewriteJoinChain(agg, d, filters, factSide, path)
@@ -336,23 +343,16 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     def direct(side: LogicalPlan): Option[(SummaryDef, Seq[Expression])] =
       factOf(side)
     def descend(side: LogicalPlan): Option[(SummaryDef, Seq[Expression],
-        LogicalPlan, List[(Join, Boolean)])] = {
+        LogicalPlan, List[(Join, Boolean)])] =
       // column pruning plants attrs-only Projects between nested joins;
       // strip them on the fact spine — the rebuild omits them (their
       // lists name original fact attrs that substitution would dangle;
       // dropping a pruning Project is semantics-free, and the rebuilt
       // spine is summary + dims, all model-scale)
-      def strip(p: LogicalPlan): LogicalPlan = p match {
-        case SubqueryAlias(_, inner) => strip(inner)
-        case Project(pl, inner)
-            if pl.forall(_.isInstanceOf[AttributeReference]) => strip(inner)
-        case other => other
-      }
-      strip(side) match {
+      stripAliases(side) match {
         case inner: Join => locateFact(inner)
         case _ => None
       }
-    }
     (direct(j.left), direct(j.right)) match {
       case (Some(_), Some(_)) => None
       case (Some((d, fs)), None) =>

@@ -74,6 +74,20 @@ object Extended {
       .orderBy("key_class")
   }
 
+  /** Root paths of every file-source relation the optimized plan
+    * scans — the plan-required contract probe shared by the
+    * q74/q79/q80 materialized-summary family.
+    */
+  private def scannedPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------- as-of join
@@ -653,14 +667,7 @@ object Extended {
             min(col("l_quantity")).as("min_qty"),
             max(col("l_quantity")).as("max_qty"))
           .orderBy("l_returnflag", "l_linestatus")
-        val scanned = df.queryExecution.optimizedPlan.collect {
-          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            lr.relation match {
-              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                fs.location.rootPaths.map(_.toString)
-              case _ => Seq.empty
-            }
-        }.flatten
+        val scanned = scannedPaths(df)
         require(scanned.exists(_.contains("graft_q74_summary")),
           s"summary rewrite did not fire; scans: $scanned")
         require(!scanned.exists(_.contains("lineitem")),
@@ -710,14 +717,7 @@ object Extended {
             sum(col("l_partkey")).as("sum_pk"),
             max(col("l_quantity")).as("max_qty"))
           .orderBy("l_linestatus")
-        val scanned = df.queryExecution.optimizedPlan.collect {
-          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            lr.relation match {
-              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                fs.location.rootPaths.map(_.toString)
-              case _ => Seq.empty
-            }
-        }.flatten
+        val scanned = scannedPaths(df)
         require(scanned.exists(_.contains("graft_q74_summary")),
           s"summary rewrite did not fire under the dims filter; scans: $scanned")
         require(!scanned.exists(_.contains("lineitem")),
@@ -777,14 +777,7 @@ object Extended {
             sum(col("l_partkey")).as("sum_pk"),
             min(col("l_quantity")).as("min_qty"))
           .orderBy("s_nationkey")
-        val scanned = df.queryExecution.optimizedPlan.collect {
-          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            lr.relation match {
-              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                fs.location.rootPaths.map(_.toString)
-              case _ => Seq.empty
-            }
-        }.flatten
+        val scanned = scannedPaths(df)
         require(scanned.exists(_.contains("graft_q79_summary")),
           s"star-join summary rewrite did not fire; scans: $scanned")
         require(!scanned.exists(_.contains("lineitem")),
@@ -844,14 +837,7 @@ object Extended {
             sum(col("l_partkey")).as("sum_pk"),
             max(col("l_quantity")).as("max_qty"))
           .orderBy("n_name")
-        val scanned = df.queryExecution.optimizedPlan.collect {
-          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            lr.relation match {
-              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                fs.location.rootPaths.map(_.toString)
-              case _ => Seq.empty
-            }
-        }.flatten
+        val scanned = scannedPaths(df)
         require(scanned.exists(_.contains("graft_q80_summary")),
           s"snowflake summary rewrite did not fire; scans: $scanned")
         require(!scanned.exists(_.contains("lineitem")),

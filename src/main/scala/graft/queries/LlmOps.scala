@@ -1073,8 +1073,10 @@ object LlmOps {
     // the kernel against an independent join-path re-scoring of the
     // survivors (posexplode codes → broadcast-join the LUT rows → sum),
     // equal within float-reassociation tolerance, plus result-set size
-    // and ranking monotonicity — all deterministic booleans even though
-    // trained centroid values are not bit-stable.
+    // and score non-negativity (tolerated at the same epsilon: the
+    // expanded ‖q‖²−2q·c+‖c‖² form can cancel to tiny negatives) —
+    // all deterministic booleans even though trained centroid values
+    // are not bit-stable.
     QueryDef(
       "q24_ann_pq",
       (s, dir) => {
@@ -1111,7 +1113,7 @@ object LlmOps {
             count(lit(1)).as("n_results"),
             (count(when(abs(col("adc_dist") - col("join_dist")) > 1e-9, 1)) === 0)
               .as("kernel_matches_join"),
-            (count(when(col("adc_dist") < 0, 1)) === 0).as("nonneg_ok"))
+            (count(when(col("adc_dist") < -1e-9, 1)) === 0).as("nonneg_ok"))
       },
       Some("""SELECT CAST(10 AS BIGINT) AS n_results,
              |       true AS kernel_matches_join,
@@ -1143,7 +1145,7 @@ object LlmOps {
             (countDistinct(col("cell_id")) <= 4).as("cells_ok"),
             (count(when(col("adc_dist").isNull || isnan(col("adc_dist")), 1)) === 0)
               .as("finite_ok"),
-            (count(when(col("adc_dist") < 0, 1)) === 0).as("nonneg_ok"))
+            (count(when(col("adc_dist") < -1e-9, 1)) === 0).as("nonneg_ok"))
       },
       Some("""SELECT CAST(10 AS BIGINT) AS n_results, true AS cells_ok,
              |       true AS finite_ok, true AS nonneg_ok""".stripMargin)),
@@ -1287,7 +1289,7 @@ object LlmOps {
             (countDistinct(col("cell_id")) <= 4).as("cells_ok"),
             (count(when(col("adc_dist").isNull || isnan(col("adc_dist")), 1)) === 0)
               .as("finite_ok"),
-            (count(when(col("adc_dist") < 0, 1)) === 0).as("nonneg_ok"))
+            (count(when(col("adc_dist") < -1e-9, 1)) === 0).as("nonneg_ok"))
       },
       Some("""SELECT CAST(10 AS BIGINT) AS n_results, true AS cells_ok,
              |       true AS finite_ok, true AS nonneg_ok""".stripMargin),

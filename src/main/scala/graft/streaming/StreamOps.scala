@@ -725,8 +725,8 @@ object StreamOps {
     * state store. Delivery is two-phase so the contract is
     * deterministic: the in-distribution arrivals stream first (3
     * hash-scrambled micro-batches), then a deliberately drifted batch
-    * (the shared `IndexDrift.shifted` transform, ids offset by 10^6 so
-    * the drifted generation is structurally identifiable).
+    * (the shared `IndexDrift.shifted` transform); each drift row is
+    * stamped with its delivery phase.
     *
     * Contracts (one row, deterministic booleans — PSI floats are
     * model-dependent and never surfaced): 4 triggers, ≥ 2 clean
@@ -761,7 +761,7 @@ object StreamOps {
     IndexDrift.occupancyOfCodes(spark.read.parquet(s"$idx/codes/gen=0"))
       .write.mode("overwrite").parquet(s"$idx/base_occ")
 
-    def drive(srcDir: String, genOffset: Int): Unit = {
+    def drive(srcDir: String, genOffset: Int, drifted: Boolean): Unit = {
       val schema = spark.read.parquet(srcDir).schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -774,17 +774,20 @@ object StreamOps {
             .write.mode("overwrite").parquet(s"$idx/codes/gen=$gen")
           // the trigger's whole input is stored state: base occupancy
           // from build time, generation occupancy from the codes just
-          // written — one K-row aggregate per trigger
+          // written — one K-row aggregate per trigger. The phase flag
+          // is the delivery phase itself (gens 1..3 clean, 4 drifted),
+          // NOT a vec_id threshold: a data-derived marker would
+          // misclassify clean batches on any corpus whose real ids
+          // reach the marker range (e.g. ScaleRehearsal blowups add
+          // rep·10^8 to vec_id).
           IndexDrift.occupancyPsiFromOccupancies(
               spark.read.parquet(s"$idx/base_occ"),
               IndexDrift.occupancyOfCodes(
                 spark.read.parquet(s"$idx/codes/gen=$gen")),
               coarseF)
             .select(lit(gen).as("gen"), col("n_batch"), col("psi"),
-              (col("psi") > 0.75).as("retrain_needed"))
-            .crossJoin(batch.agg(
-              (coalesce(max(col("vec_id")), lit(0L)) >= 1000000L)
-                .as("drifted_batch")))
+              (col("psi") > 0.75).as("retrain_needed"),
+              lit(drifted).as("drifted_batch"))
             .write.mode("overwrite").parquet(s"$idx/drift/gen=$gen")
           ()
         }
@@ -796,15 +799,17 @@ object StreamOps {
       "graft_q78_arrivals_" + graft.RunPaths.keyFor(sfDir))
     arriving.repartition(3, xxhash64(col("vec_id")))
       .write.mode("overwrite").parquet(split1)
-    drive(split1, 0)
-    // phase 2: the drifted batch (shifted embeddings, marker ids)
+    drive(split1, 0, drifted = false)
+    // phase 2: the drifted batch (shifted embeddings; ids offset only
+    // so clean and drifted copies of a vector stay distinct in the
+    // stored generations)
     val split2 = graft.RunPaths.scratch(
       "graft_q78_drifted_" + graft.RunPaths.keyFor(sfDir))
     IndexDrift.shifted(arriving, "vec_id", "embedding")
       .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
       .repartition(1)
       .write.mode("overwrite").parquet(split2)
-    drive(split2, 3)
+    drive(split2, 3, drifted = true)
 
     val drift = spark.read.parquet(s"$idx/drift")
     drift.agg(
