@@ -295,6 +295,31 @@ class SummaryRewriteRuleSpec extends AnyFunSuite {
       "chain rewritten answer diverged from the fact-side answer")
   }
 
+  test("a WHERE on the dim table pushes into the dim side and the " +
+      "join still rewrites") {
+    // the q80 dashboard filter shape: Catalyst pushes a dim-column
+    // predicate below the join into the dim side, so the rewrite sees
+    // an untouched (pre-filtered) dim subtree and must still fire
+    val child = childWithRule()
+    def q(s: SparkSession) = {
+      import s.implicits._
+      val dim = Seq((1, "first"), (2, "second"), (3, "third"))
+        .toDF("ln", "line_name")
+      s.read.parquet(factPath)
+        .join(dim, col("l_linenumber") === col("ln"))
+        .filter(col("line_name") =!= "second")
+        .groupBy(col("line_name"))
+        .agg(count(lit(1)).as("n"), sum(col("l_partkey")).as("s"))
+        .orderBy("line_name")
+    }
+    val rewritten = q(child)
+    assert(scansOf(rewritten).exists(_.contains("graft_mvspec_summary")),
+      s"dim-filtered join rewrite did not fire: ${rewritten.queryExecution.optimizedPlan}")
+    assert(!scansOf(rewritten).exists(_.contains("lineitem")))
+    assert(rewritten.collect().map(_.toSeq).toSeq ==
+      q(spark).collect().map(_.toSeq).toSeq)
+  }
+
   test("star-join rewrite declines every inexact shape") {
     val child = childWithRule()
     import child.implicits._
