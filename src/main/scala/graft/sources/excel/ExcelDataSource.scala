@@ -60,7 +60,9 @@ object ExcelDataSource {
       sheetPartitions =
         Option(options.get("sheetPartitions")).map(_.toInt).getOrElse(1),
       headerDedup =
-        Option(options.get("headerDedup")).getOrElse("unique"))
+        Option(options.get("headerDedup")).getOrElse("unique"),
+      maxSplitFiles =
+        Option(options.get("maxSplitFiles")).map(_.toInt))
   }
 
   /** Expand the load path into concrete workbook files: a glob matches
@@ -168,12 +170,13 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
     // planning latency and temp disk. sheetPartitions stays a PER-FILE
     // knob (a corpus of 8 huge workbooks × sheetPartitions=8 rightly
     // plans 64 partitions), but the number of files it will split is
-    // bounded: past `graft.excel.maxSplitFiles` (default 16) the corpus
+    // bounded: past maxSplitFiles (the read option, else the
+    // graft.excel.maxSplitFiles system property, default 16) the corpus
     // is a directory-scale scan whose parallelism already comes from
     // file count, and splitting it would inflate the whole corpus into
     // driver /tmp — scan serially per file and say so.
-    val maxSplitFiles =
-      Integer.getInteger("graft.excel.maxSplitFiles", 16).intValue()
+    val maxSplitFiles = o.maxSplitFiles.getOrElse(
+      Integer.getInteger("graft.excel.maxSplitFiles", 16).intValue())
     if (o.sheetPartitions > 1 && paths.length > maxSplitFiles) {
       ExcelScan.log.warn(
         s"sheetPartitions=${o.sheetPartitions} ignored: ${paths.length} " +

@@ -32,7 +32,11 @@ object ExcelRead {
       // absolute row ids)
       sheetPartitions: Int = 1,
       // "unique" (default) or "reference" — see HeaderNames
-      headerDedup: String = "unique")
+      headerDedup: String = "unique",
+      // per-file splitting is skipped past this many files (planning
+      // would inflate+spill every sheet on the driver); None defers to
+      // the graft.excel.maxSplitFiles system property, default 16
+      maxSplitFiles: Option[Int] = None)
 
   final case class SheetLayout(
       target: String,

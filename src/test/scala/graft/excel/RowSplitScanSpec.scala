@@ -276,4 +276,26 @@ class RowSplitScanSpec extends AnyFunSuite {
       else System.setProperty("graft.excel.maxSplitFiles", prev)
     }
   }
+
+  test("maxSplitFiles is a per-read option, overriding the property") {
+    val dir = Files.createTempDirectory("manyfilesopt")
+    val header = Seq(Option(XShared("id"): XCell))
+    for (f <- Seq("a", "b", "c"))
+      XlsxWriter.write(dir.resolve(s"$f.xlsx").toString,
+        Seq(Sheet.dense("data", header +:
+          (1 to 200).map(i => Seq(Option(XStr(s"${f}_$i"): XCell))))))
+    // option below the file count → guard fires, one task per file
+    val guarded = spark.read.format("excel")
+      .option("sheetPartitions", "2").option("maxSplitFiles", "2")
+      .load(dir.toString)
+    assert(guarded.rdd.getNumPartitions == 3)
+    assert(guarded.count() == 600)
+    // option above the file count → per-file splits proceed
+    val split = spark.read.format("excel")
+      .option("sheetPartitions", "2").option("maxSplitFiles", "8")
+      .load(dir.toString)
+    assert(split.rdd.getNumPartitions == 6,
+      s"expected 2 chunks per file, got ${split.rdd.getNumPartitions}")
+    assert(split.count() == 600)
+  }
 }
