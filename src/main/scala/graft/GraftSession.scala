@@ -39,6 +39,19 @@ object GraftSession {
       // capability gate only; non-script statements are unaffected
       .config("spark.sql.scripting.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Long-lived-driver hygiene (BENCH_r10 finding): Spark frees
+      // broadcast/RDD/shuffle blocks via ContextCleaner, which only
+      // learns a block is dead when GC processes its weak reference —
+      // and a large-heap driver can run for many minutes between
+      // collections, accumulating hundreds of executions' blocks until
+      // queries run under memory thrash (q57: 0.65 s fresh → 42.7 s
+      // after ~200 executions, 1.45 s again right after a System.gc()).
+      // The default periodic GC is 30 min — longer than entire serving
+      // windows; 45 s bounds dead-block lifetime at a once-per-45 s GC
+      // cost, which on a driver (no task hot loops) is noise. A 100 TB
+      // deployment's driver serves thousands of queries per session, so
+      // this is engine config, not bench tuning.
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.warehouse.dir",
         RunPaths.scratch("graft_warehouse"))

@@ -1251,8 +1251,12 @@ object LlmOps {
              |       CAST(sum(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch,
              |       CAST(10 AS BIGINT) AS n_results,
              |       true AS frozen_ok, true AS recall_parity
-             |FROM embeddings WHERE vec_id <> 0""".stripMargin),
-      bench = true),
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
+      // NOT a bench entry (r11): its runtime is two full trainings plus
+      // an exact-baseline comparison — contract scaffolding that buried
+      // the numbers an operator cares about. Bench now carries the
+      // split costs instead: q68_ann_serve (query path) and
+      // q68_ann_append (per-batch maintenance path).
 
     // Serve-only sibling of q68: top-k over the ALREADY-PERSISTED index
     // — frozen models + stored code generations read back from parquet,
@@ -1293,6 +1297,50 @@ object LlmOps {
       },
       Some("""SELECT CAST(10 AS BIGINT) AS n_results, true AS cells_ok,
              |       true AS finite_ok, true AS nonneg_ok""".stripMargin),
+      bench = true),
+
+    // Append-only sibling of q68 — the OTHER number a 100 TB operator
+    // pays: per-batch incremental maintenance. The timed path is
+    // exactly the steady-state append: read the frozen models back,
+    // assign + PQ-encode the arriving batch (no training pass), write
+    // one code generation — O(batch) end to end. Written BESIDE the
+    // serve index's generations (`append/`, not `codes/`) so repeated
+    // appends never perturb q68_ann_serve's corpus. The contract is
+    // deterministic equality: the same frozen floats encoded the serve
+    // index's gen=1 from the same batch, and ivfPqEncodeWith is
+    // deterministic, so the appended codes must match that stored
+    // generation row-for-row (also re-proving the persistence
+    // roundtrip). Replaces q68_ann_incremental in the bench set (r11):
+    // that entry times two intentional full trainings — contract
+    // scaffolding, kept under CORRECTNESS only.
+    QueryDef(
+      "q68_ann_append",
+      (s, dir) => {
+        val idx = ensureAnnServeIndex(s, dir)
+        val coarseF = s.read.parquet(s"$idx/coarse")
+        val booksF = s.read.parquet(s"$idx/books")
+        val batch = t(s, dir, "embeddings")
+          .filter(col("vec_id") =!= 0)
+          .filter(pmod(col("vec_id"), lit(10)) === 9)
+        val out = s"$idx/append/gen=2"
+        ProductQuantizer.ivfPqEncodeWith(
+            batch, "vec_id", "embedding", 8, coarseF, booksF)
+          .write.mode("overwrite").parquet(out)
+        val appended = s.read.parquet(out).select(col("vec_id"),
+          col("cell_id").as("ac"), col("codes").as("acodes"))
+        val gen1 = s.read.parquet(s"$idx/codes/gen=1").select(col("vec_id"),
+          col("cell_id").as("sc"), col("codes").as("scodes"))
+        appended.join(gen1, Seq("vec_id"), "full")
+          .agg(count(lit(1)).as("n_batch"),
+            (count(when(col("ac").isNull || col("sc").isNull ||
+              col("ac") =!= col("sc") ||
+              col("acodes") =!= col("scodes"), 1)) === 0)
+              .as("append_matches_serve_gen"))
+      },
+      Some("""SELECT CAST(sum(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_batch,
+             |       true AS append_matches_serve_gen
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin),
       bench = true),
 
     // Retrain trigger for the frozen-model index family (q68/q69/q75):

@@ -344,7 +344,7 @@ object Streaming {
     // occupancy persisted at build time, both sides read from STORED
     // codes (the index is its own assignment record; one K-row count
     // per trigger, no vector re-assigned). In-dist arrivals stream
-    // first (3 scrambled micro-batches), then a deliberately drifted
+    // first (3 round-robin micro-batches), then a deliberately drifted
     // batch with marker ids. Contracts: 4 triggers, multi-trigger clean
     // delivery, no clean generation demands a retrain, the drifted one
     // does.

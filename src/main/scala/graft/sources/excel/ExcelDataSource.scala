@@ -289,18 +289,24 @@ object ExcelScan {
     * polled entry's OWN timestamp is re-checked after poll: two threads
     * sweeping concurrently may each peek the same expired head, and the
     * loser's poll() would otherwise hand it the NEXT (possibly still
-    * in-grace) entry to delete. A still-in-grace poll is re-enqueued
-    * (tail order is fine — deletion is gated on each entry's timestamp,
-    * never on queue position) and the sweep stops.
+    * in-grace) entry to delete. The whole queue is drained ONCE per
+    * sweep (bounded by the size observed at entry, so concurrent
+    * re-enqueues cannot extend the loop): an in-grace entry is
+    * re-enqueued and the scan continues PAST it, so an expired entry
+    * that rotated behind a newer in-grace head is still deleted this
+    * sweep instead of surviving up to another grace window (tail order
+    * is fine — deletion is gated on each entry's own timestamp, never
+    * on queue position).
     */
   private def sweepCondemned(): Unit = {
     val now = System.nanoTime()
-    var continue = true
-    while (continue) {
+    var remaining = condemned.size()
+    while (remaining > 0) {
+      remaining -= 1
       val polled = condemned.poll() // atomic: one thread owns each entry
-      if (polled == null) continue = false
+      if (polled == null) remaining = 0
       else if (now - polled._2 >= graceNanos) deleteChunkSet(polled._1)
-      else { condemned.add(polled); continue = false }
+      else condemned.add(polled)
     }
   }
 
@@ -316,6 +322,11 @@ object ExcelScan {
         f.toPath, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
       catch { case _: Throwable => "" }
     val key = (f.getAbsolutePath, f.length(), f.lastModified(), fileKey, target, n)
+    // sweep on EVERY plan-time spill lookup, hit or miss: a driver that
+    // replaces a workbook once and then only ever re-plans the new
+    // version takes the cache-hit path forever, and a miss-only sweep
+    // would keep the superseded chunk set on temp disk until JVM exit
+    sweepCondemned()
     val cached = chunkCache.get(key)
     if (cached != null && cached.forall(c => new java.io.File(c).exists()))
       cached
@@ -340,6 +351,9 @@ object ExcelScan {
           condemned.add((e.getValue, System.nanoTime()))
         }
       }
+      // second sweep after condemning: with a zero/short grace the
+      // just-superseded set is already expired and must not wait for
+      // the next lookup
       sweepCondemned()
       val scratch = java.nio.file.Files.createTempDirectory("graft-sheet-split-")
       scratch.toFile.deleteOnExit()

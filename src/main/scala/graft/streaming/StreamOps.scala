@@ -724,7 +724,7 @@ object StreamOps {
     * K-row count over the new generation, no vector re-assigned, no
     * state store. Delivery is two-phase so the contract is
     * deterministic: the in-distribution arrivals stream first (3
-    * hash-scrambled micro-batches), then a deliberately drifted batch
+    * round-robin micro-batches), then a deliberately drifted batch
     * (the shared `IndexDrift.shifted` transform); each drift row is
     * stamped with its delivery phase.
     *
@@ -794,10 +794,17 @@ object StreamOps {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    // phase 1: in-distribution arrivals, 3 hash-scrambled micro-batches
+    // phase 1: in-distribution arrivals, 3 micro-batches. Round-robin
+    // repartition(3), NOT hash: with ≥ 3 rows round-robin leaves no
+    // partition empty, so exactly 3 part files are written and the
+    // contract's trigger count (4 = 3 clean + 1 drifted) holds at any
+    // sf — a hash split can leave a partition empty at tiny corpora
+    // (no part file → 3 triggers → a loud-but-spurious verify failure).
+    // Which rows land in which batch is irrelevant to every contract
+    // (union of generations, per-batch PSI quietness).
     val split1 = graft.RunPaths.scratch(
       "graft_q78_arrivals_" + graft.RunPaths.keyFor(sfDir))
-    arriving.repartition(3, xxhash64(col("vec_id")))
+    arriving.repartition(3)
       .write.mode("overwrite").parquet(split1)
     drive(split1, 0, drifted = false)
     // phase 2: the drifted batch (shifted embeddings; ids offset only

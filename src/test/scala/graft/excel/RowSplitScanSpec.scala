@@ -248,6 +248,34 @@ class RowSplitScanSpec extends AnyFunSuite {
     }
   }
 
+  test("a cache-HIT lookup sweeps expired condemned chunks — a driver " +
+      "that replaces a workbook once and then only re-scans the new " +
+      "version must not keep the superseded spill until JVM exit") {
+    withGraceMs(250) {
+      val dir = Files.createTempDirectory("evicthit")
+      val path = dir.resolve("wb.xlsx").toString
+      val before = spillDirs()
+      writeWb(path, 3000)
+      assert(spark.read.format("excel").option("sheetPartitions", "3")
+        .load(path).count() == 3000)
+      val v1Dirs = (spillDirs() -- before).filter(nonEmpty)
+      assert(v1Dirs.nonEmpty)
+      Files.delete(java.nio.file.Paths.get(path))
+      writeWb(path, 4000)
+      new java.io.File(path).setLastModified(System.currentTimeMillis() + 2000)
+      // condemns v1; still inside the 250 ms grace, so it survives
+      assert(spark.read.format("excel").option("sheetPartitions", "3")
+        .load(path).count() == 4000)
+      assert(v1Dirs.exists(nonEmpty))
+      Thread.sleep(400) // let the grace elapse with NO further miss
+      // this scan is a pure cache hit for v2 — it must still sweep v1
+      assert(spark.read.format("excel").option("sheetPartitions", "3")
+        .load(path).count() == 4000)
+      assert(v1Dirs.forall(!nonEmpty(_)),
+        "expired condemned chunks must be swept on the cache-hit path")
+    }
+  }
+
   test("corpora past maxSplitFiles ignore sheetPartitions instead of " +
       "spilling every sheet at plan time") {
     // sheetPartitions stays a PER-FILE knob (few huge workbooks split
