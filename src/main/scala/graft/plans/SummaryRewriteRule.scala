@@ -22,7 +22,10 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * writing the natural query against the fact table and the plan that
   * executes is the one that reads the summary.
   *
-  * A summary registered via [[register]] declares, for one fact table
+  * A fact may carry SEVERAL registered summaries (different dim
+  * sets); each eligible query routes to the smallest one whose dims
+  * cover its needs — see [[register]] and the catalog comment. A
+  * summary registered via [[register]] declares, for one fact table
   * (identified by its file-source root path):
   *   - `dims`: the summary's grouping columns (same names as the fact);
   *   - a `cnt` column (= count(*) per dim combination);
@@ -52,7 +55,15 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
   final case class SummaryDef(
       summaryPath: String, dims: Set[String], measures: Set[String])
 
-  private val catalog = new ConcurrentHashMap[String, SummaryDef]()
+  // ALL summaries registered for one fact, kept sorted coarsest-first
+  // (fewest dims) with ties broken by registration recency. A real
+  // warehouse maintains several cubes per fact (different dim sets);
+  // each query routes to the first candidate that rewrites — i.e. the
+  // SMALLEST summary whose dims ⊇ the query's needs (fewer dims =
+  // coarser = fewer rows), which is the cheapest exact answer. Every
+  // candidate is exactness-checked by the same rewrite machinery, so
+  // routing order is a COST choice, never a correctness one.
+  private val catalog = new ConcurrentHashMap[String, List[SummaryDef]]()
 
   // analyzed summary plans, one per (session UUID, path): re-analyzing
   // the summary read (file listing + footer schema) on EVERY eligible
@@ -85,18 +96,38 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private[plans] def cachedPlanCount: Int = planCache.size()
 
-  /** Register `summary` as the pre-aggregation of the fact table whose
-    * file-source root path is `factPath`. Invalidate any cached plan
-    * for the summary's path (and for the path of the definition this
-    * one replaces): re-registering after a summary REBUILD is the
-    * freshness handshake, and a pinned file listing from before the
-    * rebuild would serve deleted part files — failed reads at best,
-    * silently stale aggregates if old files linger.
+  /** Register `summary` as one pre-aggregation of the fact table whose
+    * file-source root path is `factPath`. Summaries ACCUMULATE per
+    * fact (multiple cubes over different dim sets); re-registering the
+    * SAME summaryPath replaces that entry — that is the freshness
+    * handshake after a summary REBUILD, and the replaced definition's
+    * cached plan is invalidated so a pinned file listing from before
+    * the rebuild cannot serve deleted part files — failed reads at
+    * best, silently stale aggregates if old files linger. The stored
+    * list stays sorted fewest-dims-first (stable sort over a
+    * newest-first list, so equal-width cubes prefer the most recent
+    * registration).
     */
   def register(factPath: String, summary: SummaryDef): Unit = {
-    val old = Option(catalog.put(normalize(factPath), summary))
-    val stale = Set(summary.summaryPath) ++ old.map(_.summaryPath)
-    planCache.keySet.removeIf(k => stale.contains(k._2))
+    catalog.compute(normalize(factPath), (_, cur) => {
+      val rest =
+        (if (cur == null) Nil else cur)
+          .filterNot(_.summaryPath == summary.summaryPath)
+      (summary :: rest).sortBy(_.dims.size)
+    })
+    planCache.keySet.removeIf(k => k._2 == summary.summaryPath)
+  }
+
+  /** Drop every summary registered for `factPath` (and their cached
+    * plans) — the bulk form of the rebuild handshake, for callers
+    * retiring a fact's whole cube set.
+    */
+  def unregister(factPath: String): Unit = {
+    val old = catalog.remove(normalize(factPath))
+    if (old != null) {
+      val stale = old.map(_.summaryPath).toSet
+      planCache.keySet.removeIf(k => stale.contains(k._2))
+    }
   }
 
   def clear(): Unit = { catalog.clear(); planCache.clear() }
@@ -127,41 +158,48 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(_, _, _, _) =>
       factOf(agg.child)
-        .flatMap { case (d, filters) => rewrite(agg, d, filters) }
+        .flatMap { case (defs, filters) =>
+          // coarsest-first: the first candidate that rewrites is the
+          // smallest exact cube for THIS query's dims/measures
+          defs.iterator.flatMap(d => rewrite(agg, d, filters))
+            .nextOption()
+        }
         .orElse(rewriteOverJoin(agg))
         .getOrElse(agg)
   }
 
-  /** The registered summary behind `child`, looking through pruning
-    * projections, aliases, and — because count/sum/min/max over a
-    * dims-restricted fact slice are still exactly answerable from the
-    * summary (a dims filter keeps or drops whole summary groups) —
-    * deterministic Filters, whose conditions are returned for
-    * re-application over the summary. Eligibility of the collected
-    * conditions (dims-only references) is checked in [[rewrite]].
+  /** The registered summary candidates behind `child` (coarsest
+    * first), looking through pruning projections, aliases, and —
+    * because count/sum/min/max over a dims-restricted fact slice are
+    * still exactly answerable from a summary (a dims filter keeps or
+    * drops whole summary groups) — deterministic Filters, whose
+    * conditions are returned for re-application over the summary.
+    * Eligibility of the collected conditions (dims-only references) is
+    * checked per candidate in [[rewrite]].
     */
   private def factOf(
-      child: LogicalPlan): Option[(SummaryDef, Seq[Expression])] = child match {
-    case SubqueryAlias(_, inner) => factOf(inner)
-    case Project(projectList, inner)
-        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      factOf(inner)
-    case Filter(cond, inner) if cond.deterministic =>
-      factOf(inner).map { case (d, fs) => (d, cond +: fs) }
-    case lr: LogicalRelation =>
-      lr.relation match {
-        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-          // ALL root paths must be the one registered fact: a
-          // multi-path read (fact + extra dir) answered from a summary
-          // of only the fact would silently drop the extra rows
-          fs.location.rootPaths.map(p => normalize(p.toString)).distinct match {
-            case Seq(single) => Option(catalog.get(single)).map((_, Nil))
-            case _ => None
-          }
-        case _ => None
-      }
-    case _ => None
-  }
+      child: LogicalPlan): Option[(List[SummaryDef], Seq[Expression])] =
+    child match {
+      case SubqueryAlias(_, inner) => factOf(inner)
+      case Project(projectList, inner)
+          if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        factOf(inner)
+      case Filter(cond, inner) if cond.deterministic =>
+        factOf(inner).map { case (ds, fs) => (ds, cond +: fs) }
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            // ALL root paths must be the one registered fact: a
+            // multi-path read (fact + extra dir) answered from a summary
+            // of only the fact would silently drop the extra rows
+            fs.location.rootPaths.map(p => normalize(p.toString)).distinct match {
+              case Seq(single) => Option(catalog.get(single)).map((_, Nil))
+              case _ => None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
 
   /** A fresh-attribute copy of the cached summary plan. Substituting
     * the cached instance VERBATIM would plant the same exprIds at every
@@ -256,6 +294,17 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
             Alias(sa, a.name)(exprId = a.exprId)
           case _ => return None
         }
+      // RENAMED group column (`SELECT status AS s, count(*) …`):
+      // CollapseProject folds the rename into the aggregate list as
+      // Alias(groupAttr, name) — same substitution as the bare
+      // attribute, preserving the OUTER alias's name and exprId
+      case al @ Alias(a: AttributeReference, name)
+          if groupAttrs.exists(_.exprId == a.exprId) =>
+        col(a.name) match {
+          case Some(sa) if sa.dataType == a.dataType =>
+            Alias(sa, name)(exprId = al.exprId)
+          case _ => return None
+        }
       case al @ Alias(ae: AggregateExpression, name)
           if !ae.isDistinct && ae.filter.isEmpty =>
         mapAgg(ae.aggregateFunction) match {
@@ -320,29 +369,31 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
   private def rewriteOverJoin(agg: Aggregate): Option[LogicalPlan] = {
     stripAliases(agg.child) match {
       case j: Join => locateFact(j).flatMap {
-        case (d, filters, factSide, path) =>
-          rewriteJoinChain(agg, d, filters, factSide, path)
+        case (defs, filters, factSide, path) =>
+          defs.iterator
+            .flatMap(d => rewriteJoinChain(agg, d, filters, factSide, path))
+            .nextOption()
       }
       case _ => None
     }
   }
 
   /** Walk a tree of INNER joins to the unique side that resolves to the
-    * registered fact. Returns the summary def, the fact-side filters
-    * factOf collected, the fact-side subplan (for its outputSet), and
-    * the path of (join, factWentLeft) from the fact-holding join
-    * OUTWARD to the root — the rebuild order. Declines on non-inner
-    * joins, condition-less joins, and a fact resolvable on both sides
-    * (self-join: ambiguous).
+    * registered fact. Returns the summary candidates (coarsest first),
+    * the fact-side filters factOf collected, the fact-side subplan
+    * (for its outputSet), and the path of (join, factWentLeft) from
+    * the fact-holding join OUTWARD to the root — the rebuild order.
+    * Declines on non-inner joins, condition-less joins, and a fact
+    * resolvable on both sides (self-join: ambiguous).
     */
   private def locateFact(
-      j: Join): Option[(SummaryDef, Seq[Expression], LogicalPlan,
+      j: Join): Option[(List[SummaryDef], Seq[Expression], LogicalPlan,
         List[(Join, Boolean)])] = {
     if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner ||
         j.condition.isEmpty) return None
-    def direct(side: LogicalPlan): Option[(SummaryDef, Seq[Expression])] =
+    def direct(side: LogicalPlan): Option[(List[SummaryDef], Seq[Expression])] =
       factOf(side)
-    def descend(side: LogicalPlan): Option[(SummaryDef, Seq[Expression],
+    def descend(side: LogicalPlan): Option[(List[SummaryDef], Seq[Expression],
         LogicalPlan, List[(Join, Boolean)])] =
       // column pruning plants attrs-only Projects between nested joins;
       // strip them on the fact spine — the rebuild omits them (their
@@ -456,6 +507,14 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
         // fact-side grouping column: summary attribute under the
         // original exprId so parents are unaffected
         Alias(sOf(a).getOrElse(return None), a.name)(exprId = a.exprId)
+      // renamed group column (CollapseProject-folded) — dim-side stays
+      // live as-is, fact-side re-anchors under the outer alias's exprId
+      case al @ Alias(a: AttributeReference, _)
+          if groupIds.contains(a.exprId) && !factOut.contains(a) =>
+        al
+      case al @ Alias(a: AttributeReference, name)
+          if groupIds.contains(a.exprId) =>
+        Alias(sOf(a).getOrElse(return None), name)(exprId = al.exprId)
       case al @ Alias(ae: AggregateExpression, name)
           if !ae.isDistinct && ae.filter.isEmpty &&
             ae.references.subsetOf(factOut) =>

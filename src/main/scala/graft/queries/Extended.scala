@@ -778,7 +778,13 @@ object Extended {
             min(col("l_quantity")).as("min_qty"))
           .orderBy("s_nationkey")
         val scanned = scannedPaths(df)
-        require(scanned.exists(_.contains("graft_q79_summary")),
+        // any registered summary, not specifically q79's: the catalog
+        // ACCUMULATES cubes per fact (r11 best-match routing), q80
+        // registers an identically-dimensioned cube for lineitem in
+        // the same JVM, and equal-width ties route to the most recent
+        // registration — either cube is exact for this query, so the
+        // plan requirement is "a summary, never the fact"
+        require(scanned.exists(_.contains("_summary_")),
           s"star-join summary rewrite did not fire; scans: $scanned")
         require(!scanned.exists(_.contains("lineitem")),
           s"rewritten plan still scans the fact table: $scanned")
@@ -838,7 +844,10 @@ object Extended {
             max(col("l_quantity")).as("max_qty"))
           .orderBy("n_name")
         val scanned = scannedPaths(df)
-        require(scanned.exists(_.contains("graft_q80_summary")),
+        // "_summary_", not q80's own path — see q79's comment (the
+        // accumulating catalog may serve this query from q79's
+        // identically-dimensioned cube; both are exact)
+        require(scanned.exists(_.contains("_summary_")),
           s"snowflake summary rewrite did not fire; scans: $scanned")
         require(!scanned.exists(_.contains("lineitem")),
           s"rewritten plan still scans the fact table: $scanned")
@@ -856,6 +865,83 @@ object Extended {
              |JOIN nation ON s_nationkey = n_nationkey
              |WHERE l_returnflag = 'A'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Best-match summary selection (r11): a fact carries SEVERAL
+    // registered cubes and each query must route to the SMALLEST one
+    // whose dims cover its needs — the multi-cube warehouse shape
+    // (register a handful of cubes, every dashboard query picks its
+    // cheapest exact answer). Two cubes over orders: coarse
+    // {o_orderstatus} and finer {o_orderstatus, o_orderpriority}. One
+    // plan computes both a per-(status, priority) aggregate and a
+    // per-status total; PLAN-REQUIRED: the finer aggregate reads the
+    // finer cube, the coarser aggregate reads the coarse cube (NOT the
+    // finer one it is also exactly answerable from — fewer dims =
+    // fewer rows = cheaper), and the orders fact is never scanned.
+    QueryDef(
+      "q83_mv_bestmatch",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val factPath = s"$dir/orders.parquet"
+        val coarsePath = graft.RunPaths.scratch(
+          "graft_q83_cube_coarse_" + graft.RunPaths.keyFor(dir))
+        val finePath = graft.RunPaths.scratch(
+          "graft_q83_cube_fine_" + graft.RunPaths.keyFor(dir))
+        val orders = s.read.parquet(factPath)
+        orders.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_custkey")).as("sum_o_custkey"))
+          .write.mode("overwrite").parquet(coarsePath)
+        orders.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_custkey")).as("sum_o_custkey"))
+          .write.mode("overwrite").parquet(finePath)
+        graft.plans.SummaryRewriteRule.register(factPath,
+          graft.plans.SummaryRewriteRule.SummaryDef(coarsePath,
+            dims = Set("o_orderstatus"), measures = Set("o_custkey")))
+        graft.plans.SummaryRewriteRule.register(factPath,
+          graft.plans.SummaryRewriteRule.SummaryDef(finePath,
+            dims = Set("o_orderstatus", "o_orderpriority"),
+            measures = Set("o_custkey")))
+        val child = s.newSession()
+        child.experimental.extraOptimizations =
+          Seq(graft.plans.SummaryRewriteRule)
+        // two separate reads (distinct attribute ids), and the coarse
+        // side renames AFTER aggregating: an aliased grouping column
+        // would be an ineligible shape for the rewrite by design
+        val fine = child.read.parquet(factPath)
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_custkey")).as("sum_ck"))
+        val coarse = child.read.parquet(factPath)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("status_rows"))
+          .withColumnRenamed("o_orderstatus", "cs")
+        val df = fine
+          .join(coarse, col("o_orderstatus") === col("cs"))
+          .select(col("o_orderstatus"), col("o_orderpriority"),
+            col("n_rows"), col("sum_ck"), col("status_rows"))
+          .orderBy("o_orderstatus", "o_orderpriority")
+        val scanned = scannedPaths(df)
+        require(scanned.exists(_.contains("graft_q83_cube_fine")),
+          s"finer aggregate did not route to the finer cube: $scanned")
+        require(scanned.exists(_.contains("graft_q83_cube_coarse")),
+          s"coarser aggregate did not route to the coarse cube: $scanned")
+        require(!scanned.exists(_.contains("orders")),
+          s"rewritten plan still scans the fact table: $scanned")
+        df
+      },
+      Some("""WITH fine AS (
+             |  SELECT o_orderstatus, o_orderpriority,
+             |         count(*) AS n_rows,
+             |         CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+             |  FROM orders GROUP BY 1, 2),
+             |coarse AS (
+             |  SELECT o_orderstatus, count(*) AS status_rows
+             |  FROM orders GROUP BY 1)
+             |SELECT f.o_orderstatus, f.o_orderpriority, f.n_rows,
+             |       f.sum_ck, c.status_rows
+             |FROM fine f JOIN coarse c USING (o_orderstatus)
+             |ORDER BY 1, 2""".stripMargin)),
 
     // -------------------------------------- registered SQL functions
     // The custom Catalyst expressions exposed through the SQL surface

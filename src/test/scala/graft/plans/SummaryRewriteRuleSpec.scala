@@ -383,4 +383,81 @@ class SummaryRewriteRuleSpec extends AnyFunSuite {
     assert(v1 != v2, "rebuild was invisible — stale plan served")
     assert(v2 == truth, "post-rebuild answer must come from the new files")
   }
+
+  test("two registered cubes: each query routes to the SMALLEST " +
+      "eligible one") {
+    val customerPath = s"$sf/customer.parquet"
+    val customer = spark.read.parquet(customerPath)
+    val coarsePath = graft.RunPaths.scratch("graft_mvspec_coarse_cube")
+    val finePath = graft.RunPaths.scratch("graft_mvspec_fine_cube")
+    customer.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), sum(col("c_custkey")).as("sum_c_custkey"))
+      .write.mode("overwrite").parquet(coarsePath)
+    customer.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("c_custkey")).as("sum_c_custkey"))
+      .write.mode("overwrite").parquet(finePath)
+    // coarse registered FIRST: if routing were recency-first rather
+    // than fewest-dims-first, the coarse query below would wrongly
+    // land on the finer cube
+    SummaryRewriteRule.register(customerPath,
+      SummaryRewriteRule.SummaryDef(coarsePath,
+        dims = Set("c_mktsegment"), measures = Set("c_custkey")))
+    SummaryRewriteRule.register(customerPath,
+      SummaryRewriteRule.SummaryDef(finePath,
+        dims = Set("c_mktsegment", "c_nationkey"),
+        measures = Set("c_custkey")))
+    val child = spark.newSession()
+    child.experimental.extraOptimizations = Seq(SummaryRewriteRule)
+    val coarseQ = child.read.parquet(customerPath)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("s"))
+      .orderBy("c_mktsegment")
+    val fineQ = child.read.parquet(customerPath)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("s"))
+      .orderBy("c_mktsegment", "c_nationkey")
+    assert(scansOf(coarseQ).exists(_.contains("graft_mvspec_coarse_cube")),
+      "coarse query must read the coarse (smallest eligible) cube")
+    assert(!scansOf(coarseQ).exists(_.contains("graft_mvspec_fine_cube")))
+    assert(scansOf(fineQ).exists(_.contains("graft_mvspec_fine_cube")),
+      "finer query must fall through the coarse cube to the finer one")
+    assert(!scansOf(fineQ).exists(_.contains("customer.parquet")),
+      "finer query must still not scan the fact")
+    // and both answers stay exact
+    val truthC = spark.read.parquet(customerPath).groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("s"))
+      .orderBy("c_mktsegment").collect().map(_.toSeq).toSeq
+    assert(coarseQ.collect().map(_.toSeq).toSeq == truthC)
+    val truthF = spark.read.parquet(customerPath)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("s"))
+      .orderBy("c_mktsegment", "c_nationkey").collect().map(_.toSeq).toSeq
+    assert(fineQ.collect().map(_.toSeq).toSeq == truthF)
+  }
+
+  test("equal-width cubes: routing prefers the most recent " +
+      "registration (freshness tie-break)") {
+    val partPath = s"$sf/part.parquet"
+    val part = spark.read.parquet(partPath)
+    def buildCube(path: String): Unit =
+      part.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"), sum(col("p_partkey")).as("sum_p_partkey"))
+        .write.mode("overwrite").parquet(path)
+    val cubeA = graft.RunPaths.scratch("graft_mvspec_tie_a")
+    val cubeB = graft.RunPaths.scratch("graft_mvspec_tie_b")
+    buildCube(cubeA); buildCube(cubeB)
+    def reg(path: String): Unit = SummaryRewriteRule.register(partPath,
+      SummaryRewriteRule.SummaryDef(path,
+        dims = Set("p_brand"), measures = Set("p_partkey")))
+    reg(cubeA); reg(cubeB)
+    val child = spark.newSession()
+    child.experimental.extraOptimizations = Seq(SummaryRewriteRule)
+    def q() = child.read.parquet(partPath)
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+    assert(scansOf(q()).exists(_.contains("graft_mvspec_tie_b")),
+      "latest equal-width registration must win the tie")
+    reg(cubeA) // re-register A: now A is the most recent
+    assert(scansOf(q()).exists(_.contains("graft_mvspec_tie_a")),
+      "tie-break must follow registration recency")
+  }
 }
