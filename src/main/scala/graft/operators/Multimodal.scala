@@ -542,4 +542,43 @@ object Multimodal {
           lit("text/plain").as("mime"),
           col("n_chars").cast("int").as("w"),
           lit(0).as("h")).as("meta"))
+
+  /** ORDER-SENSITIVE sequence fingerprint for frame sequences (the
+    * video analogue of a single image's dHash): each frame contributes
+    * the low `bitsPerFrame` bits of its per-frame hash, placed
+    * POSITIONALLY — the fold is `acc * 2^bitsPerFrame + bits` over
+    * frames in `orderCol` order, so frame f occupies its own bit
+    * window of the signature. Consequences, both load-bearing:
+    *   - reordering the same frames changes the windows their codes
+    *     land in → a re-cut of the same footage does NOT collide
+    *     (unlike any order-free fold such as XOR/sum of frame hashes);
+    *   - flipping k bits inside one frame's contributed code flips
+    *     exactly k signature bits → per-frame noise stays LOCAL, and a
+    *     Hamming-ball tier over the signature (hammingBandPairs + CC,
+    *     the q72/q77 discipline) catches noisy re-encodes.
+    * Input: one row per frame (idCol, orderCol, hashCol); output one
+    * row per asset (idCol, vfp). Entirely codegen'd built-in HOFs
+    * (collect_list → array_sort → aggregate), grouped by asset — one
+    * shuffle of per-frame 8-byte hashes, never frame bytes.
+    *
+    * `frames * bitsPerFrame` must stay ≤ 62: the fold accumulates on a
+    * SIGNED long under ANSI mode (the q73 lesson) — with the default 7
+    * bits that is ≤ 8 frames per asset; longer videos first sample
+    * down to a fixed frame budget (`sampleFrames`).
+    */
+  def frameSequenceSignature(
+      frames: DataFrame, idCol: String, orderCol: String, hashCol: String,
+      bitsPerFrame: Int = 7): DataFrame = {
+    require(bitsPerFrame >= 1 && bitsPerFrame <= 62,
+      s"bitsPerFrame=$bitsPerFrame out of range")
+    val mask = (1L << bitsPerFrame) - 1
+    frames.groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col(orderCol), col(hashCol)))),
+        w => w.getField(hashCol)).as("fhs"))
+      .select(col(idCol),
+        aggregate(col("fhs"), lit(0L),
+          (acc, fh) => acc * lit(1L << bitsPerFrame) +
+            fh.bitwiseAND(lit(mask))).as("vfp"))
+  }
 }

@@ -336,6 +336,49 @@ object LlmOps {
       java.util.Arrays.asList(trained.collect(): _*), trained.schema)
   }
 
+  /** q82 fixture pattern: the 56-bit target SEQUENCE signature for one
+    * video asset — a 14x-repeated motif nibble (cross-motif Hamming
+    * >= 14 before noise) with the first (id/48 mod 4) of 3 per-motif
+    * positions flipped. Noise keys on id/48, not id mod 4: ids sharing
+    * a motif inside one mod-3 class are congruent mod 48 (the round-10
+    * q72 lesson), so id/48 is what actually VARIES between variants.
+    * Simulated over the real id universe: within-motif Hamming <= 3
+    * (96 genuinely nonzero pairs at sf0.01), cross-motif >= 12.
+    */
+  private[graft] def q82Pattern(id: Long): Long = {
+    val motif = (id % 16).toInt
+    var pattern = 0L
+    (0 until 14).foreach { k => pattern |= motif.toLong << (4 * k) }
+    (0 until ((id / 48) % 4).toInt).foreach { j =>
+      pattern ^= 1L << ((motif * 7 + j * 13) % 56)
+    }
+    pattern
+  }
+
+  /** q82 fixture frame `f`: a real 18x16 P6 image whose dHash carries
+    * the 7 pattern bits this frame contributes (bits 7f..7f+6), as a
+    * grid-row-0 ±1 luminance-level walk realizing exactly those
+    * adjacent-cell comparisons (rows 1-7 constant → dHash bits 8..63
+    * are 0, and comparison 8 of row 0 is pinned to 0). `bright` shifts
+    * every pixel equally — dHash is exposure-invariant by construction,
+    * so brightness variants collide onto the same per-frame hash.
+    * Levels stay in [0,16] (simulated), x12 + bright <= 224 < 256: no
+    * clamping anywhere, the arithmetic is exact.
+    */
+  private[graft] def q82Frame(pattern: Long, f: Int, bright: Int): Array[Byte] = {
+    val block = ((pattern >> (7 * f)) & 127L).toInt
+    val levels = new Array[Int](9)
+    var lvl = 8
+    levels(0) = lvl
+    (0 until 8).foreach { gx =>
+      lvl += (if (gx < 7 && ((block >> gx) & 1) != 0) 1 else -1)
+      levels(gx + 1) = lvl
+    }
+    graft.operators.Multimodal.encodePpm(18, 16,
+      (x, y, _) =>
+        (if (y / 2 == 0) levels(x / 2) else 8) * 12 + bright)
+  }
+
   private val serveIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2524,6 +2567,71 @@ object LlmOps {
       Some("""SELECT min(doc_id) AS cluster_rep,
              |       count(*) AS n_members
              |FROM documents WHERE doc_id % 3 = 0
+             |GROUP BY doc_id % 16 ORDER BY cluster_rep""".stripMargin)),
+
+    // ------------------ video near-dup (frame-sequence Hamming tier)
+    // Completes the modality ladder: text (q22/q23), image (q71/q72),
+    // audio (q73/q77), and now FRAME SEQUENCES. Each asset is a real
+    // 8-frame video stand-in (one P6 image per frame, the q26 frame
+    // model made literal); per-frame dHash (exposure-invariant) feeds
+    // Multimodal.frameSequenceSignature — an ORDER-SENSITIVE positional
+    // fold (frame f owns signature bits 7f..7f+6), so a re-cut of the
+    // same frames does NOT collide while per-frame noise flips only
+    // that frame's window (order sensitivity + bit locality spec'd in
+    // MultimodalSpec). Exact tier first (identical signatures collapse
+    // to a min-id representative, so band buckets are bounded by the
+    // DISTINCT-signature population at any sf — the q72/q77 layering),
+    // then the SAME capped hammingBandPairs generator + CC as every
+    // other modality: one shuffle of per-frame 8-byte hashes, one of
+    // band keys, one of verified edges — never frame bytes. Fixture is
+    // constructive (q82Pattern/q82Frame, simulated: within-motif <= 3,
+    // cross-motif >= 12, walk in range), so clusters equal motif
+    // groups exactly at any sf — closed-form oracle.
+    QueryDef(
+      "q82_video_neardup_hamming",
+      (s, dir) => {
+        import s.implicits._
+        val F = 8
+        val ids = t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id")).as[Long]
+        val frames = ids.mapPartitions(_.flatMap { id =>
+          val pattern = q82Pattern(id)
+          val bright = (id % 5).toInt * 8
+          (0 until F).iterator.map { f =>
+            (id, f.toLong, q82Frame(pattern, f, bright))
+          }
+        }).toDF("asset_id", "frame_idx", "payload")
+        val out = graft.RunPaths.scratch(
+          "graft_q82_frames_" + graft.RunPaths.keyFor(dir) + ".parquet")
+        frames.write.mode("overwrite")
+          .option("compression", "zstd").parquet(out)
+        val perFrame = s.read.parquet(out)
+          .as[(Long, Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, f, p) =>
+            (id, f, graft.operators.Multimodal.dhash64(p)
+              .getOrElse(sys.error(s"asset $id frame $f: malformed PPM")))
+          }).toDF("asset_id", "frame_idx", "fh")
+        val hashed = graft.operators.Multimodal
+          .frameSequenceSignature(perFrame, "asset_id", "frame_idx", "fh")
+        val uniq = hashed.groupBy(col("vfp"))
+          .agg(min(col("asset_id")).as("rep"), count(lit(1)).as("cnt"))
+          .localCheckpoint() // hashed once; banding + CC reuse it
+        val edges = hammingBandPairs(uniq, "rep", "vfp")
+          .filter(expr("bit_count(ha ^ hb)") <= 3)
+          .select(col("a"), col("b"))
+        val vertices = uniq.select(col("rep").as("node"))
+        DedupCluster.connectedComponents(vertices, edges)
+          .join(uniq.select(col("rep").as("node"), col("cnt")), "node")
+          .groupBy(col("cluster_id"))
+          .agg(min(col("node")).as("cluster_rep"),
+            sum(col("cnt")).as("n_members"))
+          .select(col("cluster_rep"), col("n_members"))
+          .orderBy("cluster_rep")
+      },
+      Some("""SELECT min(doc_id) AS cluster_rep,
+             |       count(*) AS n_members
+             |FROM documents WHERE doc_id % 3 = 1
              |GROUP BY doc_id % 16 ORDER BY cluster_rep""".stripMargin))
   )
 }
