@@ -147,11 +147,16 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
     // (individual workbooks are ZIP-deflated and not block-splittable).
     // With sheetPartitions > 1, EACH file's sheet is additionally split
     // at `<row` boundaries of the inflated XML (rowSplits) and the
-    // inflated bytes are spilled ONCE into range-aligned chunk files
-    // (spillChunks); each task then parses only its own chunk — total
-    // inflate work is O(2 × sheet) per file for any partition count (no
-    // per-task prefix re-inflate). Partition ordinal = (file, chunk)
-    // order = global row order.
+    // inflated bytes are spilled ONCE into range-aligned chunk files;
+    // each task then parses only its own chunk — total inflate work is
+    // O(2 × sheet) per file for any partition count (no per-task prefix
+    // re-inflate). The spill is LAZY and TASK-SIDE (r11): the planner
+    // only emits (file, chunkIndex) intents, and the first task to
+    // touch each file performs the one-pass inflate+spill under a
+    // per-file lock (ExcelScan.chunksFor) — planning cost is one cheap
+    // metadata peek per file (sheet resolution + first-row r= check),
+    // never O(sheet), and no sheet bytes ever land on the driver.
+    // Partition ordinal = (file, chunk) order = global row order.
     // positional mapping when nothing was pruned: with
     // headerDedup=reference the schema may contain DUPLICATE names, and
     // fieldIndex-by-name would send both occurrences to the first sheet
@@ -165,41 +170,48 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
     def serial(f: String): InputPartition = ExcelInputPartition(
       f, o.sheetName, o.sheetIndex, o.skipRows, positions, expectNames,
       headerDedup = o.headerDedup)
-    // Many-files guard: per-file splitting inflates and spills EVERY
-    // workbook's sheet serially on the driver at PLAN time — O(corpus)
-    // planning latency and temp disk. sheetPartitions stays a PER-FILE
-    // knob (a corpus of 8 huge workbooks × sheetPartitions=8 rightly
-    // plans 64 partitions), but the number of files it will split is
-    // bounded: past maxSplitFiles (the read option, else the
-    // graft.excel.maxSplitFiles system property, default 16) the corpus
-    // is a directory-scale scan whose parallelism already comes from
-    // file count, and splitting it would inflate the whole corpus into
-    // driver /tmp — scan serially per file and say so.
+    // Many-files guard: splitting a corpus of N files inflates every
+    // sheet a second time onto executor temp disk (the chunk spills).
+    // sheetPartitions stays a PER-FILE knob (a corpus of 8 huge
+    // workbooks × sheetPartitions=8 rightly plans 64 partitions), but
+    // the number of files it will split is bounded: past maxSplitFiles
+    // (the read option, else the graft.excel.maxSplitFiles system
+    // property, default 16) the corpus is a directory-scale scan whose
+    // parallelism already comes from file count — splitting would buy
+    // no parallelism and 2× the corpus on temp disk, so scan one task
+    // per file and say so. (Since the r11 lazy-spill redesign this
+    // guard bounds TEMP-DISK AMPLIFICATION only; plan-time driver cost
+    // is O(1) per file regardless.)
     val maxSplitFiles = o.maxSplitFiles.getOrElse(
       Integer.getInteger("graft.excel.maxSplitFiles", 16).intValue())
     if (o.sheetPartitions > 1 && paths.length > maxSplitFiles) {
       ExcelScan.log.warn(
         s"sheetPartitions=${o.sheetPartitions} ignored: ${paths.length} " +
-          s"files exceed maxSplitFiles=$maxSplitFiles — per-file " +
-          "splitting would spill every sheet on the driver at plan " +
-          "time; scanning one task per file")
+          s"files exceed maxSplitFiles=$maxSplitFiles — a directory-" +
+          "scale scan already parallelizes by file, and splitting " +
+          "would re-inflate the whole corpus onto temp disk; scanning " +
+          "one task per file")
       paths.map(serial).toArray
     } else if (o.sheetPartitions > 1) {
-      // Splittable scan, one file at a time: each workbook's selected
-      // sheet is chunk-spilled into sheetPartitions ranges; partition
-      // ordinal = (file order, chunk order), so the global row order
-      // contract (lexicographic by path, then sheet row order) is the
-      // same as the serial multi-file scan's. A corpus of a FEW huge
-      // workbooks — where one task per file under-parallelizes — gets
-      // per-file splitting this way (the branch above bounds "few" at
-      // maxSplitFiles); a file whose rows can't be split (no r=
-      // attributes) falls back to one serial task for THAT file only.
-      val parts = paths.flatMap { path =>
+      // Splittable scan: the planner emits sheetPartitions INTENT
+      // partitions per file — no inflate, no spill, no sheet bytes on
+      // the driver. The only per-file plan work is the cheap metadata
+      // peek deciding splittability (sheet resolution + first-row r=
+      // check; chunk fragments need absolute row positions — BIFF12
+      // row headers always carry them, SpreadsheetML needs r=
+      // attributes). A refless file falls back to one serial task for
+      // THAT file only. The first TASK to touch a file performs the
+      // one-pass inflate+spill (ExcelScan.chunksFor: process-global
+      // cache + per-file lock, so concurrent sibling tasks wait
+      // instead of re-inflating); a sheet that yields fewer chunks
+      // than requested leaves the surplus intents as cheap empty
+      // tasks. Partition ordinal = (file order, chunk order), so the
+      // global row order contract (lexicographic by path, then sheet
+      // row order) is the same as the serial multi-file scan's.
+      paths.flatMap { path =>
         val wb = WorkbookSource.open(path)
         try {
           val sheet = wb.resolveSheet(o.sheetName, o.sheetIndex)
-          // chunk fragments need absolute row positions: BIFF12 row
-          // headers always carry them; SpreadsheetML needs r= attributes
           val refless = wb match {
             case x: XlsxParser.Workbook => !x.firstRowHasRef(sheet.target)
             case _ => false
@@ -211,28 +223,15 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
                 "<row> elements; scanning this file in a single partition")
             Seq(serial(path))
           } else {
-            val chunks = ExcelScan.spillCached(
-              wb, path, sheet.target, o.sheetPartitions)
-            if (chunks.lengthCompare(1) <= 0) Seq(serial(path))
-            else chunks.map { cp =>
+            (0 until o.sheetPartitions).map { i =>
               ExcelInputPartition(path, o.sheetName, o.sheetIndex,
-                o.skipRows, positions, expectNames, cp,
-                o.headerDedup): InputPartition
+                o.skipRows, positions, expectNames,
+                chunkIndex = i, chunkCount = o.sheetPartitions,
+                headerDedup = o.headerDedup): InputPartition
             }
           }
         } finally wb.close()
       }.toArray
-      // planning-time spill is real driver disk: surface the aggregate
-      // so a directory scan can't silently inflate a corpus into /tmp
-      val spilled = parts.collect {
-        case p: ExcelInputPartition if p.chunkPath != null =>
-          new java.io.File(p.chunkPath).length()
-      }.sum
-      if (spilled > 0)
-        ExcelScan.log.info(
-          f"split scan planned: ${paths.length} file(s), ${parts.length} " +
-            f"partitions, ${spilled / 1e6}%.1f MB spilled chunk XML")
-      parts
     } else {
       paths.map(serial).toArray
     }
@@ -247,10 +246,12 @@ object ExcelScan {
 
   /** Process-global cache of spilled chunk files, keyed by workbook
     * identity (absolute path, size, mtime) + sheet part + partition
-    * count. DSv2 re-plans the scan on EVERY action; without the cache
-    * each re-plan re-inflated and re-spilled the whole sheet into a
-    * fresh temp dir — unbounded temp-disk growth on a long-lived
-    * session (and a full redundant inflate pass per action). Entries
+    * count. Every split-scan TASK resolves its chunk set through this
+    * cache (chunksFor), and DSv2 re-plans the scan on EVERY action;
+    * without the cache each action re-inflated and re-spilled the
+    * whole sheet into a fresh temp dir — unbounded temp-disk growth on
+    * a long-lived session (and a full redundant inflate pass per
+    * action). Entries
     * are validated against the filesystem before reuse; a concurrent
     * double-spill is benign (last put wins, both chunk sets are valid
     * until JVM exit). When a spill observes that a cached (path, target)
@@ -307,6 +308,40 @@ object ExcelScan {
       if (polled == null) remaining = 0
       else if (now - polled._2 >= graceNanos) deleteChunkSet(polled._1)
       else condemned.add(polled)
+    }
+  }
+
+  // one lock per (file, sheet, n): sibling tasks of a split scan all
+  // race to materialize the same chunk set; the loser threads must WAIT
+  // for the winner's one-pass spill, not run their own
+  private val spillLocks = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int), Object]()
+
+  /** TASK-side chunk-set resolution for a split-scan intent partition:
+    * resolve the sheet, then return the cached chunk spill for
+    * (file, sheet, n) — performing the one-pass inflate+spill if this
+    * JVM has not materialized it yet. Serialized per key so exactly
+    * one task pays the inflate while its siblings block; every later
+    * task (and every DSv2 re-plan's tasks) hits the cache. On a
+    * multi-executor cluster each executor JVM materializes its own
+    * spill for the files its tasks touch — O(executors-touching-file)
+    * total inflate work, overlapped with execution, instead of the
+    * pre-r11 O(corpus) SERIAL driver inflate that ran before any task
+    * could start.
+    */
+  private[graft] def chunksFor(
+      path: String, sheetName: Option[String], sheetIndex: Option[Int],
+      n: Int): Seq[String] = {
+    val lock = spillLocks.computeIfAbsent(
+      (new java.io.File(path).getAbsolutePath,
+        sheetName.getOrElse(sheetIndex.getOrElse(0).toString), n),
+      _ => new Object)
+    lock.synchronized {
+      val wb = WorkbookSource.open(path)
+      try {
+        val sheet = wb.resolveSheet(sheetName, sheetIndex)
+        spillCached(wb, path, sheet.target, n)
+      } finally wb.close()
     }
   }
 
@@ -373,9 +408,12 @@ final case class ExcelInputPartition(
     // non-null for multi-file scans: every file must present this header
     // (positional mapping would silently misalign columns otherwise)
     expectedNames: Array[String],
-    // non-null for split single-sheet scans: path of the spilled
-    // inflated-XML chunk this task parses (complete row elements only)
-    chunkPath: String = null,
+    // >= 0 for split single-sheet scans: this task reads chunk
+    // `chunkIndex` of the file's `chunkCount`-way spill — resolved
+    // TASK-side via ExcelScan.chunksFor (the plan carries only the
+    // intent, never a spilled path)
+    chunkIndex: Int = -1,
+    chunkCount: Int = 0,
     headerDedup: String = "unique") extends InputPartition
 
 final class ExcelReaderFactory extends PartitionReaderFactory {
@@ -393,11 +431,24 @@ final class ExcelReaderFactory extends PartitionReaderFactory {
           "all files of a multi-file excel scan must share the header row")
     val outPos = Array.fill(lay.numCols)(-1)
     p.requiredPositions.zipWithIndex.foreach { case (pos, out) => outPos(pos) = out }
-    val rows =
-      if (p.chunkPath != null)
-        ExcelRead.rowsForChunk(opts, lay, outPos,
-          p.requiredPositions.length, p.chunkPath)
-      else ExcelRead.rows(opts, lay, outPos, p.requiredPositions.length)
+    val rows: Iterator[Array[AnyRef]] with AutoCloseable =
+      if (p.chunkIndex >= 0) {
+        // intent partition: resolve (and on first touch, materialize)
+        // the chunk spill HERE, on the task — see ExcelScan.chunksFor
+        val chunks = ExcelScan.chunksFor(
+          p.path, p.sheetName, p.sheetIndex, p.chunkCount)
+        if (chunks.isEmpty) {
+          // sheet not spillable into chunks (no data rows): ordinal 0
+          // degrades to the serial scan so the file is still read
+          // exactly once; sibling intents are empty
+          if (p.chunkIndex == 0)
+            ExcelRead.rows(opts, lay, outPos, p.requiredPositions.length)
+          else ExcelRead.noRows
+        } else if (p.chunkIndex < chunks.length)
+          ExcelRead.rowsForChunk(opts, lay, outPos,
+            p.requiredPositions.length, chunks(p.chunkIndex))
+        else ExcelRead.noRows // fewer real chunks than planned intents
+      } else ExcelRead.rows(opts, lay, outPos, p.requiredPositions.length)
 
     new PartitionReader[InternalRow] {
       private var current: Array[AnyRef] = _

@@ -72,6 +72,16 @@ object ExcelRead {
     } finally wb.close()
   }
 
+  /** Empty row stream for surplus split-scan intents (the sheet
+    * yielded fewer chunks than the planner's lazy intent count).
+    */
+  val noRows: Iterator[Array[AnyRef]] with AutoCloseable =
+    new Iterator[Array[AnyRef]] with AutoCloseable {
+      override def hasNext: Boolean = false
+      override def next(): Array[AnyRef] = throw new NoSuchElementException
+      override def close(): Unit = ()
+    }
+
   /** Executor-side: stream data rows as fixed-width arrays (null = absent
     * cell; values are UTF8String, pre-encoded at parse time). `outPos(i)`
     * gives the output slot for sheet position i, or -1 if the column was

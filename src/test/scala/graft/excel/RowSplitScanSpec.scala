@@ -326,4 +326,26 @@ class RowSplitScanSpec extends AnyFunSuite {
       s"expected 2 chunks per file, got ${split.rdd.getNumPartitions}")
     assert(split.count() == 600)
   }
+
+  test("split-scan PLANNING does not inflate or spill sheets — the " +
+      "first executing task does, lazily and once") {
+    val path = bigSheet(12000)
+    val before = spillDirs()
+    val df = spark.read.format("excel")
+      .option("sheetPartitions", "5").load(path)
+    // partition enumeration forces planInputPartitions without running
+    // a single task — the pre-r11 planner spilled every sheet right here
+    assert(df.rdd.getNumPartitions == 5)
+    assert((spillDirs() -- before).filter(nonEmpty).isEmpty,
+      "planning must not spill chunk files — the plan carries only " +
+        "(file, chunkIndex) intents")
+    assert(df.count() == 12000)
+    assert((spillDirs() -- before).exists(nonEmpty),
+      "the first executing task must materialize the chunk spill")
+    // and the spill happened ONCE: a second action reuses the cache
+    val dirsAfterFirst = spillDirs() -- before
+    assert(df.count() == 12000)
+    assert((spillDirs() -- before) == dirsAfterFirst,
+      "subsequent actions must reuse the cached chunk set, not respill")
+  }
 }
