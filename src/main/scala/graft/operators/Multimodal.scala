@@ -564,21 +564,36 @@ object Multimodal {
     * `frames * bitsPerFrame` must stay ≤ 62: the fold accumulates on a
     * SIGNED long under ANSI mode (the q73 lesson) — with the default 7
     * bits that is ≤ 8 frames per asset; longer videos first sample
-    * down to a fixed frame budget (`sampleFrames`).
+    * down to a fixed frame budget (`sampleFrames`). The budget is
+    * ENFORCED per asset with a loud error (the requireSmallExact
+    * discipline): an over-budget asset would otherwise either abort
+    * the job with an opaque mid-fold overflow ArithmeticException
+    * (ANSI on) or silently shift its early frames out of the signature
+    * (ANSI off) — breaking exactly the order-sensitivity this function
+    * promises, data-dependently.
     */
   def frameSequenceSignature(
       frames: DataFrame, idCol: String, orderCol: String, hashCol: String,
       bitsPerFrame: Int = 7): DataFrame = {
     require(bitsPerFrame >= 1 && bitsPerFrame <= 62,
       s"bitsPerFrame=$bitsPerFrame out of range")
+    val maxFrames = 62 / bitsPerFrame
     val mask = (1L << bitsPerFrame) - 1
     frames.groupBy(col(idCol))
       .agg(transform(
         array_sort(collect_list(struct(col(orderCol), col(hashCol)))),
         w => w.getField(hashCol)).as("fhs"))
       .select(col(idCol),
-        aggregate(col("fhs"), lit(0L),
-          (acc, fh) => acc * lit(1L << bitsPerFrame) +
-            fh.bitwiseAND(lit(mask))).as("vfp"))
+        when(size(col("fhs")) > maxFrames,
+          raise_error(concat(
+            lit("frameSequenceSignature: asset "),
+            col(idCol).cast("string"),
+            lit(" has "), size(col("fhs")).cast("string"),
+            lit(s" frames but at bitsPerFrame=$bitsPerFrame the 62-bit " +
+              s"signature holds at most $maxFrames — sample the sequence " +
+              "down first (sampleFrames)"))))
+          .otherwise(aggregate(col("fhs"), lit(0L),
+            (acc, fh) => acc * lit(1L << bitsPerFrame) +
+              fh.bitwiseAND(lit(mask)))).as("vfp"))
   }
 }

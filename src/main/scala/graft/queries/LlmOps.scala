@@ -478,6 +478,14 @@ object LlmOps {
         .write.mode("overwrite").parquet(s"$branchIdx/retrain/codes/gen=0")
       val codes = s.read.parquet(s"$branchIdx/retrain/codes/gen=0")
         .select(col("cell_id"), col("vec_id"), col("codes"))
+      // persist the new generation's base occupancy too: the retrained
+      // directory must satisfy this function's OWN precondition (coarse,
+      // books, codes/gen=0, base_occ) so the loop can iterate — the
+      // NEXT append's trigger reads base_occ from whatever index it is
+      // pointed at. One K-row aggregate, the same cost every other
+      // build site pays.
+      IndexDrift.occupancyOfCodes(codes)
+        .write.mode("overwrite").parquet(s"$branchIdx/retrain/base_occ")
       (coarse2, books2, codes, true)
     }
   }

@@ -223,11 +223,18 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
                 "<row> elements; scanning this file in a single partition")
             Seq(serial(path))
           } else {
+            // stamp the intents with the file version the plan saw:
+            // tasks resolve chunks for exactly this version (see the
+            // ExcelScan cache contract — no torn reads across a
+            // mid-action workbook replacement)
+            val stamp = ExcelScan.versionStamp(new java.io.File(path))
             (0 until o.sheetPartitions).map { i =>
               ExcelInputPartition(path, o.sheetName, o.sheetIndex,
                 o.skipRows, positions, expectNames,
                 chunkIndex = i, chunkCount = o.sheetPartitions,
-                headerDedup = o.headerDedup): InputPartition
+                headerDedup = o.headerDedup,
+                stampLen = stamp._1, stampMtime = stamp._2,
+                stampFileKey = stamp._3): InputPartition
             }
           }
         } finally wb.close()
@@ -245,35 +252,60 @@ object ExcelScan {
   private[excel] val log = org.slf4j.LoggerFactory.getLogger(classOf[ExcelScan])
 
   /** Process-global cache of spilled chunk files, keyed by workbook
-    * identity (absolute path, size, mtime) + sheet part + partition
-    * count. Every split-scan TASK resolves its chunk set through this
-    * cache (chunksFor), and DSv2 re-plans the scan on EVERY action;
-    * without the cache each action re-inflated and re-spilled the
-    * whole sheet into a fresh temp dir — unbounded temp-disk growth on
-    * a long-lived session (and a full redundant inflate pass per
-    * action). Entries
-    * are validated against the filesystem before reuse; a concurrent
-    * double-spill is benign (last put wins, both chunk sets are valid
-    * until JVM exit). When a spill observes that a cached (path, target)
-    * entry's version stamp no longer matches the file on disk, the
-    * superseded entry is CONDEMNED: dropped from the cache at once (no
-    * new plan can reference it) but its chunk files are deleted only
-    * after a grace window (`graft.excel.evictGraceMs`, default 10 min),
-    * so tasks of an action whose plan captured the old chunk paths can
-    * finish reading them. A query against a replaced workbook that
-    * outlives the grace window fails loudly with FileNotFound — its
-    * old-version result was void the moment the file changed; the grace
-    * only protects in-flight work, it is not a consistency promise.
+    * identity (absolute path, size, mtime, fileKey) + sheet SELECTOR +
+    * partition count. Every split-scan TASK resolves its chunk set
+    * through this cache (chunksFor), and DSv2 re-plans the scan on
+    * EVERY action; without the cache each action re-inflated and
+    * re-spilled the whole sheet into a fresh temp dir — unbounded
+    * temp-disk growth on a long-lived session (and a full redundant
+    * inflate pass per action). The key carries the sheet selector (the
+    * user's sheetName/sheetIndex request) rather than the resolved
+    * sheet part: within one file version the selector resolves
+    * deterministically, and keying by selector lets a task look up the
+    * PLANNED version's chunks without opening (a possibly replaced)
+    * file to resolve the part name. Entries are validated against the
+    * filesystem before reuse; a concurrent double-spill is benign
+    * (last put wins, both chunk sets are valid until JVM exit).
+    *
+    * Snapshot contract: the PLAN stamps each split intent with the
+    * file's version (size, mtime, fileKey) observed at plan time, and
+    * every task resolves chunks for exactly that version — a cache hit
+    * serves the planned version even if the file has since been
+    * replaced, and a miss + on-disk mismatch fails LOUDLY
+    * (FileNotFoundException) instead of silently spilling the new
+    * version, so one action can never mix rows from two file versions
+    * (torn read). When a spill observes cached entries for the same
+    * (path, selector) whose stamp no longer matches the file on disk,
+    * those superseded entries are CONDEMNED: no new plan can reference
+    * them (a new plan stamps the CURRENT version, a different key),
+    * they stay cache-resident so in-flight tasks planned against them
+    * still hit, and their chunk files + cache entries are reaped only
+    * after a grace window (`graft.excel.evictGraceMs`, default
+    * 10 min). A task against a replaced workbook that outlives the
+    * grace window fails loudly with FileNotFound — its old-version
+    * result was void the moment the file changed; the grace only
+    * protects in-flight work, it is not a consistency promise.
     * deleteOnExit remains the last-resort cleanup for LIVE entries.
     */
-  private val chunkCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long, String, String, Int), Seq[String]]()
+  private type ChunkKey = (String, Long, Long, String, String, Int)
+  private val chunkCache =
+    new java.util.concurrent.ConcurrentHashMap[ChunkKey, Seq[String]]()
 
-  /** Superseded chunk sets awaiting deletion, oldest first (appended in
-    * condemnation order, so the head is always the oldest entry).
+  /** Keys already condemned (enqueued for grace-expiry reaping) — guards
+    * against re-enqueueing the same superseded entry on every later
+    * spill for the path, since condemned entries now stay in chunkCache
+    * until the grace elapses.
+    */
+  private val condemnedKeys =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[ChunkKey]()
+
+  /** Superseded chunk sets awaiting reaping, oldest first (appended in
+    * condemnation order, so the head is always the oldest entry). Each
+    * entry carries its cache key so expiry removes the cache entry and
+    * its per-key spill lock along with the files.
     */
   private val condemned =
-    new java.util.concurrent.ConcurrentLinkedQueue[(Seq[String], Long)]()
+    new java.util.concurrent.ConcurrentLinkedQueue[(ChunkKey, Seq[String], Long)]()
 
   private def graceNanos: Long =
     java.lang.Long.getLong("graft.excel.evictGraceMs", 600000L) * 1000000L
@@ -286,12 +318,16 @@ object ExcelScan {
       if (dir != null) dir.delete() // succeeds once the dir is empty
     }
 
-  /** Delete condemned chunk sets whose grace window has elapsed. The
-    * polled entry's OWN timestamp is re-checked after poll: two threads
-    * sweeping concurrently may each peek the same expired head, and the
-    * loser's poll() would otherwise hand it the NEXT (possibly still
-    * in-grace) entry to delete. The whole queue is drained ONCE per
-    * sweep (bounded by the size observed at entry, so concurrent
+  /** Reap condemned chunk sets whose grace window has elapsed: delete
+    * the chunk files, drop the cache entry (in-flight stamped lookups
+    * stop hitting it), and — when no live entry for the same
+    * (path, selector, n) remains — drop the per-key spill lock, so the
+    * lock map stays bounded on a long-lived driver cycling workbooks.
+    * The polled entry's OWN timestamp is re-checked after poll: two
+    * threads sweeping concurrently may each peek the same expired head,
+    * and the loser's poll() would otherwise hand it the NEXT (possibly
+    * still in-grace) entry to delete. The whole queue is drained ONCE
+    * per sweep (bounded by the size observed at entry, so concurrent
     * re-enqueues cannot extend the loop): an in-grace entry is
     * re-enqueued and the scan continues PAST it, so an expired entry
     * that rotated behind a newer in-grace head is still deleted this
@@ -306,8 +342,18 @@ object ExcelScan {
       remaining -= 1
       val polled = condemned.poll() // atomic: one thread owns each entry
       if (polled == null) remaining = 0
-      else if (now - polled._2 >= graceNanos) deleteChunkSet(polled._1)
-      else condemned.add(polled)
+      else if (now - polled._3 >= graceNanos) {
+        val (key, chunks, _) = polled
+        deleteChunkSet(chunks)
+        chunkCache.remove(key)
+        condemnedKeys.remove(key)
+        val lockKey = (key._1, key._5, key._6)
+        val liveLeft = chunkCache.keySet().iterator().asScala.exists(k =>
+          k._1 == lockKey._1 && k._5 == lockKey._2 && k._6 == lockKey._3)
+        // racing a concurrent computeIfAbsent here at worst yields two
+        // lock objects and a benign double-spill (documented above)
+        if (!liveLeft) spillLocks.remove(lockKey)
+      } else condemned.add(polled)
     }
   }
 
@@ -317,10 +363,23 @@ object ExcelScan {
   private val spillLocks = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Int), Object]()
 
+  /** The file's version stamp (length, mtime, fileKey). The filesystem
+    * fileKey (inode) distinguishes an atomically REPLACED workbook even
+    * when length and coarse mtime coincide; an in-place rewrite inside
+    * the mtime granularity remains the one documented staleness window.
+    */
+  private[excel] def versionStamp(f: java.io.File): (Long, Long, String) = {
+    val fileKey =
+      try String.valueOf(java.nio.file.Files.readAttributes(
+        f.toPath, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
+      catch { case _: Throwable => "" }
+    (f.length(), f.lastModified(), fileKey)
+  }
+
   /** TASK-side chunk-set resolution for a split-scan intent partition:
-    * resolve the sheet, then return the cached chunk spill for
-    * (file, sheet, n) — performing the one-pass inflate+spill if this
-    * JVM has not materialized it yet. Serialized per key so exactly
+    * return the cached chunk spill for the PLANNED file version —
+    * performing the one-pass inflate+spill if this JVM has not
+    * materialized it yet. Serialized per (file, selector, n) so exactly
     * one task pays the inflate while its siblings block; every later
     * task (and every DSv2 re-plan's tasks) hits the cache. On a
     * multi-executor cluster each executor JVM materializes its own
@@ -328,73 +387,87 @@ object ExcelScan {
     * total inflate work, overlapped with execution, instead of the
     * pre-r11 O(corpus) SERIAL driver inflate that ran before any task
     * could start.
+    *
+    * `planned` is the version stamp the PLAN captured (None only for
+    * tooling that resolves ad hoc): a cached entry under the planned
+    * stamp is served even if the file has since been replaced (the
+    * condemned-with-grace window), and a cache miss whose on-disk file
+    * no longer matches the planned stamp fails LOUDLY instead of
+    * spilling the new version — the task set of one action must never
+    * mix rows of two file versions.
     */
   private[graft] def chunksFor(
       path: String, sheetName: Option[String], sheetIndex: Option[Int],
-      n: Int): Seq[String] = {
-    val lock = spillLocks.computeIfAbsent(
-      (new java.io.File(path).getAbsolutePath,
-        sheetName.getOrElse(sheetIndex.getOrElse(0).toString), n),
-      _ => new Object)
+      n: Int, planned: Option[(Long, Long, String)] = None): Seq[String] = {
+    val f = new java.io.File(path)
+    val abs = f.getAbsolutePath
+    val sel = sheetName.getOrElse(sheetIndex.getOrElse(0).toString)
+    val lock = spillLocks.computeIfAbsent((abs, sel, n), _ => new Object)
     lock.synchronized {
-      val wb = WorkbookSource.open(path)
-      try {
-        val sheet = wb.resolveSheet(sheetName, sheetIndex)
-        spillCached(wb, path, sheet.target, n)
-      } finally wb.close()
+      // sweep on EVERY lookup, hit or miss: a driver that replaces a
+      // workbook once and then only ever re-plans the new version takes
+      // the cache-hit path forever, and a miss-only sweep would keep
+      // the superseded chunk set on temp disk until JVM exit
+      sweepCondemned()
+      val current = versionStamp(f)
+      val stamp = planned.getOrElse(current)
+      val key = (abs, stamp._1, stamp._2, stamp._3, sel, n)
+      val cached = chunkCache.get(key)
+      if (cached != null && cached.forall(c => new java.io.File(c).exists()))
+        cached
+      else if (planned.exists(_ != current))
+        // the planned version is gone from cache AND from disk (or its
+        // grace expired): any spill now would read the replacement —
+        // rows from a different version than sibling tasks already
+        // returned. Fail the task instead of tearing the result.
+        throw new java.io.FileNotFoundException(
+          s"$path changed while a split scan planned against version " +
+            s"(len=${stamp._1}, mtime=${stamp._2}) was in flight — " +
+            "re-run the query to read the current file")
+      else {
+        condemnSuperseded(abs, sel, current)
+        // second sweep after condemning: with a zero/short grace the
+        // just-superseded set is already expired and must not wait for
+        // the next lookup
+        sweepCondemned()
+        val wb = WorkbookSource.open(path)
+        val chunks =
+          try {
+            val sheet = wb.resolveSheet(sheetName, sheetIndex)
+            val scratch =
+              java.nio.file.Files.createTempDirectory("graft-sheet-split-")
+            scratch.toFile.deleteOnExit()
+            wb.spillRowChunks(sheet.target, n, scratch)
+          } finally wb.close()
+        chunkCache.put(key, chunks)
+        chunks
+      }
     }
   }
 
-  private[excel] def spillCached(
-      wb: WorkbookSource, path: String, target: String, n: Int): Seq[String] = {
-    val f = new java.io.File(path)
-    // the filesystem fileKey (inode) distinguishes an atomically
-    // REPLACED workbook even when length and coarse mtime coincide;
-    // an in-place rewrite inside the mtime granularity remains the one
-    // documented staleness window
-    val fileKey =
-      try String.valueOf(java.nio.file.Files.readAttributes(
-        f.toPath, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
-      catch { case _: Throwable => "" }
-    val key = (f.getAbsolutePath, f.length(), f.lastModified(), fileKey, target, n)
-    // sweep on EVERY plan-time spill lookup, hit or miss: a driver that
-    // replaces a workbook once and then only ever re-plans the new
-    // version takes the cache-hit path forever, and a miss-only sweep
-    // would keep the superseded chunk set on temp disk until JVM exit
-    sweepCondemned()
-    val cached = chunkCache.get(key)
-    if (cached != null && cached.forall(c => new java.io.File(c).exists()))
-      cached
-    else {
-      // Condemn SUPERSEDED versions: entries for the same (path, target)
-      // whose (size, mtime, fileKey) no longer match the file on disk
-      // describe a workbook that has been replaced — drop them from the
-      // cache now, delete their chunk files after the grace window (see
-      // the cache contract above), so an in-flight action planned
-      // against the old chunks can finish. Without this their spilled
-      // sheet copies would sit on temp disk until JVM exit
-      // (deleteOnExit), re-growing exactly the accumulation this cache
-      // exists to stop on a long-lived driver cycling workbooks.
-      // (Different-n entries for the LIVE version stay valid and cached.)
-      val it = chunkCache.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val k = e.getKey
-        if (k._1 == f.getAbsolutePath && k._5 == target &&
-            (k._2 != f.length() || k._3 != f.lastModified() || k._4 != fileKey)) {
-          it.remove()
-          condemned.add((e.getValue, System.nanoTime()))
-        }
-      }
-      // second sweep after condemning: with a zero/short grace the
-      // just-superseded set is already expired and must not wait for
-      // the next lookup
-      sweepCondemned()
-      val scratch = java.nio.file.Files.createTempDirectory("graft-sheet-split-")
-      scratch.toFile.deleteOnExit()
-      val chunks = wb.spillRowChunks(target, n, scratch)
-      chunkCache.put(key, chunks)
-      chunks
+  /** Condemn SUPERSEDED versions: entries for the same (path, selector)
+    * whose (size, mtime, fileKey) no longer match the file on disk
+    * describe a workbook that has been replaced — enqueue their chunk
+    * files for deletion after the grace window (see the cache contract
+    * above). They stay cache-resident until the grace elapses so an
+    * in-flight action planned against the old version keeps hitting;
+    * no NEW plan can reach them (a new plan stamps the current
+    * version, a different key). Without the eventual reap their
+    * spilled sheet copies would sit on temp disk until JVM exit
+    * (deleteOnExit), re-growing exactly the accumulation this cache
+    * exists to stop on a long-lived driver cycling workbooks.
+    * (Different-n entries for the LIVE version stay valid and cached.)
+    */
+  private def condemnSuperseded(
+      abs: String, sel: String, current: (Long, Long, String)): Unit = {
+    val it = chunkCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val k = e.getKey
+      if (k._1 == abs && k._5 == sel &&
+          (k._2 != current._1 || k._3 != current._2 || k._4 != current._3) &&
+          condemnedKeys.add(k))
+        condemned.add((k, e.getValue, System.nanoTime()))
     }
   }
 }
@@ -414,13 +487,34 @@ final case class ExcelInputPartition(
     // intent, never a spilled path)
     chunkIndex: Int = -1,
     chunkCount: Int = 0,
-    headerDedup: String = "unique") extends InputPartition
+    headerDedup: String = "unique",
+    // the file version (length, mtime, fileKey) the PLAN observed —
+    // every split task reads exactly this version or fails loudly, so
+    // a workbook replaced mid-action can never produce a torn read
+    // mixing rows of two versions
+    stampLen: Long = -1L,
+    stampMtime: Long = 0L,
+    stampFileKey: String = "") extends InputPartition
 
 final class ExcelReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ExcelInputPartition]
     val opts = ExcelRead.Options(p.path, p.sheetName, p.sheetIndex, p.skipRows,
       headerDedup = p.headerDedup)
+    // Split tasks verify the file still matches the PLANNED version
+    // BEFORE deriving the layout: the layout (header row) is read from
+    // the live file, so parsing planned-version chunks with a
+    // replacement's layout would be the same torn read the chunk stamp
+    // prevents. A mismatch fails loudly; the action re-runs against
+    // the current file.
+    if (p.chunkIndex >= 0) {
+      val cur = ExcelScan.versionStamp(new java.io.File(p.path))
+      if (cur != ((p.stampLen, p.stampMtime, p.stampFileKey)))
+        throw new java.io.FileNotFoundException(
+          s"${p.path} changed while a split scan planned against version " +
+            s"(len=${p.stampLen}, mtime=${p.stampMtime}) was in flight — " +
+            "re-run the query to read the current file")
+    }
     // Layout re-derivation on the executor is one header-prefix scan —
     // cheap, and avoids serializing driver state into the partition.
     val lay = ExcelRead.layout(opts)
@@ -436,7 +530,8 @@ final class ExcelReaderFactory extends PartitionReaderFactory {
         // intent partition: resolve (and on first touch, materialize)
         // the chunk spill HERE, on the task — see ExcelScan.chunksFor
         val chunks = ExcelScan.chunksFor(
-          p.path, p.sheetName, p.sheetIndex, p.chunkCount)
+          p.path, p.sheetName, p.sheetIndex, p.chunkCount,
+          Some((p.stampLen, p.stampMtime, p.stampFileKey)))
         if (chunks.isEmpty) {
           // sheet not spillable into chunks (no data rows): ordinal 0
           // degrades to the serial scan so the file is still read

@@ -327,6 +327,39 @@ class RowSplitScanSpec extends AnyFunSuite {
     assert(split.count() == 600)
   }
 
+  test("a workbook replaced between planning and execution fails LOUDLY " +
+      "instead of silently reading the new version (no torn reads)") {
+    // the lazy task-side spill resolves chunks at EXECUTION time; if
+    // tasks resolved against the file's current stats, an action planned
+    // against v1 whose file is replaced before (or during) execution
+    // would silently mix versions. The plan stamps the file version and
+    // every task verifies it, so this shape must error, never return
+    // v2 (or mixed) rows under a v1 plan.
+    val dir = Files.createTempDirectory("tornread")
+    val path = dir.resolve("wb.xlsx").toString
+    writeWb(path, 3000)
+    val planned = spark.read.format("excel").option("sheetPartitions", "3")
+      .load(path)
+    // force planInputPartitions (stamps v1) without running any task —
+    // nothing is spilled or cached for v1 yet
+    assert(planned.rdd.getNumPartitions == 3)
+    Files.delete(java.nio.file.Paths.get(path))
+    writeWb(path, 4000)
+    new java.io.File(path).setLastModified(System.currentTimeMillis() + 2000)
+    // the RDD pinned the v1 plan; executing it now must fail loudly
+    val err = intercept[org.apache.spark.SparkException] {
+      planned.rdd.map(_.size).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("changed while a split scan")),
+      s"expected the version-stamp failure, got: ${msgs(err).mkString(" | ")}")
+    // a fresh action re-plans against the current file and succeeds
+    assert(spark.read.format("excel").option("sheetPartitions", "3")
+      .load(path).count() == 4000)
+  }
+
   test("split-scan PLANNING does not inflate or spill sheets — the " +
       "first executing task does, lazily and once") {
     val path = bigSheet(12000)

@@ -85,5 +85,24 @@ class AnnRetrainSpec extends AnyFunSuite {
       "retrained generation must cover the merged corpus exactly")
     // the retrained generation is self-contained: every id exactly once
     assert(dCodes.select(col("vec_id")).distinct().count() == nBase + nBatch)
+
+    // the loop must ITERATE: the retrained directory satisfies the
+    // function's own precondition (coarse, books, codes/gen=0,
+    // base_occ), so pointing modelIdx at it and appending the next
+    // batch works — quiet on an in-distribution batch drawn from the
+    // merged (drift-inclusive) corpus
+    val retrainedIdx = s"$idx/drift/retrain"
+    for (part <- Seq("coarse", "books", "codes/gen=0", "base_occ"))
+      assert(new java.io.File(s"$retrainedIdx/$part").exists(),
+        s"retrained index must persist $part — the next append's " +
+          "trigger reads it")
+    val merged = base.unionByName(drifted)
+    val next = merged.sample(withReplacement = false, 0.2, seed = 7)
+    val (_, _, nCodes, nRetrained) = LlmOps.annMaybeRetrain(
+      spark, sf, retrainedIdx, s"$idx/next", merged, next)
+    assert(!nRetrained,
+      "an in-distribution batch against the retrained index must append " +
+        "quietly — the drift loop iterates")
+    assert(nCodes.count() == merged.count() + next.count())
   }
 }

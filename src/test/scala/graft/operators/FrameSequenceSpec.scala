@@ -57,6 +57,30 @@ class FrameSequenceSpec extends AnyFunSuite {
     assert(sigs(1L) == sigs(2L))
   }
 
+  test("an asset exceeding the 62-bit frame budget fails LOUDLY, not " +
+      "with a mid-fold overflow or silent bit loss") {
+    import spark.implicits._
+    // 9 frames at bitsPerFrame=7 needs 63 bits: pre-guard this either
+    // threw an opaque ArithmeticException under ANSI or silently
+    // shifted frame 0 out of the signature with ANSI off
+    val over = (0 until 9).map(f => (1L, f.toLong, (f + 1).toLong))
+    val err = intercept[Exception] {
+      Multimodal.frameSequenceSignature(
+        over.toDF("asset_id", "frame_idx", "fh"),
+        "asset_id", "frame_idx", "fh").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(m =>
+      m.contains("frameSequenceSignature") && m.contains("at most 8")),
+      s"expected the frame-budget error, got: ${msgs(err).mkString(" | ")}")
+    // exactly at the budget still works
+    val atCap = (0 until 8).map(f => (2L, f.toLong, (f + 1).toLong))
+    val sigs = sigOf(atCap)
+    assert(sigs.contains(2L))
+  }
+
   test("q82 fixture frames: brightness variants of one video produce " +
       "the SAME signature; distinct motifs produce distant ones") {
     import spark.implicits._
