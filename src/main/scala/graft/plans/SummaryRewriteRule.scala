@@ -98,24 +98,47 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Register `summary` as one pre-aggregation of the fact table whose
     * file-source root path is `factPath`. Summaries ACCUMULATE per
-    * fact (multiple cubes over different dim sets); re-registering the
-    * SAME summaryPath replaces that entry — that is the freshness
-    * handshake after a summary REBUILD, and the replaced definition's
-    * cached plan is invalidated so a pinned file listing from before
-    * the rebuild cannot serve deleted part files — failed reads at
-    * best, silently stale aggregates if old files linger. The stored
-    * list stays sorted fewest-dims-first (stable sort over a
-    * newest-first list, so equal-width cubes prefer the most recent
-    * registration).
+    * fact (multiple cubes over different dim sets). Two shapes of
+    * re-registration REPLACE instead of accumulating, and both
+    * invalidate the replaced definitions' cached plans so a pinned
+    * file listing from before a rebuild cannot serve deleted part
+    * files — failed reads at best, silently stale aggregates if old
+    * files linger:
+    *   - same summaryPath: the in-place rebuild handshake;
+    *   - same dims with measures covered by the new cube, under ANY
+    *     path: the immutable-output rebuild pattern (each build writes
+    *     a fresh directory) — the old cube is eligible for exactly the
+    *     queries the new one answers, so keeping it routable would
+    *     keep serving the stale build.
+    * What register CANNOT infer is that a FACT DATA refresh staled the
+    * fact's OTHER cubes (different dim sets — indistinguishable from
+    * legitimate accumulation); after refreshing the underlying fact,
+    * swap the whole cube set atomically with [[registerFresh]] (or
+    * [[unregister]] then re-register). The stored list stays sorted
+    * fewest-dims-first (stable sort over a newest-first list, so
+    * equal-width cubes prefer the most recent registration).
     */
   def register(factPath: String, summary: SummaryDef): Unit = {
+    val stale = scala.collection.mutable.Set.empty[String]
     catalog.compute(normalize(factPath), (_, cur) => {
-      val rest =
-        (if (cur == null) Nil else cur)
-          .filterNot(_.summaryPath == summary.summaryPath)
+      val (superseded, rest) = (if (cur == null) Nil else cur).partition(s =>
+        s.summaryPath == summary.summaryPath ||
+          (s.dims == summary.dims && s.measures.subsetOf(summary.measures)))
+      stale ++= superseded.map(_.summaryPath)
       (summary :: rest).sortBy(_.dims.size)
     })
-    planCache.keySet.removeIf(k => k._2 == summary.summaryPath)
+    stale += summary.summaryPath
+    planCache.keySet.removeIf(k => stale.contains(k._2))
+  }
+
+  /** Atomically replace `factPath`'s WHOLE cube set — the handshake
+    * after refreshing the fact's underlying data, which stales every
+    * cube built over the old data no matter its dim set (a distinction
+    * [[register]] cannot see; see its scaladoc).
+    */
+  def registerFresh(factPath: String, summaries: Seq[SummaryDef]): Unit = {
+    unregister(factPath)
+    summaries.foreach(register(factPath, _))
   }
 
   /** Drop every summary registered for `factPath` (and their cached

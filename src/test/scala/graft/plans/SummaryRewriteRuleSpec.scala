@@ -435,6 +435,50 @@ class SummaryRewriteRuleSpec extends AnyFunSuite {
     assert(fineQ.collect().map(_.toSeq).toSeq == truthF)
   }
 
+  test("a same-shape cube rebuilt under a NEW path supersedes the old " +
+      "one — the stale build stops routing") {
+    // the immutable-output rebuild pattern: each build writes a fresh
+    // directory. The old cube is eligible for exactly the queries the
+    // new one answers, so leaving it registered would keep serving the
+    // stale build (silently wrong once the fact data moved on)
+    val nationPath = s"$sf/nation.parquet"
+    val nation = spark.read.parquet(nationPath)
+    val v1Path = graft.RunPaths.scratch("graft_mvspec_newpath_v1")
+    val v2Path = graft.RunPaths.scratch("graft_mvspec_newpath_v2")
+    def build(df: DataFrame, path: String): Unit = df
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_nationkey")).as("sum_n_nationkey"))
+      .write.mode("overwrite").parquet(path)
+    def reg(path: String): Unit = SummaryRewriteRule.register(nationPath,
+      SummaryRewriteRule.SummaryDef(path,
+        dims = Set("n_regionkey"), measures = Set("n_nationkey")))
+    // v1 deliberately built from a slice — stale the moment v2 exists
+    build(nation.filter(col("n_nationkey") < 10), v1Path)
+    reg(v1Path)
+    build(nation, v2Path)
+    reg(v2Path)
+    val child = spark.newSession()
+    child.experimental.extraOptimizations = Seq(SummaryRewriteRule)
+    val q = child.read.parquet(nationPath)
+      .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+      .orderBy("n_regionkey")
+    assert(scansOf(q).exists(_.contains("graft_mvspec_newpath_v2")),
+      "the rebuilt cube must serve")
+    assert(!scansOf(q).exists(_.contains("graft_mvspec_newpath_v1")),
+      "the superseded same-shape cube must no longer be routable")
+    val truth = nation.groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+      .orderBy("n_regionkey").collect().map(_.toSeq).toSeq
+    assert(q.collect().map(_.toSeq).toSeq == truth)
+    // registerFresh swaps a fact's WHOLE cube set atomically — the
+    // post-data-refresh handshake for cubes of DIFFERENT shapes
+    SummaryRewriteRule.registerFresh(nationPath, Seq(
+      SummaryRewriteRule.SummaryDef(v2Path,
+        dims = Set("n_regionkey"), measures = Set("n_nationkey"))))
+    assert(scansOf(child.read.parquet(nationPath)
+        .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n")))
+      .exists(_.contains("graft_mvspec_newpath_v2")))
+  }
+
   test("equal-width cubes: routing prefers the most recent " +
       "registration (freshness tie-break)") {
     val partPath = s"$sf/part.parquet"
