@@ -1588,22 +1588,30 @@ object LlmOps {
           .shifted(all.filter(isQ), "vec_id", "embedding")
           .orderBy(col("vec_id")).limit(6)
           .select(col("embedding")).collect()
+        // the exact top-10 baseline is INDEX-INDEPENDENT: compute the 6
+        // crossJoin-and-sort exact jobs once and collect the 10 winner
+        // ids each (driver-scale, 60 longs) — hitsOf then only runs the
+        // cheap per-index topk, instead of paying the dominant exact
+        // jobs again for every serving it scores
+        val exactIds = qRows.map { row =>
+          val q = s.createDataFrame(
+            java.util.Arrays.asList(row),
+            org.apache.spark.sql.types.StructType(row.schema))
+          val ids = driftCorpus
+            .crossJoin(broadcast(q.select(col("embedding").as("qv"))))
+            .select(col("vec_id"),
+              (VectorFns.normSq(col("embedding")) -
+                lit(2.0) * VectorFns.dot(col("embedding"), col("qv")) +
+                VectorFns.normSq(col("qv"))).as("d"))
+            .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+          (q, ids)
+        }
         def hitsOf(coarse: DataFrame, books: DataFrame,
             codes: DataFrame): Long =
-          qRows.iterator.map { row =>
-            val q = s.createDataFrame(
-              java.util.Arrays.asList(row),
-              org.apache.spark.sql.types.StructType(row.schema))
-            val exact = driftCorpus
-              .crossJoin(broadcast(q.select(col("embedding").as("qv"))))
-              .select(col("vec_id"),
-                (VectorFns.normSq(col("embedding")) -
-                  lit(2.0) * VectorFns.dot(col("embedding"), col("qv")) +
-                  VectorFns.normSq(col("qv"))).as("d"))
-              .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+          exactIds.iterator.map { case (q, ids) =>
             topk(coarse, books, codes, q.select(col("embedding")))
-              .select(col("vec_id"))
-              .join(exact.select(col("vec_id")), "vec_id").count()
+              .filter(col("vec_id").isin(ids: _*)).count()
           }.sum
         val hFrozen = hitsOf(coarseF, booksF, frozenDriftCodes)
         val hRetrained = hitsOf(dC, dB, dCodesC)

@@ -794,18 +794,28 @@ object StreamOps {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    // phase 1: in-distribution arrivals, 3 micro-batches. Round-robin
-    // repartition(3), NOT hash: with ≥ 3 rows round-robin leaves no
-    // partition empty, so exactly 3 part files are written and the
-    // contract's trigger count (4 = 3 clean + 1 drifted) holds at any
-    // sf — a hash split can leave a partition empty at tiny corpora
-    // (no part file → 3 triggers → a loud-but-spurious verify failure).
-    // Which rows land in which batch is irrelevant to every contract
-    // (union of generations, per-batch PSI quietness).
+    // phase 1: in-distribution arrivals, 3 micro-batches. The trigger
+    // count is a CONTRACT (4 = 3 clean + 1 drifted), so the file count
+    // must be exact BY CONSTRUCTION: three coalesce(1) writes appended
+    // into one directory, one part file each. Neither round-robin
+    // repartition(3) (per-input-partition random start offsets can
+    // leave a target partition empty when no input partition holds 3+
+    // rows) nor a hash split (empty hash bucket at tiny corpora)
+    // guarantees 3 non-empty partitions — either shape yields fewer
+    // part files → fewer triggers → a loud-but-spurious verify
+    // failure. Slicing key: arriving ids are ≡ 9 (mod 10), so pmod 30
+    // cycles residues {9,19,29} every 3 arrivals — all three slices
+    // non-empty from 3 rows up, and a ScaleRehearsal id blowup
+    // (+rep·10^8, with 10^8 ≡ 10 mod 30) only PERMUTES the residue
+    // set, never collapses it. Which rows land in which batch is
+    // irrelevant to every contract (union of generations, per-batch
+    // PSI quietness).
     val split1 = graft.RunPaths.scratch(
       "graft_q78_arrivals_" + graft.RunPaths.keyFor(sfDir))
-    arriving.repartition(3)
-      .write.mode("overwrite").parquet(split1)
+    for (i <- 0 until 3)
+      arriving.filter(pmod(col("vec_id"), lit(30)) === lit(9 + 10 * i))
+        .coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(split1)
     drive(split1, 0, drifted = false)
     // phase 2: the drifted batch (shifted embeddings; ids offset only
     // so clean and drifted copies of a vector stay distinct in the
