@@ -391,58 +391,55 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewriteOverJoin(agg: Aggregate): Option[LogicalPlan] = {
     stripAliases(agg.child) match {
-      case j: Join => locateFact(j).flatMap {
-        case (defs, filters, factSide, path) =>
-          defs.iterator
-            .flatMap(d => rewriteJoinChain(agg, d, filters, factSide, path))
-            .nextOption()
-      }
+      case j: Join =>
+        locateCandidates(j).iterator.flatMap {
+          case (defs, filters, factSide, path) =>
+            defs.iterator
+              .flatMap(d => rewriteJoinChain(agg, d, filters, factSide, path))
+        }.nextOption()
       case _ => None
     }
   }
 
-  /** Walk a tree of INNER joins to the unique side that resolves to the
-    * registered fact. Returns the summary candidates (coarsest first),
-    * the fact-side filters factOf collected, the fact-side subplan
-    * (for its outputSet), and the path of (join, factWentLeft) from
-    * the fact-holding join OUTWARD to the root — the rebuild order.
-    * Declines on non-inner joins, condition-less joins, and a fact
-    * resolvable on both sides (self-join: ambiguous).
+  /** Walk a tree of INNER joins and return EVERY side that resolves to
+    * a registered fact as a candidate: its summary candidates (coarsest
+    * first), the fact-side filters factOf collected, the fact-side
+    * subplan (for its outputSet), and the path of (join, factWentLeft)
+    * from the fact-holding join OUTWARD to the root — the rebuild
+    * order. ALL candidates, not "the unique fact": in a real warehouse
+    * a DIM table may carry its own registered cube (nation with a
+    * per-region summary), and a star query joining it as a dim must
+    * not lose the FACT's rewrite just because the dim is also
+    * registered — each candidate orientation is exactness-checked by
+    * rewriteJoinChain (the non-candidate side is treated as an opaque
+    * relation throughout the argument, so even a self-join is sound:
+    * the orientation whose aggregates reference the substituted side
+    * fires, the other declines). Non-inner and condition-less joins
+    * yield no candidates.
     */
-  private def locateFact(
-      j: Join): Option[(List[SummaryDef], Seq[Expression], LogicalPlan,
+  private def locateCandidates(
+      j: Join): List[(List[SummaryDef], Seq[Expression], LogicalPlan,
         List[(Join, Boolean)])] = {
     if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner ||
-        j.condition.isEmpty) return None
-    def direct(side: LogicalPlan): Option[(List[SummaryDef], Seq[Expression])] =
-      factOf(side)
-    def descend(side: LogicalPlan): Option[(List[SummaryDef], Seq[Expression],
-        LogicalPlan, List[(Join, Boolean)])] =
+        j.condition.isEmpty) return Nil
+    def side(p: LogicalPlan, factLeft: Boolean): List[(List[SummaryDef],
+        Seq[Expression], LogicalPlan, List[(Join, Boolean)])] = {
+      val direct = factOf(p)
+        .map { case (d, fs) => (d, fs, p, List((j, factLeft))) }.toList
       // column pruning plants attrs-only Projects between nested joins;
       // strip them on the fact spine — the rebuild omits them (their
       // lists name original fact attrs that substitution would dangle;
       // dropping a pruning Project is semantics-free, and the rebuilt
       // spine is summary + dims, all model-scale)
-      stripAliases(side) match {
-        case inner: Join => locateFact(inner)
-        case _ => None
-      }
-    (direct(j.left), direct(j.right)) match {
-      case (Some(_), Some(_)) => None
-      case (Some((d, fs)), None) =>
-        Some((d, fs, j.left, List((j, true))))
-      case (None, Some((d, fs))) =>
-        Some((d, fs, j.right, List((j, false))))
-      case (None, None) =>
-        (descend(j.left), descend(j.right)) match {
-          case (Some(_), Some(_)) => None
-          case (Some((d, fs, f, path)), None) =>
-            Some((d, fs, f, path :+ ((j, true))))
-          case (None, Some((d, fs, f, path))) =>
-            Some((d, fs, f, path :+ ((j, false))))
-          case _ => None
+      val nested = stripAliases(p) match {
+        case inner: Join => locateCandidates(inner).map {
+          case (d, fs, f, path) => (d, fs, f, path :+ ((j, factLeft)))
         }
+        case _ => Nil
+      }
+      direct ++ nested
     }
+    side(j.left, factLeft = true) ++ side(j.right, factLeft = false)
   }
 
   /** Rebuild the located join chain with the filtered summary in the

@@ -133,34 +133,40 @@ object LlmOps {
     * CollectMetrics node and the metrics row is lost — acceptable
     * because a real corpus always has surviving buckets, and the
     * result itself is still correct (empty).
-    * Caveat pinned here deliberately: collect_list still materializes an
-    * over-full bucket's id list (O(d) memory in one group) before the
-    * filter drops it; if a corpus ever has single buckets beyond ~10^7
-    * members, switch to the two-pass shape (count per key, anti-join
-    * over-full keys, then collect) at the cost of a second shuffle.
+    * The collect itself is budgeted (`collect_list_capped`, a native
+    * TypedImperativeAggregate): an over-full bucket's aggregation
+    * buffer stops at maxBucket+1 elements instead of materializing the
+    * whole O(d) id list before the filter — the one non-spilling
+    * structure in this plan is now bounded per group at any corpus
+    * size. The true bucket size rides a sibling count(*) (`n`), which
+    * drives both the drop filter and the metrics; surviving buckets
+    * (n <= maxBucket) collect exactly.
     */
   private[graft] def lshCandidatePairs(
       shingled: DataFrame, bands: Int, rows: Int,
       maxBucket: Int = LshMaxBucket,
       obs: Option[Observation] = None): DataFrame = {
+    import graft.functions.CappedCollect.collect_list_capped
     val sig = shingled.select(col("doc_id"),
       MinHashSignature.minhash_band_keys(col("sh"), bands, rows).as("bk"))
     val buckets = sig.select(col("doc_id"),
       posexplode(col("bk")).as(Seq("band", "key")))
     val grouped = buckets.groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .agg(
+        sort_array(collect_list_capped(col("doc_id"), maxBucket)).as("ids"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
     val metrics = Seq(
-      sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+      sum(when(col("n") > maxBucket, 1L).otherwise(0L))
         .as("lsh_buckets_dropped"),
-      sum(when(size(col("ids")) > maxBucket, size(col("ids")))
-        .otherwise(0)).cast("long").as("lsh_docs_in_dropped"))
+      sum(when(col("n") > maxBucket, col("n"))
+        .otherwise(0L)).cast("long").as("lsh_docs_in_dropped"))
     val observed = obs match {
       case Some(o) => grouped.observe(o, metrics.head, metrics.tail: _*)
       case None => grouped.observe("lsh_bucket_cap", metrics.head, metrics.tail: _*)
     }
     observed
-      .filter(size(col("ids")) <= maxBucket)
+      .filter(col("n") <= maxBucket)
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
       .select(col("doc_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
@@ -204,21 +210,27 @@ object LlmOps {
           shiftright(col(hashCol), b * bandBits)
             .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
     // sort_array orders structs field-by-field, so the postings list is
-    // id-ascending and in-group expansion emits each pair once (a < b)
+    // id-ascending and in-group expansion emits each pair once (a < b).
+    // collect_list_capped bounds the aggregation buffer at maxBucket+1
+    // members for degenerate hot buckets (see lshCandidatePairs); the
+    // sibling count(*) carries the true size for the filter + metrics.
     val grouped = banded.groupBy(col("bk"))
-      .agg(sort_array(collect_list(col("m"))).as("ms"))
-      .filter(size(col("ms")) > 1)
+      .agg(
+        sort_array(graft.functions.CappedCollect
+          .collect_list_capped(col("m"), maxBucket)).as("ms"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
     val metrics = Seq(
-      sum(when(size(col("ms")) > maxBucket, 1L).otherwise(0L))
+      sum(when(col("n") > maxBucket, 1L).otherwise(0L))
         .as("hamming_buckets_dropped"),
-      sum(when(size(col("ms")) > maxBucket, size(col("ms")))
-        .otherwise(0)).cast("long").as("hamming_docs_in_dropped"))
+      sum(when(col("n") > maxBucket, col("n"))
+        .otherwise(0L)).cast("long").as("hamming_docs_in_dropped"))
     val observed = obs match {
       case Some(o) => grouped.observe(o, metrics.head, metrics.tail: _*)
       case None => grouped.observe("hamming_band_cap", metrics.head, metrics.tail: _*)
     }
     observed
-      .filter(size(col("ms")) <= maxBucket)
+      .filter(col("n") <= maxBucket)
       .select(col("ms"), posexplode(col("ms")).as(Seq("i", "x")))
       .select(col("x.id").as("a"), col("x.h").as("ha"),
         explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("y"))

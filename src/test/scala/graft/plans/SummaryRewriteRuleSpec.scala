@@ -268,6 +268,43 @@ class SummaryRewriteRuleSpec extends AnyFunSuite {
       "star-join rewritten answer diverged from the fact-side answer")
   }
 
+  test("a dim table that carries its OWN registered cube does not " +
+      "shadow the fact's rewrite") {
+    // the q80-in-one-JVM regression shape: nation (a DIM of the star
+    // query) is itself a registered fact elsewhere in the process.
+    // locateCandidates must try EVERY registered side — committing to
+    // the first registered relation found and declining when its cubes
+    // don't fit would lose the fact rewrite whenever a dim happens to
+    // be registered too (a normal multi-cube warehouse state).
+    val child = childWithRule()
+    val dimPath = graft.RunPaths.scratch("graft_mvspec_dimcube_dim")
+    val dimCube = graft.RunPaths.scratch("graft_mvspec_dimcube_cube")
+    import spark.implicits._
+    Seq((1, "first", 7L), (2, "second", 7L), (3, "third", 8L))
+      .toDF("ln", "line_name", "region").write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).groupBy(col("region"))
+      .agg(count(lit(1)).as("cnt"), sum(col("ln")).as("sum_ln"))
+      .write.mode("overwrite").parquet(dimCube)
+    SummaryRewriteRule.register(dimPath,
+      SummaryRewriteRule.SummaryDef(dimCube,
+        dims = Set("region"), measures = Set("ln")))
+    def q(s: SparkSession) = s.read.parquet(factPath)
+      .join(s.read.parquet(dimPath), col("l_linenumber") === col("ln"))
+      .groupBy(col("line_name"))
+      .agg(count(lit(1)).as("n"), sum(col("l_partkey")).as("s"))
+      .orderBy("line_name")
+    val rewritten = q(child)
+    assert(scansOf(rewritten).exists(_.contains("graft_mvspec_summary")),
+      s"fact rewrite lost to the registered dim: " +
+        s"${rewritten.queryExecution.optimizedPlan}")
+    assert(!scansOf(rewritten).exists(_.contains("lineitem")))
+    // the dim side stays a live scan of the dim table itself
+    assert(scansOf(rewritten).exists(_.contains("graft_mvspec_dimcube_dim")))
+    assert(rewritten.collect().map(_.toSeq).toSeq ==
+      q(spark).collect().map(_.toSeq).toSeq)
+    SummaryRewriteRule.unregister(dimPath)
+  }
+
   test("two-dimension star/snowflake chain routes the fact to the summary") {
     // fact ⋈ d1 ⋈ d2 where d2 links to d1 (snowflake): the d2 conjunct
     // references no fact column and must pass through untouched; only
