@@ -355,6 +355,26 @@ object Streaming {
              |  true AS multi_trigger_ok,
              |  true AS clean_quiet,
              |  CAST(1 AS BIGINT) AS n_drifted,
-             |  true AS drifted_fires""".stripMargin))
+             |  true AS drifted_fires""".stripMargin)),
+
+    // The CLOSED drift loop on the stream (q69 + q78 + q81 composed):
+    // every micro-batch appends through annMaybeRetrain — quiet batches
+    // cost O(batch), the drifted one retrains INLINE and the serving
+    // pointer switches mid-stream, and the post-retrain batch (a
+    // fresh-id copy of the merged corpus, so its in-distribution
+    // property is exact) must append QUIETLY on the retrained index:
+    // the loop iterates with no operator in it. Final serving covers
+    // base + every arrival exactly once = 2 × n(embeddings ≠ 0).
+    QueryDef(
+      "q84_stream_index_retrain",
+      (s, dir) => graft.streaming.StreamOps.streamIndexRetrain(s, dir),
+      Some("""SELECT CAST(4 AS BIGINT) AS n_triggers,
+             |  true AS clean_quiet,
+             |  true AS drift_fires_once,
+             |  true AS post_quiet,
+             |  CAST(2 * count(*) AS BIGINT) AS n_index,
+             |  true AS ids_unique,
+             |  CAST(10 AS BIGINT) AS n_results
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin))
   )
 }

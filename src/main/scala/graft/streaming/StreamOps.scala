@@ -840,6 +840,175 @@ object StreamOps {
         .as("drifted_fires"))
   }
 
+  /** The CLOSED drift loop riding the stream — q69 (streamed append),
+    * q78 (stored-state PSI detect), and q81 (the retrain ACTION)
+    * composed into one operational pipeline: every arriving micro-batch
+    * is appended through `LlmOps.annMaybeRetrain`, so a quiet batch
+    * costs O(batch) (frozen-model encode + one K-row PSI count) and a
+    * drifted batch retrains INLINE — the serving pointer switches to
+    * the new model generation mid-stream and later batches append
+    * against it. This is the piece q78 and q81 each only half-show:
+    * detection driving the action with no operator in the loop.
+    *
+    * Delivery phases (explicit one-file-per-micro-batch writes, the
+    * q78 exactness discipline): two in-distribution batches (quiet
+    * appends), one drifted batch (`IndexDrift.shifted` — fires,
+    * retrains on the full corpus-so-far + batch), then one
+    * post-retrain batch drawn from the MERGED distribution (a fresh-id
+    * copy of the whole corpus) which must append QUIETLY on the
+    * retrained index — the loop iterates in-stream, which is exactly
+    * what the retrained directory's self-hosted layout (coarse, books,
+    * codes/gen=0, base_occ) exists for. Corpus state is read back from
+    * storage at every trigger (base + persisted arrivals): the stream
+    * owns no in-memory corpus, matching the index-is-its-own-record
+    * principle.
+    *
+    * Contracts (one row, deterministic): 4 triggers; both clean
+    * batches quiet; the drifted batch fires exactly once; the
+    * post-retrain batch quiet; final serving covers base + every
+    * arrival exactly once — `2 × n(embeddings≠0)`, because the post
+    * batch is a fresh-id copy of the merged corpus (which also makes
+    * its in-distribution property exact: same occupancy as the
+    * retrained base_occ, PSI ≈ 0); and a held-out query (vec_id 0)
+    * serves k=10 from the final state.
+    *
+    * `postShifted` (spec-only negative control): deliver the post
+    * batch drifted a SECOND time instead — it must FIRE a second
+    * retrain, proving the trigger stays armed after the pointer
+    * switch (a loop that can only fire once is a one-shot, not a
+    * loop). Serving still covers every row exactly once either way.
+    */
+  def streamIndexRetrain(
+      spark: SparkSession, sfDir: String,
+      postShifted: Boolean = false): DataFrame = {
+    import graft.operators.{IndexDrift, ProductQuantizer}
+    import graft.queries.LlmOps
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val all = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val base = all.filter(!pmod(col("vec_id"), lit(10)).isin(8, 9))
+    val clean = all.filter(pmod(col("vec_id"), lit(10)) === 8)
+    val driftSrc = IndexDrift
+      .shifted(all.filter(pmod(col("vec_id"), lit(10)) === 9),
+        "vec_id", "embedding")
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    val idx = graft.RunPaths.scratch(
+      "graft_q84_index_" + graft.RunPaths.keyFor(sfDir))
+    // offline build over base: the full self-hosted index layout
+    val mDir = s"$idx/model"
+    val coarse0 = LlmOps.ivfCentroids(spark, sfDir, base)
+    coarse0.write.mode("overwrite").parquet(s"$mDir/coarse")
+    ProductQuantizer.ivfPqTrainBooks(
+        base, "vec_id", "embedding", m = 8, coarse0, every = 40, iters = 2)
+      .write.mode("overwrite").parquet(s"$mDir/books")
+    val coarseF = LlmOps.modelScaleStamp(spark.read.parquet(s"$mDir/coarse"),
+      "q84 frozen coarse-centroid table")
+    ProductQuantizer.ivfPqEncodeWith(
+        base, "vec_id", "embedding", 8, coarseF,
+        spark.read.parquet(s"$mDir/books"))
+      .write.mode("overwrite").parquet(s"$mDir/codes/gen=0")
+    IndexDrift.occupancyOfCodes(spark.read.parquet(s"$mDir/codes/gen=0"))
+      .write.mode("overwrite").parquet(s"$mDir/base_occ")
+
+    // serving pointer + quiet-append generations since the last retrain
+    // (driver-side state: foreachBatch runs on the driver; the heavy
+    // artifacts all live in storage)
+    @volatile var modelIdx = mDir
+    @volatile var appended = List.empty[String]
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    def drive(srcDir: String, phase: String): Unit = {
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val gen = counter.incrementAndGet()
+          // persist-then-reread: the retrain branch trains float models
+          // on this data, and storage is the one bit-stable handoff
+          batch.select(col("vec_id"), col("embedding"))
+            .write.mode("overwrite").parquet(s"$idx/arrived/gen=$gen")
+          val corpus = (1 until gen)
+            .map(g => spark.read.parquet(s"$idx/arrived/gen=$g"))
+            .foldLeft(base)(_.unionByName(_))
+          val branch = s"$idx/branch/gen=$gen"
+          val (_, _, _, fired) = LlmOps.annMaybeRetrain(
+            spark, sfDir, modelIdx, branch, corpus,
+            spark.read.parquet(s"$idx/arrived/gen=$gen"))
+          if (fired) { modelIdx = s"$branch/retrain"; appended = Nil }
+          else appended :+= s"$branch/codes/gen=1"
+          spark.range(1)
+            .select(lit(gen).as("gen"), lit(fired).as("retrain_fired"),
+              lit(phase).as("phase"))
+            .write.mode("overwrite").parquet(s"$idx/log/gen=$gen")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // phase 1: two clean micro-batches — explicit one-file writes (the
+    // q78 discipline: the trigger count is a contract, so the file
+    // count is exact by construction; clean ids are ≡ 8 mod 10, so
+    // pmod 20 splits them {8} / {18}, both non-empty from 2 rows up)
+    val cleanDir = s"$idx/src/clean"
+    for ((r, i) <- Seq(8, 18).zipWithIndex)
+      clean.filter(pmod(col("vec_id"), lit(20)) === r)
+        .coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(cleanDir)
+    drive(cleanDir, "clean")
+    // phase 2: the drifted batch — fires and retrains inline
+    val driftDir = s"$idx/src/drift"
+    driftSrc.coalesce(1).write.mode("overwrite").parquet(driftDir)
+    drive(driftDir, "drift")
+    // phase 3: a fresh-id copy of the merged corpus — exactly the
+    // retrained model's training distribution, must append quietly
+    // (postShifted: shifted AGAIN — out-of-distribution for the
+    // retrained model too, must fire a second retrain)
+    val postDir = s"$idx/src/post"
+    val mergedCopy = base.unionByName(clean).unionByName(driftSrc)
+    (if (postShifted)
+       IndexDrift.shifted(mergedCopy, "vec_id", "embedding")
+     else mergedCopy)
+      .select((col("vec_id") + lit(2000000L)).as("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(postDir)
+    drive(postDir, "post")
+
+    // final serving state: the current pointer's base generation plus
+    // quiet appends since the last retrain
+    val serving = appended
+      .map(p => spark.read.parquet(p)
+        .select(col("cell_id"), col("vec_id"), col("codes")))
+      .foldLeft(spark.read.parquet(s"$modelIdx/codes/gen=0")
+        .select(col("cell_id"), col("vec_id"), col("codes")))(_.unionByName(_))
+    val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
+    val served = ProductQuantizer.ivfPqTopK(
+      query, "embedding", 8,
+      LlmOps.modelScaleStamp(spark.read.parquet(s"$modelIdx/coarse"),
+        "q84 serving coarse-centroid table"),
+      spark.read.parquet(s"$modelIdx/books"),
+      serving, "vec_id", nProbe = 4, k = 10)
+
+    val log = spark.read.parquet(s"$idx/log")
+    log.agg(
+        count(lit(1)).as("n_triggers"),
+        (count(when(col("phase") === "clean" && col("retrain_fired"), 1))
+          === 0).as("clean_quiet"),
+        (count(when(col("phase") === "drift" && !col("retrain_fired"), 1))
+          === 0 && count(when(col("retrain_fired"), 1)) === 1)
+          .as("drift_fires_once"),
+        (count(when(col("phase") === "post" && col("retrain_fired"), 1))
+          === 0).as("post_quiet"))
+      .crossJoin(serving.agg(count(lit(1)).as("n_index"),
+        (count(lit(1)) === countDistinct(col("vec_id")))
+          .as("ids_unique")))
+      .crossJoin(served.agg(count(lit(1)).as("n_results")))
+      .select(col("n_triggers"), col("clean_quiet"), col("drift_fires_once"),
+        col("post_quiet"), col("n_index"), col("ids_unique"),
+        col("n_results"))
+  }
+
   /** The pipeline behind [[streamPrioritySample]], parameterized on the
     * document stream so the spec can force scrambled multi-micro-batch
     * arrival and assert batch-equivalence.
