@@ -52,8 +52,16 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   */
 object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** `rows`: the cube's measured row count, if the registrar knows it
+    * (one tiny count right after the build — a summary is small by
+    * contract). When EVERY cube registered for a fact carries it,
+    * routing orders candidates by actual size; dim-set width is only
+    * the fallback proxy (see the catalog comment for why width can
+    * mispick).
+    */
   final case class SummaryDef(
-      summaryPath: String, dims: Set[String], measures: Set[String])
+      summaryPath: String, dims: Set[String], measures: Set[String],
+      rows: Option[Long] = None)
 
   // ALL summaries registered for one fact, kept sorted coarsest-first
   // (fewest dims) with ties broken by registration recency. A real
@@ -115,8 +123,13 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     * legitimate accumulation); after refreshing the underlying fact,
     * swap the whole cube set atomically with [[registerFresh]] (or
     * [[unregister]] then re-register). The stored list stays sorted
-    * fewest-dims-first (stable sort over a newest-first list, so
-    * equal-width cubes prefer the most recent registration).
+    * cheapest-first: by MEASURED row count when every cube for the
+    * fact carries one ([[SummaryDef.rows]]), else fewest-dims-first —
+    * width is only a size proxy, and it mispicks exactly where dim
+    * sets are incomparable (a global aggregate answerable from both a
+    * high-cardinality 1-dim cube and a tiny 2-dim cube must read the
+    * tiny one). Either way the sort is stable over a newest-first
+    * list, so equal-cost cubes prefer the most recent registration.
     */
   def register(factPath: String, summary: SummaryDef): Unit = {
     val stale = scala.collection.mutable.Set.empty[String]
@@ -125,7 +138,10 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
         s.summaryPath == summary.summaryPath ||
           (s.dims == summary.dims && s.measures.subsetOf(summary.measures)))
       stale ++= superseded.map(_.summaryPath)
-      (summary :: rest).sortBy(_.dims.size)
+      val all = summary :: rest
+      if (all.forall(_.rows.isDefined))
+        all.sortBy(s => (s.rows.get, s.dims.size))
+      else all.sortBy(_.dims.size)
     })
     stale += summary.summaryPath
     planCache.keySet.removeIf(k => stale.contains(k._2))

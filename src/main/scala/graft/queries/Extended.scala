@@ -882,6 +882,9 @@ object Extended {
       (s, dir) => {
         import org.apache.spark.sql.functions._
         val factPath = s"$dir/orders.parquet"
+        // own the fact's catalog state (q85 registers orders cubes too;
+        // each query's routing contract assumes only its own cubes)
+        graft.plans.SummaryRewriteRule.unregister(factPath)
         val coarsePath = graft.RunPaths.scratch(
           "graft_q83_cube_coarse_" + graft.RunPaths.keyFor(dir))
         val finePath = graft.RunPaths.scratch(
@@ -897,11 +900,13 @@ object Extended {
           .write.mode("overwrite").parquet(finePath)
         graft.plans.SummaryRewriteRule.register(factPath,
           graft.plans.SummaryRewriteRule.SummaryDef(coarsePath,
-            dims = Set("o_orderstatus"), measures = Set("o_custkey")))
+            dims = Set("o_orderstatus"), measures = Set("o_custkey"),
+            rows = Some(s.read.parquet(coarsePath).count())))
         graft.plans.SummaryRewriteRule.register(factPath,
           graft.plans.SummaryRewriteRule.SummaryDef(finePath,
             dims = Set("o_orderstatus", "o_orderpriority"),
-            measures = Set("o_custkey")))
+            measures = Set("o_custkey"),
+            rows = Some(s.read.parquet(finePath).count())))
         val child = s.newSession()
         child.experimental.extraOptimizations =
           Seq(graft.plans.SummaryRewriteRule)
@@ -942,6 +947,70 @@ object Extended {
              |       f.sum_ck, c.status_rows
              |FROM fine f JOIN coarse c USING (o_orderstatus)
              |ORDER BY 1, 2""".stripMargin)),
+
+    // Cost-based cube routing (r11): dim-set width is only a SIZE
+    // PROXY, and it mispicks exactly where dim sets are incomparable —
+    // a GLOBAL aggregate is answerable from both a high-cardinality
+    // 1-dim cube (~150 rows: per-customer) and a tiny 2-dim cube
+    // (~15 rows: status × priority), and fewest-dims would read the
+    // big one. Cubes registered with their MEASURED row count (one
+    // tiny count at registration — a summary is small by contract)
+    // route by actual size. PLAN-REQUIRED: the global aggregate reads
+    // the measured-smallest cube; neither the wide cube nor the fact
+    // is scanned.
+    QueryDef(
+      "q85_mv_costroute",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val factPath = s"$dir/orders.parquet"
+        // own the fact's catalog state: rows-ordering engages only when
+        // EVERY registered cube carries a measured count
+        graft.plans.SummaryRewriteRule.unregister(factPath)
+        val widePath = graft.RunPaths.scratch(
+          "graft_q85_cube_wide_" + graft.RunPaths.keyFor(dir))
+        val tinyPath = graft.RunPaths.scratch(
+          "graft_q85_cube_tiny_" + graft.RunPaths.keyFor(dir))
+        val orders = s.read.parquet(factPath)
+        orders.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("sum_o_orderkey"))
+          .write.mode("overwrite").parquet(widePath)
+        orders.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("sum_o_orderkey"))
+          .write.mode("overwrite").parquet(tinyPath)
+        val nWide = s.read.parquet(widePath).count()
+        val nTiny = s.read.parquet(tinyPath).count()
+        require(nWide > nTiny,
+          s"q85 fixture must be a real mispick: wide=$nWide tiny=$nTiny")
+        graft.plans.SummaryRewriteRule.register(factPath,
+          graft.plans.SummaryRewriteRule.SummaryDef(widePath,
+            dims = Set("o_custkey"), measures = Set("o_orderkey"),
+            rows = Some(nWide)))
+        graft.plans.SummaryRewriteRule.register(factPath,
+          graft.plans.SummaryRewriteRule.SummaryDef(tinyPath,
+            dims = Set("o_orderstatus", "o_orderpriority"),
+            measures = Set("o_orderkey"), rows = Some(nTiny)))
+        val child = s.newSession()
+        child.experimental.extraOptimizations =
+          Seq(graft.plans.SummaryRewriteRule)
+        val df = child.read.parquet(factPath)
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("sum_ok"))
+        val scanned = scannedPaths(df)
+        require(scanned.exists(_.contains("graft_q85_cube_tiny")),
+          s"global aggregate did not route to the measured-smallest " +
+            s"cube: $scanned")
+        require(!scanned.exists(_.contains("graft_q85_cube_wide")),
+          s"routing read the WIDE cube — width proxy, not measured " +
+            s"rows: $scanned")
+        require(!scanned.exists(_.contains("orders")),
+          s"rewritten plan still scans the fact table: $scanned")
+        df
+      },
+      Some("""SELECT count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_ok
+             |FROM orders""".stripMargin)),
 
     // -------------------------------------- registered SQL functions
     // The custom Catalyst expressions exposed through the SQL surface

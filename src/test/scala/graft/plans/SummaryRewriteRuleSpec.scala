@@ -516,6 +516,57 @@ class SummaryRewriteRuleSpec extends AnyFunSuite {
       .exists(_.contains("graft_mvspec_newpath_v2")))
   }
 
+  test("row-count routing: a GLOBAL aggregate reads the measured-" +
+      "smallest cube, not the fewest-dims one") {
+    // incomparable dim sets are where the width proxy mispicks: a
+    // 1-dim cube over a high-cardinality column dwarfs a 2-dim cube
+    // over two tiny columns, and a global aggregate is answerable
+    // from both. With measured rows on every cube, routing must read
+    // the small one.
+    val ordersPath = s"$sf/orders.parquet"
+    // own the fact's catalog state: an earlier test's rows-less orders
+    // cube would force the dims-width fallback (rows ordering needs
+    // EVERY cube to carry a measured count)
+    SummaryRewriteRule.unregister(ordersPath)
+    val orders = spark.read.parquet(ordersPath)
+    val widePath = graft.RunPaths.scratch("graft_mvspec_cost_wide")
+    val tinyPath = graft.RunPaths.scratch("graft_mvspec_cost_tiny")
+    orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("sum_o_orderkey"))
+      .write.mode("overwrite").parquet(widePath)
+    orders.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("sum_o_orderkey"))
+      .write.mode("overwrite").parquet(tinyPath)
+    val nWide = spark.read.parquet(widePath).count()
+    val nTiny = spark.read.parquet(tinyPath).count()
+    assert(nWide > nTiny, s"fixture must be a real mispick: $nWide vs $nTiny")
+    SummaryRewriteRule.register(ordersPath,
+      SummaryRewriteRule.SummaryDef(widePath,
+        dims = Set("o_custkey"), measures = Set("o_orderkey"),
+        rows = Some(nWide)))
+    SummaryRewriteRule.register(ordersPath,
+      SummaryRewriteRule.SummaryDef(tinyPath,
+        dims = Set("o_orderstatus", "o_orderpriority"),
+        measures = Set("o_orderkey"), rows = Some(nTiny)))
+    val child = spark.newSession()
+    child.experimental.extraOptimizations = Seq(SummaryRewriteRule)
+    def q(s: SparkSession) = s.read.parquet(ordersPath)
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("s"))
+    assert(scansOf(q(child)).exists(_.contains("graft_mvspec_cost_tiny")),
+      s"global aggregate must read the measured-smallest cube: " +
+        s"${scansOf(q(child))}")
+    assert(q(child).collect().map(_.toSeq).toSeq ==
+      q(spark).collect().map(_.toSeq).toSeq)
+    // a grouped query only the WIDE cube can answer still routes there
+    def qc(s: SparkSession) = s.read.parquet(ordersPath)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+    assert(scansOf(qc(child)).exists(_.contains("graft_mvspec_cost_wide")))
+    assert(qc(child).collect().map(_.toSeq).toSeq ==
+      qc(spark).collect().map(_.toSeq).toSeq)
+    SummaryRewriteRule.unregister(ordersPath)
+  }
+
   test("equal-width cubes: routing prefers the most recent " +
       "registration (freshness tie-break)") {
     val partPath = s"$sf/part.parquet"
