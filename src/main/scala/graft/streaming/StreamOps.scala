@@ -915,29 +915,36 @@ object StreamOps {
     // artifacts all live in storage)
     @volatile var modelIdx = mDir
     @volatile var appended = List.empty[String]
-    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-    def drive(srcDir: String, phase: String): Unit = {
+    def drive(srcDir: String, phase: String, genOffset: Int): Unit = {
       val schema = spark.read.parquet(srcDir).schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
       val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val gen = counter.incrementAndGet()
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // gen derives from the STABLE batch id (+ per-drive offset),
+          // never a counter: foreachBatch is at-least-once, and a
+          // retried batch must overwrite its OWN generation idempotently
+          // instead of minting a new one (which would double-count its
+          // rows in serving)
+          val gen = genOffset + id + 1
           // persist-then-reread: the retrain branch trains float models
           // on this data, and storage is the one bit-stable handoff
           batch.select(col("vec_id"), col("embedding"))
             .write.mode("overwrite").parquet(s"$idx/arrived/gen=$gen")
-          val corpus = (1 until gen)
+          val corpus = (1L until gen)
             .map(g => spark.read.parquet(s"$idx/arrived/gen=$g"))
             .foldLeft(base)(_.unionByName(_))
           val branch = s"$idx/branch/gen=$gen"
           val (_, _, _, fired) = LlmOps.annMaybeRetrain(
             spark, sfDir, modelIdx, branch, corpus,
             spark.read.parquet(s"$idx/arrived/gen=$gen"))
+          // retry-idempotent pointer updates: re-setting the same
+          // modelIdx and distinct-appending the same codes path are
+          // both no-ops on a replayed batch
           if (fired) { modelIdx = s"$branch/retrain"; appended = Nil }
-          else appended :+= s"$branch/codes/gen=1"
+          else appended = (appended :+ s"$branch/codes/gen=1").distinct
           spark.range(1)
             .select(lit(gen).as("gen"), lit(fired).as("retrain_fired"),
               lit(phase).as("phase"))
@@ -957,11 +964,11 @@ object StreamOps {
       clean.filter(pmod(col("vec_id"), lit(20)) === r)
         .coalesce(1)
         .write.mode(if (i == 0) "overwrite" else "append").parquet(cleanDir)
-    drive(cleanDir, "clean")
+    drive(cleanDir, "clean", genOffset = 0)
     // phase 2: the drifted batch — fires and retrains inline
     val driftDir = s"$idx/src/drift"
     driftSrc.coalesce(1).write.mode("overwrite").parquet(driftDir)
-    drive(driftDir, "drift")
+    drive(driftDir, "drift", genOffset = 2)
     // phase 3: a fresh-id copy of the merged corpus — exactly the
     // retrained model's training distribution, must append quietly
     // (postShifted: shifted AGAIN — out-of-distribution for the
@@ -973,7 +980,7 @@ object StreamOps {
      else mergedCopy)
       .select((col("vec_id") + lit(2000000L)).as("vec_id"), col("embedding"))
       .coalesce(1).write.mode("overwrite").parquet(postDir)
-    drive(postDir, "post")
+    drive(postDir, "post", genOffset = 3)
 
     // final serving state: the current pointer's base generation plus
     // quiet appends since the last retrain
