@@ -63,14 +63,22 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       summaryPath: String, dims: Set[String], measures: Set[String],
       rows: Option[Long] = None)
 
-  // ALL summaries registered for one fact, kept sorted coarsest-first
-  // (fewest dims) with ties broken by registration recency. A real
-  // warehouse maintains several cubes per fact (different dim sets);
-  // each query routes to the first candidate that rewrites — i.e. the
-  // SMALLEST summary whose dims ⊇ the query's needs (fewer dims =
-  // coarser = fewer rows), which is the cheapest exact answer. Every
-  // candidate is exactness-checked by the same rewrite machinery, so
-  // routing order is a COST choice, never a correctness one.
+  // ALL summaries registered for one fact, kept sorted cheapest-first:
+  // by MEASURED row count when every cube carries one
+  // (SummaryDef.rows), else fewest-dims-first; ties broken by
+  // registration recency either way. A real warehouse maintains
+  // several cubes per fact (different dim sets); each query routes to
+  // the first candidate that rewrites — the smallest eligible cube.
+  // Width is only a size proxy, and it MISPICKS exactly where dim sets
+  // are incomparable: a global aggregate answerable from both a
+  // high-cardinality 1-dim cube (per-customer, ~|customers| rows) and
+  // a tiny 2-dim cube (status × priority, ~15 rows) would read the big
+  // one under fewest-dims — measured rows route it to the tiny one
+  // (q85_mv_costroute pins this). For dim sets related by SUBSET the
+  // proxy is sound (adding dims never reduces distinct combinations).
+  // Every candidate is exactness-checked by the same rewrite
+  // machinery, so routing order is a COST choice, never a correctness
+  // one.
   private val catalog = new ConcurrentHashMap[String, List[SummaryDef]]()
 
   // analyzed summary plans, one per (session UUID, path): re-analyzing
@@ -150,11 +158,25 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
   /** Atomically replace `factPath`'s WHOLE cube set — the handshake
     * after refreshing the fact's underlying data, which stales every
     * cube built over the old data no matter its dim set (a distinction
-    * [[register]] cannot see; see its scaladoc).
+    * [[register]] cannot see; see its scaladoc). One `catalog.put` of
+    * the pre-sorted list, so a concurrently-planning session sees
+    * either the complete old set or the complete new set — never an
+    * empty or partial catalog (unregister-then-register-each would
+    * expose both windows, and a dashboard server swaps cube sets while
+    * queries plan). Cached plans of every involved path are
+    * invalidated: old ones are stale by definition, and new paths may
+    * REUSE an old path (in-place rebuild) whose pinned file listing
+    * predates the refresh.
     */
   def registerFresh(factPath: String, summaries: Seq[SummaryDef]): Unit = {
-    unregister(factPath)
-    summaries.foreach(register(factPath, _))
+    val ordered =
+      if (summaries.forall(_.rows.isDefined))
+        summaries.toList.sortBy(s => (s.rows.get, s.dims.size))
+      else summaries.toList.sortBy(_.dims.size)
+    val old = catalog.put(normalize(factPath), ordered)
+    val stale = (if (old == null) Nil else old).map(_.summaryPath).toSet ++
+      summaries.map(_.summaryPath)
+    planCache.keySet.removeIf(k => stale.contains(k._2))
   }
 
   /** Drop every summary registered for `factPath` (and their cached

@@ -391,6 +391,33 @@ object LlmOps {
         (if (y / 2 == 0) levels(x / 2) else 8) * 12 + bright)
   }
 
+  /** Build and persist the frozen IVF-PQ index layout over `base` at
+    * `idxDir` — the persist-first discipline every build site shares
+    * (q68 serve, q78/q84 streaming, q81 retrain): coarse centroids,
+    * codebooks, base codes (gen=0) encoded with the RE-READ frozen
+    * models, and the base cell occupancy the drift trigger reads —
+    * i.e. the exact layout [[annMaybeRetrain]]'s precondition names.
+    * Returns the frozen (coarse, books) as re-read from storage, so
+    * callers encode later batches against bit-identical models.
+    */
+  private[graft] def buildFrozenIndex(
+      s: SparkSession, dir: String, base: DataFrame, idxDir: String,
+      label: String): (DataFrame, DataFrame) = {
+    val coarse0 = ivfCentroids(s, dir, base)
+    coarse0.write.mode("overwrite").parquet(s"$idxDir/coarse")
+    ProductQuantizer.ivfPqTrainBooks(
+        base, "vec_id", "embedding", m = 8, coarse0, every = 40, iters = 2)
+      .write.mode("overwrite").parquet(s"$idxDir/books")
+    val coarseF = modelScaleStamp(s.read.parquet(s"$idxDir/coarse"), label)
+    val booksF = s.read.parquet(s"$idxDir/books")
+    ProductQuantizer.ivfPqEncodeWith(
+        base, "vec_id", "embedding", 8, coarseF, booksF)
+      .write.mode("overwrite").parquet(s"$idxDir/codes/gen=0")
+    IndexDrift.occupancyOfCodes(s.read.parquet(s"$idxDir/codes/gen=0"))
+      .write.mode("overwrite").parquet(s"$idxDir/base_occ")
+    (coarseF, booksF)
+  }
+
   private val serveIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -411,17 +438,8 @@ object LlmOps {
       val batch = merged.filter(pmod(col("vec_id"), lit(10)) === 9)
       val idx = graft.RunPaths.scratch(
         "graft_q68srv_index_" + graft.RunPaths.keyFor(dir))
-      val coarse0 = ivfCentroids(s, dir, base)
-      coarse0.write.mode("overwrite").parquet(s"$idx/coarse")
-      ProductQuantizer.ivfPqTrainBooks(
-          base, "vec_id", "embedding", m = 8, coarse0, every = 40, iters = 2)
-        .write.mode("overwrite").parquet(s"$idx/books")
-      val coarseF = modelScaleStamp(s.read.parquet(s"$idx/coarse"),
+      val (coarseF, booksF) = buildFrozenIndex(s, dir, base, idx,
         "q68_ann_serve frozen coarse-centroid table")
-      val booksF = s.read.parquet(s"$idx/books")
-      ProductQuantizer.ivfPqEncodeWith(
-          base, "vec_id", "embedding", 8, coarseF, booksF)
-        .write.mode("overwrite").parquet(s"$idx/codes/gen=0")
       ProductQuantizer.ivfPqEncodeWith(
           batch, "vec_id", "embedding", 8, coarseF, booksF)
         .write.mode("overwrite").parquet(s"$idx/codes/gen=1")
@@ -1543,22 +1561,9 @@ object LlmOps {
         val idx = graft.RunPaths.scratch(
           "graft_q81_index_" + graft.RunPaths.keyFor(dir))
         val mDir = s"$idx/model"
-        // offline build: models persist-first, then base codes + the
-        // base occupancy (the build-time artifact the trigger reads)
-        val coarse0 = ivfCentroids(s, dir, base)
-        coarse0.write.mode("overwrite").parquet(s"$mDir/coarse")
-        ProductQuantizer.ivfPqTrainBooks(
-            base, "vec_id", "embedding", m = 8, coarse0, every = 40,
-            iters = 2)
-          .write.mode("overwrite").parquet(s"$mDir/books")
-        val coarseF = modelScaleStamp(s.read.parquet(s"$mDir/coarse"),
+        // offline build: the shared persist-first frozen layout
+        val (coarseF, booksF) = buildFrozenIndex(s, dir, base, mDir,
           "q81 frozen coarse-centroid table")
-        val booksF = s.read.parquet(s"$mDir/books")
-        ProductQuantizer.ivfPqEncodeWith(
-            base, "vec_id", "embedding", 8, coarseF, booksF)
-          .write.mode("overwrite").parquet(s"$mDir/codes/gen=0")
-        IndexDrift.occupancyOfCodes(s.read.parquet(s"$mDir/codes/gen=0"))
-          .write.mode("overwrite").parquet(s"$mDir/base_occ")
         // the action, both branches
         val (cC, cB, cCodes, cRetrained) =
           annMaybeRetrain(s, dir, mDir, s"$idx/clean", base, clean)

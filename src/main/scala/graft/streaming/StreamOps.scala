@@ -744,22 +744,10 @@ object StreamOps {
     val arriving = merged.filter(pmod(col("vec_id"), lit(10)) === 9)
     val idx = graft.RunPaths.scratch(
       "graft_q78_index_" + graft.RunPaths.keyFor(sfDir))
-    // offline build, q68's persist-first order — plus the base
-    // occupancy persisted BESIDE the models (the build-time artifact
-    // the per-append trigger reads)
-    val coarse0 = LlmOps.ivfCentroids(spark, sfDir, base)
-    coarse0.write.mode("overwrite").parquet(s"$idx/coarse")
-    ProductQuantizer.ivfPqTrainBooks(
-        base, "vec_id", "embedding", m = 8, coarse0, every = 40, iters = 2)
-      .write.mode("overwrite").parquet(s"$idx/books")
-    val coarseF = LlmOps.modelScaleStamp(spark.read.parquet(s"$idx/coarse"),
+    // offline build: the shared persist-first frozen layout (models +
+    // base codes + the base occupancy the per-append trigger reads)
+    val (coarseF, booksF) = LlmOps.buildFrozenIndex(spark, sfDir, base, idx,
       "q78 frozen coarse-centroid table")
-    val booksF = spark.read.parquet(s"$idx/books")
-    ProductQuantizer.ivfPqEncodeWith(
-        base, "vec_id", "embedding", 8, coarseF, booksF)
-      .write.mode("overwrite").parquet(s"$idx/codes/gen=0")
-    IndexDrift.occupancyOfCodes(spark.read.parquet(s"$idx/codes/gen=0"))
-      .write.mode("overwrite").parquet(s"$idx/base_occ")
 
     def drive(srcDir: String, genOffset: Int, drifted: Boolean): Unit = {
       val schema = spark.read.parquet(srcDir).schema
@@ -819,11 +807,13 @@ object StreamOps {
     drive(split1, 0, drifted = false)
     // phase 2: the drifted batch (shifted embeddings; ids offset only
     // so clean and drifted copies of a vector stay distinct in the
-    // stored generations)
+    // stored generations — by the OBSERVED id span, not a constant a
+    // larger corpus would outgrow)
     val split2 = graft.RunPaths.scratch(
       "graft_q78_drifted_" + graft.RunPaths.keyFor(sfDir))
+    val idSpan = merged.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
     IndexDrift.shifted(arriving, "vec_id", "embedding")
-      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      .select((col("vec_id") + lit(idSpan)).as("vec_id"), col("embedding"))
       .repartition(1)
       .write.mode("overwrite").parquet(split2)
     drive(split2, 3, drifted = true)
@@ -888,33 +878,54 @@ object StreamOps {
       .select(col("vec_id"), col("embedding"))
     val base = all.filter(!pmod(col("vec_id"), lit(10)).isin(8, 9))
     val clean = all.filter(pmod(col("vec_id"), lit(10)) === 8)
+    // fresh-id offsets derive from the OBSERVED id span (one 1-row
+    // aggregate), never a hard constant: a fixed +1M/+2M collides with
+    // genuine ids once the corpus outgrows it, failing the ids_unique
+    // contract spuriously at scale — drift copies live in
+    // [span, 2·span), post copies in [2·span, 3·span), disjoint from
+    // the originals by construction
+    val idSpan = all.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
     val driftSrc = IndexDrift
       .shifted(all.filter(pmod(col("vec_id"), lit(10)) === 9),
         "vec_id", "embedding")
-      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      .select((col("vec_id") + lit(idSpan)).as("vec_id"), col("embedding"))
     val idx = graft.RunPaths.scratch(
       "graft_q84_index_" + graft.RunPaths.keyFor(sfDir))
-    // offline build over base: the full self-hosted index layout
+    // offline build over base: the shared persist-first frozen layout
     val mDir = s"$idx/model"
-    val coarse0 = LlmOps.ivfCentroids(spark, sfDir, base)
-    coarse0.write.mode("overwrite").parquet(s"$mDir/coarse")
-    ProductQuantizer.ivfPqTrainBooks(
-        base, "vec_id", "embedding", m = 8, coarse0, every = 40, iters = 2)
-      .write.mode("overwrite").parquet(s"$mDir/books")
-    val coarseF = LlmOps.modelScaleStamp(spark.read.parquet(s"$mDir/coarse"),
+    LlmOps.buildFrozenIndex(spark, sfDir, base, mDir,
       "q84 frozen coarse-centroid table")
-    ProductQuantizer.ivfPqEncodeWith(
-        base, "vec_id", "embedding", 8, coarseF,
-        spark.read.parquet(s"$mDir/books"))
-      .write.mode("overwrite").parquet(s"$mDir/codes/gen=0")
-    IndexDrift.occupancyOfCodes(spark.read.parquet(s"$mDir/codes/gen=0"))
-      .write.mode("overwrite").parquet(s"$mDir/base_occ")
 
-    // serving pointer + quiet-append generations since the last retrain
-    // (driver-side state: foreachBatch runs on the driver; the heavy
-    // artifacts all live in storage)
-    @volatile var modelIdx = mDir
-    @volatile var appended = List.empty[String]
+    // NO driver-held serving state: the model pointer and the set of
+    // quiet-append generations are pure functions of the DURABLE
+    // per-generation decision log (last fired generation wins; quiet
+    // generations since it carry appends). foreachBatch is
+    // at-least-once, and any in-memory pointer makes the fired path
+    // non-replayable: a drifted batch that fails AFTER switching the
+    // pointer would re-evaluate against the retrained model on replay,
+    // go quiet, and append its rows on top of the retrain that already
+    // absorbed them. Deriving the pointer from log entries STRICTLY
+    // BEFORE the current generation makes a replay bit-for-bit
+    // deterministic: it re-reads the same pre-batch state, re-makes the
+    // same decision, and overwrites the same artifacts.
+    def decisions(upTo: Long): Seq[(Long, Boolean)] = {
+      val dir = new java.io.File(s"$idx/log")
+      Option(dir.listFiles()).toSeq.flatten
+        .flatMap(f => Option(f.getName).filter(_.startsWith("gen="))
+          .map(_.drop(4).toLong))
+        .filter(_ < upTo).sorted
+        .map(g => (g, spark.read.parquet(s"$idx/log/gen=$g")
+          .select(col("retrain_fired")).collect()(0).getBoolean(0)))
+    }
+    def modelBefore(gen: Long): String =
+      decisions(gen).filter(_._2).lastOption
+        .map { case (g, _) => s"$idx/branch/gen=$g/retrain" }
+        .getOrElse(mDir)
+    def appendedAfter(all: Seq[(Long, Boolean)]): Seq[String] = {
+      val lastFired = all.filter(_._2).map(_._1).maxOption.getOrElse(0L)
+      all.collect { case (g, false) if g > lastFired =>
+        s"$idx/branch/gen=$g/codes/gen=1" }
+    }
 
     def drive(srcDir: String, phase: String, genOffset: Int): Unit = {
       val schema = spark.read.parquet(srcDir).schema
@@ -924,10 +935,8 @@ object StreamOps {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
           // gen derives from the STABLE batch id (+ per-drive offset),
-          // never a counter: foreachBatch is at-least-once, and a
-          // retried batch must overwrite its OWN generation idempotently
-          // instead of minting a new one (which would double-count its
-          // rows in serving)
+          // never a counter: a retried batch must overwrite its OWN
+          // generation, not mint a new one
           val gen = genOffset + id + 1
           // persist-then-reread: the retrain branch trains float models
           // on this data, and storage is the one bit-stable handoff
@@ -938,13 +947,8 @@ object StreamOps {
             .foldLeft(base)(_.unionByName(_))
           val branch = s"$idx/branch/gen=$gen"
           val (_, _, _, fired) = LlmOps.annMaybeRetrain(
-            spark, sfDir, modelIdx, branch, corpus,
+            spark, sfDir, modelBefore(gen), branch, corpus,
             spark.read.parquet(s"$idx/arrived/gen=$gen"))
-          // retry-idempotent pointer updates: re-setting the same
-          // modelIdx and distinct-appending the same codes path are
-          // both no-ops on a replayed batch
-          if (fired) { modelIdx = s"$branch/retrain"; appended = Nil }
-          else appended = (appended :+ s"$branch/codes/gen=1").distinct
           spark.range(1)
             .select(lit(gen).as("gen"), lit(fired).as("retrain_fired"),
               lit(phase).as("phase"))
@@ -954,6 +958,16 @@ object StreamOps {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
+
+    // wipe the decision log from any PRIOR run of this query in the
+    // same process (scratch paths are per-sfDir): the pointer is
+    // log-derived, and a stale fired entry would hand generation 1 the
+    // previous run's retrained model
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(wipe)
+      f.delete(); ()
+    }
+    wipe(new java.io.File(s"$idx/log"))
 
     // phase 1: two clean micro-batches — explicit one-file writes (the
     // q78 discipline: the trigger count is a contract, so the file
@@ -978,13 +992,16 @@ object StreamOps {
     (if (postShifted)
        IndexDrift.shifted(mergedCopy, "vec_id", "embedding")
      else mergedCopy)
-      .select((col("vec_id") + lit(2000000L)).as("vec_id"), col("embedding"))
+      .select((col("vec_id") + lit(2 * idSpan)).as("vec_id"), col("embedding"))
       .coalesce(1).write.mode("overwrite").parquet(postDir)
     drive(postDir, "post", genOffset = 3)
 
-    // final serving state: the current pointer's base generation plus
-    // quiet appends since the last retrain
-    val serving = appended
+    // final serving state, derived from the same durable log the
+    // triggers wrote: the current pointer's base generation plus quiet
+    // appends since the last retrain
+    val finalDecisions = decisions(Long.MaxValue)
+    val modelIdx = modelBefore(Long.MaxValue)
+    val serving = appendedAfter(finalDecisions)
       .map(p => spark.read.parquet(p)
         .select(col("cell_id"), col("vec_id"), col("codes")))
       .foldLeft(spark.read.parquet(s"$modelIdx/codes/gen=0")

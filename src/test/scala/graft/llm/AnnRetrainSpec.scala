@@ -27,18 +27,9 @@ class AnnRetrainSpec extends AnyFunSuite {
     .getOrCreate()
 
   private def buildFrozen(base: DataFrame, mDir: String): Unit = {
-    val coarse0 = LlmOps.ivfCentroids(spark, sf, base)
-    coarse0.write.mode("overwrite").parquet(s"$mDir/coarse")
-    ProductQuantizer.ivfPqTrainBooks(
-        base, "vec_id", "embedding", m = 8, coarse0, every = 40, iters = 2)
-      .write.mode("overwrite").parquet(s"$mDir/books")
-    val coarseF = spark.read.parquet(s"$mDir/coarse")
-    val booksF = spark.read.parquet(s"$mDir/books")
-    ProductQuantizer.ivfPqEncodeWith(
-        base, "vec_id", "embedding", 8, coarseF, booksF)
-      .write.mode("overwrite").parquet(s"$mDir/codes/gen=0")
-    IndexDrift.occupancyOfCodes(spark.read.parquet(s"$mDir/codes/gen=0"))
-      .write.mode("overwrite").parquet(s"$mDir/base_occ")
+    LlmOps.buildFrozenIndex(spark, sf, base, mDir,
+      "AnnRetrainSpec frozen coarse-centroid table")
+    ()
   }
 
   test("clean append keeps the frozen generation; drifted append " +
