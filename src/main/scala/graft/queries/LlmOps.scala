@@ -1328,21 +1328,13 @@ object LlmOps {
         val batch = merged.filter(pmod(col("vec_id"), lit(10)) === 9)
         val idx = graft.RunPaths.scratch(
           "graft_q68_index_" + graft.RunPaths.keyFor(dir))
-        // offline build on the base corpus: models persisted FIRST,
-        // then the base codes encoded from the READ-BACK frozen floats —
-        // every stored artifact is self-consistent even though k-means
-        // averaging is not bit-stable across executions
-        val coarse0 = ivfCentroids(s, dir, base)
-        coarse0.write.mode("overwrite").parquet(s"$idx/coarse")
-        ProductQuantizer.ivfPqTrainBooks(
-            base, "vec_id", "embedding", m = 8, coarse0, every = 40, iters = 2)
-          .write.mode("overwrite").parquet(s"$idx/books")
-        val coarseF = modelScaleStamp(s.read.parquet(s"$idx/coarse"),
+        // offline build on the base corpus: the shared persist-first
+        // frozen layout (models persisted FIRST, base codes encoded
+        // from the READ-BACK frozen floats — every stored artifact is
+        // self-consistent even though k-means averaging is not
+        // bit-stable across executions)
+        val (coarseF, booksF) = buildFrozenIndex(s, dir, base, idx,
           "q68 frozen coarse-centroid table")
-        val booksF = s.read.parquet(s"$idx/books")
-        ProductQuantizer.ivfPqEncodeWith(
-            base, "vec_id", "embedding", 8, coarseF, booksF)
-          .write.mode("overwrite").parquet(s"$idx/codes/gen=0")
         // incremental append: touches only PERSISTED state + the new
         // batch — never the base vectors
         ProductQuantizer.ivfPqEncodeWith(
@@ -1679,18 +1671,9 @@ object LlmOps {
         val batch = merged.filter(pmod(col("vec_id"), lit(10)) === 9)
         val idx = graft.RunPaths.scratch(
           "graft_q70_index_" + graft.RunPaths.keyFor(dir))
-        // build + append, q68's persist-first frozen order
-        val coarse0 = ivfCentroids(s, dir, base)
-        coarse0.write.mode("overwrite").parquet(s"$idx/coarse")
-        ProductQuantizer.ivfPqTrainBooks(
-            base, "vec_id", "embedding", m = 8, coarse0, every = 40, iters = 2)
-          .write.mode("overwrite").parquet(s"$idx/books")
-        val coarseF = modelScaleStamp(s.read.parquet(s"$idx/coarse"),
+        // build + append, the shared persist-first frozen layout
+        val (coarseF, booksF) = buildFrozenIndex(s, dir, base, idx,
           "q70 frozen coarse-centroid table")
-        val booksF = s.read.parquet(s"$idx/books")
-        ProductQuantizer.ivfPqEncodeWith(
-            base, "vec_id", "embedding", 8, coarseF, booksF)
-          .write.mode("overwrite").parquet(s"$idx/codes/gen=0")
         ProductQuantizer.ivfPqEncodeWith(
             batch, "vec_id", "embedding", 8, coarseF, booksF)
           .write.mode("overwrite").parquet(s"$idx/codes/gen=1")

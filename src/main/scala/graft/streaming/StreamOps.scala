@@ -547,19 +547,10 @@ object StreamOps {
     val arriving = e.filter(col("vec_id") =!= 0 && pmod(col("vec_id"), lit(10)) === 9)
     val idx = graft.RunPaths.scratch(
       "graft_q69_index_" + graft.RunPaths.keyFor(sfDir))
-    // offline build, q68's persist-first order: every stored artifact
-    // derives from the READ-BACK frozen floats
-    val coarse0 = LlmOps.ivfCentroids(spark, sfDir, base)
-    coarse0.write.mode("overwrite").parquet(s"$idx/coarse")
-    ProductQuantizer.ivfPqTrainBooks(
-        base, "vec_id", "embedding", m = 8, coarse0, every = 40, iters = 2)
-      .write.mode("overwrite").parquet(s"$idx/books")
-    val coarseF = LlmOps.modelScaleStamp(spark.read.parquet(s"$idx/coarse"),
+    // offline build: the shared persist-first frozen layout (every
+    // stored artifact derives from the READ-BACK frozen floats)
+    val (coarseF, booksF) = LlmOps.buildFrozenIndex(spark, sfDir, base, idx,
       "q69 frozen coarse-centroid table")
-    val booksF = spark.read.parquet(s"$idx/books")
-    ProductQuantizer.ivfPqEncodeWith(
-        base, "vec_id", "embedding", 8, coarseF, booksF)
-      .write.mode("overwrite").parquet(s"$idx/codes/gen=0")
     // deliver the arrivals across 4 hash-scrambled micro-batches
     val splitDir = graft.RunPaths.scratch(
       "graft_q69_arrivals_" + graft.RunPaths.keyFor(sfDir))
@@ -645,19 +636,10 @@ object StreamOps {
     val merged = e.filter(col("vec_id") =!= 0)
     val idx = graft.RunPaths.scratch(
       s"graft_q75_index_${graft.RunPaths.keyFor(sfDir)}_$slices")
-    // offline build, q68's persist-first order: every stored artifact
-    // derives from the READ-BACK frozen floats
-    val coarse0 = LlmOps.ivfCentroids(spark, sfDir, merged)
-    coarse0.write.mode("overwrite").parquet(s"$idx/coarse")
-    ProductQuantizer.ivfPqTrainBooks(
-        merged, "vec_id", "embedding", m = 8, coarse0, every = 40, iters = 2)
-      .write.mode("overwrite").parquet(s"$idx/books")
-    val coarseF = LlmOps.modelScaleStamp(spark.read.parquet(s"$idx/coarse"),
-      "q75 frozen coarse-centroid table")
-    val booksF = spark.read.parquet(s"$idx/books")
-    ProductQuantizer.ivfPqEncodeWith(
-        merged, "vec_id", "embedding", 8, coarseF, booksF)
-      .write.mode("overwrite").parquet(s"$idx/codes/gen=0")
+    // offline build: the shared persist-first frozen layout (every
+    // stored artifact derives from the READ-BACK frozen floats)
+    val (coarseF, booksF) = LlmOps.buildFrozenIndex(
+      spark, sfDir, merged, idx, "q75 frozen coarse-centroid table")
     val gens = spark.read.parquet(s"$idx/codes")
       .select(col("cell_id"), col("vec_id"), col("codes"))
     def serve(codes: DataFrame): DataFrame = ProductQuantizer.ivfPqTopK(
