@@ -146,14 +146,21 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
         s.summaryPath == summary.summaryPath ||
           (s.dims == summary.dims && s.measures.subsetOf(summary.measures)))
       stale ++= superseded.map(_.summaryPath)
-      val all = summary :: rest
-      if (all.forall(_.rows.isDefined))
-        all.sortBy(s => (s.rows.get, s.dims.size))
-      else all.sortBy(_.dims.size)
+      ordered(summary :: rest)
     })
     stale += summary.summaryPath
     planCache.keySet.removeIf(k => stale.contains(k._2))
   }
+
+  /** Cheapest-first routing order over a NEWEST-FIRST list: measured
+    * rows when every cube carries one, else dim-set width; the sort is
+    * stable, so equal-cost cubes keep their newest-first relative
+    * order — the recency tie-break both register paths promise.
+    */
+  private def ordered(newestFirst: List[SummaryDef]): List[SummaryDef] =
+    if (newestFirst.forall(_.rows.isDefined))
+      newestFirst.sortBy(s => (s.rows.get, s.dims.size))
+    else newestFirst.sortBy(_.dims.size)
 
   /** Atomically replace `factPath`'s WHOLE cube set — the handshake
     * after refreshing the fact's underlying data, which stales every
@@ -169,11 +176,11 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     * predates the refresh.
     */
   def registerFresh(factPath: String, summaries: Seq[SummaryDef]): Unit = {
-    val ordered =
-      if (summaries.forall(_.rows.isDefined))
-        summaries.toList.sortBy(s => (s.rows.get, s.dims.size))
-      else summaries.toList.sortBy(_.dims.size)
-    val old = catalog.put(normalize(factPath), ordered)
+    // reverse: `ordered` expects newest-first, and register-one-by-one
+    // semantics make the LAST element of the caller's seq the most
+    // recent registration — equal-cost ties must prefer it
+    val old = catalog.put(normalize(factPath),
+      ordered(summaries.toList.reverse))
     val stale = (if (old == null) Nil else old).map(_.summaryPath).toSet ++
       summaries.map(_.summaryPath)
     planCache.keySet.removeIf(k => stale.contains(k._2))
@@ -220,8 +227,9 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     case agg @ Aggregate(_, _, _, _) =>
       factOf(agg.child)
         .flatMap { case (defs, filters) =>
-          // coarsest-first: the first candidate that rewrites is the
-          // smallest exact cube for THIS query's dims/measures
+          // cheapest-first (measured rows when known, else width —
+          // see the catalog comment): the first candidate that
+          // rewrites is the smallest exact cube for THIS query
           defs.iterator.flatMap(d => rewrite(agg, d, filters))
             .nextOption()
         }
@@ -229,8 +237,8 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
         .getOrElse(agg)
   }
 
-  /** The registered summary candidates behind `child` (coarsest
-    * first), looking through pruning projections, aliases, and —
+  /** The registered summary candidates behind `child` (cheapest
+    * first — see the catalog comment), looking through pruning projections, aliases, and —
     * because count/sum/min/max over a dims-restricted fact slice are
     * still exactly answerable from a summary (a dims filter keeps or
     * drops whole summary groups) — deterministic Filters, whose
@@ -440,8 +448,8 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** Walk a tree of INNER joins and return EVERY side that resolves to
-    * a registered fact as a candidate: its summary candidates (coarsest
-    * first), the fact-side filters factOf collected, the fact-side
+    * a registered fact as a candidate: its summary candidates (cheapest
+    * first — see the catalog comment), the fact-side filters factOf collected, the fact-side
     * subplan (for its outputSet), and the path of (join, factWentLeft)
     * from the fact-holding join OUTWARD to the root — the rebuild
     * order. ALL candidates, not "the unique fact": in a real warehouse

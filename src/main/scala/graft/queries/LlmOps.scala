@@ -399,10 +399,16 @@ object LlmOps {
     * i.e. the exact layout [[annMaybeRetrain]]'s precondition names.
     * Returns the frozen (coarse, books) as re-read from storage, so
     * callers encode later batches against bit-identical models.
+    *
+    * `withOccupancy = false` skips the base_occ pass (one extra scan
+    * of the stored base codes + a K-row write) for indexes that will
+    * never gate a retrain — serving-only and lifecycle fixtures
+    * (q68/q69/q70/q75). Drift-trigger sites (q78/q81/q84) keep the
+    * default: their base_occ IS the trigger's stored input.
     */
   private[graft] def buildFrozenIndex(
       s: SparkSession, dir: String, base: DataFrame, idxDir: String,
-      label: String): (DataFrame, DataFrame) = {
+      label: String, withOccupancy: Boolean = true): (DataFrame, DataFrame) = {
     val coarse0 = ivfCentroids(s, dir, base)
     coarse0.write.mode("overwrite").parquet(s"$idxDir/coarse")
     ProductQuantizer.ivfPqTrainBooks(
@@ -413,8 +419,9 @@ object LlmOps {
     ProductQuantizer.ivfPqEncodeWith(
         base, "vec_id", "embedding", 8, coarseF, booksF)
       .write.mode("overwrite").parquet(s"$idxDir/codes/gen=0")
-    IndexDrift.occupancyOfCodes(s.read.parquet(s"$idxDir/codes/gen=0"))
-      .write.mode("overwrite").parquet(s"$idxDir/base_occ")
+    if (withOccupancy)
+      IndexDrift.occupancyOfCodes(s.read.parquet(s"$idxDir/codes/gen=0"))
+        .write.mode("overwrite").parquet(s"$idxDir/base_occ")
     (coarseF, booksF)
   }
 
@@ -439,7 +446,7 @@ object LlmOps {
       val idx = graft.RunPaths.scratch(
         "graft_q68srv_index_" + graft.RunPaths.keyFor(dir))
       val (coarseF, booksF) = buildFrozenIndex(s, dir, base, idx,
-        "q68_ann_serve frozen coarse-centroid table")
+        "q68_ann_serve frozen coarse-centroid table", withOccupancy = false)
       ProductQuantizer.ivfPqEncodeWith(
           batch, "vec_id", "embedding", 8, coarseF, booksF)
         .write.mode("overwrite").parquet(s"$idx/codes/gen=1")
@@ -493,29 +500,16 @@ object LlmOps {
       val merged = base.select(col("vec_id"), col("embedding"))
         .unionByName(batch.select(col("vec_id"), col("embedding")))
         .localCheckpoint(true)
-      val coarse0 = ivfCentroids(s, dir, merged)
-      coarse0.write.mode("overwrite").parquet(s"$branchIdx/retrain/coarse")
-      ProductQuantizer.ivfPqTrainBooks(
-          merged, "vec_id", "embedding", m = 8, coarse0, every = 40,
-          iters = 2)
-        .write.mode("overwrite").parquet(s"$branchIdx/retrain/books")
-      val coarse2 = modelScaleStamp(
-        s.read.parquet(s"$branchIdx/retrain/coarse"),
+      // the shared persist-first frozen layout, WITH occupancy: the
+      // retrained directory must satisfy this function's OWN
+      // precondition (coarse, books, codes/gen=0, base_occ) so the
+      // loop can iterate — the NEXT append's trigger reads base_occ
+      // from whatever index it is pointed at
+      val (coarse2, books2) = buildFrozenIndex(
+        s, dir, merged, s"$branchIdx/retrain",
         "retrained coarse-centroid table")
-      val books2 = s.read.parquet(s"$branchIdx/retrain/books")
-      ProductQuantizer.ivfPqEncodeWith(
-          merged, "vec_id", "embedding", 8, coarse2, books2)
-        .write.mode("overwrite").parquet(s"$branchIdx/retrain/codes/gen=0")
       val codes = s.read.parquet(s"$branchIdx/retrain/codes/gen=0")
         .select(col("cell_id"), col("vec_id"), col("codes"))
-      // persist the new generation's base occupancy too: the retrained
-      // directory must satisfy this function's OWN precondition (coarse,
-      // books, codes/gen=0, base_occ) so the loop can iterate — the
-      // NEXT append's trigger reads base_occ from whatever index it is
-      // pointed at. One K-row aggregate, the same cost every other
-      // build site pays.
-      IndexDrift.occupancyOfCodes(codes)
-        .write.mode("overwrite").parquet(s"$branchIdx/retrain/base_occ")
       (coarse2, books2, codes, true)
     }
   }
@@ -1334,7 +1328,7 @@ object LlmOps {
         // self-consistent even though k-means averaging is not
         // bit-stable across executions)
         val (coarseF, booksF) = buildFrozenIndex(s, dir, base, idx,
-          "q68 frozen coarse-centroid table")
+          "q68 frozen coarse-centroid table", withOccupancy = false)
         // incremental append: touches only PERSISTED state + the new
         // batch — never the base vectors
         ProductQuantizer.ivfPqEncodeWith(
@@ -1673,7 +1667,7 @@ object LlmOps {
           "graft_q70_index_" + graft.RunPaths.keyFor(dir))
         // build + append, the shared persist-first frozen layout
         val (coarseF, booksF) = buildFrozenIndex(s, dir, base, idx,
-          "q70 frozen coarse-centroid table")
+          "q70 frozen coarse-centroid table", withOccupancy = false)
         ProductQuantizer.ivfPqEncodeWith(
             batch, "vec_id", "embedding", 8, coarseF, booksF)
           .write.mode("overwrite").parquet(s"$idx/codes/gen=1")

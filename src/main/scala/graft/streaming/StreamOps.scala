@@ -550,7 +550,7 @@ object StreamOps {
     // offline build: the shared persist-first frozen layout (every
     // stored artifact derives from the READ-BACK frozen floats)
     val (coarseF, booksF) = LlmOps.buildFrozenIndex(spark, sfDir, base, idx,
-      "q69 frozen coarse-centroid table")
+      "q69 frozen coarse-centroid table", withOccupancy = false)
     // deliver the arrivals across 4 hash-scrambled micro-batches
     val splitDir = graft.RunPaths.scratch(
       "graft_q69_arrivals_" + graft.RunPaths.keyFor(sfDir))
@@ -639,7 +639,7 @@ object StreamOps {
     // offline build: the shared persist-first frozen layout (every
     // stored artifact derives from the READ-BACK frozen floats)
     val (coarseF, booksF) = LlmOps.buildFrozenIndex(
-      spark, sfDir, merged, idx, "q75 frozen coarse-centroid table")
+      spark, sfDir, merged, idx, "q75 frozen coarse-centroid table", withOccupancy = false)
     val gens = spark.read.parquet(s"$idx/codes")
       .select(col("cell_id"), col("vec_id"), col("codes"))
     def serve(codes: DataFrame): DataFrame = ProductQuantizer.ivfPqTopK(

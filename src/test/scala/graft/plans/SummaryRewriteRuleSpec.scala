@@ -567,6 +567,58 @@ class SummaryRewriteRuleSpec extends AnyFunSuite {
     SummaryRewriteRule.unregister(ordersPath)
   }
 
+  test("registerFresh routes by measured rows and breaks equal-cost " +
+      "ties by recency (last of the swapped set wins)") {
+    val ordersPath = s"$sf/orders.parquet"
+    SummaryRewriteRule.unregister(ordersPath)
+    val orders = spark.read.parquet(ordersPath)
+    def build(path: String, dims: Seq[String]): Long = {
+      orders.groupBy(dims.map(col): _*)
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_orderkey")).as("sum_o_orderkey"))
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path).count()
+    }
+    val widePath = graft.RunPaths.scratch("graft_mvspec_fresh_wide")
+    val tinyPath = graft.RunPaths.scratch("graft_mvspec_fresh_tiny")
+    val nWide = build(widePath, Seq("o_custkey"))
+    val nTiny = build(tinyPath, Seq("o_orderstatus", "o_orderpriority"))
+    assert(nWide > nTiny)
+    // rows ordering must engage through the ATOMIC swap path too, not
+    // only one-by-one register — wide listed FIRST to prove order of
+    // the seq is not what routes
+    SummaryRewriteRule.registerFresh(ordersPath, Seq(
+      SummaryRewriteRule.SummaryDef(widePath,
+        dims = Set("o_custkey"), measures = Set("o_orderkey"),
+        rows = Some(nWide)),
+      SummaryRewriteRule.SummaryDef(tinyPath,
+        dims = Set("o_orderstatus", "o_orderpriority"),
+        measures = Set("o_orderkey"), rows = Some(nTiny))))
+    val child = spark.newSession()
+    child.experimental.extraOptimizations = Seq(SummaryRewriteRule)
+    def g(s: SparkSession) = s.read.parquet(ordersPath)
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("s"))
+    assert(scansOf(g(child)).exists(_.contains("graft_mvspec_fresh_tiny")),
+      s"registerFresh must route the global aggregate to the " +
+        s"measured-smallest cube: ${scansOf(g(child))}")
+    // equal-cost tie (identical dims/measures/rows under two paths):
+    // register-one-by-one semantics make the LAST of the swapped set
+    // the most recent registration — it must win the tie
+    val v1 = graft.RunPaths.scratch("graft_mvspec_fresh_v1")
+    val v2 = graft.RunPaths.scratch("graft_mvspec_fresh_v2")
+    val n1 = build(v1, Seq("o_orderstatus"))
+    val n2 = build(v2, Seq("o_orderstatus"))
+    assert(n1 == n2)
+    def sd(p: String) = SummaryRewriteRule.SummaryDef(p,
+      dims = Set("o_orderstatus"), measures = Set("o_orderkey"),
+      rows = Some(n1))
+    SummaryRewriteRule.registerFresh(ordersPath, Seq(sd(v1), sd(v2)))
+    assert(scansOf(g(child)).exists(_.contains("graft_mvspec_fresh_v2")),
+      s"equal-cost tie must prefer the most recent registration " +
+        s"(v2, last of the set): ${scansOf(g(child))}")
+    SummaryRewriteRule.unregister(ordersPath)
+  }
+
   test("equal-width cubes: routing prefers the most recent " +
       "registration (freshness tie-break)") {
     val partPath = s"$sf/part.parquet"
