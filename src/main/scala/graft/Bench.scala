@@ -65,11 +65,13 @@ object Bench {
     // every start. Failure is swallowed here: a broken build must
     // surface as those queries' own per-query {"err"} rows inside
     // once() (where the retry pays the build again and reports the real
-    // exception), not abort the whole bench run.
+    // exception), not abort the whole bench run. NonFatal only: an OOM
+    // or LinkageError leaves the JVM untrustworthy, and timings taken
+    // in a corrupted JVM are worse than an aborted run.
     if (set.exists(q => q.name == "q68_ann_serve" || q.name == "q68_ann_append"))
       try graft.queries.LlmOps.ensureAnnServeIndex(spark, sfDir)
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(
             s"[bench] untimed ANN index pre-build failed (will surface " +
               s"per-query): ${e.getClass.getSimpleName}: ${e.getMessage}")

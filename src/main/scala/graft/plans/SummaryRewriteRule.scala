@@ -64,9 +64,9 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       rows: Option[Long] = None)
 
   // ALL summaries registered for one fact, kept sorted cheapest-first:
-  // by MEASURED row count when every cube carries one
-  // (SummaryDef.rows), else fewest-dims-first; ties broken by
-  // registration recency either way. A real warehouse maintains
+  // measured cubes first by row count (SummaryDef.rows), unmeasured
+  // cubes after by fewest-dims (missing rows ≈ size unknown, assume
+  // huge); ties broken by registration recency either way. A real warehouse maintains
   // several cubes per fact (different dim sets); each query routes to
   // the first candidate that rewrites — the smallest eligible cube.
   // Width is only a size proxy, and it MISPICKS exactly where dim sets
@@ -131,12 +131,12 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     * legitimate accumulation); after refreshing the underlying fact,
     * swap the whole cube set atomically with [[registerFresh]] (or
     * [[unregister]] then re-register). The stored list stays sorted
-    * cheapest-first: by MEASURED row count when every cube for the
-    * fact carries one ([[SummaryDef.rows]]), else fewest-dims-first —
-    * width is only a size proxy, and it mispicks exactly where dim
-    * sets are incomparable (a global aggregate answerable from both a
-    * high-cardinality 1-dim cube and a tiny 2-dim cube must read the
-    * tiny one). Either way the sort is stable over a newest-first
+    * cheapest-first: cubes with a MEASURED row count
+    * ([[SummaryDef.rows]]) first by rows, unmeasured cubes after by
+    * fewest-dims — width is only a size proxy, and it mispicks exactly
+    * where dim sets are incomparable (a global aggregate answerable
+    * from both a high-cardinality 1-dim cube and a tiny 2-dim cube
+    * must read the tiny one). The sort is stable over a newest-first
     * list, so equal-cost cubes prefer the most recent registration.
     */
   def register(factPath: String, summary: SummaryDef): Unit = {
@@ -152,15 +152,21 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     planCache.keySet.removeIf(k => stale.contains(k._2))
   }
 
-  /** Cheapest-first routing order over a NEWEST-FIRST list: measured
-    * rows when every cube carries one, else dim-set width; the sort is
-    * stable, so equal-cost cubes keep their newest-first relative
-    * order — the recency tie-break both register paths promise.
+  /** Cheapest-first routing order over a NEWEST-FIRST list: cubes with
+    * a MEASURED row count sort first (by rows, then width), cubes
+    * without one sort after ALL measured cubes (by width only) — a
+    * missing measurement is treated as "size unknown, assume huge",
+    * never as grounds to discard the measurements the other cubes DO
+    * carry (the previous all-or-nothing rule let one legacy
+    * registration without `rows` degrade the whole fact to the width
+    * proxy — exactly the mispick measured routing exists to prevent).
+    * The sort is stable, so equal-cost cubes keep their newest-first
+    * relative order — the recency tie-break both register paths
+    * promise.
     */
   private def ordered(newestFirst: List[SummaryDef]): List[SummaryDef] =
-    if (newestFirst.forall(_.rows.isDefined))
-      newestFirst.sortBy(s => (s.rows.get, s.dims.size))
-    else newestFirst.sortBy(_.dims.size)
+    newestFirst.sortBy(s =>
+      (s.rows.isEmpty, s.rows.getOrElse(Long.MaxValue), s.dims.size))
 
   /** Atomically replace `factPath`'s WHOLE cube set — the handshake
     * after refreshing the fact's underlying data, which stales every

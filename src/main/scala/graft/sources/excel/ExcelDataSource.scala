@@ -401,7 +401,12 @@ object ExcelScan {
       n: Int, planned: Option[(Long, Long, String)] = None): Seq[String] = {
     val f = new java.io.File(path)
     val abs = f.getAbsolutePath
-    val sel = sheetName.getOrElse(sheetIndex.getOrElse(0).toString)
+    // tagged selector: a sheet literally NAMED "1" read by name and a
+    // read of sheetIndex=1 must not share a cache key — resolveSheet
+    // can pick different sheets for the two requests, and whichever
+    // spilled first would silently serve the other's rows
+    val sel = sheetName.map("name:" + _)
+      .getOrElse("idx:" + sheetIndex.getOrElse(0))
     val lock = spillLocks.computeIfAbsent((abs, sel, n), _ => new Object)
     lock.synchronized {
       // sweep on EVERY lookup, hit or miss: a driver that replaces a
@@ -501,13 +506,18 @@ final class ExcelReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[ExcelInputPartition]
     val opts = ExcelRead.Options(p.path, p.sheetName, p.sheetIndex, p.skipRows,
       headerDedup = p.headerDedup)
-    // Split tasks verify the file still matches the PLANNED version
-    // BEFORE deriving the layout: the layout (header row) is read from
+    // Split tasks verify the file still matches the PLANNED version on
+    // BOTH SIDES of the layout read: the layout (header row) comes from
     // the live file, so parsing planned-version chunks with a
     // replacement's layout would be the same torn read the chunk stamp
-    // prevents. A mismatch fails loudly; the action re-runs against
-    // the current file.
-    if (p.chunkIndex >= 0) {
+    // prevents. The pre-check fails fast; the POST-check closes the
+    // TOCTOU window where the workbook is replaced between the check
+    // and the layout read (or while chunksFor serves the planned
+    // version's cached chunks under the grace window) — a layout
+    // derived from the replacement can never be paired with
+    // planned-version chunk rows. A mismatch fails loudly; the action
+    // re-runs against the current file.
+    def verifyPlannedVersion(): Unit = {
       val cur = ExcelScan.versionStamp(new java.io.File(p.path))
       if (cur != ((p.stampLen, p.stampMtime, p.stampFileKey)))
         throw new java.io.FileNotFoundException(
@@ -517,33 +527,56 @@ final class ExcelReaderFactory extends PartitionReaderFactory {
     }
     // Layout re-derivation on the executor is one header-prefix scan —
     // cheap, and avoids serializing driver state into the partition.
-    val lay = ExcelRead.layout(opts)
-    if (p.expectedNames != null && lay.names != p.expectedNames.toSeq)
-      throw new IllegalArgumentException(
-        s"${p.path}: header ${lay.names.mkString("[", ",", "]")} does not match " +
-          s"the scan schema ${p.expectedNames.mkString("[", ",", "]")} — " +
-          "all files of a multi-file excel scan must share the header row")
-    val outPos = Array.fill(lay.numCols)(-1)
-    p.requiredPositions.zipWithIndex.foreach { case (pos, out) => outPos(pos) = out }
+    // Deferred behind the chunk resolution for split tasks so SURPLUS
+    // intents (a sheet that yielded fewer chunks than planned) return
+    // empty without opening the workbook at all.
+    def withLayout(
+        build: (ExcelRead.SheetLayout, Array[Int]) => Iterator[Array[AnyRef]] with AutoCloseable)
+        : Iterator[Array[AnyRef]] with AutoCloseable = {
+      val lay = ExcelRead.layout(opts)
+      if (p.expectedNames != null && lay.names != p.expectedNames.toSeq)
+        throw new IllegalArgumentException(
+          s"${p.path}: header ${lay.names.mkString("[", ",", "]")} does not match " +
+            s"the scan schema ${p.expectedNames.mkString("[", ",", "]")} — " +
+            "all files of a multi-file excel scan must share the header row")
+      val outPos = Array.fill(lay.numCols)(-1)
+      p.requiredPositions.zipWithIndex.foreach { case (pos, out) => outPos(pos) = out }
+      build(lay, outPos)
+    }
     val rows: Iterator[Array[AnyRef]] with AutoCloseable =
       if (p.chunkIndex >= 0) {
         // intent partition: resolve (and on first touch, materialize)
-        // the chunk spill HERE, on the task — see ExcelScan.chunksFor
+        // the chunk spill FIRST, on the task — see ExcelScan.chunksFor.
+        // chunksFor fails loudly on a stale cache miss, so a surplus
+        // intent that returns empty here has still been version-checked.
         val chunks = ExcelScan.chunksFor(
           p.path, p.sheetName, p.sheetIndex, p.chunkCount,
           Some((p.stampLen, p.stampMtime, p.stampFileKey)))
-        if (chunks.isEmpty) {
-          // sheet not spillable into chunks (no data rows): ordinal 0
-          // degrades to the serial scan so the file is still read
-          // exactly once; sibling intents are empty
-          if (p.chunkIndex == 0)
-            ExcelRead.rows(opts, lay, outPos, p.requiredPositions.length)
-          else ExcelRead.noRows
-        } else if (p.chunkIndex < chunks.length)
-          ExcelRead.rowsForChunk(opts, lay, outPos,
-            p.requiredPositions.length, chunks(p.chunkIndex))
-        else ExcelRead.noRows // fewer real chunks than planned intents
-      } else ExcelRead.rows(opts, lay, outPos, p.requiredPositions.length)
+        if (p.chunkIndex >= math.max(chunks.length, 1))
+          // surplus intent (fewer real chunks than planned): empty, and
+          // no workbook open / layout scan / header parse is paid for it
+          ExcelRead.noRows
+        else {
+          verifyPlannedVersion()
+          withLayout { (lay, outPos) =>
+            val r =
+              if (chunks.isEmpty)
+                // sheet not spillable into chunks (no data rows):
+                // ordinal 0 degrades to the serial scan so the file is
+                // still read exactly once; sibling intents were empty
+                ExcelRead.rows(opts, lay, outPos, p.requiredPositions.length)
+              else
+                ExcelRead.rowsForChunk(opts, lay, outPos,
+                  p.requiredPositions.length, chunks(p.chunkIndex))
+            // post-check: the layout just read must belong to the
+            // planned version the chunks came from
+            verifyPlannedVersion()
+            r
+          }
+        }
+      } else withLayout { (lay, outPos) =>
+        ExcelRead.rows(opts, lay, outPos, p.requiredPositions.length)
+      }
 
     new PartitionReader[InternalRow] {
       private var current: Array[AnyRef] = _

@@ -360,6 +360,76 @@ class RowSplitScanSpec extends AnyFunSuite {
       .load(path).count() == 4000)
   }
 
+  test("a sheet literally named like an index does not collide in the " +
+      "chunk cache with a read BY that index") {
+    // the cache/lock key carries the user's selector; an untagged key
+    // made sheetName="1" and sheetIndex=1 identical even though
+    // resolveSheet picks different sheets — whichever read spilled
+    // first silently served the other's rows
+    val dir = Files.createTempDirectory("selkey")
+    val path = dir.resolve("wb.xlsx").toString
+    def sheetRows(tag: String) =
+      Seq(Option(XShared("id"): XCell)) +:
+        (1 to 2000).map(i => Seq(Option(XStr(s"${tag}_$i"): XCell)))
+    XlsxWriter.write(path, Seq(
+      Sheet.dense("alpha", sheetRows("a")),
+      Sheet.dense("beta", sheetRows("b")),
+      Sheet.dense("1", sheetRows("c"))))
+    // read the sheet NAMED "1" first so its spill lands in the cache…
+    val byName = spark.read.format("excel")
+      .option("sheetName", "1").option("sheetPartitions", "3").load(path)
+      .collect().map(_.getString(0)).toSeq
+    assert(byName == (1 to 2000).map(i => s"c_$i"),
+      "sheetName=\"1\" must resolve to the sheet NAMED 1")
+    // …then read INDEX 1: an ambiguous key would serve the cached
+    // name-"1" chunks here
+    val byIndex = spark.read.format("excel")
+      .option("sheetIndex", "1").option("sheetPartitions", "3").load(path)
+      .collect().map(_.getString(0)).toSeq
+    assert(byIndex == (1 to 2000).map(i => s"b_$i"),
+      "sheetIndex=1 must resolve to the sheet AT index 1, not the " +
+        "cached spill of the sheet named \"1\"")
+  }
+
+  test("surplus split intents return empty without opening the " +
+      "workbook; real-chunk ordinals still verify the planned version") {
+    import graft.sources.excel.{ExcelInputPartition, ExcelReaderFactory, ExcelScan}
+    val dir = Files.createTempDirectory("surplus")
+    val path = dir.resolve("wb.xlsx").toString
+    writeWb(path, 5)
+    val f = new java.io.File(path)
+    val stamp = {
+      val fk = String.valueOf(java.nio.file.Files.readAttributes(
+        f.toPath, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
+      (f.length(), f.lastModified(), fk)
+    }
+    // materialize the chunk cache for this version (5 rows can never
+    // fill 8 chunks, so surplus ordinals exist)
+    val chunks = ExcelScan.chunksFor(path, None, None, 8, Some(stamp))
+    assert(chunks.length < 8, s"fixture must under-fill: ${chunks.length}")
+    // replace the workbook with bytes no parser could open: a surplus
+    // intent must not care (its planned-version content is provably
+    // empty, no file I/O), while a real-chunk ordinal — whose header
+    // layout WOULD come from the live file — must fail loudly
+    Files.write(java.nio.file.Paths.get(path),
+      "not a workbook".getBytes("UTF-8"))
+    f.setLastModified(System.currentTimeMillis() + 2000)
+    def part(ordinal: Int) = ExcelInputPartition(
+      path, None, None, 0, Array(0), null,
+      chunkIndex = ordinal, chunkCount = 8,
+      stampLen = stamp._1, stampMtime = stamp._2, stampFileKey = stamp._3)
+    val surplus = new ExcelReaderFactory().createReader(part(chunks.length))
+    try assert(!surplus.next(), "surplus intent must be empty")
+    finally surplus.close()
+    // the grace window keeps the v1 chunks cache-served, so the loud
+    // failure here comes from the reader's own version verification —
+    // the layout-side torn-read guard
+    val err = intercept[java.io.FileNotFoundException] {
+      new ExcelReaderFactory().createReader(part(0))
+    }
+    assert(err.getMessage.contains("changed while a split scan"))
+  }
+
   test("split-scan PLANNING does not inflate or spill sheets — the " +
       "first executing task does, lazily and once") {
     val path = bigSheet(12000)

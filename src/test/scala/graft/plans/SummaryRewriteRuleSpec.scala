@@ -524,9 +524,8 @@ class SummaryRewriteRuleSpec extends AnyFunSuite {
     // from both. With measured rows on every cube, routing must read
     // the small one.
     val ordersPath = s"$sf/orders.parquet"
-    // own the fact's catalog state: an earlier test's rows-less orders
-    // cube would force the dims-width fallback (rows ordering needs
-    // EVERY cube to carry a measured count)
+    // own the fact's catalog state: an earlier test's leftover orders
+    // cube would add a routable candidate this test does not control
     SummaryRewriteRule.unregister(ordersPath)
     val orders = spark.read.parquet(ordersPath)
     val widePath = graft.RunPaths.scratch("graft_mvspec_cost_wide")
@@ -562,6 +561,56 @@ class SummaryRewriteRuleSpec extends AnyFunSuite {
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
       .orderBy("o_custkey")
     assert(scansOf(qc(child)).exists(_.contains("graft_mvspec_cost_wide")))
+    assert(qc(child).collect().map(_.toSeq).toSeq ==
+      qc(spark).collect().map(_.toSeq).toSeq)
+    SummaryRewriteRule.unregister(ordersPath)
+  }
+
+  test("mixed catalog: one UNMEASURED cube does not degrade routing " +
+      "to the width proxy — measured cubes still sort first") {
+    // the all-or-nothing regression shape: a legacy registration
+    // without `rows` used to drop the WHOLE fact back to fewest-dims,
+    // where the 1-dim high-cardinality cube beats the measured 2-dim
+    // tiny one — exactly the mispick measured routing exists to
+    // prevent. Missing rows must mean "assume huge", not "forget the
+    // other cubes' measurements".
+    val ordersPath = s"$sf/orders.parquet"
+    SummaryRewriteRule.unregister(ordersPath)
+    val orders = spark.read.parquet(ordersPath)
+    val widePath = graft.RunPaths.scratch("graft_mvspec_mixed_wide")
+    val tinyPath = graft.RunPaths.scratch("graft_mvspec_mixed_tiny")
+    orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("sum_o_orderkey"))
+      .write.mode("overwrite").parquet(widePath)
+    orders.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("sum_o_orderkey"))
+      .write.mode("overwrite").parquet(tinyPath)
+    val nTiny = spark.read.parquet(tinyPath).count()
+    assert(spark.read.parquet(widePath).count() > nTiny)
+    // the big 1-dim cube registers WITHOUT a measurement; the tiny
+    // 2-dim cube carries one
+    SummaryRewriteRule.register(ordersPath,
+      SummaryRewriteRule.SummaryDef(widePath,
+        dims = Set("o_custkey"), measures = Set("o_orderkey")))
+    SummaryRewriteRule.register(ordersPath,
+      SummaryRewriteRule.SummaryDef(tinyPath,
+        dims = Set("o_orderstatus", "o_orderpriority"),
+        measures = Set("o_orderkey"), rows = Some(nTiny)))
+    val child = spark.newSession()
+    child.experimental.extraOptimizations = Seq(SummaryRewriteRule)
+    def q(s: SparkSession) = s.read.parquet(ordersPath)
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("s"))
+    assert(scansOf(q(child)).exists(_.contains("graft_mvspec_mixed_tiny")),
+      s"one unmeasured cube must not drop the fact to the width " +
+        s"proxy: ${scansOf(q(child))}")
+    assert(q(child).collect().map(_.toSeq).toSeq ==
+      q(spark).collect().map(_.toSeq).toSeq)
+    // a grouped query only the unmeasured wide cube can answer still
+    // routes there (unmeasured means later in the order, not dropped)
+    def qc(s: SparkSession) = s.read.parquet(ordersPath)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+    assert(scansOf(qc(child)).exists(_.contains("graft_mvspec_mixed_wide")))
     assert(qc(child).collect().map(_.toSeq).toSeq ==
       qc(spark).collect().map(_.toSeq).toSeq)
     SummaryRewriteRule.unregister(ordersPath)
