@@ -375,6 +375,55 @@ object Streaming {
              |  CAST(2 * count(*) AS BIGINT) AS n_index,
              |  true AS ids_unique,
              |  CAST(10 AS BIGINT) AS n_results
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
+
+    // q84 with the ASYNC retrain handoff — the 100 TB shape: the fired
+    // trigger only REQUESTS a retrain (durable record + concurrent
+    // thread over the persisted corpus snapshot); the stream keeps
+    // appending frozen-encoded generations while it trains (both "gap"
+    // batches provably land in flight), and the first trigger to see
+    // the done marker folds the gap generations under the new model
+    // and flips the serving pointer with one durable switch record.
+    // Contracts: 5 triggers; clean+gap quiet; drift fires exactly once;
+    // both gaps inflight; post runs ON the retrained pointer, quietly;
+    // serving covers base + every arrival exactly once; the streamed
+    // serving state is row-identical to a one-shot re-encode of the
+    // same raws under the same persisted model.
+    // Streaming appends with a BOUNDED generation count: q69-style
+    // per-trigger generations, but whenever the serving-directory count
+    // reaches k (= 3) the trigger folds epoch + live generations into
+    // one cell-clustered compacted epoch (q70's fold, IN the loop),
+    // writes the manifest last, and sweeps the superseded dirs — the
+    // small-files creep a long-lived 100 TB stream cannot afford is
+    // capped at k directories forever. Contracts: 8 triggers, 4 folds,
+    // the directory count never exceeds k at any trigger, final serving
+    // row-identical to a one-shot encode (folding invisible), every
+    // embedding exactly once.
+    QueryDef(
+      "q87_stream_index_compact",
+      (s, dir) => graft.streaming.StreamOps.streamIndexCompact(s, dir),
+      Some("""SELECT CAST(8 AS BIGINT) AS n_triggers,
+             |  CAST(4 AS BIGINT) AS n_folds,
+             |  true AS gens_bounded,
+             |  CAST(count(*) AS BIGINT) AS n_index,
+             |  true AS ids_unique,
+             |  true AS fold_invisible,
+             |  CAST(10 AS BIGINT) AS n_results
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
+
+    QueryDef(
+      "q86_stream_retrain_async",
+      (s, dir) => graft.streaming.StreamOps.streamIndexRetrainAsync(s, dir),
+      Some("""SELECT CAST(5 AS BIGINT) AS n_triggers,
+             |  true AS clean_quiet,
+             |  true AS drift_fires_once,
+             |  true AS gaps_inflight,
+             |  true AS post_on_retrained,
+             |  true AS post_quiet,
+             |  CAST(2 * count(*) AS BIGINT) AS n_index,
+             |  true AS ids_unique,
+             |  true AS same_as_oneshot_fold,
+             |  CAST(10 AS BIGINT) AS n_results
              |FROM embeddings WHERE vec_id <> 0""".stripMargin))
   )
 }

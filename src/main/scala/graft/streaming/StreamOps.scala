@@ -696,6 +696,168 @@ object StreamOps {
         col("deletes_visible_raw"), col("same_as_batch_delete"))
   }
 
+  /** Streaming appends with a BOUNDED generation count — the missing
+    * lifecycle piece of [[streamIndexAppend]]: q69/q75/q78/q84 land one
+    * `codes/gen=N` directory per trigger and serve the union of ALL
+    * generations, so a long-lived stream grows its file-listing and
+    * union-plan cost per trigger — the classic small-files creep. q70
+    * proved the fold (generations − tombstones → one cell-clustered
+    * generation) batch-side; this wires it INTO the loop: whenever the
+    * number of serving directories reaches `k`, the trigger folds them
+    * into one compacted epoch, writes a durable manifest (epoch,
+    * folded_through) LAST, and sweeps the superseded directories — so
+    * the on-disk serving-directory count never exceeds `k` no matter
+    * how long the stream runs. Tombstones compose exactly as in q70
+    * (anti-join inside the fold); they are exercised there and omitted
+    * here to keep this contract about the generation bound.
+    *
+    * Replay safety: the encode is overwrite-keyed by generation, the
+    * fold by epoch, and the manifest (max-epoch-wins) lands strictly
+    * after the fold's data — a replayed trigger re-creates its own
+    * artifacts coherently. The sweep deletes directories the manifest
+    * no longer references; a crash between manifest and sweep leaves
+    * garbage, never missing rows (and each later fold trigger re-sweeps
+    * everything superseded). At 100 TB the sweep would be grace-
+    * windowed for in-flight readers — the ExcelScan condemned-queue
+    * pattern; in-process the trigger is the only writer.
+    *
+    * Contracts (one row, deterministic): `slices` triggers; folds occur
+    * (slices/… derived from `k`); the serving-directory count observed
+    * at EVERY trigger stays ≤ `k` and ends ≤ `k`; final serving is
+    * row-identical to a one-shot encode of base + all arrivals under
+    * the same frozen models (compaction invisible to queries); covers
+    * every embedding exactly once; a k=10 probe serves from the
+    * compacted state.
+    */
+  def streamIndexCompact(
+      spark: SparkSession, sfDir: String,
+      k: Int = 3, slices: Int = 8): DataFrame = {
+    import graft.operators.ProductQuantizer
+    import graft.queries.LlmOps
+    require(k >= 2, "k < 2 cannot hold an epoch plus one live generation")
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
+    val merged = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val base = merged.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+    val arriving = merged.filter(pmod(col("vec_id"), lit(10)) === 9)
+    val idx = graft.RunPaths.scratch(
+      s"graft_q87_index_${graft.RunPaths.keyFor(sfDir)}_${k}_$slices")
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(wipe)
+      f.delete(); ()
+    }
+    Seq("codes", "compact", "manifest", "log")
+      .foreach(d => wipe(new java.io.File(s"$idx/$d")))
+    val (coarseF, booksF) = LlmOps.buildFrozenIndex(spark, sfDir, base, idx,
+      "q87 frozen coarse-centroid table", withOccupancy = false)
+
+    def genDirs(parent: String, prefix: String): Seq[Long] = {
+      Option(new java.io.File(parent).listFiles()).toSeq.flatten
+        .flatMap(f => Option(f.getName).filter(_.startsWith(prefix))
+          .map(_.drop(prefix.length).toLong)).sorted
+    }
+    // (epoch, folded_through), max-epoch-wins; epoch 0 is the base
+    // build (codes/gen=0), nothing folded
+    def manifest(): (Long, Long) = genDirs(s"$idx/manifest", "epoch=")
+      .maxOption.map(ep =>
+        (ep, spark.read.parquet(s"$idx/manifest/epoch=$ep")
+          .select(col("folded_through")).collect()(0).getLong(0)))
+      .getOrElse((0L, 0L))
+    def epochDir(ep: Long): String =
+      if (ep == 0L) s"$idx/codes/gen=0" else s"$idx/compact/epoch=$ep"
+    def codeCols(df: DataFrame): DataFrame =
+      df.select(col("cell_id"), col("vec_id"), col("codes"))
+    // the union serving reads: the current epoch + unfolded generations
+    def servingParts(): Seq[String] = {
+      val (ep, f) = manifest()
+      epochDir(ep) +: genDirs(s"$idx/codes", "gen=").filter(_ > f)
+        .map(g => s"$idx/codes/gen=$g")
+    }
+
+    val splitDir = s"$idx/src/arrivals"
+    // q78 exactness discipline: one file per micro-batch, `slices`
+    // residue classes of the arriving ids (≡ 9 mod 10) — all non-empty
+    // from `slices` rows up
+    for (i <- 0 until slices)
+      arriving.filter(pmod(col("vec_id"), lit(10L * slices)) === 9 + 10 * i)
+        .coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(splitDir)
+    val schema = spark.read.parquet(splitDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val gen = id + 1
+        ProductQuantizer.ivfPqEncodeWith(
+            batch, "vec_id", "embedding", 8, coarseF, booksF)
+          .write.mode("overwrite").parquet(s"$idx/codes/gen=$gen")
+        val before = servingParts()
+        val folded = before.length >= k
+        if (folded) {
+          val (ep, _) = manifest()
+          // fold: epoch + live generations → one cell-clustered epoch
+          // (at scale: partitionBy(cell_id) → probe partition pruning)
+          before.map(p => codeCols(spark.read.parquet(p)))
+            .reduce(_.unionByName(_))
+            .repartition(col("cell_id"))
+            .write.mode("overwrite").parquet(s"$idx/compact/epoch=${ep + 1}")
+          // durable pointer LAST (persist-first), then sweep what the
+          // new manifest no longer references
+          spark.range(1)
+            .select(lit(ep + 1).as("epoch"), lit(gen).as("folded_through"))
+            .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${ep + 1}")
+          genDirs(s"$idx/codes", "gen=").filter(_ <= gen)
+            .foreach(g => wipe(new java.io.File(s"$idx/codes/gen=$g")))
+          genDirs(s"$idx/compact", "epoch=").filter(_ <= ep)
+            .foreach(p => wipe(new java.io.File(s"$idx/compact/epoch=$p")))
+        }
+        spark.range(1)
+          .select(lit(gen).as("gen"),
+            lit(before.length.toLong).as("serving_before"),
+            lit(folded).as("folded"),
+            lit(servingParts().length.toLong).as("serving_after"))
+          .write.mode("overwrite").parquet(s"$idx/log/gen=$gen")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val serving = servingParts()
+      .map(p => codeCols(spark.read.parquet(p)))
+      .reduce(_.unionByName(_))
+    // one-shot comparison: base + ALL arrivals encoded in one batch
+    // under the same frozen models — folding must be invisible
+    val oneShot = codeCols(ProductQuantizer.ivfPqEncodeWith(
+        base.unionByName(spark.read.parquet(splitDir)),
+        "vec_id", "embedding", 8, coarseF, booksF))
+    val same = serving.select(col("vec_id"), col("cell_id").as("c_s"),
+        col("codes").as("k_s"))
+      .join(oneShot.select(col("vec_id"), col("cell_id").as("c_b"),
+        col("codes").as("k_b")), Seq("vec_id"), "full")
+      .agg((count(when(col("c_s").isNull || col("c_b").isNull ||
+        col("c_s") =!= col("c_b") || col("k_s") =!= col("k_b"), 1)) === 0)
+        .as("fold_invisible"))
+    val served = ProductQuantizer.ivfPqTopK(
+      query, "embedding", 8, coarseF, booksF, serving, "vec_id",
+      nProbe = 4, k = 10)
+    val onDisk = servingParts().length.toLong
+    val log = spark.read.parquet(s"$idx/log")
+    log.agg(
+        count(lit(1)).as("n_triggers"),
+        count(when(col("folded"), 1)).as("n_folds"),
+        (max(col("serving_before")) <= k && max(col("serving_after")) <= k &&
+          lit(onDisk) <= k).as("gens_bounded"))
+      .crossJoin(serving.agg(count(lit(1)).as("n_index"),
+        (count(lit(1)) === countDistinct(col("vec_id"))).as("ids_unique")))
+      .crossJoin(same)
+      .crossJoin(served.agg(count(lit(1)).as("n_results")))
+      .select(col("n_triggers"), col("n_folds"), col("gens_bounded"),
+        col("n_index"), col("ids_unique"), col("fold_invisible"),
+        col("n_results"))
+  }
+
   /** The retrain trigger RIDING the streaming append path — q69 and
     * q76 composed into the production shape: every arriving micro-batch
     * lands one index generation AND one persisted drift row. The drift
@@ -1012,6 +1174,362 @@ object StreamOps {
       .crossJoin(served.agg(count(lit(1)).as("n_results")))
       .select(col("n_triggers"), col("clean_quiet"), col("drift_fires_once"),
         col("post_quiet"), col("n_index"), col("ids_unique"),
+        col("n_results"))
+  }
+
+  /** The drift loop with an ASYNC retrain handoff — [[streamIndexRetrain]]'s
+    * one scale gap closed. q84 retrains INLINE in `foreachBatch`, so at
+    * 100 TB a fired trigger stalls ingestion for the retrain's whole
+    * duration (hours): micro-batches queue, watermarks stall, checkpoint
+    * progress stops. Here the fired branch only REQUESTS the retrain:
+    *   - the firing batch (and every batch after it) still appends
+    *     frozen-encoded against the CURRENT model — O(batch), the
+    *     stream never blocks on training;
+    *   - the retrain runs on a CONCURRENT thread over a corpus SNAPSHOT
+    *     (base + the arrived generations up to the firing one, all
+    *     persisted parquet — the persist-first layout IS the snapshot,
+    *     nothing is copied), persists the new frozen layout
+    *     (coarse/books/codes/base_occ, its own self-hosted
+    *     precondition), and lands a durable done marker LAST;
+    *   - the next trigger to observe a completed-but-unswitched retrain
+    *     performs the SWITCH: the gap generations appended while the
+    *     retrain ran are folded in (their persisted RAW batches
+    *     re-encoded under the new model — deterministic, the raws were
+    *     stored before any encode), then one durable switch record
+    *     flips the serving pointer. From that trigger on, appends
+    *     encode against the new model and the PSI gate reads its
+    *     base_occ.
+    *
+    * Replay safety (foreachBatch is at-least-once): every per-trigger
+    * artifact is OVERWRITE-keyed by its generation (arrived / append /
+    * log) and every retrain artifact by its requesting generation
+    * (retrain/req=G, switch/req=G), so a replayed trigger rewrites its
+    * own generation coherently — and structured streaming only replays
+    * a batch no LATER batch has consumed. Serving state and the model
+    * pointer are pure functions of the durable log + switch records;
+    * no driver-held pointer exists to diverge on replay. A pending
+    * request whose thread died with the driver is re-launchable from
+    * the same durable state (request record without done marker) — the
+    * restart-recovery shape; this harness runs in-process so it joins
+    * the live thread instead.
+    *
+    * Delivery harness (the q78 exactness discipline — one file per
+    * micro-batch, deterministic contracts): gen 1 clean (quiet), gen 2
+    * drifted (fires, requests), gens 3-4 clean ("gap" phase — the
+    * retrain thread is GATED on gen 4's arrival, so both provably land
+    * while the retrain is in flight: the stream demonstrably does not
+    * stall), gen 5 post (a fresh-id copy of the merged corpus —
+    * switches to the retrained model at trigger start, folds gens 3-4,
+    * appends quietly). The gate is delivery scaffolding, not a
+    * production semantic: it guarantees the overlap the contract pins,
+    * exactly as q78's phased delivery guarantees its trigger count.
+    *
+    * Contracts (one row, deterministic): 5 triggers; clean+gap quiet;
+    * the drifted gen fires exactly once; both gap gens carry
+    * inflight=true; the post gen runs ON the retrained pointer and is
+    * quiet; final serving covers base + every arrival exactly once
+    * (2 × n(embeddings≠0)), ids unique; the streamed serving state
+    * (retrained codes ∪ folded gaps ∪ post-switch appends) is
+    * ROW-IDENTICAL to a one-shot batch re-encode of the same gap+post
+    * raws under the same persisted model — the fold plumbing is
+    * invisible to queries, which is precisely what the inline path
+    * guarantees trivially; q86 proves the async handoff keeps it.
+    *
+    * `postShifted` (spec-only negative control): deliver the post batch
+    * drifted AGAIN — it must fire a SECOND request against the
+    * retrained model (the loop stays armed after the handoff), whose
+    * retrain completes after the stream ends and is switched by the
+    * driver-side maintenance pass. Serving still covers every row
+    * exactly once.
+    */
+  def streamIndexRetrainAsync(
+      spark: SparkSession, sfDir: String,
+      postShifted: Boolean = false): DataFrame = {
+    import graft.operators.{IndexDrift, ProductQuantizer}
+    import graft.queries.LlmOps
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val all = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val base = all.filter(!pmod(col("vec_id"), lit(10)).isin(8, 9))
+    val clean = all.filter(pmod(col("vec_id"), lit(10)) === 8)
+    // fresh-id offsets from the OBSERVED id span (the q84 discipline:
+    // a hard constant collides once the corpus outgrows it)
+    val idSpan = all.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
+    val driftSrc = IndexDrift
+      .shifted(all.filter(pmod(col("vec_id"), lit(10)) === 9),
+        "vec_id", "embedding")
+      .select((col("vec_id") + lit(idSpan)).as("vec_id"), col("embedding"))
+    val idx = graft.RunPaths.scratch(
+      s"graft_q86_index_${graft.RunPaths.keyFor(sfDir)}" +
+        (if (postShifted) "_ps" else ""))
+    val mDir = s"$idx/model"
+
+    // ---- durable-state accessors (decisions derive ONLY from these) --
+    def genDirs(parent: String, prefix: String): Seq[Long] = {
+      val dir = new java.io.File(parent)
+      Option(dir.listFiles()).toSeq.flatten
+        .flatMap(f => Option(f.getName).filter(_.startsWith(prefix))
+          .map(_.drop(prefix.length).toLong)).sorted
+    }
+    def requestGens(): Seq[Long] = genDirs(s"$idx/req", "gen=")
+    def retrainDone(g: Long): Boolean =
+      new java.io.File(s"$idx/retrain/req=$g/_RETRAIN_DONE").exists()
+    // (req, foldedThrough) per durable switch record, ordered by req
+    def switches(): Seq[(Long, Long)] =
+      genDirs(s"$idx/switch", "req=").map(g =>
+        (g, spark.read.parquet(s"$idx/switch/req=$g")
+          .select(col("folded_through")).collect()(0).getLong(0)))
+    // serving pointer: the LAST switched retrain, else the base model
+    def pointer(): (String, Long) = switches().lastOption
+      .map { case (g, f) => (s"$idx/retrain/req=$g", f) }
+      .getOrElse((mDir, 0L))
+    def frozenModels(dir: String): (DataFrame, DataFrame) =
+      (LlmOps.modelScaleStamp(spark.read.parquet(s"$dir/coarse"),
+        "q86 frozen coarse-centroid table"),
+        spark.read.parquet(s"$dir/books"))
+
+    // ---- the async retrain ------------------------------------------
+    // the thread handle is an optimization for joining; its DECISIONS
+    // (request, done, switch) all live in durable state. Launches come
+    // from micro-batch threads, joins from the driver thread — use a
+    // concurrent list
+    val threads = new java.util.concurrent.CopyOnWriteArrayList[Thread]()
+    @volatile var retrainError: Option[Throwable] = None
+    def launchRetrain(reqGen: Long): Unit = {
+      val t = new Thread(() => {
+        try {
+          // delivery gate: hold training until gen 4 has ARRIVED, so
+          // the gap appends provably land during the retrain window
+          // (scaffolding — production launches immediately; see doc)
+          val gate = new java.io.File(s"$idx/arrived/gen=4/_SUCCESS")
+          val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+          while (!gate.exists()) {
+            if (System.nanoTime() > deadline)
+              throw new IllegalStateException(
+                "q86 retrain gate timed out waiting for gen 4")
+            Thread.sleep(100)
+          }
+          // snapshot = base + arrived raws up to the firing generation,
+          // all READ BACK from storage (persist-then-reread: the one
+          // bit-stable handoff for float model training)
+          val snapshot = (1L to reqGen)
+            .map(g => spark.read.parquet(s"$idx/arrived/gen=$g"))
+            .foldLeft(base)(_.unionByName(_))
+            .localCheckpoint(true)
+          LlmOps.buildFrozenIndex(spark, sfDir, snapshot,
+            s"$idx/retrain/req=$reqGen", "q86 retrained coarse-centroid table")
+          // done marker STRICTLY AFTER every artifact landed
+          val ok = new java.io.File(s"$idx/retrain/req=$reqGen/_RETRAIN_DONE")
+          ok.getParentFile.mkdirs()
+          ok.createNewFile()
+          ()
+        } catch {
+          case ex: Throwable => retrainError = retrainError.orElse(Some(ex))
+        }
+      }, s"graft-q86-retrain-$reqGen")
+      t.setDaemon(true)
+      threads.add(t)
+      t.start()
+    }
+    def joinRetrains(): Unit = {
+      threads.forEach(_.join(600000))
+      retrainError.foreach(ex => throw ex)
+    }
+
+    // ---- the switch: fold gap generations, flip the pointer ----------
+    // idempotent (everything overwrite-keyed by req/gen), runnable from
+    // a trigger (atGen = the observing generation) or from the
+    // driver-side maintenance pass after the stream ends
+    def switchIfReady(atGen: Long): Unit = {
+      val done = requestGens().filter(retrainDone)
+        .filterNot(switches().map(_._1).toSet)
+      done.maxOption.foreach { g =>
+        val rdir = s"$idx/retrain/req=$g"
+        val (coarseR, booksR) = frozenModels(rdir)
+        // fold: re-encode the RAW gap batches (appended under the old
+        // model while the retrain ran) with the new frozen models
+        genDirs(s"$idx/arrived", "gen=")
+          .filter(gg => gg > g && gg < atGen)
+          .foreach { gg =>
+            ProductQuantizer.ivfPqEncodeWith(
+                spark.read.parquet(s"$idx/arrived/gen=$gg"),
+                "vec_id", "embedding", 8, coarseR, booksR)
+              .write.mode("overwrite").parquet(s"$rdir/fold/gen=$gg")
+          }
+        // the durable pointer flip, LAST (persist-first ordering)
+        spark.range(1)
+          .select(lit(g).as("req"), lit(atGen - 1).as("folded_through"),
+            lit(atGen).as("at_gen"))
+          .write.mode("overwrite").parquet(s"$idx/switch/req=$g")
+      }
+    }
+
+    def drive(srcDir: String, phase: String, genOffset: Int): Unit = {
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val gen = genOffset + id + 1
+          // 1. persist the raw batch (the fold and any later retrain
+          //    read THIS, never the in-memory batch)
+          batch.select(col("vec_id"), col("embedding"))
+            .write.mode("overwrite").parquet(s"$idx/arrived/gen=$gen")
+          // 2. adopt a completed retrain before touching models: folds
+          //    strictly-earlier gens, so this batch encodes fresh
+          switchIfReady(gen)
+          // 3. append-first under the current pointer — the stream
+          //    never waits for training
+          val (ptr, _) = pointer()
+          val (coarseF, booksF) = frozenModels(ptr)
+          ProductQuantizer.ivfPqEncodeWith(
+              spark.read.parquet(s"$idx/arrived/gen=$gen"),
+              "vec_id", "embedding", 8, coarseF, booksF)
+            .write.mode("overwrite").parquet(s"$idx/append/gen=$gen")
+          // 4. PSI gate from STORED state (1-row statistic)
+          val psi = IndexDrift.occupancyPsiFromOccupancies(
+              spark.read.parquet(s"$ptr/base_occ"),
+              IndexDrift.occupancyOfCodes(
+                spark.read.parquet(s"$idx/append/gen=$gen")),
+              coarseF)
+            .select(col("psi")).collect()(0).getDouble(0)
+          val fired = psi > 0.75
+          // 5. fired → REQUEST (durable record, then the concurrent
+          //    thread); coalesce if an earlier request is still open
+          val pendingBefore = requestGens()
+            .filterNot(switches().map(_._1).toSet).filter(_ < gen)
+          val requested = fired && pendingBefore.isEmpty
+          if (requested) {
+            spark.range(1).select(lit(gen).as("gen"))
+              .write.mode("overwrite").parquet(s"$idx/req/gen=$gen")
+            launchRetrain(gen)
+          }
+          // 6. durable per-generation log row
+          spark.range(1)
+            .select(lit(gen).as("gen"), lit(phase).as("phase"),
+              lit(fired).as("retrain_fired"),
+              lit(requested).as("retrain_requested"),
+              lit(pendingBefore.nonEmpty).as("inflight"),
+              lit(ptr != mDir).as("on_retrained"))
+            .write.mode("overwrite").parquet(s"$idx/log/gen=$gen")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // wipe durable state from any PRIOR run of this query in the same
+    // process (scratch paths are per-sfDir): the pointer is log-derived
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(wipe)
+      f.delete(); ()
+    }
+    Seq("log", "req", "retrain", "switch", "arrived", "append")
+      .foreach(d => wipe(new java.io.File(s"$idx/$d")))
+
+    // offline build over base: the shared persist-first frozen layout
+    LlmOps.buildFrozenIndex(spark, sfDir, base, mDir,
+      "q86 frozen coarse-centroid table")
+
+    // gen 1: one clean batch (ids ≡ 8 mod 30 — non-empty from 3 rows up)
+    val cleanDir = s"$idx/src/clean"
+    clean.filter(pmod(col("vec_id"), lit(30)) === 8)
+      .coalesce(1).write.mode("overwrite").parquet(cleanDir)
+    drive(cleanDir, "clean", genOffset = 0)
+    // gen 2: the drifted batch — fires, REQUESTS, keeps streaming
+    val driftDir = s"$idx/src/drift"
+    driftSrc.coalesce(1).write.mode("overwrite").parquet(driftDir)
+    drive(driftDir, "drift", genOffset = 1)
+    // gens 3-4: clean batches landing WHILE the retrain runs (the
+    // thread is gated on gen 4's arrival, so the overlap is structural)
+    val gapDir = s"$idx/src/gap"
+    for ((r, i) <- Seq(18, 28).zipWithIndex)
+      clean.filter(pmod(col("vec_id"), lit(30)) === r)
+        .coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(gapDir)
+    drive(gapDir, "gap", genOffset = 2)
+    // the handoff: wait for the retrain to LAND (sequencing only — the
+    // stream above already proved it keeps appending while training)
+    joinRetrains()
+    // gen 5: a fresh-id copy of the merged corpus — the switching
+    // trigger folds gens 3-4 and appends quietly on the retrained index
+    // (postShifted: shifted AGAIN — must fire a SECOND request)
+    val postDir = s"$idx/src/post"
+    val mergedCopy = base.unionByName(clean).unionByName(driftSrc)
+    (if (postShifted)
+       IndexDrift.shifted(mergedCopy, "vec_id", "embedding")
+     else mergedCopy)
+      .select((col("vec_id") + lit(2 * idSpan)).as("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(postDir)
+    drive(postDir, "post", genOffset = 4)
+    // maintenance pass: adopt any retrain that completed after the
+    // last trigger (the postShifted second fire lands here)
+    joinRetrains()
+    val maxGen = genDirs(s"$idx/arrived", "gen=").max
+    switchIfReady(maxGen + 1)
+
+    // ---- serving state, derived from the same durable records --------
+    val (ptr, foldedThrough) = pointer()
+    def codeCols(df: DataFrame): DataFrame =
+      df.select(col("cell_id"), col("vec_id"), col("codes"))
+    val folds = genDirs(s"$ptr/fold", "gen=")
+    val foldCodes = folds.map(g =>
+      codeCols(spark.read.parquet(s"$ptr/fold/gen=$g")))
+    val appendsAfter = genDirs(s"$idx/append", "gen=")
+      .filter(_ > foldedThrough)
+    val appendCodes = appendsAfter.map(g =>
+      codeCols(spark.read.parquet(s"$idx/append/gen=$g")))
+    val serving = (foldCodes ++ appendCodes)
+      .foldLeft(codeCols(spark.read.parquet(s"$ptr/codes/gen=0")))(
+        _.unionByName(_))
+    // one-shot comparison: everything past the retrain snapshot,
+    // re-encoded in ONE batch under the same persisted models — the
+    // fold + post-switch-append plumbing must be invisible to queries
+    val snapGen = switches().lastOption.map(_._1).getOrElse(0L)
+    val lateGens = genDirs(s"$idx/arrived", "gen=").filter(_ > snapGen)
+    val (coarseP, booksP) = frozenModels(ptr)
+    val oneShot = lateGens
+      .map(g => spark.read.parquet(s"$idx/arrived/gen=$g"))
+      .reduceOption(_.unionByName(_))
+      .map(raws => codeCols(spark.read.parquet(s"$ptr/codes/gen=0"))
+        .unionByName(codeCols(ProductQuantizer.ivfPqEncodeWith(
+          raws, "vec_id", "embedding", 8, coarseP, booksP))))
+      .getOrElse(codeCols(spark.read.parquet(s"$ptr/codes/gen=0")))
+    val same = serving.select(col("vec_id"), col("cell_id").as("c_s"),
+        col("codes").as("k_s"))
+      .join(oneShot.select(col("vec_id"), col("cell_id").as("c_b"),
+        col("codes").as("k_b")), Seq("vec_id"), "full")
+      .agg((count(when(col("c_s").isNull || col("c_b").isNull ||
+        col("c_s") =!= col("c_b") || col("k_s") =!= col("k_b"), 1)) === 0)
+        .as("same_as_oneshot_fold"))
+    val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
+    val served = ProductQuantizer.ivfPqTopK(
+      query, "embedding", 8, coarseP, booksP, serving, "vec_id",
+      nProbe = 4, k = 10)
+
+    val log = spark.read.parquet(s"$idx/log")
+    log.agg(
+        count(lit(1)).as("n_triggers"),
+        (count(when(col("phase").isin("clean", "gap") &&
+          col("retrain_fired"), 1)) === 0).as("clean_quiet"),
+        (count(when(col("phase") === "drift" && !col("retrain_fired"), 1))
+          === 0 && count(when(col("retrain_fired"), 1)) === 1)
+          .as("drift_fires_once"),
+        (count(when(col("inflight"), 1)) === 2 &&
+          count(when(col("phase") === "gap" && !col("inflight"), 1)) === 0)
+          .as("gaps_inflight"),
+        (count(when(col("phase") === "post" && !col("on_retrained"), 1))
+          === 0).as("post_on_retrained"),
+        (count(when(col("phase") === "post" && col("retrain_fired"), 1))
+          === 0).as("post_quiet"))
+      .crossJoin(serving.agg(count(lit(1)).as("n_index"),
+        (count(lit(1)) === countDistinct(col("vec_id"))).as("ids_unique")))
+      .crossJoin(same)
+      .crossJoin(served.agg(count(lit(1)).as("n_results")))
+      .select(col("n_triggers"), col("clean_quiet"), col("drift_fires_once"),
+        col("gaps_inflight"), col("post_on_retrained"), col("post_quiet"),
+        col("n_index"), col("ids_unique"), col("same_as_oneshot_fold"),
         col("n_results"))
   }
 

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The drift loop with the ASYNC retrain handoff (q86): the fired
+  * trigger REQUESTS a retrain and keeps streaming; a concurrent thread
+  * trains over the persisted snapshot; the first trigger to see the
+  * done marker folds the gap generations and flips the pointer. The
+  * query's own contract covers the happy path; this spec restates the
+  * load-bearing parts with names and adds the negative control the row
+  * cannot carry — the loop stays ARMED against the retrained model.
+  *
+  * The overlap contract ("appends land DURING the retrain") is
+  * structural, not timing-based: the retrain thread is gated on gen 4's
+  * arrival, so it CANNOT complete before both gap batches land — the
+  * inflight flags are deterministic, the artificially-slowed-retrain
+  * shape without a sleep race.
+  */
+class StreamRetrainAsyncSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("appends land DURING the retrain, the switch folds them, and " +
+      "post-switch serving equals a one-shot re-encode (inline parity)") {
+    val row = StreamOps.streamIndexRetrainAsync(spark, sf).collect()(0)
+    val n = graft.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") =!= 0).count()
+    assert(row.getLong(0) == 5, "5 triggers (clean, drift, 2 gap, post)")
+    assert(row.getBoolean(1), "clean and gap batches must not fire")
+    assert(row.getBoolean(2), "the drifted batch fires exactly once")
+    assert(row.getBoolean(3),
+      "both gap batches must land while the retrain is IN FLIGHT — " +
+        "the stream does not stall on training")
+    assert(row.getBoolean(4),
+      "the post batch must run on the RETRAINED pointer — the switch " +
+        "happened in-stream, not in teardown")
+    assert(row.getBoolean(5),
+      "the merged-distribution post batch appends quietly on the new index")
+    assert(row.getLong(6) == 2 * n,
+      "serving covers base + every arrival exactly once")
+    assert(row.getBoolean(7), "no id served twice")
+    assert(row.getBoolean(8),
+      "streamed serving state (retrained codes ∪ folded gaps ∪ " +
+        "post-switch appends) must be row-identical to the one-shot " +
+        "batch re-encode under the same persisted model — the async " +
+        "handoff is invisible to queries, like the inline path")
+    assert(row.getLong(9) == 10)
+  }
+
+  test("the loop stays ARMED after the handoff: a re-drifted post batch " +
+      "fires a SECOND request against the retrained model; the " +
+      "maintenance switch adopts it, coverage stays exact") {
+    val row = StreamOps.streamIndexRetrainAsync(spark, sf, postShifted = true)
+      .collect()(0)
+    val n = graft.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") =!= 0).count()
+    assert(row.getLong(0) == 5)
+    assert(row.getBoolean(1), "clean and gap batches still quiet")
+    assert(!row.getBoolean(2),
+      "two requests fired — drift_fires_once is the once-only flag")
+    assert(row.getBoolean(3), "gap batches still land in flight")
+    assert(row.getBoolean(4),
+      "the post batch still runs on the first retrained pointer")
+    assert(!row.getBoolean(5),
+      "a re-drifted post batch must FIRE against the retrained model")
+    assert(row.getLong(6) == 2 * n,
+      "the second retrain (adopted by the maintenance switch) still " +
+        "covers every row exactly once")
+    assert(row.getBoolean(7))
+    assert(row.getBoolean(8),
+      "after the maintenance switch the one-shot comparison collapses " +
+        "to the retrained base generation — still row-identical")
+    assert(row.getLong(9) == 10)
+  }
+}
