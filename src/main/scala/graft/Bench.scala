@@ -68,7 +68,8 @@ object Bench {
     // exception), not abort the whole bench run. NonFatal only: an OOM
     // or LinkageError leaves the JVM untrustworthy, and timings taken
     // in a corrupted JVM are worse than an aborted run.
-    if (set.exists(q => q.name == "q68_ann_serve" || q.name == "q68_ann_append"))
+    if (set.exists(q => q.name == "q68_ann_serve" || q.name == "q68_ann_append" ||
+        q.name == "q84_quiet_trigger"))
       try graft.queries.LlmOps.ensureAnnServeIndex(spark, sfDir)
       catch {
         case scala.util.control.NonFatal(e) =>

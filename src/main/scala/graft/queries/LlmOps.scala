@@ -402,9 +402,10 @@ object LlmOps {
     *
     * `withOccupancy = false` skips the base_occ pass (one extra scan
     * of the stored base codes + a K-row write) for indexes that will
-    * never gate a retrain — serving-only and lifecycle fixtures
-    * (q68/q69/q70/q75). Drift-trigger sites (q78/q81/q84) keep the
-    * default: their base_occ IS the trigger's stored input.
+    * never gate a retrain — lifecycle fixtures (q69/q70/q75/q87).
+    * Drift-trigger sites (q78/q81/q84/q86 and the shared q68 serve
+    * index, whose base_occ feeds q84_quiet_trigger) keep the default:
+    * their base_occ IS the trigger's stored input.
     */
   private[graft] def buildFrozenIndex(
       s: SparkSession, dir: String, base: DataFrame, idxDir: String,
@@ -445,8 +446,11 @@ object LlmOps {
       val batch = merged.filter(pmod(col("vec_id"), lit(10)) === 9)
       val idx = graft.RunPaths.scratch(
         "graft_q68srv_index_" + graft.RunPaths.keyFor(dir))
+      // withOccupancy: q84_quiet_trigger's PSI gate reads base_occ from
+      // this shared index — one K-row pass in the untimed build, so the
+      // timed trigger pays only what a production trigger pays
       val (coarseF, booksF) = buildFrozenIndex(s, dir, base, idx,
-        "q68_ann_serve frozen coarse-centroid table", withOccupancy = false)
+        "q68_ann_serve frozen coarse-centroid table")
       ProductQuantizer.ivfPqEncodeWith(
           batch, "vec_id", "embedding", 8, coarseF, booksF)
         .write.mode("overwrite").parquet(s"$idx/codes/gen=1")
@@ -1473,6 +1477,54 @@ object LlmOps {
       Some("""SELECT CAST(sum(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END) AS BIGINT)
              |         AS n_batch,
              |       true AS append_matches_serve_gen
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin),
+      bench = true),
+
+    // The drift loop's STEADY STATE, timed: one quiet q84-shaped
+    // trigger end to end — frozen-model encode of the arriving batch,
+    // one generation write, the PSI gate from STORED occupancies (1-row
+    // statistic), and the durable decision-log row. This is the cost a
+    // 100 TB operator pays on EVERY micro-batch (the fired path is
+    // rare by design and measured under q81/q86); until r12 it lived
+    // only inside CORRECTNESS where micro-batch scaffolding buried it.
+    // The index build is the shared untimed q68 pre-build; the contract
+    // (in-distribution batch stays quiet, with q76's rehearsed ~3×
+    // margin under the 0.75 threshold) makes a silently-broken gate
+    // fail loudly rather than time a no-op.
+    QueryDef(
+      "q84_quiet_trigger",
+      (s, dir) => {
+        val idx = ensureAnnServeIndex(s, dir)
+        val coarseF = modelScaleStamp(s.read.parquet(s"$idx/coarse"),
+          "q84_quiet_trigger frozen coarse-centroid table")
+        val booksF = s.read.parquet(s"$idx/books")
+        val batch = t(s, dir, "embeddings")
+          .filter(col("vec_id") =!= 0)
+          .filter(pmod(col("vec_id"), lit(10)) === 9)
+        // 1. append: frozen encode + one generation write (O(batch))
+        val out = s"$idx/trigger/codes/gen=1"
+        ProductQuantizer.ivfPqEncodeWith(
+            batch, "vec_id", "embedding", 8, coarseF, booksF)
+          .write.mode("overwrite").parquet(out)
+        // 2. detect: PSI of the generation just written vs the stored
+        //    base occupancy — both sides read back from parquet
+        val psi = IndexDrift.occupancyPsiFromOccupancies(
+            s.read.parquet(s"$idx/base_occ"),
+            IndexDrift.occupancyOfCodes(s.read.parquet(out)),
+            coarseF)
+          .select(col("n_batch"), col("psi")).collect()(0)
+        // 3. the durable per-generation decision-log row (q84's shape)
+        s.range(1)
+          .select(lit(1L).as("gen"),
+            lit(psi.getDouble(1) > 0.75).as("retrain_fired"))
+          .write.mode("overwrite").parquet(s"$idx/trigger/log/gen=1")
+        s.read.parquet(s"$idx/trigger/log/gen=1")
+          .select(lit(psi.getLong(0)).as("n_batch"),
+            (!col("retrain_fired")).as("quiet"))
+      },
+      Some("""SELECT CAST(sum(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_batch,
+             |       true AS quiet
              |FROM embeddings WHERE vec_id <> 0""".stripMargin),
       bench = true),
 

@@ -62,7 +62,9 @@ object ExcelDataSource {
       headerDedup =
         Option(options.get("headerDedup")).getOrElse("unique"),
       maxSplitFiles =
-        Option(options.get("maxSplitFiles")).map(_.toInt))
+        Option(options.get("maxSplitFiles")).map(_.toInt),
+      contentStamp =
+        Option(options.get("contentStamp")).exists(_.toBoolean))
   }
 
   /** Expand the load path into concrete workbook files: a glob matches
@@ -227,7 +229,8 @@ final class ExcelScan(fullSchema: StructType, required: StructType, options: Cas
             // tasks resolve chunks for exactly this version (see the
             // ExcelScan cache contract — no torn reads across a
             // mid-action workbook replacement)
-            val stamp = ExcelScan.versionStamp(new java.io.File(path))
+            val stamp = ExcelScan.versionStamp(
+              new java.io.File(path), o.contentStamp)
             (0 until o.sheetPartitions).map { i =>
               ExcelInputPartition(path, o.sheetName, o.sheetIndex,
                 o.skipRows, positions, expectNames,
@@ -366,14 +369,49 @@ object ExcelScan {
   /** The file's version stamp (length, mtime, fileKey). The filesystem
     * fileKey (inode) distinguishes an atomically REPLACED workbook even
     * when length and coarse mtime coincide; an in-place rewrite inside
-    * the mtime granularity remains the one documented staleness window.
+    * the mtime granularity with equal length is the one staleness
+    * window the cheap stamp cannot see — `contentHash = true` (the
+    * `contentStamp` read option) closes it by folding a CRC of the
+    * first/last 64 KiB into the key (bounded I/O per check; the ZIP
+    * central directory lives in the tail, so any entry change moves
+    * bytes there). The hash rides inside the fileKey string, so every
+    * consumer (cache keys, plan stamps, task verification) inherits it
+    * without a shape change.
     */
-  private[excel] def versionStamp(f: java.io.File): (Long, Long, String) = {
+  private[excel] def versionStamp(
+      f: java.io.File, contentHash: Boolean = false): (Long, Long, String) = {
     val fileKey =
       try String.valueOf(java.nio.file.Files.readAttributes(
         f.toPath, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
       catch { case _: Throwable => "" }
-    (f.length(), f.lastModified(), fileKey)
+    val key = if (!contentHash) fileKey else s"$fileKey:h=${contentCrc(f)}"
+    (f.length(), f.lastModified(), key)
+  }
+
+  /** Whether a stamp (from a plan or a cache key) carries the opt-in
+    * content hash — a re-derived stamp must hash iff the planned one
+    * did, or the comparison is spuriously unequal.
+    */
+  private def stampHasHash(fileKey: String): Boolean = fileKey.contains(":h=")
+
+  private def contentCrc(f: java.io.File): String = {
+    val crc = new java.util.zip.CRC32
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      val len = raf.length()
+      val head = math.min(len, 65536L).toInt
+      val buf = new Array[Byte](head)
+      raf.readFully(buf)
+      crc.update(buf, 0, head)
+      if (len > 65536L) {
+        val tailStart = math.max(head.toLong, len - 65536L)
+        raf.seek(tailStart)
+        val tail = new Array[Byte]((len - tailStart).toInt)
+        raf.readFully(tail)
+        crc.update(tail, 0, tail.length)
+      }
+      java.lang.Long.toHexString(crc.getValue)
+    } finally raf.close()
   }
 
   /** TASK-side chunk-set resolution for a split-scan intent partition:
@@ -414,7 +452,9 @@ object ExcelScan {
       // the cache-hit path forever, and a miss-only sweep would keep
       // the superseded chunk set on temp disk until JVM exit
       sweepCondemned()
-      val current = versionStamp(f)
+      // re-derive with the hash iff the planned stamp carried one, or
+      // the comparison below is spuriously unequal
+      val current = versionStamp(f, planned.exists(p => stampHasHash(p._3)))
       val stamp = planned.getOrElse(current)
       val key = (abs, stamp._1, stamp._2, stamp._3, sel, n)
       val cached = chunkCache.get(key)
@@ -518,7 +558,8 @@ final class ExcelReaderFactory extends PartitionReaderFactory {
     // planned-version chunk rows. A mismatch fails loudly; the action
     // re-runs against the current file.
     def verifyPlannedVersion(): Unit = {
-      val cur = ExcelScan.versionStamp(new java.io.File(p.path))
+      val cur = ExcelScan.versionStamp(new java.io.File(p.path),
+        p.stampFileKey.contains(":h="))
       if (cur != ((p.stampLen, p.stampMtime, p.stampFileKey)))
         throw new java.io.FileNotFoundException(
           s"${p.path} changed while a split scan planned against version " +

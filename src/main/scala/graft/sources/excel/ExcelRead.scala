@@ -36,7 +36,14 @@ object ExcelRead {
       // per-file splitting is skipped past this many files (planning
       // would inflate+spill every sheet on the driver); None defers to
       // the graft.excel.maxSplitFiles system property, default 16
-      maxSplitFiles: Option[Int] = None)
+      maxSplitFiles: Option[Int] = None,
+      // opt-in: fold a content CRC (first/last 64 KiB + length) into
+      // the split-scan version stamp, closing the one documented
+      // staleness window — an in-place rewrite with equal length inside
+      // the mtime granularity (same inode, so fileKey matches too).
+      // Off by default: the hash costs up to 128 KiB of I/O per stamp
+      // check, worth it only for small workbooks rewritten in place
+      contentStamp: Boolean = false)
 
   final case class SheetLayout(
       target: String,

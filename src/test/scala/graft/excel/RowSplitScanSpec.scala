@@ -430,6 +430,90 @@ class RowSplitScanSpec extends AnyFunSuite {
     assert(err.getMessage.contains("changed while a split scan"))
   }
 
+  /** Re-zip `src` into `dst` with a ZIP archive comment of exactly
+    * `commentLen` bytes — the knob that equalizes two workbooks' byte
+    * lengths without touching their entries (deflate is deterministic,
+    * so length grows by exactly the comment bytes).
+    */
+  private def rezip(src: String, dst: String, commentLen: Int): Unit = {
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.FileInputStream(src))
+    val zout = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(dst))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        zout.putNextEntry(new java.util.zip.ZipEntry(e.getName))
+        zin.transferTo(zout)
+        zout.closeEntry()
+        e = zin.getNextEntry
+      }
+      zout.setComment("x" * commentLen)
+    } finally { zin.close(); zout.close() }
+  }
+
+  test("contentStamp detects a same-length same-mtime in-place rewrite " +
+      "that the cheap stamp provably cannot") {
+    // the one documented staleness window: an in-place rewrite (same
+    // inode → same fileKey) with EQUAL length inside the mtime
+    // granularity. Constructed exactly: two equal-length workbook byte
+    // images (ZIP comment padding equalizes), second written over the
+    // first in place, mtime forced back.
+    val dir = Files.createTempDirectory("contentstamp")
+    def build(tag: String): String = {
+      val p = dir.resolve(s"src_$tag.xlsx").toString
+      XlsxWriter.write(p, Seq(Sheet.dense("data",
+        Seq(Option(XShared("id"): XCell)) +:
+          (1 to 3000).map(i => Seq(Option(XStr(s"${tag}_$i"): XCell))))))
+      p
+    }
+    val (srcA, srcB) = (build("aaa"), build("bbb"))
+    // two-pass equalization: measure comment-0 lengths, then pad both
+    // to a common target (deflate is deterministic per input)
+    def rezipped(src: String, tag: String, commentLen: Int): java.io.File = {
+      val f = dir.resolve(s"eq_${tag}_$commentLen.xlsx").toFile
+      rezip(src, f.toString, commentLen)
+      f
+    }
+    val (l0a, l0b) =
+      (rezipped(srcA, "a", 0).length(), rezipped(srcB, "b", 0).length())
+    val target = math.max(l0a, l0b) + 8
+    val bytesA = Files.readAllBytes(
+      rezipped(srcA, "a", (target - l0a).toInt).toPath)
+    val bytesB = Files.readAllBytes(
+      rezipped(srcB, "b", (target - l0b).toInt).toPath)
+    assert(bytesA.length == bytesB.length, "equal-length images required")
+    val path = dir.resolve("wb.xlsx")
+    Files.write(path, bytesA)
+    val mtime = path.toFile.lastModified()
+    def readAll(contentStamp: Boolean): Seq[String] =
+      spark.read.format("excel")
+        .option("sheetPartitions", "3")
+        .option("contentStamp", contentStamp.toString)
+        .load(path.toString)
+        .collect().map(_.getString(0)).toSeq
+    assert(readAll(contentStamp = false) ==
+      (1 to 3000).map(i => s"aaa_$i"), "baseline read")
+    // in-place rewrite: same inode, same length, mtime forced back
+    val out = new java.io.FileOutputStream(path.toFile)
+    try out.write(bytesB) finally out.close()
+    assert(path.toFile.setLastModified(mtime))
+    // the cheap stamp CANNOT see this rewrite — the cached chunks of
+    // the old content serve (the documented window, pinned here so the
+    // option's value is demonstrated, not asserted)
+    assert(readAll(contentStamp = false) ==
+      (1 to 3000).map(i => s"aaa_$i"),
+      "without contentStamp the equal-stamp rewrite is undetectable " +
+        "by construction — cached chunks serve")
+    // the content hash sees it: fresh spill, new rows
+    assert(readAll(contentStamp = true) ==
+      (1 to 3000).map(i => s"bbb_$i"),
+      "contentStamp must detect the in-place rewrite")
+    // and the hashed key caches normally (second read, same content)
+    assert(readAll(contentStamp = true) ==
+      (1 to 3000).map(i => s"bbb_$i"))
+  }
+
   test("split-scan PLANNING does not inflate or spill sheets — the " +
       "first executing task does, lazily and once") {
     val path = bigSheet(12000)
