@@ -389,6 +389,29 @@ object Streaming {
     // serving covers base + every arrival exactly once; the streamed
     // serving state is row-identical to a one-shot re-encode of the
     // same raws under the same persisted model.
+    // The FULL streamed lifecycle with BOTH creep families bounded
+    // (q69 + q75 + q87 composed): micro-batches carry adds AND deletes;
+    // code generations fold into a cell-clustered epoch PRE-APPLYING
+    // the tombstone set, tombstone generations fold into one id-set
+    // epoch that is NEVER absorbed (a late re-delivery of a deleted id
+    // must stay dead — the stream re-delivers half the deleted ids and
+    // the one-shot equality proves they do). 8 triggers, 2 code folds,
+    // 1 tombstone fold, both families ≤ 3 dirs at every trigger.
+    QueryDef(
+      "q88_stream_lifecycle",
+      (s, dir) => graft.streaming.StreamOps.streamIndexLifecycle(s, dir),
+      Some("""SELECT CAST(8 AS BIGINT) AS n_triggers,
+             |  CAST(2 AS BIGINT) AS code_folds,
+             |  CAST(1 AS BIGINT) AS tomb_folds,
+             |  true AS both_bounded,
+             |  CAST(count(CASE WHEN vec_id % 10 = 9 OR vec_id % 7 <> 3
+             |                  THEN 1 END) AS BIGINT) AS n_live,
+             |  true AS ids_unique,
+             |  true AS lifecycle_invisible,
+             |  true AS raw_carries_redelivered,
+             |  CAST(10 AS BIGINT) AS n_results
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
+
     // Streaming appends with a BOUNDED generation count: q69-style
     // per-trigger generations, but whenever the serving-directory count
     // reaches k (= 3) the trigger folds epoch + live generations into

@@ -858,6 +858,263 @@ object StreamOps {
         col("n_results"))
   }
 
+  /** The FULL streamed index lifecycle with BOTH creep families
+    * bounded — q69 (streamed appends), q75 (streamed tombstones), and
+    * q87 (in-loop compaction) composed: micro-batches carry adds AND
+    * deletes; every trigger lands a code generation or a tombstone
+    * generation, and whenever either family reaches `k` directories the
+    * trigger folds it. The two folds differ deliberately:
+    *   - CODE fold (q87's): epoch + live generations, PRE-APPLYING the
+    *     full tombstone set (folded rows a query can never see are not
+    *     carried), cell-clustered, manifest-last, superseded dirs swept;
+    *   - TOMBSTONE fold: the union of the tombstone epoch + live
+    *     tombstone dirs into one id-set epoch. A set union is
+    *     order-independent and idempotent, so this fold is trivially
+    *     replay-safe — and the tombstone epoch is NEVER absorbed into
+    *     the code fold, because a tombstone outlives the rows it
+    *     deleted: a LATE RE-ARRIVAL of a deleted id (at-least-once
+    *     delivery, backfills) must stay dead, which only works if the
+    *     id set survives every code compaction. q75 grew one tombstone
+    *     dir per delete trigger forever; this caps both families at
+    *     `k` directories.
+    *
+    * Delivery (three phased drives, the q78 exactness discipline):
+    * 3 add batches, then 3 delete batches (every base id ≡ 3 mod 7 plus
+    * the raw top-1 — q70's structural negative control), then 2 more
+    * add batches, the last one RE-DELIVERING half the deleted ids.
+    * Contracts (one row, deterministic): 8 triggers; exactly 2 code
+    * folds + 1 tombstone fold; both directory families ≤ k at every
+    * trigger; serving row-identical to the one-shot batch shape
+    * (encode(base ∪ arrivals ∪ redeliveries) anti-joined by the full
+    * delete set — the redelivered deleted ids stay dead THROUGH the
+    * folds); conservation n_live = n_encoded − n_dead; raw serving
+    * (tombstones ignored) provably surfaces a deleted id; k=10 probe.
+    */
+  def streamIndexLifecycle(
+      spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import graft.operators.ProductQuantizer
+    import graft.queries.LlmOps
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
+    val merged = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val base = merged.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+    val arriving = merged.filter(pmod(col("vec_id"), lit(10)) === 9)
+    val idx = graft.RunPaths.scratch(
+      s"graft_q88_index_${graft.RunPaths.keyFor(sfDir)}_$k")
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(wipe)
+      f.delete(); ()
+    }
+    Seq("codes", "compact", "manifest", "tombs", "tepoch", "tmanifest", "log")
+      .foreach(d => wipe(new java.io.File(s"$idx/$d")))
+    val (coarseF, booksF) = LlmOps.buildFrozenIndex(spark, sfDir, base, idx,
+      "q88 frozen coarse-centroid table", withOccupancy = false)
+
+    def genDirs(parent: String, prefix: String): Seq[Long] = {
+      Option(new java.io.File(parent).listFiles()).toSeq.flatten
+        .flatMap(f => Option(f.getName).filter(_.startsWith(prefix))
+          .map(_.drop(prefix.length).toLong)).sorted
+    }
+    def maxManifest(dir: String): Long =
+      genDirs(dir, "epoch=").maxOption.getOrElse(0L)
+    def foldedThrough(): Long = {
+      val ep = maxManifest(s"$idx/manifest")
+      if (ep == 0L) 0L
+      else spark.read.parquet(s"$idx/manifest/epoch=$ep")
+        .select(col("folded_through")).collect()(0).getLong(0)
+    }
+    def codeCols(df: DataFrame): DataFrame =
+      df.select(col("cell_id"), col("vec_id"), col("codes"))
+    def codeParts(): Seq[String] = {
+      val ep = maxManifest(s"$idx/manifest")
+      val epochDir =
+        if (ep == 0L) s"$idx/codes/gen=0" else s"$idx/compact/epoch=$ep"
+      epochDir +: genDirs(s"$idx/codes", "gen=").filter(_ > foldedThrough())
+        .map(g => s"$idx/codes/gen=$g")
+    }
+    def tombParts(): Seq[String] = {
+      val tp = maxManifest(s"$idx/tmanifest")
+      val tFolded =
+        if (tp == 0L) 0L
+        else spark.read.parquet(s"$idx/tmanifest/epoch=$tp")
+          .select(col("folded_through")).collect()(0).getLong(0)
+      (if (tp == 0L) Seq.empty else Seq(s"$idx/tepoch/epoch=$tp")) ++
+        genDirs(s"$idx/tombs", "gen=").filter(_ > tFolded)
+          .map(g => s"$idx/tombs/gen=$g")
+    }
+    def tombIds(): Option[DataFrame] = {
+      val ps = tombParts()
+      if (ps.isEmpty) None
+      else Some(ps.map(p => spark.read.parquet(p).select(col("vec_id")))
+        .reduce(_.unionByName(_)).distinct())
+    }
+
+    def serve(codes: DataFrame): DataFrame = ProductQuantizer.ivfPqTopK(
+      query, "embedding", 8, coarseF, booksF, codes, "vec_id",
+      nProbe = 4, k = 10)
+    // q70/q75 injected the raw top-1 id into the delete set so RAW
+    // serving provably surfaced a deleted id — that control is
+    // structurally unavailable here: the tombstone-applying code fold
+    // REMOVES dead rows from storage, which is its point. The
+    // detection-power control is raw_carries_redelivered below (the
+    // not-yet-folded generation must still physically hold the dead
+    // re-delivered rows) + the one-shot row equality (a serving path
+    // that forgot the anti-join would include those rows and fail).
+    // Keeping the delete set a pure residue class also makes every
+    // count closed-form for the oracle.
+    val deletes = base.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select(col("vec_id"))
+
+    def drive(srcDir: String, genOffset: Int, op: String): Unit = {
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val gen = genOffset + id + 1
+          if (op == "add")
+            ProductQuantizer.ivfPqEncodeWith(
+                batch, "vec_id", "embedding", 8, coarseF, booksF)
+              .write.mode("overwrite").parquet(s"$idx/codes/gen=$gen")
+          else
+            batch.select(col("vec_id"))
+              .write.mode("overwrite").parquet(s"$idx/tombs/gen=$gen")
+          val (cBefore, tBefore) = (codeParts(), tombParts())
+          val foldCodes = cBefore.length >= k
+          if (foldCodes) {
+            val ep = maxManifest(s"$idx/manifest")
+            val live = cBefore.map(p => codeCols(spark.read.parquet(p)))
+              .reduce(_.unionByName(_))
+            // pre-apply the CURRENT tombstone set to the folded rows —
+            // the tombstones themselves are NOT consumed (see scaladoc)
+            tombIds().map(live.join(_, Seq("vec_id"), "left_anti"))
+              .getOrElse(live)
+              .repartition(col("cell_id"))
+              .write.mode("overwrite").parquet(s"$idx/compact/epoch=${ep + 1}")
+            spark.range(1)
+              .select(lit(ep + 1).as("epoch"), lit(gen).as("folded_through"))
+              .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${ep + 1}")
+            genDirs(s"$idx/codes", "gen=").filter(_ <= gen)
+              .foreach(g => wipe(new java.io.File(s"$idx/codes/gen=$g")))
+            genDirs(s"$idx/compact", "epoch=").filter(_ <= ep)
+              .foreach(p => wipe(new java.io.File(s"$idx/compact/epoch=$p")))
+          }
+          val foldTombs = tBefore.length >= k
+          if (foldTombs) {
+            val tp = maxManifest(s"$idx/tmanifest")
+            tBefore.map(p => spark.read.parquet(p).select(col("vec_id")))
+              .reduce(_.unionByName(_)).distinct()
+              .coalesce(1)
+              .write.mode("overwrite").parquet(s"$idx/tepoch/epoch=${tp + 1}")
+            spark.range(1)
+              .select(lit(tp + 1).as("epoch"), lit(gen).as("folded_through"))
+              .write.mode("overwrite").parquet(s"$idx/tmanifest/epoch=${tp + 1}")
+            genDirs(s"$idx/tombs", "gen=").filter(_ <= gen)
+              .foreach(g => wipe(new java.io.File(s"$idx/tombs/gen=$g")))
+            genDirs(s"$idx/tepoch", "epoch=").filter(_ <= tp)
+              .foreach(p => wipe(new java.io.File(s"$idx/tepoch/epoch=$p")))
+          }
+          spark.range(1)
+            .select(lit(gen).as("gen"), lit(op).as("op"),
+              lit(cBefore.length.toLong).as("codes_before"),
+              lit(tBefore.length.toLong).as("tombs_before"),
+              lit(foldCodes).as("folded_codes"),
+              lit(foldTombs).as("folded_tombs"))
+            .write.mode("overwrite").parquet(s"$idx/log/gen=$gen")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // phase 1: three add batches (arriving ids ≡ 9 mod 10, residues
+    // mod 40 ∈ {9,19,29} — each non-empty from 4 arrivals up)
+    val addDir1 = s"$idx/src/adds1"
+    for ((r, i) <- Seq(9, 19, 29).zipWithIndex)
+      arriving.filter(pmod(col("vec_id"), lit(40)) === r)
+        .coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(addDir1)
+    drive(addDir1, 0, "add")
+    // phase 2: three delete batches (deleted base ids split by mod 21
+    // residues {3,10,17} of the ≡3-mod-7 class)
+    val delDir = s"$idx/src/dels"
+    for ((r, i) <- Seq(3, 10, 17).zipWithIndex)
+      deletes.filter(pmod(col("vec_id"), lit(21)) === r)
+        .coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(delDir)
+    drive(delDir, 3, "del")
+    // phase 3: the last arrival slice, then a RE-DELIVERY of half the
+    // deleted ids (same vec_id, same embedding — the at-least-once /
+    // backfill shape): they must stay dead through every fold
+    val addDir2 = s"$idx/src/adds2"
+    arriving.filter(pmod(col("vec_id"), lit(40)) === 39)
+      .coalesce(1).write.mode("overwrite").parquet(addDir2)
+    base.filter(pmod(col("vec_id"), lit(14)) === 3)
+      .coalesce(1).write.mode("append").parquet(addDir2)
+    drive(addDir2, 6, "add")
+
+    // ---- final state ------------------------------------------------
+    val codes = codeParts().map(p => codeCols(spark.read.parquet(p)))
+      .reduce(_.unionByName(_))
+    val dead = tombIds().get
+    val living = codes.join(dead, Seq("vec_id"), "left_anti")
+    // one-shot shape: everything ever delivered, encoded in one batch,
+    // anti-joined by the full delete set
+    val redelivered = base.filter(pmod(col("vec_id"), lit(14)) === 3)
+    val oneShot = codeCols(ProductQuantizer.ivfPqEncodeWith(
+        base.unionByName(arriving).unionByName(redelivered),
+        "vec_id", "embedding", 8, coarseF, booksF))
+      .join(deletes, Seq("vec_id"), "left_anti")
+      .distinct() // redelivered survivors would be exact duplicates;
+                  // none survive (redelivery ⊆ deletes), belt only
+    val same = living.select(col("vec_id"), col("cell_id").as("c_s"),
+        col("codes").as("k_s"))
+      .join(oneShot.select(col("vec_id"), col("cell_id").as("c_b"),
+        col("codes").as("k_b")), Seq("vec_id"), "full")
+      .agg((count(when(col("c_s").isNull || col("c_b").isNull ||
+        col("c_s") =!= col("c_b") || col("k_s") =!= col("k_b"), 1)) === 0)
+        .as("lifecycle_invisible"))
+    // physical-presence control: the stored codes must still CARRY the
+    // dead re-delivered rows (they arrived after the last code fold, so
+    // only a bug — e.g. tombstones applied to unfolded generations, or
+    // the redelivery generation folded early — could remove them; the
+    // anti-join is what hides them from queries, and forgetting IT
+    // fails the one-shot equality instead)
+    val rawCarries = codes.join(redelivered.select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_raw_redeliv"))
+      .crossJoin(redelivered.agg(count(lit(1)).as("n_redeliv")))
+      .select((col("n_raw_redeliv") === col("n_redeliv"))
+        .as("raw_carries_redelivered"))
+    val served = serve(living)
+    val onDiskOk =
+      codeParts().length <= k && tombParts().length <= k
+    // accounting note: the q70-style "n_live = n_encoded − n_dead"
+    // conservation law does not hold here BY DESIGN — the t7 code fold
+    // pre-applies the tombstone set, so dead base rows are no longer in
+    // the stored codes to subtract. n_live is closed-form instead
+    // (deletes are a pure residue class), and the row-level accounting
+    // lives in lifecycle_invisible.
+    val log = spark.read.parquet(s"$idx/log")
+    log.agg(
+        count(lit(1)).as("n_triggers"),
+        count(when(col("folded_codes"), 1)).as("code_folds"),
+        count(when(col("folded_tombs"), 1)).as("tomb_folds"),
+        (max(col("codes_before")) <= k && max(col("tombs_before")) <= k &&
+          lit(onDiskOk)).as("both_bounded"))
+      .crossJoin(living.agg(count(lit(1)).as("n_live"),
+        (count(lit(1)) === countDistinct(col("vec_id"))).as("ids_unique")))
+      .crossJoin(same)
+      .crossJoin(rawCarries)
+      .crossJoin(served.agg(count(lit(1)).as("n_results")))
+      .select(col("n_triggers"), col("code_folds"), col("tomb_folds"),
+        col("both_bounded"), col("n_live"), col("ids_unique"),
+        col("lifecycle_invisible"), col("raw_carries_redelivered"),
+        col("n_results"))
+  }
+
   /** The retrain trigger RIDING the streaming append path — q69 and
     * q76 composed into the production shape: every arriving micro-batch
     * lands one index generation AND one persisted drift row. The drift
@@ -1295,7 +1552,11 @@ object StreamOps {
     // concurrent list
     val threads = new java.util.concurrent.CopyOnWriteArrayList[Thread]()
     @volatile var retrainError: Option[Throwable] = None
-    def launchRetrain(reqGen: Long): Unit = {
+    // at-least-once belt: a replayed firing trigger re-writes its
+    // (idempotent) request record, but must not launch a SECOND live
+    // thread racing the first one's writes to the same retrain dir
+    val launched = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def launchRetrain(reqGen: Long): Unit = if (launched.add(reqGen)) {
       val t = new Thread(() => {
         try {
           // delivery gate: hold training until gen 4 has ARRIVED, so

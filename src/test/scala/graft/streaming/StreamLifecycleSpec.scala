@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The full streamed lifecycle (q88): adds + deletes in one stream,
+  * BOTH creep families folded in-loop — code generations into a
+  * tombstone-applied cell-clustered epoch, tombstone generations into
+  * one id-set epoch that is never absorbed (late re-deliveries of
+  * deleted ids must stay dead). The row carries the contracts; this
+  * spec names them, checks the physical directory bounds on disk, and
+  * drives the k=2 shape (fold on every add trigger — the most
+  * fold-churned schedule, where an ordering bug between the fold's
+  * tombstone pre-apply and the tombstone epoch's survival would
+  * surface).
+  */
+class StreamLifecycleSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def dirCount(idx: String, sub: String, prefix: String): Int =
+    Option(new java.io.File(s"$idx/$sub").listFiles()).toSeq.flatten
+      .count(_.getName.startsWith(prefix))
+
+  private def nLive: Long = graft.Tables.load(spark, sf, "embeddings")
+    .filter(col("vec_id") =!= 0)
+    .filter(pmod(col("vec_id"), lit(10)) === 9 ||
+      pmod(col("vec_id"), lit(7)) =!= 3)
+    .count()
+
+  test("default k=3: both families bounded at every trigger, redelivered " +
+      "deleted ids stay dead through the folds, serving = one-shot") {
+    val row = StreamOps.streamIndexLifecycle(spark, sf).collect()(0)
+    assert(row.getLong(0) == 8, "8 triggers (3 adds, 3 dels, 2 adds)")
+    assert(row.getLong(1) == 2, "code folds at triggers 2 and 7")
+    assert(row.getLong(2) == 1, "tombstone fold at trigger 6")
+    assert(row.getBoolean(3),
+      "code AND tombstone directory counts must stay ≤ k at every trigger")
+    assert(row.getLong(4) == nLive,
+      "serving covers exactly the non-deleted corpus")
+    assert(row.getBoolean(5), "no id served twice")
+    assert(row.getBoolean(6),
+      "serving must be row-identical to the one-shot shape over the " +
+        "full delivery history — including the re-delivered deleted " +
+        "ids staying dead (the tombstone epoch survived the code folds)")
+    assert(row.getBoolean(7),
+      "the unfolded generation must still physically carry the dead " +
+        "re-delivered rows — only the serving anti-join hides them, " +
+        "and forgetting IT fails the one-shot equality")
+    assert(row.getLong(8) == 10)
+    val idx = graft.RunPaths.scratch(
+      s"graft_q88_index_${graft.RunPaths.keyFor(sf)}_3")
+    assert(dirCount(idx, "codes", "gen=") +
+      dirCount(idx, "compact", "epoch=") <= 3, "code dirs bounded on disk")
+    assert(dirCount(idx, "tombs", "gen=") +
+      dirCount(idx, "tepoch", "epoch=") <= 3, "tombstone dirs bounded on disk")
+    assert(dirCount(idx, "tepoch", "epoch=") == 1,
+      "exactly one tombstone epoch remains — folded but NOT absorbed")
+  }
+
+  test("k=2 folds on every add trigger: maximal churn, same guarantees") {
+    val row = StreamOps.streamIndexLifecycle(spark, sf, k = 2).collect()(0)
+    assert(row.getLong(0) == 8)
+    assert(row.getLong(1) == 5,
+      "k=2: every add trigger reaches the bound (t1,t2,t3,t7,t8)")
+    assert(row.getLong(2) == 2, "tombstone folds at t5 and t6")
+    assert(row.getBoolean(3))
+    assert(row.getLong(4) == nLive)
+    assert(row.getBoolean(5))
+    assert(row.getBoolean(6),
+      "per-trigger folding with tombstone pre-apply still equals the " +
+        "one-shot shape")
+    assert(!row.getBoolean(7),
+      "k=2's trailing fold covers the redelivery generation, so the " +
+        "dead rows are legitimately GONE from storage — the physical " +
+        "carry flag must flip, proving it measures storage, not the " +
+        "anti-join")
+    assert(row.getLong(8) == 10)
+  }
+}
