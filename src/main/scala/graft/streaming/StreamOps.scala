@@ -1593,7 +1593,15 @@ object StreamOps {
       t.start()
     }
     def joinRetrains(): Unit = {
-      threads.forEach(_.join(600000))
+      threads.forEach { t =>
+        t.join(600000)
+        // a silently-hung retrain must fail the query here, not
+        // surface later as an indeterminate PSI on an un-switched
+        // pointer (the post phase's contract assumes the handoff ran)
+        if (t.isAlive)
+          throw new IllegalStateException(
+            s"q86 retrain thread ${t.getName} still running after 10 min")
+      }
       retrainError.foreach(ex => throw ex)
     }
 

@@ -9,8 +9,8 @@ import graft.plans.SummaryRewriteRule
 /** Routing-overhead rehearsal for the multi-cube MV catalog (VERDICT
   * r11 #4): the q83/q85 router had only ever faced 2-3 cubes per fact;
   * a real warehouse maintains DOZENS. This registers up to `maxCubes`
-  * REAL cubes (distinct dim subsets of the orders table, each built and
-  * measured) and times PLANNING — `queryExecution.optimizedPlan`, no
+  * REAL cubes (distinct dim subsets of the lineitem table, each built
+  * and measured) and times PLANNING — `queryExecution.optimizedPlan`, no
   * execution — at increasing catalog sizes, for the two routing shapes:
   *   - a global aggregate every cube can answer (the router must scan
   *     the whole candidate list and pick the measured-smallest);
