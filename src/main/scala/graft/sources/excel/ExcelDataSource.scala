@@ -384,7 +384,14 @@ object ExcelScan {
       try String.valueOf(java.nio.file.Files.readAttributes(
         f.toPath, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
       catch { case _: Throwable => "" }
-    val key = if (!contentHash) fileKey else s"$fileKey:h=${contentCrc(f)}"
+    // a vanished/unreadable file degrades the hash like fileKey does
+    // (empty) instead of throwing: the cheap stamp returns (0, 0, "")
+    // for a missing file, and the hashed stamp must keep both the
+    // grace-window cache-hit path and the loud "changed while a split
+    // scan" mismatch working the same way
+    val key =
+      if (!contentHash) fileKey
+      else s"$fileKey:h=${try contentCrc(f) catch { case _: Throwable => "" }}"
     (f.length(), f.lastModified(), key)
   }
 
@@ -392,7 +399,20 @@ object ExcelScan {
     * content hash — a re-derived stamp must hash iff the planned one
     * did, or the comparison is spuriously unequal.
     */
-  private def stampHasHash(fileKey: String): Boolean = fileKey.contains(":h=")
+  private[excel] def stampHasHash(fileKey: String): Boolean =
+    fileKey.contains(":h=")
+
+  /** The stamp's fileKey with any content-hash suffix stripped — the
+    * version identity two stamps of the SAME file taken in different
+    * contentStamp modes share. Supersedure comparisons must use this:
+    * a hashed and an unhashed stamp of one live version are not rival
+    * versions, and condemning one for the other would churn re-spills
+    * on every mode alternation.
+    */
+  private def stampBaseKey(fileKey: String): String = {
+    val i = fileKey.indexOf(":h=")
+    if (i < 0) fileKey else fileKey.substring(0, i)
+  }
 
   private def contentCrc(f: java.io.File): String = {
     val crc = new java.util.zip.CRC32
@@ -509,8 +529,16 @@ object ExcelScan {
     while (it.hasNext) {
       val e = it.next()
       val k = e.getKey
-      if (k._1 == abs && k._5 == sel &&
-          (k._2 != current._1 || k._3 != current._2 || k._4 != current._3) &&
+      // same version = cheap stamp equal AND, when BOTH sides carry a
+      // content hash, the hashes equal too. A hashed and an unhashed
+      // stamp of one live version are not rivals (mode alternation
+      // must not churn re-spills); two hashed stamps with different
+      // hashes are exactly the in-place rewrite the hash detects.
+      val sameVersion = k._2 == current._1 && k._3 == current._2 &&
+        stampBaseKey(k._4) == stampBaseKey(current._3) &&
+        (!stampHasHash(k._4) || !stampHasHash(current._3) ||
+          k._4 == current._3)
+      if (k._1 == abs && k._5 == sel && !sameVersion &&
           condemnedKeys.add(k))
         condemned.add((k, e.getValue, System.nanoTime()))
     }
@@ -559,7 +587,7 @@ final class ExcelReaderFactory extends PartitionReaderFactory {
     // re-runs against the current file.
     def verifyPlannedVersion(): Unit = {
       val cur = ExcelScan.versionStamp(new java.io.File(p.path),
-        p.stampFileKey.contains(":h="))
+        ExcelScan.stampHasHash(p.stampFileKey))
       if (cur != ((p.stampLen, p.stampMtime, p.stampFileKey)))
         throw new java.io.FileNotFoundException(
           s"${p.path} changed while a split scan planned against version " +
@@ -610,8 +638,12 @@ final class ExcelReaderFactory extends PartitionReaderFactory {
                 ExcelRead.rowsForChunk(opts, lay, outPos,
                   p.requiredPositions.length, chunks(p.chunkIndex))
             // post-check: the layout just read must belong to the
-            // planned version the chunks came from
-            verifyPlannedVersion()
+            // planned version the chunks came from. The iterator is
+            // already constructed (it holds an open workbook handle),
+            // so a failing check must close it — nothing downstream
+            // ever receives it to close
+            try verifyPlannedVersion()
+            catch { case t: Throwable => r.close(); throw t }
             r
           }
         }

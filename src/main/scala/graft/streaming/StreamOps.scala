@@ -16,6 +16,44 @@ import org.apache.spark.sql.functions._
   */
 object StreamOps {
 
+  // ---- shared helpers for the persisted-index streaming family ------
+
+  /** Recursively delete `f` — the per-run scratch-state wipe, and the
+    * post-manifest sweep of superseded generation/epoch directories. */
+  private def wipeDir(f: java.io.File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(wipeDir)
+    f.delete(); ()
+  }
+
+  /** Numeric suffixes of `parent`'s `prefix`-named child directories,
+    * sorted — the durable generation/epoch/request listing every loop
+    * decision derives from. Empty when `parent` does not exist. */
+  private def genDirs(parent: String, prefix: String): Seq[Long] =
+    Option(new java.io.File(parent).listFiles()).toSeq.flatten
+      .flatMap(f => Option(f.getName).filter(_.startsWith(prefix))
+        .map(_.drop(prefix.length).toLong)).sorted
+
+  /** The canonical (cell_id, vec_id, codes) projection of a stored
+    * code generation. */
+  private def codeCols(df: DataFrame): DataFrame =
+    df.select(col("cell_id"), col("vec_id"), col("codes"))
+
+  /** One row, one boolean `outCol`: the two code tables are
+    * ROW-IDENTICAL — same ids, same cell assignments, same PQ codes
+    * (full outer join; a null on either side or any field mismatch
+    * counts against). The shared equality contract every fold/handoff
+    * query (q86/q87/q88) proves against its one-shot shape.
+    */
+  private def sameCodeRows(
+      streamed: DataFrame, oneShot: DataFrame, outCol: String): DataFrame =
+    streamed.select(col("vec_id"), col("cell_id").as("c_s"),
+        col("codes").as("k_s"))
+      .join(oneShot.select(col("vec_id"), col("cell_id").as("c_b"),
+        col("codes").as("k_b")), Seq("vec_id"), "full")
+      .agg((count(when(col("c_s").isNull || col("c_b").isNull ||
+        col("c_s") =!= col("c_b") || col("k_s") =!= col("k_b"), 1)) === 0)
+        .as(outCol))
+
   /** Streaming view of events.parquet (nanos → micros like Tables.load).
     * The file-stream source requires a DIRECTORY; testdata ships a single
     * parquet file, so stage a symlink to it in a per-sf temp directory.
@@ -743,20 +781,11 @@ object StreamOps {
     val arriving = merged.filter(pmod(col("vec_id"), lit(10)) === 9)
     val idx = graft.RunPaths.scratch(
       s"graft_q87_index_${graft.RunPaths.keyFor(sfDir)}_${k}_$slices")
-    def wipe(f: java.io.File): Unit = {
-      Option(f.listFiles()).toSeq.flatten.foreach(wipe)
-      f.delete(); ()
-    }
     Seq("codes", "compact", "manifest", "log")
-      .foreach(d => wipe(new java.io.File(s"$idx/$d")))
+      .foreach(d => wipeDir(new java.io.File(s"$idx/$d")))
     val (coarseF, booksF) = LlmOps.buildFrozenIndex(spark, sfDir, base, idx,
       "q87 frozen coarse-centroid table", withOccupancy = false)
 
-    def genDirs(parent: String, prefix: String): Seq[Long] = {
-      Option(new java.io.File(parent).listFiles()).toSeq.flatten
-        .flatMap(f => Option(f.getName).filter(_.startsWith(prefix))
-          .map(_.drop(prefix.length).toLong)).sorted
-    }
     // (epoch, folded_through), max-epoch-wins; epoch 0 is the base
     // build (codes/gen=0), nothing folded
     def manifest(): (Long, Long) = genDirs(s"$idx/manifest", "epoch=")
@@ -766,8 +795,6 @@ object StreamOps {
       .getOrElse((0L, 0L))
     def epochDir(ep: Long): String =
       if (ep == 0L) s"$idx/codes/gen=0" else s"$idx/compact/epoch=$ep"
-    def codeCols(df: DataFrame): DataFrame =
-      df.select(col("cell_id"), col("vec_id"), col("codes"))
     // the union serving reads: the current epoch + unfolded generations
     def servingParts(): Seq[String] = {
       val (ep, f) = manifest()
@@ -809,9 +836,9 @@ object StreamOps {
             .select(lit(ep + 1).as("epoch"), lit(gen).as("folded_through"))
             .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${ep + 1}")
           genDirs(s"$idx/codes", "gen=").filter(_ <= gen)
-            .foreach(g => wipe(new java.io.File(s"$idx/codes/gen=$g")))
+            .foreach(g => wipeDir(new java.io.File(s"$idx/codes/gen=$g")))
           genDirs(s"$idx/compact", "epoch=").filter(_ <= ep)
-            .foreach(p => wipe(new java.io.File(s"$idx/compact/epoch=$p")))
+            .foreach(p => wipeDir(new java.io.File(s"$idx/compact/epoch=$p")))
         }
         spark.range(1)
           .select(lit(gen).as("gen"),
@@ -832,13 +859,7 @@ object StreamOps {
     val oneShot = codeCols(ProductQuantizer.ivfPqEncodeWith(
         base.unionByName(spark.read.parquet(splitDir)),
         "vec_id", "embedding", 8, coarseF, booksF))
-    val same = serving.select(col("vec_id"), col("cell_id").as("c_s"),
-        col("codes").as("k_s"))
-      .join(oneShot.select(col("vec_id"), col("cell_id").as("c_b"),
-        col("codes").as("k_b")), Seq("vec_id"), "full")
-      .agg((count(when(col("c_s").isNull || col("c_b").isNull ||
-        col("c_s") =!= col("c_b") || col("k_s") =!= col("k_b"), 1)) === 0)
-        .as("fold_invisible"))
+    val same = sameCodeRows(serving, oneShot, "fold_invisible")
     val served = ProductQuantizer.ivfPqTopK(
       query, "embedding", 8, coarseF, booksF, serving, "vec_id",
       nProbe = 4, k = 10)
@@ -878,10 +899,12 @@ object StreamOps {
     *     dir per delete trigger forever; this caps both families at
     *     `k` directories.
     *
-    * Delivery (three phased drives, the q78 exactness discipline):
-    * 3 add batches, then 3 delete batches (every base id ≡ 3 mod 7 plus
-    * the raw top-1 — q70's structural negative control), then 2 more
-    * add batches, the last one RE-DELIVERING half the deleted ids.
+    * Delivery (phased drives, the q78 exactness discipline): 3 add
+    * batches, then 3 delete batches (every base id ≡ 3 mod 7 — a pure
+    * residue class, so counts stay closed-form; q70's raw-top-1
+    * injection is structurally unavailable here, see the inline note),
+    * then one more add batch, then — order pinned by its own drive —
+    * a batch RE-DELIVERING half the deleted ids.
     * Contracts (one row, deterministic): 8 triggers; exactly 2 code
     * folds + 1 tombstone fold; both directory families ≤ k at every
     * trigger; serving row-identical to the one-shot batch shape
@@ -902,20 +925,11 @@ object StreamOps {
     val arriving = merged.filter(pmod(col("vec_id"), lit(10)) === 9)
     val idx = graft.RunPaths.scratch(
       s"graft_q88_index_${graft.RunPaths.keyFor(sfDir)}_$k")
-    def wipe(f: java.io.File): Unit = {
-      Option(f.listFiles()).toSeq.flatten.foreach(wipe)
-      f.delete(); ()
-    }
     Seq("codes", "compact", "manifest", "tombs", "tepoch", "tmanifest", "log")
-      .foreach(d => wipe(new java.io.File(s"$idx/$d")))
+      .foreach(d => wipeDir(new java.io.File(s"$idx/$d")))
     val (coarseF, booksF) = LlmOps.buildFrozenIndex(spark, sfDir, base, idx,
       "q88 frozen coarse-centroid table", withOccupancy = false)
 
-    def genDirs(parent: String, prefix: String): Seq[Long] = {
-      Option(new java.io.File(parent).listFiles()).toSeq.flatten
-        .flatMap(f => Option(f.getName).filter(_.startsWith(prefix))
-          .map(_.drop(prefix.length).toLong)).sorted
-    }
     def maxManifest(dir: String): Long =
       genDirs(dir, "epoch=").maxOption.getOrElse(0L)
     def foldedThrough(): Long = {
@@ -924,8 +938,6 @@ object StreamOps {
       else spark.read.parquet(s"$idx/manifest/epoch=$ep")
         .select(col("folded_through")).collect()(0).getLong(0)
     }
-    def codeCols(df: DataFrame): DataFrame =
-      df.select(col("cell_id"), col("vec_id"), col("codes"))
     def codeParts(): Seq[String] = {
       val ep = maxManifest(s"$idx/manifest")
       val epochDir =
@@ -997,9 +1009,9 @@ object StreamOps {
               .select(lit(ep + 1).as("epoch"), lit(gen).as("folded_through"))
               .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${ep + 1}")
             genDirs(s"$idx/codes", "gen=").filter(_ <= gen)
-              .foreach(g => wipe(new java.io.File(s"$idx/codes/gen=$g")))
+              .foreach(g => wipeDir(new java.io.File(s"$idx/codes/gen=$g")))
             genDirs(s"$idx/compact", "epoch=").filter(_ <= ep)
-              .foreach(p => wipe(new java.io.File(s"$idx/compact/epoch=$p")))
+              .foreach(p => wipeDir(new java.io.File(s"$idx/compact/epoch=$p")))
           }
           val foldTombs = tBefore.length >= k
           if (foldTombs) {
@@ -1012,9 +1024,9 @@ object StreamOps {
               .select(lit(tp + 1).as("epoch"), lit(gen).as("folded_through"))
               .write.mode("overwrite").parquet(s"$idx/tmanifest/epoch=${tp + 1}")
             genDirs(s"$idx/tombs", "gen=").filter(_ <= gen)
-              .foreach(g => wipe(new java.io.File(s"$idx/tombs/gen=$g")))
+              .foreach(g => wipeDir(new java.io.File(s"$idx/tombs/gen=$g")))
             genDirs(s"$idx/tepoch", "epoch=").filter(_ <= tp)
-              .foreach(p => wipe(new java.io.File(s"$idx/tepoch/epoch=$p")))
+              .foreach(p => wipeDir(new java.io.File(s"$idx/tepoch/epoch=$p")))
           }
           spark.range(1)
             .select(lit(gen).as("gen"), lit(op).as("op"),
@@ -1045,15 +1057,21 @@ object StreamOps {
         .coalesce(1)
         .write.mode(if (i == 0) "overwrite" else "append").parquet(delDir)
     drive(delDir, 3, "del")
-    // phase 3: the last arrival slice, then a RE-DELIVERY of half the
-    // deleted ids (same vec_id, same embedding — the at-least-once /
-    // backfill shape): they must stay dead through every fold
+    // phase 3: the last arrival slice (gen 7), then — as its OWN drive,
+    // so the generation order is pinned rather than left to the file
+    // source's mtime sort — a RE-DELIVERY of half the deleted ids
+    // (same vec_id, same embedding — the at-least-once / backfill
+    // shape) as gen 8: it must land AFTER the t7 code fold so the k=3
+    // contract (dead rows physically present in the unfolded
+    // generation) is deterministic
     val addDir2 = s"$idx/src/adds2"
     arriving.filter(pmod(col("vec_id"), lit(40)) === 39)
       .coalesce(1).write.mode("overwrite").parquet(addDir2)
-    base.filter(pmod(col("vec_id"), lit(14)) === 3)
-      .coalesce(1).write.mode("append").parquet(addDir2)
     drive(addDir2, 6, "add")
+    val addDir3 = s"$idx/src/redeliver"
+    base.filter(pmod(col("vec_id"), lit(14)) === 3)
+      .coalesce(1).write.mode("overwrite").parquet(addDir3)
+    drive(addDir3, 7, "add")
 
     // ---- final state ------------------------------------------------
     val codes = codeParts().map(p => codeCols(spark.read.parquet(p)))
@@ -1069,13 +1087,7 @@ object StreamOps {
       .join(deletes, Seq("vec_id"), "left_anti")
       .distinct() // redelivered survivors would be exact duplicates;
                   // none survive (redelivery ⊆ deletes), belt only
-    val same = living.select(col("vec_id"), col("cell_id").as("c_s"),
-        col("codes").as("k_s"))
-      .join(oneShot.select(col("vec_id"), col("cell_id").as("c_b"),
-        col("codes").as("k_b")), Seq("vec_id"), "full")
-      .agg((count(when(col("c_s").isNull || col("c_b").isNull ||
-        col("c_s") =!= col("c_b") || col("k_s") =!= col("k_b"), 1)) === 0)
-        .as("lifecycle_invisible"))
+    val same = sameCodeRows(living, oneShot, "lifecycle_invisible")
     // physical-presence control: the stored codes must still CARRY the
     // dead re-delivered rows (they arrived after the last code fold, so
     // only a bug — e.g. tombstones applied to unfolded generations, or
@@ -1364,11 +1376,7 @@ object StreamOps {
     // same process (scratch paths are per-sfDir): the pointer is
     // log-derived, and a stale fired entry would hand generation 1 the
     // previous run's retrained model
-    def wipe(f: java.io.File): Unit = {
-      Option(f.listFiles()).toSeq.flatten.foreach(wipe)
-      f.delete(); ()
-    }
-    wipe(new java.io.File(s"$idx/log"))
+    wipeDir(new java.io.File(s"$idx/log"))
 
     // phase 1: two clean micro-batches — explicit one-file writes (the
     // q78 discipline: the trigger count is a contract, so the file
@@ -1473,9 +1481,9 @@ object StreamOps {
     * Delivery harness (the q78 exactness discipline — one file per
     * micro-batch, deterministic contracts): gen 1 clean (quiet), gen 2
     * drifted (fires, requests), gens 3-4 clean ("gap" phase — the
-    * retrain thread is GATED on gen 4's arrival, so both provably land
-    * while the retrain is in flight: the stream demonstrably does not
-    * stall), gen 5 post (a fresh-id copy of the merged corpus —
+    * retrain thread is GATED on gen 4's trigger COMPLETING, so both
+    * provably log in-flight while the retrain is open: the stream
+    * demonstrably does not stall), gen 5 post (a fresh-id copy of the merged corpus —
     * switches to the retrained model at trigger start, folds gens 3-4,
     * appends quietly). The gate is delivery scaffolding, not a
     * production semantic: it guarantees the overlap the contract pins,
@@ -1522,12 +1530,6 @@ object StreamOps {
     val mDir = s"$idx/model"
 
     // ---- durable-state accessors (decisions derive ONLY from these) --
-    def genDirs(parent: String, prefix: String): Seq[Long] = {
-      val dir = new java.io.File(parent)
-      Option(dir.listFiles()).toSeq.flatten
-        .flatMap(f => Option(f.getName).filter(_.startsWith(prefix))
-          .map(_.drop(prefix.length).toLong)).sorted
-    }
     def requestGens(): Seq[Long] = genDirs(s"$idx/req", "gen=")
     def retrainDone(g: Long): Boolean =
       new java.io.File(s"$idx/retrain/req=$g/_RETRAIN_DONE").exists()
@@ -1559,10 +1561,25 @@ object StreamOps {
     def launchRetrain(reqGen: Long): Unit = if (launched.add(reqGen)) {
       val t = new Thread(() => {
         try {
-          // delivery gate: hold training until gen 4 has ARRIVED, so
-          // the gap appends provably land during the retrain window
+          // DETACH from the launching trigger's job group: Spark local
+          // properties are inheritable thread-locals, so this thread
+          // starts out carrying the streaming query's group id — and
+          // q.stop() cancels that group, which would kill the
+          // concurrent training's jobs mid-flight (observed as a flaky
+          // SPARK_JOB_CANCELLED when the stream stops while a retrain
+          // is training). The retrain is its own job, not part of any
+          // trigger.
+          spark.sparkContext.clearJobGroup()
+          spark.sparkContext.setJobGroup(s"graft-q86-retrain-$reqGen",
+            "q86 async index retrain", interruptOnCancel = false)
+          // delivery gate: hold training until gen 4's trigger has
+          // fully COMPLETED (its log row is the trigger's LAST write),
+          // so both gap triggers provably compute their inflight flag
+          // while this thread is still open — gating on the arrival
+          // write would leave a window where a fast retrain completes
+          // inside gen 4's own trigger and flips its flag
           // (scaffolding — production launches immediately; see doc)
-          val gate = new java.io.File(s"$idx/arrived/gen=4/_SUCCESS")
+          val gate = new java.io.File(s"$idx/log/gen=4/_SUCCESS")
           val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
           while (!gate.exists()) {
             if (System.nanoTime() > deadline)
@@ -1690,12 +1707,8 @@ object StreamOps {
 
     // wipe durable state from any PRIOR run of this query in the same
     // process (scratch paths are per-sfDir): the pointer is log-derived
-    def wipe(f: java.io.File): Unit = {
-      Option(f.listFiles()).toSeq.flatten.foreach(wipe)
-      f.delete(); ()
-    }
     Seq("log", "req", "retrain", "switch", "arrived", "append")
-      .foreach(d => wipe(new java.io.File(s"$idx/$d")))
+      .foreach(d => wipeDir(new java.io.File(s"$idx/$d")))
 
     // offline build over base: the shared persist-first frozen layout
     LlmOps.buildFrozenIndex(spark, sfDir, base, mDir,
@@ -1711,7 +1724,8 @@ object StreamOps {
     driftSrc.coalesce(1).write.mode("overwrite").parquet(driftDir)
     drive(driftDir, "drift", genOffset = 1)
     // gens 3-4: clean batches landing WHILE the retrain runs (the
-    // thread is gated on gen 4's arrival, so the overlap is structural)
+    // thread is gated on gen 4's trigger completing, so the overlap is
+    // structural)
     val gapDir = s"$idx/src/gap"
     for ((r, i) <- Seq(18, 28).zipWithIndex)
       clean.filter(pmod(col("vec_id"), lit(30)) === r)
@@ -1740,8 +1754,6 @@ object StreamOps {
 
     // ---- serving state, derived from the same durable records --------
     val (ptr, foldedThrough) = pointer()
-    def codeCols(df: DataFrame): DataFrame =
-      df.select(col("cell_id"), col("vec_id"), col("codes"))
     val folds = genDirs(s"$ptr/fold", "gen=")
     val foldCodes = folds.map(g =>
       codeCols(spark.read.parquet(s"$ptr/fold/gen=$g")))
@@ -1765,13 +1777,7 @@ object StreamOps {
         .unionByName(codeCols(ProductQuantizer.ivfPqEncodeWith(
           raws, "vec_id", "embedding", 8, coarseP, booksP))))
       .getOrElse(codeCols(spark.read.parquet(s"$ptr/codes/gen=0")))
-    val same = serving.select(col("vec_id"), col("cell_id").as("c_s"),
-        col("codes").as("k_s"))
-      .join(oneShot.select(col("vec_id"), col("cell_id").as("c_b"),
-        col("codes").as("k_b")), Seq("vec_id"), "full")
-      .agg((count(when(col("c_s").isNull || col("c_b").isNull ||
-        col("c_s") =!= col("c_b") || col("k_s") =!= col("k_b"), 1)) === 0)
-        .as("same_as_oneshot_fold"))
+    val same = sameCodeRows(serving, oneShot, "same_as_oneshot_fold")
     val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
     val served = ProductQuantizer.ivfPqTopK(
       query, "embedding", 8, coarseP, booksP, serving, "vec_id",

@@ -14,7 +14,8 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * The overlap contract ("appends land DURING the retrain") is
   * structural, not timing-based: the retrain thread is gated on gen 4's
-  * arrival, so it CANNOT complete before both gap batches land — the
+  * trigger completing, so it CANNOT finish before both gap triggers
+  * have logged their inflight flags — the
   * inflight flags are deterministic, the artificially-slowed-retrain
   * shape without a sleep race.
   */
