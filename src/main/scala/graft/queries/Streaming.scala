@@ -434,6 +434,27 @@ object Streaming {
              |  CAST(10 AS BIGINT) AS n_results
              |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
 
+    // q87's fold taken OFF the trigger — the q86 scale argument applied
+    // to maintenance: the trigger only writes a durable fold REQUEST
+    // naming its sealed (immutable) input set; a concurrent job
+    // rewrites, lands a done marker, and the next trigger ADOPTS with
+    // one manifest write. Appends continue throughout (gens {3,4,6,7}
+    // provably land with a fold in flight); 3 requests, 2 in-stream
+    // adoptions + 1 maintenance adoption, final state one epoch.
+    QueryDef(
+      "q89_stream_compact_async",
+      (s, dir) => graft.streaming.StreamOps.streamIndexCompactAsync(s, dir),
+      Some("""SELECT CAST(8 AS BIGINT) AS n_triggers,
+             |  CAST(3 AS BIGINT) AS n_requests,
+             |  CAST(2 AS BIGINT) AS n_adopted_in_stream,
+             |  CAST(4 AS BIGINT) AS n_gens_during_fold,
+             |  true AS final_single_epoch,
+             |  CAST(count(*) AS BIGINT) AS n_index,
+             |  true AS ids_unique,
+             |  true AS fold_invisible,
+             |  CAST(10 AS BIGINT) AS n_results
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
+
     QueryDef(
       "q86_stream_retrain_async",
       (s, dir) => graft.streaming.StreamOps.streamIndexRetrainAsync(s, dir),

@@ -879,6 +879,249 @@ object StreamOps {
         col("n_results"))
   }
 
+  /** [[streamIndexCompact]] with the fold taken OFF the trigger — the
+    * same scale argument q86 makes for retrains, applied to
+    * maintenance: q87's fold reads and rewrites the whole epoch INSIDE
+    * `foreachBatch`, so at 100 TB a fold trigger stalls ingestion for
+    * an O(index) rewrite. Here the trigger only REQUESTS the fold
+    * (durable record naming the SEALED input set: the current epoch +
+    * the generations up to the requesting one — all immutable, so
+    * unlike q86's retrain there are no gap generations to reconcile);
+    * a concurrent thread (detached from the trigger's job group)
+    * performs the rewrite and lands a done marker; the next trigger to
+    * observe the marker ADOPTS it — one manifest write — and sweeps
+    * the superseded directories. Appends continue throughout; serving
+    * reads the old parts until the manifest flips, so the directory
+    * bound is the honest async one: k + (generations landed during the
+    * fold window), window length = fold duration / trigger period.
+    *
+    * Delivery (deterministic schedule, k=3 over 8 triggers in three
+    * phases of 4/3/1 files with a driver-side join between each, so
+    * every ADOPTING trigger runs strictly after the fold it adopts —
+    * never a race against fold duration): the first request fires at
+    * gen 2 with the fold GATED on gen 4's trigger completing (gens 3-4
+    * provably append while the fold runs — the q86 overlap
+    * discipline); gen 5 adopts it and immediately re-requests (the
+    * adopted epoch + gens 3-5 hit the bound again), gated on gen 7
+    * (gens 6-7 in flight); gen 8 adopts that and re-requests with the
+    * gate satisfied by its own log row, so the third fold is adopted
+    * by the driver-side maintenance pass. Contracts (one row, deterministic): 8 triggers;
+    * 3 requests; 2 in-stream adoptions + 1 maintenance adoption;
+    * exactly gens {3,4,6,7} append with a fold in flight; final state
+    * is ONE compacted epoch; serving row-identical to the one-shot
+    * encode; every embedding exactly once; k=10 probe.
+    */
+  def streamIndexCompactAsync(
+      spark: SparkSession, sfDir: String,
+      k: Int = 3, slices: Int = 8): DataFrame = {
+    import graft.operators.ProductQuantizer
+    import graft.queries.LlmOps
+    require(k >= 2, "k < 2 cannot hold an epoch plus one live generation")
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
+    val merged = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val base = merged.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+    val arriving = merged.filter(pmod(col("vec_id"), lit(10)) === 9)
+    val idx = graft.RunPaths.scratch(
+      s"graft_q89_index_${graft.RunPaths.keyFor(sfDir)}_${k}_$slices")
+    Seq("codes", "compact", "manifest", "freq", "log")
+      .foreach(d => wipeDir(new java.io.File(s"$idx/$d")))
+    val (coarseF, booksF) = LlmOps.buildFrozenIndex(spark, sfDir, base, idx,
+      "q89 frozen coarse-centroid table", withOccupancy = false)
+
+    // ---- durable state ------------------------------------------------
+    // manifest/epoch=E: (epoch, folded_through) — adopted folds, max wins
+    // freq/req=N: (req_gen, epoch_at_req, folded_from) — a fold request
+    //   naming its sealed inputs; compact/epoch=E+1 + _FOLD_DONE is the
+    //   thread's output; adoption = the manifest write
+    def manifest(): (Long, Long) = genDirs(s"$idx/manifest", "epoch=")
+      .maxOption.map(ep =>
+        (ep, spark.read.parquet(s"$idx/manifest/epoch=$ep")
+          .select(col("folded_through")).collect()(0).getLong(0)))
+      .getOrElse((0L, 0L))
+    def epochDir(ep: Long): String =
+      if (ep == 0L) s"$idx/codes/gen=0" else s"$idx/compact/epoch=$ep"
+    def servingParts(): Seq[String] = {
+      val (ep, f) = manifest()
+      epochDir(ep) +: genDirs(s"$idx/codes", "gen=").filter(_ > f)
+        .map(g => s"$idx/codes/gen=$g")
+    }
+    def requests(): Seq[Long] = genDirs(s"$idx/freq", "req=")
+    def foldDone(req: Long): Boolean =
+      new java.io.File(s"$idx/freq/req=$req/_FOLD_DONE").exists()
+
+    val threads = new java.util.concurrent.CopyOnWriteArrayList[Thread]()
+    @volatile var foldError: Option[Throwable] = None
+    val launched = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def launchFold(reqGen: Long, epochAtReq: Long, foldedFrom: Long): Unit =
+      if (launched.add(reqGen)) {
+        val t = new Thread(() => {
+          try {
+            // detach from the trigger's inherited job group (see q86:
+            // query stop would cancel this thread's jobs otherwise)
+            spark.sparkContext.clearJobGroup()
+            spark.sparkContext.setJobGroup(s"graft-q89-fold-$reqGen",
+              "q89 async index fold", interruptOnCancel = false)
+            // overlap gate (delivery scaffolding, the q86 discipline):
+            // hold the rewrite until the trigger two generations past
+            // the request has fully completed, so those appends
+            // provably land with the fold in flight
+            val gateGen = math.min(reqGen + 2, slices.toLong)
+            val gate = new java.io.File(s"$idx/log/gen=$gateGen/_SUCCESS")
+            val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+            while (!gate.exists()) {
+              if (System.nanoTime() > deadline)
+                throw new IllegalStateException(
+                  s"q89 fold gate timed out waiting for gen $gateGen")
+              Thread.sleep(100)
+            }
+            // the SEALED input set: the epoch at request time + the
+            // generations the request covered — all immutable, so the
+            // rewrite needs no coordination with ongoing appends
+            val inputs = epochDir(epochAtReq) +:
+              genDirs(s"$idx/codes", "gen=")
+                .filter(g => g > foldedFrom && g <= reqGen)
+                .map(g => s"$idx/codes/gen=$g")
+            inputs.map(p => codeCols(spark.read.parquet(p)))
+              .reduce(_.unionByName(_))
+              .repartition(col("cell_id"))
+              .write.mode("overwrite")
+              .parquet(s"$idx/compact/epoch=${epochAtReq + 1}")
+            val ok = new java.io.File(s"$idx/freq/req=$reqGen/_FOLD_DONE")
+            ok.createNewFile()
+            ()
+          } catch {
+            case ex: Throwable => foldError = foldError.orElse(Some(ex))
+          }
+        }, s"graft-q89-fold-$reqGen")
+        t.setDaemon(true)
+        threads.add(t)
+        t.start()
+      }
+    def joinFolds(): Unit = {
+      threads.forEach { t =>
+        t.join(600000)
+        if (t.isAlive)
+          throw new IllegalStateException(
+            s"q89 fold thread ${t.getName} still running after 10 min")
+      }
+      foldError.foreach(ex => throw ex)
+    }
+    // adoption: one manifest write + sweep, idempotent, runnable from a
+    // trigger or the driver-side maintenance pass
+    def adoptIfReady(): Boolean = {
+      val (ep, f) = manifest()
+      val ready = requests().filter(r => r > f && foldDone(r))
+      ready.maxOption.foreach { r =>
+        spark.range(1)
+          .select(lit(ep + 1).as("epoch"), lit(r).as("folded_through"))
+          .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${ep + 1}")
+        genDirs(s"$idx/codes", "gen=").filter(_ <= r)
+          .foreach(g => wipeDir(new java.io.File(s"$idx/codes/gen=$g")))
+        genDirs(s"$idx/compact", "epoch=").filter(_ <= ep)
+          .foreach(p => wipeDir(new java.io.File(s"$idx/compact/epoch=$p")))
+      }
+      ready.nonEmpty
+    }
+
+    val splitDir = s"$idx/src/arrivals"
+    for (i <- 0 until slices)
+      arriving.filter(pmod(col("vec_id"), lit(10L * slices)) === 9 + 10 * i)
+        .coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(splitDir)
+    // three phases (4, 3, 1 files) with a driver join between each:
+    // every ADOPTING trigger (the first of a phase) runs strictly after
+    // the fold it adopts has landed, so the adoption schedule is
+    // deterministic rather than a race against fold duration
+    val phaseSizes = Seq(slices / 2, slices / 2 - 1, 1)
+    val phaseDirs = phaseSizes.indices.map(i => s"$idx/src/phase_$i")
+    val files = Option(new java.io.File(splitDir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val phaseOffsets = phaseSizes.scanLeft(0)(_ + _)
+    phaseDirs.zipWithIndex.foreach { case (d, pi) =>
+      wipeDir(new java.io.File(d))
+      new java.io.File(d).mkdirs()
+      files.slice(phaseOffsets(pi), phaseOffsets(pi + 1)).foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(d, f.getName))
+      }
+    }
+
+    def drive(srcDir: String, genOffset: Int): Unit = {
+      val schema = spark.read.parquet(splitDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val gen = genOffset + id + 1
+          ProductQuantizer.ivfPqEncodeWith(
+              batch, "vec_id", "embedding", 8, coarseF, booksF)
+            .write.mode("overwrite").parquet(s"$idx/codes/gen=$gen")
+          val adopted = adoptIfReady()
+          val parts = servingParts()
+          val (ep, f) = manifest()
+          val pending = requests().exists(r => r > f)
+          val requested = parts.length >= k && !pending
+          if (requested) {
+            spark.range(1)
+              .select(lit(gen).as("req_gen"), lit(ep).as("epoch_at_req"),
+                lit(f).as("folded_from"))
+              .write.mode("overwrite").parquet(s"$idx/freq/req=$gen")
+            launchFold(gen, ep, f)
+          }
+          spark.range(1)
+            .select(lit(gen).as("gen"),
+              lit(parts.length.toLong).as("parts"),
+              lit(adopted).as("adopted"),
+              lit(requested).as("requested"),
+              lit(pending && !requested).as("fold_inflight"))
+            .write.mode("overwrite").parquet(s"$idx/log/gen=$gen")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    phaseDirs.zipWithIndex.foreach { case (d, pi) =>
+      drive(d, phaseOffsets(pi))
+      // the join makes each phase's pending fold land before the NEXT
+      // phase's first (adopting) trigger — sequencing scaffolding only;
+      // the stream itself never waited (the inflight flags prove it)
+      joinFolds()
+    }
+    // maintenance: adopt whatever completed after the last trigger
+    adoptIfReady()
+
+    val serving = servingParts()
+      .map(p => codeCols(spark.read.parquet(p)))
+      .reduce(_.unionByName(_))
+    val oneShot = codeCols(ProductQuantizer.ivfPqEncodeWith(
+        base.unionByName(spark.read.parquet(splitDir)),
+        "vec_id", "embedding", 8, coarseF, booksF))
+    val same = sameCodeRows(serving, oneShot, "fold_invisible")
+    val served = ProductQuantizer.ivfPqTopK(
+      query, "embedding", 8, coarseF, booksF, serving, "vec_id",
+      nProbe = 4, k = 10)
+    val finalParts = servingParts().length.toLong
+    val log = spark.read.parquet(s"$idx/log")
+    log.agg(
+        count(lit(1)).as("n_triggers"),
+        count(when(col("requested"), 1)).as("n_requests"),
+        count(when(col("adopted"), 1)).as("n_adopted_in_stream"),
+        count(when(col("fold_inflight"), 1)).as("n_gens_during_fold"),
+        (lit(finalParts) === 1).as("final_single_epoch"))
+      .crossJoin(serving.agg(count(lit(1)).as("n_index"),
+        (count(lit(1)) === countDistinct(col("vec_id"))).as("ids_unique")))
+      .crossJoin(same)
+      .crossJoin(served.agg(count(lit(1)).as("n_results")))
+      .select(col("n_triggers"), col("n_requests"),
+        col("n_adopted_in_stream"), col("n_gens_during_fold"),
+        col("final_single_epoch"), col("n_index"), col("ids_unique"),
+        col("fold_invisible"), col("n_results"))
+  }
+
   /** The FULL streamed index lifecycle with BOTH creep families
     * bounded — q69 (streamed appends), q75 (streamed tombstones), and
     * q87 (in-loop compaction) composed: micro-batches carry adds AND

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Async in-loop compaction (q89): the fold runs OFF the trigger — a
+  * durable request over a sealed input set, a concurrent rewrite, a
+  * one-write adoption. The row carries the contracts; this spec names
+  * them and checks the final physical state on disk.
+  */
+class StreamCompactAsyncSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def dirCount(idx: String, sub: String, prefix: String): Int =
+    Option(new java.io.File(s"$idx/$sub").listFiles()).toSeq.flatten
+      .count(_.getName.startsWith(prefix))
+
+  test("folds run concurrently with appends and are adopted by later " +
+      "triggers; the rewrite is invisible to queries") {
+    val row = StreamOps.streamIndexCompactAsync(spark, sf).collect()(0)
+    val n = graft.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") =!= 0).count()
+    assert(row.getLong(0) == 8, "8 triggers")
+    assert(row.getLong(1) == 3, "fold requests at gens 2, 5, 8")
+    assert(row.getLong(2) == 2,
+      "gens 5 and 8 adopt the previous fold IN-stream (one manifest " +
+        "write each); the third lands in the maintenance pass")
+    assert(row.getLong(3) == 4,
+      "gens 3,4 (first fold) and 6,7 (second) must append while a " +
+        "fold is IN FLIGHT — the trigger never waits for the rewrite")
+    assert(row.getBoolean(4), "maintenance leaves exactly one epoch")
+    assert(row.getLong(5) == n, "serving covers every embedding once")
+    assert(row.getBoolean(6), "no id served twice")
+    assert(row.getBoolean(7),
+      "the async rewrite + adoption must be row-identical to a " +
+        "one-shot encode — sealed immutable inputs make this exact")
+    assert(row.getLong(8) == 10)
+    val idx = graft.RunPaths.scratch(
+      s"graft_q89_index_${graft.RunPaths.keyFor(sf)}_3_8")
+    assert(dirCount(idx, "codes", "gen=") == 0 &&
+      dirCount(idx, "compact", "epoch=") == 1,
+      "exactly one compacted epoch remains on disk")
+  }
+}
