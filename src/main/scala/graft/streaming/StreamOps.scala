@@ -1062,6 +1062,15 @@ object StreamOps {
           val adopted = adoptIfReady()
           val parts = servingParts()
           val (ep, f) = manifest()
+          // restart recovery (the q86 discipline): a pending fold whose
+          // thread died with a previous driver re-arms from its durable
+          // request record; `launched` dedupes healthy triggers to a
+          // no-op
+          requests().filter(r => r > f && !foldDone(r)).foreach { r =>
+            val rec = spark.read.parquet(s"$idx/freq/req=$r")
+              .select(col("epoch_at_req"), col("folded_from")).collect()(0)
+            launchFold(r, rec.getLong(0), rec.getLong(1))
+          }
           val pending = requests().exists(r => r > f)
           val requested = parts.length >= k && !pending
           if (requested) {
@@ -1928,6 +1937,13 @@ object StreamOps {
           //    thread); coalesce if an earlier request is still open
           val pendingBefore = requestGens()
             .filterNot(switches().map(_._1).toSet).filter(_ < gen)
+          // restart recovery, not just documentation: a pending request
+          // whose thread died with a previous driver re-arms here (the
+          // in-JVM `launched` set dedupes the common case where the
+          // thread is alive, so this is a no-op on every healthy
+          // trigger and a re-launch exactly when durable state says a
+          // request exists with no done marker)
+          pendingBefore.filterNot(retrainDone).foreach(launchRetrain)
           val requested = fired && pendingBefore.isEmpty
           if (requested) {
             spark.range(1).select(lit(gen).as("gen"))
