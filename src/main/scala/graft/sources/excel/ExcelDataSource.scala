@@ -529,15 +529,26 @@ object ExcelScan {
     while (it.hasNext) {
       val e = it.next()
       val k = e.getKey
-      // same version = cheap stamp equal AND, when BOTH sides carry a
-      // content hash, the hashes equal too. A hashed and an unhashed
-      // stamp of one live version are not rivals (mode alternation
-      // must not churn re-spills); two hashed stamps with different
-      // hashes are exactly the in-place rewrite the hash detects.
+      // same version = cheap stamp equal AND the hash evidence does
+      // not contradict it. Asymmetric on purpose:
+      //   - two hashed stamps with different hashes ARE rivals — the
+      //     in-place rewrite the hash exists to detect;
+      //   - a hashed CURRENT condemns an UNHASHED cached entry: the
+      //     hashed reader has strictly better information, and the
+      //     unhashed spill cannot be verified against the content it
+      //     just observed — keeping it would let an in-place rewrite
+      //     serve stale unhashed reads FOREVER once a hashed scan has
+      //     already seen the new bytes;
+      //   - an unhashed CURRENT does NOT condemn a hashed cached
+      //     entry: it carries less information, and the hashed entry
+      //     can only ever serve plans whose stamp matches its hash.
+      // The residual churn (alternating modes on an UNCHANGED file
+      // re-spills the unhashed entry after each hashed scan) is the
+      // price of never serving known-stale rows.
       val sameVersion = k._2 == current._1 && k._3 == current._2 &&
         stampBaseKey(k._4) == stampBaseKey(current._3) &&
-        (!stampHasHash(k._4) || !stampHasHash(current._3) ||
-          k._4 == current._3)
+        (!stampHasHash(current._3) ||
+          (stampHasHash(k._4) && k._4 == current._3))
       if (k._1 == abs && k._5 == sel && !sameVersion &&
           condemnedKeys.add(k))
         condemned.add((k, e.getValue, System.nanoTime()))
@@ -641,9 +652,16 @@ final class ExcelReaderFactory extends PartitionReaderFactory {
             // planned version the chunks came from. The iterator is
             // already constructed (it holds an open workbook handle),
             // so a failing check must close it — nothing downstream
-            // ever receives it to close
+            // ever receives it to close. The close itself may fail on
+            // the same replaced file; that error rides as suppressed,
+            // never masking the version-mismatch signal
             try verifyPlannedVersion()
-            catch { case t: Throwable => r.close(); throw t }
+            catch {
+              case t: Throwable =>
+                try r.close()
+                catch { case c: Throwable => t.addSuppressed(c) }
+                throw t
+            }
             r
           }
         }

@@ -911,12 +911,17 @@ object StreamOps {
     * is ONE compacted epoch; serving row-identical to the one-shot
     * encode; every embedding exactly once; k=10 probe.
     */
-  def streamIndexCompactAsync(
-      spark: SparkSession, sfDir: String,
-      k: Int = 3, slices: Int = 8): DataFrame = {
+  def streamIndexCompactAsync(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.ProductQuantizer
     import graft.queries.LlmOps
-    require(k >= 2, "k < 2 cannot hold an epoch plus one live generation")
+    // the DELIVERY HARNESS (3-phase split, per-request gate gens,
+    // request/adoption schedule) is derived for exactly this shape —
+    // the deterministic contracts above are a hand-traced consequence
+    // of it. The MECHANISM (request/rewrite/adopt) is shape-free; the
+    // bound-at-any-k behavior is q87's, spec-tested there at k=2.
+    // Generalize the phase derivation before parameterizing this one.
+    val k = 3
+    val slices = 8
     val e = graft.Tables.load(spark, sfDir, "embeddings")
     val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
     val merged = e.filter(col("vec_id") =!= 0)
@@ -1066,11 +1071,16 @@ object StreamOps {
           // thread died with a previous driver re-arms from its durable
           // request record; `launched` dedupes healthy triggers to a
           // no-op
-          requests().filter(r => r > f && !foldDone(r)).foreach { r =>
-            val rec = spark.read.parquet(s"$idx/freq/req=$r")
-              .select(col("epoch_at_req"), col("folded_from")).collect()(0)
-            launchFold(r, rec.getLong(0), rec.getLong(1))
-          }
+          // the launched-set guard keeps the record read off healthy
+          // triggers — it pays only when durable state says a request
+          // exists that THIS driver never launched
+          requests().filter(r =>
+              r > f && !foldDone(r) && !launched.contains(r))
+            .foreach { r =>
+              val rec = spark.read.parquet(s"$idx/freq/req=$r")
+                .select(col("epoch_at_req"), col("folded_from")).collect()(0)
+              launchFold(r, rec.getLong(0), rec.getLong(1))
+            }
           val pending = requests().exists(r => r > f)
           val requested = parts.length >= k && !pending
           if (requested) {
@@ -1761,7 +1771,14 @@ object StreamOps {
     */
   def streamIndexRetrainAsync(
       spark: SparkSession, sfDir: String,
-      postShifted: Boolean = false): DataFrame = {
+      postShifted: Boolean = false,
+      dieAfterRequest: Boolean = false): DataFrame = {
+    // dieAfterRequest (spec-only): simulate the driver dying in the
+    // exact window restart recovery exists for — AFTER the durable
+    // request record lands, BEFORE the retrain thread starts. The
+    // firing trigger then launches nothing; the NEXT trigger's re-arm
+    // must observe the pending record and launch from durable state,
+    // and every contract must come out identical to the healthy run.
     import graft.operators.{IndexDrift, ProductQuantizer}
     import graft.queries.LlmOps
     val e = graft.Tables.load(spark, sfDir, "embeddings")
@@ -1948,7 +1965,9 @@ object StreamOps {
           if (requested) {
             spark.range(1).select(lit(gen).as("gen"))
               .write.mode("overwrite").parquet(s"$idx/req/gen=$gen")
-            launchRetrain(gen)
+            // the simulated death skips the launch for the drifted
+            // trigger's request (gen 2) — recovery picks it up above
+            if (!(dieAfterRequest && gen == 2)) launchRetrain(gen)
           }
           // 6. durable per-generation log row
           spark.range(1)

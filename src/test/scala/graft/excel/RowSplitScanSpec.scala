@@ -492,26 +492,38 @@ class RowSplitScanSpec extends AnyFunSuite {
         .option("contentStamp", contentStamp.toString)
         .load(path.toString)
         .collect().map(_.getString(0)).toSeq
-    assert(readAll(contentStamp = false) ==
-      (1 to 3000).map(i => s"aaa_$i"), "baseline read")
-    // in-place rewrite: same inode, same length, mtime forced back
-    val out = new java.io.FileOutputStream(path.toFile)
-    try out.write(bytesB) finally out.close()
-    assert(path.toFile.setLastModified(mtime))
-    // the cheap stamp CANNOT see this rewrite — the cached chunks of
-    // the old content serve (the documented window, pinned here so the
-    // option's value is demonstrated, not asserted)
-    assert(readAll(contentStamp = false) ==
-      (1 to 3000).map(i => s"aaa_$i"),
-      "without contentStamp the equal-stamp rewrite is undetectable " +
-        "by construction — cached chunks serve")
-    // the content hash sees it: fresh spill, new rows
-    assert(readAll(contentStamp = true) ==
-      (1 to 3000).map(i => s"bbb_$i"),
-      "contentStamp must detect the in-place rewrite")
-    // and the hashed key caches normally (second read, same content)
-    assert(readAll(contentStamp = true) ==
-      (1 to 3000).map(i => s"bbb_$i"))
+    withGraceMs(250) {
+      assert(readAll(contentStamp = false) ==
+        (1 to 3000).map(i => s"aaa_$i"), "baseline read")
+      // in-place rewrite: same inode, same length, mtime forced back
+      val out = new java.io.FileOutputStream(path.toFile)
+      try out.write(bytesB) finally out.close()
+      assert(path.toFile.setLastModified(mtime))
+      // the cheap stamp CANNOT see this rewrite — the cached chunks of
+      // the old content serve (the documented window, pinned here so
+      // the option's value is demonstrated, not asserted)
+      assert(readAll(contentStamp = false) ==
+        (1 to 3000).map(i => s"aaa_$i"),
+        "without contentStamp the equal-stamp rewrite is undetectable " +
+          "by construction — cached chunks serve")
+      // the content hash sees it: fresh spill, new rows
+      assert(readAll(contentStamp = true) ==
+        (1 to 3000).map(i => s"bbb_$i"),
+        "contentStamp must detect the in-place rewrite")
+      // and the hashed key caches normally (second read, same content)
+      assert(readAll(contentStamp = true) ==
+        (1 to 3000).map(i => s"bbb_$i"))
+      // REPAIR semantics: the hashed scan, having observed the new
+      // bytes, condemned the stale unhashed spill — once the grace
+      // elapses, even cheap-stamp reads stop serving the old content
+      // (without this, one in-place rewrite would poison unhashed
+      // reads forever)
+      Thread.sleep(400)
+      assert(readAll(contentStamp = false) ==
+        (1 to 3000).map(i => s"bbb_$i"),
+        "a hashed scan's observation must repair the unhashed cache " +
+          "after the grace window")
+    }
   }
 
   test("split-scan PLANNING does not inflate or spill sheets — the " +

@@ -57,6 +57,32 @@ class StreamRetrainAsyncSpec extends AnyFunSuite {
     assert(row.getLong(9) == 10)
   }
 
+  test("restart recovery: a request whose launcher died before starting " +
+      "the thread is re-armed from durable state by the next trigger — " +
+      "every contract identical to the healthy run") {
+    // dieAfterRequest simulates the exact window recovery exists for:
+    // the durable request record landed, the thread never started (a
+    // driver death between the two). Gen 3's re-arm must launch from
+    // the record alone; nothing downstream may be able to tell.
+    val row = StreamOps
+      .streamIndexRetrainAsync(spark, sf, dieAfterRequest = true)
+      .collect()(0)
+    val n = graft.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") =!= 0).count()
+    assert(row.getLong(0) == 5)
+    assert(row.getBoolean(1), "clean and gap batches quiet")
+    assert(row.getBoolean(2), "the drifted batch fires exactly once")
+    assert(row.getBoolean(3),
+      "the re-armed retrain still overlaps both gap batches")
+    assert(row.getBoolean(4), "the post batch runs on the retrained pointer")
+    assert(row.getBoolean(5), "post quiet")
+    assert(row.getLong(6) == 2 * n)
+    assert(row.getBoolean(7))
+    assert(row.getBoolean(8),
+      "recovery must be invisible to serving — row-identical one-shot")
+    assert(row.getLong(9) == 10)
+  }
+
   test("the loop stays ARMED after the handoff: a re-drifted post batch " +
       "fires a SECOND request against the retrained model; the " +
       "maintenance switch adopts it, coverage stays exact") {
