@@ -69,8 +69,14 @@ object Bench {
     // or LinkageError leaves the JVM untrustworthy, and timings taken
     // in a corrupted JVM are worse than an aborted run.
     if (set.exists(q => q.name == "q68_ann_serve" || q.name == "q68_ann_append" ||
-        q.name == "q84_quiet_trigger"))
-      try graft.queries.LlmOps.ensureAnnServeIndex(spark, sfDir)
+        q.name == "q84_quiet_trigger" || q.name == "q89_adopt_trigger"))
+      try {
+        graft.queries.LlmOps.ensureAnnServeIndex(spark, sfDir)
+        // adoption-template fixture (on top of the shared index) so
+        // q89_adopt_trigger times only the adoption, never the encode
+        if (set.exists(_.name == "q89_adopt_trigger"))
+          graft.queries.LlmOps.ensureAdoptFixture(spark, sfDir)
+      }
       catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(

@@ -38,6 +38,16 @@ object GraftSession {
       // SQL scripting (BEGIN...END, DECLARE, WHILE — Spark 4): a parse
       // capability gate only; non-script statements are unaffected
       .config("spark.sql.scripting.enabled", "true")
+      // FAIR scheduling so in-process maintenance (async retrains /
+      // compaction folds — streaming.Handoff workers run in a
+      // "graft-maintenance" pool) fair-shares cores with serving
+      // triggers instead of queueing its multi-minute jobs behind (or
+      // ahead of) per-second trigger jobs in one FIFO. With a single
+      // active pool this degenerates to that pool's internal FIFO, so
+      // plain batch queries schedule exactly as before; no allocation
+      // file is needed (ad hoc pools get weight 1 / minShare 0, which
+      // is the 50/50 share the isolation wants).
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       // Long-lived-driver hygiene (BENCH_r10 finding): Spark frees
       // broadcast/RDD/shuffle blocks via ContextCleaner, which only

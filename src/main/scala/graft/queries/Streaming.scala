@@ -412,6 +412,39 @@ object Streaming {
              |  CAST(10 AS BIGINT) AS n_results
              |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
 
+    // q88 with the tombstone HORIZON PURGE made real (the one
+    // unbounded artifact capped): at tombstone-fold time an id is
+    // dropped iff its delete landed at-or-before the delivery
+    // watermark AND no serving code part still physically carries its
+    // rows. Both sides proven in-stream: a re-delivery of a
+    // still-tombstoned id stays dead; a re-delivery of a PURGED id
+    // resurfaces (the documented at-your-own-risk price of the bound).
+    QueryDef(
+      "q91_stream_tomb_purge",
+      (s, dir) => graft.streaming.StreamOps.streamIndexLifecyclePurge(s, dir),
+      Some("""SELECT CAST(8 AS BIGINT) AS n_triggers,
+             |  CAST(2 AS BIGINT) AS code_folds,
+             |  CAST(1 AS BIGINT) AS tomb_folds,
+             |  true AS both_bounded,
+             |  CAST(count(CASE WHEN vec_id % 10 <> 9
+             |                  AND vec_id % 21 IN (3, 10) THEN 1 END)
+             |    AS BIGINT) AS n_purged,
+             |  CAST(count(CASE WHEN vec_id % 10 <> 9
+             |                  AND vec_id % 21 = 17 THEN 1 END)
+             |    AS BIGINT) AS tomb_epoch_rows,
+             |  CAST(count(CASE WHEN vec_id % 10 = 9 OR vec_id % 7 <> 3
+             |                  THEN 1 END) +
+             |       count(CASE WHEN vec_id % 10 <> 9
+             |                  AND vec_id % 42 = 3 THEN 1 END)
+             |    AS BIGINT) AS n_live,
+             |  true AS ids_unique,
+             |  true AS lifecycle_invisible,
+             |  true AS inside_horizon_redelivery_dead,
+             |  true AS purged_redelivery_resurfaces,
+             |  true AS raw_carries_redelivered,
+             |  CAST(10 AS BIGINT) AS n_results
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
+
     // Streaming appends with a BOUNDED generation count: q69-style
     // per-trigger generations, but whenever the serving-directory count
     // reaches k (= 3) the trigger folds epoch + live generations into
@@ -452,6 +485,38 @@ object Streaming {
              |  CAST(count(*) AS BIGINT) AS n_index,
              |  true AS ids_unique,
              |  true AS fold_invisible,
+             |  CAST(10 AS BIGINT) AS n_results
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
+
+    // q86 with the GAP FOLD itself off the trigger (the r12 lead
+    // finding): the switching trigger no longer re-encodes the gap
+    // inline — it writes a durable FOLD request over the sealed range,
+    // a concurrent worker re-encodes under the new model, and a later
+    // trigger adopts fold+pointer with ONE switch write; serving stays
+    // on the old pointer (internally consistent) until adoption.
+    // Every synchronous trigger cost is O(batch); training AND gap
+    // folding both run concurrently. 8 triggers; 2 fold requests; gen
+    // 6 appends while fold #1 runs; no pre-adoption trigger serves the
+    // retrained pointer; 1 in-stream adoption; serving row-identical
+    // to the one-shot re-encode.
+    QueryDef(
+      "q90_stream_retrain_fold",
+      (s, dir) => graft.streaming.StreamOps.streamIndexRetrainFoldAsync(s, dir),
+      Some("""SELECT CAST(8 AS BIGINT) AS n_triggers,
+             |  true AS clean_quiet,
+             |  true AS drift_fires_once,
+             |  true AS gaps_inflight,
+             |  CAST(2 AS BIGINT) AS n_fold_requests,
+             |  CAST(1 AS BIGINT) AS n_gens_during_fold,
+             |  true AS old_pointer_until_adopted,
+             |  CAST(1 AS BIGINT) AS n_adopted_in_stream,
+             |  true AS post_on_retrained,
+             |  true AS post_quiet,
+             |  CAST(2 * count(*) +
+             |    3 * count(CASE WHEN vec_id % 10 = 8 THEN 1 END) AS BIGINT)
+             |    AS n_index,
+             |  true AS ids_unique,
+             |  true AS same_as_oneshot_fold,
              |  CAST(10 AS BIGINT) AS n_results
              |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
 

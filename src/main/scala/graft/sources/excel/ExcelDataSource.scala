@@ -348,7 +348,12 @@ object ExcelScan {
       else if (now - polled._3 >= graceNanos) {
         val (key, chunks, _) = polled
         deleteChunkSet(chunks)
-        chunkCache.remove(key)
+        // conditional remove: drop the entry only if it still maps to
+        // the condemned chunk set — a hashed scan may have re-populated
+        // the same unhashed key with FRESH verified chunks (the
+        // alternation double-key), and an unconditional remove would
+        // evict that live entry along with the dead files
+        chunkCache.remove(key, chunks)
         condemnedKeys.remove(key)
         val lockKey = (key._1, key._5, key._6)
         val liveLeft = chunkCache.keySet().iterator().asScala.exists(k =>
@@ -384,15 +389,55 @@ object ExcelScan {
       try String.valueOf(java.nio.file.Files.readAttributes(
         f.toPath, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
       catch { case _: Throwable => "" }
-    // a vanished/unreadable file degrades the hash like fileKey does
-    // (empty) instead of throwing: the cheap stamp returns (0, 0, "")
-    // for a missing file, and the hashed stamp must keep both the
-    // grace-window cache-hit path and the loud "changed while a split
-    // scan" mismatch working the same way
+    // a vanished/unreadable file must not make the hashed stamp THROW
+    // (the cheap stamp returns (0, 0, "") for a missing file, and both
+    // the grace-window cache-hit path and the loud "changed while a
+    // split scan" mismatch must keep working) — but it must not degrade
+    // to a COMPARABLE value either: an empty hash on both sides of a
+    // comparison (two I/O failures, a permissions regression) would
+    // compare EQUAL and silently disable the in-place-rewrite detection
+    // the option promises while cached chunks keep serving. A failed
+    // CRC therefore stamps a per-call UNVERIFIABLE sentinel: it never
+    // equals any other stamp (including another failure's), so the
+    // consumer is forced onto its safe path — re-spill on an ad hoc
+    // read, the loud version-mismatch error on a planned split scan.
     val key =
       if (!contentHash) fileKey
-      else s"$fileKey:h=${try contentCrc(f) catch { case _: Throwable => "" }}"
+      else s"$fileKey:h=${
+        try contentCrc(f)
+        catch {
+          case _: Throwable =>
+            if (crcDegradedLogged.compareAndSet(false, true))
+              System.err.println(
+                s"[graft-excel] contentStamp CRC unreadable for $f — " +
+                  "treating the stamp as unverifiable (never-equal); " +
+                  "split scans against this version will fail loudly " +
+                  "rather than risk serving a stale spill")
+            s"$unverifiablePrefix${unverifiableSeq.incrementAndGet()}"
+        }
+      }"
     (f.length(), f.lastModified(), key)
+  }
+
+  // CRC-degradation plumbing: the sentinel makes failure states
+  // never-equal instead of silently-equal; the flag logs the first
+  // degradation so an operator learns detection is compromised
+  private val unverifiablePrefix = "unverifiable-"
+  private val unverifiableSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val crcDegradedLogged =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Whether a stamp carries a REAL (verifiable) content hash — true
+    * only when hashing was requested AND the CRC read succeeded. The
+    * unverifiable sentinel must not be treated as content evidence
+    * (e.g. must never re-key or double-key a spill).
+    */
+  private[excel] def stampHashVerified(fileKey: String): Boolean = {
+    val i = fileKey.indexOf(":h=")
+    i >= 0 && {
+      val h = fileKey.substring(i + 3)
+      h.nonEmpty && !h.startsWith(unverifiablePrefix)
+    }
   }
 
   /** Whether a stamp (from a plan or a cache key) carries the opt-in
@@ -505,6 +550,31 @@ object ExcelScan {
             wb.spillRowChunks(sheet.target, n, scratch)
           } finally wb.close()
         chunkCache.put(key, chunks)
+        // Alternation-churn relief WITHOUT blessing unverified data: a
+        // hashed scan rightly condemned any unhashed spill of the same
+        // cheap stamp (that spill cannot be verified against the bytes
+        // the hash just observed — re-keying it would let an in-place
+        // rewrite serve stale rows under a key that CLAIMS verified
+        // content). But the chunks spilled HERE were read from exactly
+        // the content the hash covers, so they are valid for unhashed
+        // readers of this version too: publish them under the unhashed
+        // key as well. A contentStamp-alternating workload then pays
+        // one re-spill at the first hashed scan and hits thereafter in
+        // both modes (the unhashed-current path never condemns the
+        // hashed entry, and both keys are condemned together on any
+        // real version change). Only a VERIFIED hash double-keys — an
+        // unverifiable sentinel is not content evidence.
+        if (stampHashVerified(stamp._3)) {
+          val ukey: ChunkKey =
+            (abs, stamp._1, stamp._2, stampBaseKey(stamp._3), sel, n)
+          chunkCache.put(ukey, chunks)
+          // the unhashed key may sit in condemnedKeys from the
+          // condemnation this very scan performed — clear it so a LATER
+          // real version change can condemn the re-populated entry (the
+          // pending queue entry still reaps the OLD files at grace; its
+          // conditional cache-remove skips this fresh mapping)
+          condemnedKeys.remove(ukey)
+        }
         chunks
       }
     }

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** The shared async-maintenance state machine behind every
+  * off-the-trigger job in the streaming index family (q86's retrain,
+  * q89's compaction fold, q90's gap fold):
+  *
+  *   1. durable REQUEST record over immutable inputs
+  *      (`requestRoot/req=N`, overwrite-keyed → at-least-once triggers
+  *      re-write their own record idempotently);
+  *   2. a concurrent WORKER thread, detached from the launching
+  *      trigger's Spark job group (local properties are inheritable
+  *      thread-locals, and `query.stop()` cancels the trigger's group —
+  *      which would kill the maintenance jobs mid-flight) and isolated
+  *      into its own FAIR scheduler pool (so an in-process maintenance
+  *      job shares cores with the appending triggers instead of
+  *      starving them through the default pool's FIFO);
+  *   3. a DONE marker written STRICTLY AFTER every artifact the worker
+  *      produced (persist-first: an observer that sees the marker can
+  *      trust the artifacts);
+  *   4. idempotent one-write ADOPTION by a later trigger (or a
+  *      driver-side maintenance pass) — the adoption write itself stays
+  *      at the call site, because what "adopted" means (a manifest row,
+  *      a switch record) is the caller's durable schema;
+  *   5. restart RE-ARM: a pending request whose worker died with a
+  *      previous driver is re-launchable from its durable record alone
+  *      (`rearm` is a no-op on healthy triggers via the in-JVM
+  *      `launched` set, and pays one record read exactly when durable
+  *      state says a request exists that THIS process never launched).
+  *
+  * Worker failures are captured into an AtomicReference with
+  * compareAndSet, so when two workers fail concurrently the FIRST
+  * cause survives (a lost first error masks the root cause of a
+  * cascade); `joinAll` rethrows it on the driver.
+  *
+  * At 100 TB the worker is typically a separate cluster/job reading the
+  * same durable request records; this in-process shape is the
+  * single-JVM degenerate case of the same protocol — which is why every
+  * decision (request, done, adopt) lives in storage and none in memory.
+  */
+final class Handoff(
+    spark: SparkSession,
+    requestRoot: String,
+    doneMarkerFor: Long => java.io.File,
+    label: String)(work: (Long, Row) => Unit) {
+
+  private val threads =
+    new java.util.concurrent.CopyOnWriteArrayList[Thread]()
+  private val firstError =
+    new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+  private val launched =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
+  /** Request ids present in durable state, sorted. */
+  def requests(): Seq[Long] = StreamOps.genDirs(requestRoot, "req=")
+
+  /** Whether `req`'s worker has landed its done marker. */
+  def isDone(req: Long): Boolean = doneMarkerFor(req).exists()
+
+  /** The durable request record (one row). Workers and re-armed
+    * launches read THIS, never in-memory arguments — the record is the
+    * unit of restart recovery.
+    */
+  def record(req: Long): Row =
+    spark.read.parquet(s"$requestRoot/req=$req").collect()(0)
+
+  /** Durable request record only — the crash-window half of [[submit]],
+    * exposed so recovery paths can be exercised (a driver that dies
+    * after the record lands but before the thread starts leaves exactly
+    * this state; `rearm` must complete it).
+    */
+  def submitRecord(req: Long, recordDf: DataFrame): Unit = {
+    recordDf.write.mode("overwrite").parquet(s"$requestRoot/req=$req")
+    ()
+  }
+
+  /** Request + launch: the normal fired-trigger path. */
+  def submit(req: Long, recordDf: DataFrame): Unit = {
+    submitRecord(req, recordDf)
+    launch(req)
+  }
+
+  /** Start `req`'s worker thread if this JVM has not already (the
+    * `launched` set makes a replayed trigger's re-launch a no-op — a
+    * second live thread would race the first's writes to the same
+    * artifact directory).
+    */
+  def launch(req: Long): Unit = if (launched.add(req)) {
+    val t = new Thread(() => {
+      try {
+        // detach from the launching trigger's inherited job group
+        // (query stop would cancel this thread's jobs otherwise), then
+        // claim a named group and the maintenance pool: with
+        // spark.scheduler.mode=FAIR the pool fair-shares cores against
+        // the triggers' default pool instead of queueing behind them
+        spark.sparkContext.clearJobGroup()
+        spark.sparkContext.setJobGroup(s"$label-$req", label,
+          interruptOnCancel = false)
+        val pool = System.getProperty("graft.handoff.pool",
+          "graft-maintenance")
+        if (pool.nonEmpty)
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+        work(req, record(req))
+        // done marker STRICTLY AFTER every artifact `work` produced
+        val ok = doneMarkerFor(req)
+        ok.getParentFile.mkdirs()
+        ok.createNewFile()
+        ()
+      } catch {
+        case ex: Throwable => firstError.compareAndSet(null, ex)
+      }
+    }, s"$label-$req")
+    t.setDaemon(true)
+    threads.add(t)
+    t.start()
+  }
+
+  /** Restart re-arm: launch workers for the given pending (unadopted)
+    * requests that have no done marker and no live worker in this JVM.
+    * No-op on healthy triggers; a re-launch recomputes from the durable
+    * record and overwrites its own artifacts idempotently.
+    */
+  def rearm(pending: Seq[Long]): Unit =
+    pending.filterNot(isDone).foreach(launch)
+
+  /** Adopt the NEWEST ready request — done marker present, not yet
+    * adopted per the caller's durable predicate — by applying the
+    * caller's one-write adoption. Idempotent: a second call (or a
+    * replayed adopting trigger) finds nothing ready. Returns whether an
+    * adoption happened.
+    */
+  def adoptNewestReady(alreadyAdopted: Long => Boolean)(
+      adopt: Long => Unit): Boolean = {
+    val ready = requests().filter(r => !alreadyAdopted(r) && isDone(r))
+    ready.maxOption.foreach(adopt)
+    ready.nonEmpty
+  }
+
+  /** Join every worker this JVM launched; a silently-hung worker fails
+    * HERE (not later as an indeterminate contract on unadopted state),
+    * and the first captured worker error is rethrown.
+    */
+  def joinAll(timeoutMs: Long = 600000L): Unit = {
+    threads.forEach { t =>
+      t.join(timeoutMs)
+      if (t.isAlive)
+        throw new IllegalStateException(
+          s"$label worker ${t.getName} still running after $timeoutMs ms")
+    }
+    Option(firstError.get()).foreach(ex => throw ex)
+  }
+}

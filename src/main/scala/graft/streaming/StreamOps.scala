@@ -27,11 +27,18 @@ object StreamOps {
 
   /** Numeric suffixes of `parent`'s `prefix`-named child directories,
     * sorted — the durable generation/epoch/request listing every loop
-    * decision derives from. Empty when `parent` does not exist. */
-  private def genDirs(parent: String, prefix: String): Seq[Long] =
+    * decision derives from. Empty when `parent` does not exist.
+    * Non-numeric suffixes (a leftover `gen=.tmp`, manual debris in the
+    * scratch tree) are SKIPPED rather than parsed: listing-derived
+    * control flow must tolerate stray directories, not die in a
+    * NumberFormatException inside a trigger or fold thread.
+    */
+  private[graft] def genDirs(parent: String, prefix: String): Seq[Long] =
     Option(new java.io.File(parent).listFiles()).toSeq.flatten
       .flatMap(f => Option(f.getName).filter(_.startsWith(prefix))
-        .map(_.drop(prefix.length).toLong)).sorted
+        .map(_.drop(prefix.length))
+        .filter(s => s.nonEmpty && s.forall(_.isDigit))
+        .map(_.toLong)).sorted
 
   /** The canonical (cell_id, vec_id, codes) projection of a stored
     * code generation. */
@@ -895,33 +902,36 @@ object StreamOps {
     * bound is the honest async one: k + (generations landed during the
     * fold window), window length = fold duration / trigger period.
     *
-    * Delivery (deterministic schedule, k=3 over 8 triggers in three
-    * phases of 4/3/1 files with a driver-side join between each, so
-    * every ADOPTING trigger runs strictly after the fold it adopts —
-    * never a race against fold duration): the first request fires at
-    * gen 2 with the fold GATED on gen 4's trigger completing (gens 3-4
-    * provably append while the fold runs — the q86 overlap
-    * discipline); gen 5 adopts it and immediately re-requests (the
-    * adopted epoch + gens 3-5 hit the bound again), gated on gen 7
-    * (gens 6-7 in flight); gen 8 adopts that and re-requests with the
-    * gate satisfied by its own log row, so the third fold is adopted
-    * by the driver-side maintenance pass. Contracts (one row, deterministic): 8 triggers;
-    * 3 requests; 2 in-stream adoptions + 1 maintenance adoption;
-    * exactly gens {3,4,6,7} append with a fold in flight; final state
-    * is ONE compacted epoch; serving row-identical to the one-shot
+    * Delivery (deterministic schedule, DERIVED from `k` — r12 shipped
+    * the k=3 hand-trace; this generalization is spec-run at k=2 and
+    * k=4 too): with `step = max(3, k-1)`, requests fire at
+    * `r_i = (k-1) + (i-1)·step` for i = 1..3 (the first trigger whose
+    * serving-part count reaches k with no request pending), each fold
+    * GATED on gen `min(r_i + 2, slices)` completing — so the two gens
+    * after each of the first two requests provably append while that
+    * fold runs (the q86 overlap discipline). `slices = (k-1) + 2·step`
+    * puts the THIRD request on the last trigger (its gate satisfied by
+    * its own log row), so the maintenance pass leaves exactly one
+    * epoch. Phases of `(k+1, step, step-2)` files with a driver-side
+    * join between them make every ADOPTING trigger (the first of a
+    * phase) run strictly after the fold it adopts — never a race
+    * against fold duration. Contracts (one row, deterministic):
+    * `slices` triggers; 3 requests; 2 in-stream adoptions + 1
+    * maintenance adoption; exactly 4 gens (the two after each of the
+    * first two requests) append with a fold in flight; final state is
+    * ONE compacted epoch; serving row-identical to the one-shot
     * encode; every embedding exactly once; k=10 probe.
+    *
+    * The request/worker/done/adopt machinery is [[Handoff]] — shared
+    * verbatim with q86's retrain and q90's gap fold.
     */
-  def streamIndexCompactAsync(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamIndexCompactAsync(
+      spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     import graft.operators.ProductQuantizer
     import graft.queries.LlmOps
-    // the DELIVERY HARNESS (3-phase split, per-request gate gens,
-    // request/adoption schedule) is derived for exactly this shape —
-    // the deterministic contracts above are a hand-traced consequence
-    // of it. The MECHANISM (request/rewrite/adopt) is shape-free; the
-    // bound-at-any-k behavior is q87's, spec-tested there at k=2.
-    // Generalize the phase derivation before parameterizing this one.
-    val k = 3
-    val slices = 8
+    require(k >= 2, "k < 2 cannot hold an epoch plus one live generation")
+    val step = math.max(3, k - 1)
+    val slices = (k - 1) + 2 * step
     val e = graft.Tables.load(spark, sfDir, "embeddings")
     val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
     val merged = e.filter(col("vec_id") =!= 0)
@@ -952,73 +962,48 @@ object StreamOps {
       epochDir(ep) +: genDirs(s"$idx/codes", "gen=").filter(_ > f)
         .map(g => s"$idx/codes/gen=$g")
     }
-    def requests(): Seq[Long] = genDirs(s"$idx/freq", "req=")
-    def foldDone(req: Long): Boolean =
-      new java.io.File(s"$idx/freq/req=$req/_FOLD_DONE").exists()
-
-    val threads = new java.util.concurrent.CopyOnWriteArrayList[Thread]()
-    @volatile var foldError: Option[Throwable] = None
-    val launched = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
-    def launchFold(reqGen: Long, epochAtReq: Long, foldedFrom: Long): Unit =
-      if (launched.add(reqGen)) {
-        val t = new Thread(() => {
-          try {
-            // detach from the trigger's inherited job group (see q86:
-            // query stop would cancel this thread's jobs otherwise)
-            spark.sparkContext.clearJobGroup()
-            spark.sparkContext.setJobGroup(s"graft-q89-fold-$reqGen",
-              "q89 async index fold", interruptOnCancel = false)
-            // overlap gate (delivery scaffolding, the q86 discipline):
-            // hold the rewrite until the trigger two generations past
-            // the request has fully completed, so those appends
-            // provably land with the fold in flight
-            val gateGen = math.min(reqGen + 2, slices.toLong)
-            val gate = new java.io.File(s"$idx/log/gen=$gateGen/_SUCCESS")
-            val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
-            while (!gate.exists()) {
-              if (System.nanoTime() > deadline)
-                throw new IllegalStateException(
-                  s"q89 fold gate timed out waiting for gen $gateGen")
-              Thread.sleep(100)
-            }
-            // the SEALED input set: the epoch at request time + the
-            // generations the request covered — all immutable, so the
-            // rewrite needs no coordination with ongoing appends
-            val inputs = epochDir(epochAtReq) +:
-              genDirs(s"$idx/codes", "gen=")
-                .filter(g => g > foldedFrom && g <= reqGen)
-                .map(g => s"$idx/codes/gen=$g")
-            inputs.map(p => codeCols(spark.read.parquet(p)))
-              .reduce(_.unionByName(_))
-              .repartition(col("cell_id"))
-              .write.mode("overwrite")
-              .parquet(s"$idx/compact/epoch=${epochAtReq + 1}")
-            val ok = new java.io.File(s"$idx/freq/req=$reqGen/_FOLD_DONE")
-            ok.createNewFile()
-            ()
-          } catch {
-            case ex: Throwable => foldError = foldError.orElse(Some(ex))
-          }
-        }, s"graft-q89-fold-$reqGen")
-        t.setDaemon(true)
-        threads.add(t)
-        t.start()
-      }
-    def joinFolds(): Unit = {
-      threads.forEach { t =>
-        t.join(600000)
-        if (t.isAlive)
+    // the shared async-handoff machine: durable request → detached
+    // pooled worker → done marker after artifacts → one-write adoption
+    // → restart re-arm (see Handoff). The worker's gate is delivery
+    // scaffolding (the q86 overlap discipline): hold the rewrite until
+    // the trigger two generations past the request has fully
+    // completed, so those appends provably land with the fold in
+    // flight.
+    val handoff = new Handoff(spark, s"$idx/freq",
+      r => new java.io.File(s"$idx/freq/req=$r/_FOLD_DONE"),
+      "graft-q89-fold")({ (reqGen, rec) =>
+      val gateGen = math.min(reqGen + 2, slices.toLong)
+      val gate = new java.io.File(s"$idx/log/gen=$gateGen/_SUCCESS")
+      val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+      while (!gate.exists()) {
+        if (System.nanoTime() > deadline)
           throw new IllegalStateException(
-            s"q89 fold thread ${t.getName} still running after 10 min")
+            s"q89 fold gate timed out waiting for gen $gateGen")
+        Thread.sleep(100)
       }
-      foldError.foreach(ex => throw ex)
-    }
+      // the SEALED input set (read from the durable request record —
+      // restart recovery re-derives the same fold): the epoch at
+      // request time + the generations the request covered — all
+      // immutable, so the rewrite needs no coordination with ongoing
+      // appends
+      val epochAtReq = rec.getAs[Long]("epoch_at_req")
+      val foldedFrom = rec.getAs[Long]("folded_from")
+      val inputs = epochDir(epochAtReq) +:
+        genDirs(s"$idx/codes", "gen=")
+          .filter(g => g > foldedFrom && g <= reqGen)
+          .map(g => s"$idx/codes/gen=$g")
+      inputs.map(p => codeCols(spark.read.parquet(p)))
+        .reduce(_.unionByName(_))
+        .repartition(col("cell_id"))
+        .write.mode("overwrite")
+        .parquet(s"$idx/compact/epoch=${epochAtReq + 1}")
+      ()
+    })
     // adoption: one manifest write + sweep, idempotent, runnable from a
     // trigger or the driver-side maintenance pass
     def adoptIfReady(): Boolean = {
       val (ep, f) = manifest()
-      val ready = requests().filter(r => r > f && foldDone(r))
-      ready.maxOption.foreach { r =>
+      handoff.adoptNewestReady(r => r <= f) { r =>
         spark.range(1)
           .select(lit(ep + 1).as("epoch"), lit(r).as("folded_through"))
           .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${ep + 1}")
@@ -1027,7 +1012,6 @@ object StreamOps {
         genDirs(s"$idx/compact", "epoch=").filter(_ <= ep)
           .foreach(p => wipeDir(new java.io.File(s"$idx/compact/epoch=$p")))
       }
-      ready.nonEmpty
     }
 
     val splitDir = s"$idx/src/arrivals"
@@ -1035,11 +1019,12 @@ object StreamOps {
       arriving.filter(pmod(col("vec_id"), lit(10L * slices)) === 9 + 10 * i)
         .coalesce(1)
         .write.mode(if (i == 0) "overwrite" else "append").parquet(splitDir)
-    // three phases (4, 3, 1 files) with a driver join between each:
-    // every ADOPTING trigger (the first of a phase) runs strictly after
-    // the fold it adopts has landed, so the adoption schedule is
-    // deterministic rather than a race against fold duration
-    val phaseSizes = Seq(slices / 2, slices / 2 - 1, 1)
+    // three phases (k+1, step, step-2 files — see the scaladoc
+    // derivation) with a driver join between each: every ADOPTING
+    // trigger (the first of a phase) runs strictly after the fold it
+    // adopts has landed, so the adoption schedule is deterministic
+    // rather than a race against fold duration
+    val phaseSizes = Seq(k + 1, step, step - 2)
     val phaseDirs = phaseSizes.indices.map(i => s"$idx/src/phase_$i")
     val files = Option(new java.io.File(splitDir).listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -1060,6 +1045,7 @@ object StreamOps {
         .parquet(srcDir)
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
+          val t0 = System.nanoTime()
           val gen = genOffset + id + 1
           ProductQuantizer.ivfPqEncodeWith(
               batch, "vec_id", "embedding", 8, coarseF, booksF)
@@ -1068,34 +1054,28 @@ object StreamOps {
           val parts = servingParts()
           val (ep, f) = manifest()
           // restart recovery (the q86 discipline): a pending fold whose
-          // thread died with a previous driver re-arms from its durable
-          // request record; `launched` dedupes healthy triggers to a
-          // no-op
-          // the launched-set guard keeps the record read off healthy
-          // triggers — it pays only when durable state says a request
-          // exists that THIS driver never launched
-          requests().filter(r =>
-              r > f && !foldDone(r) && !launched.contains(r))
-            .foreach { r =>
-              val rec = spark.read.parquet(s"$idx/freq/req=$r")
-                .select(col("epoch_at_req"), col("folded_from")).collect()(0)
-              launchFold(r, rec.getLong(0), rec.getLong(1))
-            }
-          val pending = requests().exists(r => r > f)
+          // worker died with a previous driver re-arms from its durable
+          // request record — a no-op on every healthy trigger (the
+          // Handoff's launched set), a re-launch exactly when durable
+          // state says an unadopted request has no done marker
+          handoff.rearm(handoff.requests().filter(_ > f))
+          val pending = handoff.requests().exists(r => r > f)
           val requested = parts.length >= k && !pending
-          if (requested) {
-            spark.range(1)
+          if (requested)
+            handoff.submit(gen, spark.range(1)
               .select(lit(gen).as("req_gen"), lit(ep).as("epoch_at_req"),
-                lit(f).as("folded_from"))
-              .write.mode("overwrite").parquet(s"$idx/freq/req=$gen")
-            launchFold(gen, ep, f)
-          }
+                lit(f).as("folded_from")))
+          // per-trigger wall time in the log row (written LAST, so the
+          // measured span covers everything the trigger synchronously
+          // paid — including an adoption's manifest write + sweep):
+          // BENCH tracks the adopting trigger's cost from this
           spark.range(1)
             .select(lit(gen).as("gen"),
               lit(parts.length.toLong).as("parts"),
               lit(adopted).as("adopted"),
               lit(requested).as("requested"),
-              lit(pending && !requested).as("fold_inflight"))
+              lit(pending && !requested).as("fold_inflight"),
+              lit((System.nanoTime() - t0) / 1000000L).as("ms"))
             .write.mode("overwrite").parquet(s"$idx/log/gen=$gen")
           ()
         }
@@ -1108,7 +1088,7 @@ object StreamOps {
       // the join makes each phase's pending fold land before the NEXT
       // phase's first (adopting) trigger — sequencing scaffolding only;
       // the stream itself never waited (the inflight flags prove it)
-      joinFolds()
+      handoff.joinAll()
     }
     // maintenance: adopt whatever completed after the last trigger
     adoptIfReady()
@@ -1389,6 +1369,299 @@ object StreamOps {
         col("n_results"))
   }
 
+  /** [[streamIndexLifecycle]] with the tombstone HORIZON PURGE made
+    * real — the one unbounded artifact in the lifecycle story capped
+    * (r12 task 2). q88's tombstone id-set epoch grows with total
+    * deletes ever issued, deliberately: only a surviving id set keeps a
+    * re-delivered deleted id dead. The purge bounds it with an explicit
+    * delivery-watermark contract: at tombstone-fold time, an id is
+    * DROPPED from the epoch iff
+    *
+    *   (a) its delete landed at or before the `horizon` (the
+    *       pipeline's delivery watermark — "re-deliveries older than
+    *       this will not arrive"; a generation number here, a
+    *       timestamp in production), AND
+    *   (b) NO serving code part still physically carries its rows
+    *       (verified by an anti-join against the serving parts' ids —
+    *       O(epoch + k·batch), paid only inside the already-O(epoch)
+    *       fold, never on a quiet trigger). A tombstone whose rows a
+    *       code fold has not yet removed is load-bearing regardless of
+    *       age; dropping it would resurrect stored rows.
+    *
+    * Both sides of the contract are exercised by the delivery: after
+    * the purge, a re-delivery of a STILL-TOMBSTONED id (deleted past
+    * the horizon) stays dead through serving, and a re-delivery of a
+    * PURGED id resurfaces — the documented at-your-own-risk case that
+    * is the price of the bound (if the watermark lies, old data
+    * returns; that is a pipeline-policy trade, now visible in code and
+    * spec instead of prose).
+    *
+    * Delivery (q78 exactness discipline): gens 1-2 add the first two
+    * arrival slices — the code fold at gen 2 reaches k=3 and folds;
+    * gens 3-4 delete D1/D2 (residues 3/10 mod 21 of the ≡3-mod-7 base
+    * class); gens 5-6 add the last two arrival slices — the gen-6 code
+    * fold PRE-APPLIES D1∪D2, physically removing their rows; gen 7
+    * deletes D3 (residue 17 mod 21) — the tombstone fold fires with
+    * `horizon = 4`: D1/D2 qualify on age AND on physical absence →
+    * purged; D3 (gen 7 > horizon) survives; gen 8 re-delivers half of
+    * D1 (ids ≡ 3 mod 42 — purged, RESURFACES) and half of D3 (ids ≡
+    * 17 mod 42 — still tombstoned, stays dead).
+    *
+    * Contracts (one row, deterministic): 8 triggers; 2 code folds; 1
+    * tombstone fold; both families ≤ k at every trigger; the purge
+    * removed |D1∪D2| ids and the epoch holds exactly |D3|; the
+    * re-delivered D3 half is absent from serving; the re-delivered D1
+    * half is fully present; the raw codes physically carry BOTH halves
+    * (gen 8 is unfolded — only the tombstone anti-join hides the D3
+    * half); serving row-identical to the closed-form expected live set
+    * under the same frozen models; ids unique; k=10 probe.
+    */
+  def streamIndexLifecyclePurge(
+      spark: SparkSession, sfDir: String, k: Int = 3,
+      horizon: Long = 4L): DataFrame = {
+    import graft.operators.ProductQuantizer
+    import graft.queries.LlmOps
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
+    val merged = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val base = merged.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+    val arriving = merged.filter(pmod(col("vec_id"), lit(10)) === 9)
+    val idx = graft.RunPaths.scratch(
+      s"graft_q91_index_${graft.RunPaths.keyFor(sfDir)}_$k")
+    Seq("codes", "compact", "manifest", "tombs", "tepoch", "tmanifest", "log")
+      .foreach(d => wipeDir(new java.io.File(s"$idx/$d")))
+    val (coarseF, booksF) = LlmOps.buildFrozenIndex(spark, sfDir, base, idx,
+      "q91 frozen coarse-centroid table", withOccupancy = false)
+
+    def maxManifest(dir: String): Long =
+      genDirs(dir, "epoch=").maxOption.getOrElse(0L)
+    def foldedThrough(): Long = {
+      val ep = maxManifest(s"$idx/manifest")
+      if (ep == 0L) 0L
+      else spark.read.parquet(s"$idx/manifest/epoch=$ep")
+        .select(col("folded_through")).collect()(0).getLong(0)
+    }
+    def codeParts(): Seq[String] = {
+      val ep = maxManifest(s"$idx/manifest")
+      val epochDir =
+        if (ep == 0L) s"$idx/codes/gen=0" else s"$idx/compact/epoch=$ep"
+      epochDir +: genDirs(s"$idx/codes", "gen=").filter(_ > foldedThrough())
+        .map(g => s"$idx/codes/gen=$g")
+    }
+    // tombstone parts carry (vec_id, del_gen) — the delete's arrival
+    // generation is what the horizon is compared against
+    def tombParts(): Seq[String] = {
+      val tp = maxManifest(s"$idx/tmanifest")
+      val tFolded =
+        if (tp == 0L) 0L
+        else spark.read.parquet(s"$idx/tmanifest/epoch=$tp")
+          .select(col("folded_through")).collect()(0).getLong(0)
+      (if (tp == 0L) Seq.empty else Seq(s"$idx/tepoch/epoch=$tp")) ++
+        genDirs(s"$idx/tombs", "gen=").filter(_ > tFolded)
+          .map(g => s"$idx/tombs/gen=$g")
+    }
+    def tombIds(): Option[DataFrame] = {
+      val ps = tombParts()
+      if (ps.isEmpty) None
+      else Some(ps.map(p => spark.read.parquet(p).select(col("vec_id")))
+        .reduce(_.unionByName(_)).distinct())
+    }
+    def serve(codes: DataFrame): DataFrame = ProductQuantizer.ivfPqTopK(
+      query, "embedding", 8, coarseF, booksF, codes, "vec_id",
+      nProbe = 4, k = 10)
+
+    val deletes = base.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select(col("vec_id"))
+
+    def drive(srcDir: String, genOffset: Int, op: String): Unit = {
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val gen = genOffset + id + 1
+          if (op == "add")
+            ProductQuantizer.ivfPqEncodeWith(
+                batch, "vec_id", "embedding", 8, coarseF, booksF)
+              .write.mode("overwrite").parquet(s"$idx/codes/gen=$gen")
+          else
+            batch.select(col("vec_id"), lit(gen).as("del_gen"))
+              .write.mode("overwrite").parquet(s"$idx/tombs/gen=$gen")
+          val (cBefore, tBefore) = (codeParts(), tombParts())
+          val foldCodes = cBefore.length >= k
+          if (foldCodes) {
+            val ep = maxManifest(s"$idx/manifest")
+            val live = cBefore.map(p => codeCols(spark.read.parquet(p)))
+              .reduce(_.unionByName(_))
+            // pre-apply the CURRENT tombstone set (q88 semantics); the
+            // tombstones are NOT consumed here — the PURGE below is
+            // the only place an id ever leaves the epoch
+            tombIds().map(live.join(_, Seq("vec_id"), "left_anti"))
+              .getOrElse(live)
+              .repartition(col("cell_id"))
+              .write.mode("overwrite").parquet(s"$idx/compact/epoch=${ep + 1}")
+            spark.range(1)
+              .select(lit(ep + 1).as("epoch"), lit(gen).as("folded_through"))
+              .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${ep + 1}")
+            genDirs(s"$idx/codes", "gen=").filter(_ <= gen)
+              .foreach(g => wipeDir(new java.io.File(s"$idx/codes/gen=$g")))
+            genDirs(s"$idx/compact", "epoch=").filter(_ <= ep)
+              .foreach(p => wipeDir(new java.io.File(s"$idx/compact/epoch=$p")))
+          }
+          val foldTombs = tBefore.length >= k
+          var nPurged = 0L
+          if (foldTombs) {
+            val tp = maxManifest(s"$idx/tmanifest")
+            // newest delete generation wins per id (a re-deleted id's
+            // horizon clock restarts — it was re-delivered to deletion)
+            val mergedT = tBefore.map(p => spark.read.parquet(p)
+                .select(col("vec_id"), col("del_gen")))
+              .reduce(_.unionByName(_))
+              .groupBy(col("vec_id")).agg(max(col("del_gen")).as("del_gen"))
+            // the HORIZON PURGE — both conditions, each load-bearing:
+            // age alone must not drop a tombstone whose rows a code
+            // fold has not yet removed (anti-join against the ids the
+            // serving parts still carry: O(epoch + k·batch), inside
+            // the already-O(epoch) fold)
+            val carried = codeParts()
+              .map(p => spark.read.parquet(p).select(col("vec_id")))
+              .reduce(_.unionByName(_))
+            val purged = mergedT.filter(col("del_gen") <= horizon)
+              .join(carried, Seq("vec_id"), "left_anti")
+            nPurged = purged.count()
+            mergedT.join(purged.select(col("vec_id")),
+                Seq("vec_id"), "left_anti")
+              .coalesce(1)
+              .write.mode("overwrite").parquet(s"$idx/tepoch/epoch=${tp + 1}")
+            spark.range(1)
+              .select(lit(tp + 1).as("epoch"), lit(gen).as("folded_through"),
+                lit(nPurged).as("n_purged"))
+              .write.mode("overwrite")
+              .parquet(s"$idx/tmanifest/epoch=${tp + 1}")
+            genDirs(s"$idx/tombs", "gen=").filter(_ <= gen)
+              .foreach(g => wipeDir(new java.io.File(s"$idx/tombs/gen=$g")))
+            genDirs(s"$idx/tepoch", "epoch=").filter(_ <= tp)
+              .foreach(p => wipeDir(new java.io.File(s"$idx/tepoch/epoch=$p")))
+          }
+          spark.range(1)
+            .select(lit(gen).as("gen"), lit(op).as("op"),
+              lit(cBefore.length.toLong).as("codes_before"),
+              lit(tBefore.length.toLong).as("tombs_before"),
+              lit(foldCodes).as("folded_codes"),
+              lit(foldTombs).as("folded_tombs"),
+              lit(nPurged).as("n_purged"))
+            .write.mode("overwrite").parquet(s"$idx/log/gen=$gen")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // gens 1-2: first two arrival slices (mod 40 residues {9, 19}) —
+    // the gen-2 code fold reaches k and folds, BEFORE any delete
+    val addDir1 = s"$idx/src/adds1"
+    for ((r, i) <- Seq(9, 19).zipWithIndex)
+      arriving.filter(pmod(col("vec_id"), lit(40)) === r)
+        .coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(addDir1)
+    drive(addDir1, 0, "add")
+    // gens 3-4: deletes D1, D2
+    val delDir1 = s"$idx/src/dels1"
+    for ((r, i) <- Seq(3, 10).zipWithIndex)
+      deletes.filter(pmod(col("vec_id"), lit(21)) === r)
+        .coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(delDir1)
+    drive(delDir1, 2, "del")
+    // gens 5-6: last two arrival slices — the gen-6 code fold
+    // PRE-APPLIES D1∪D2, physically removing their rows from storage
+    val addDir2 = s"$idx/src/adds2"
+    for ((r, i) <- Seq(29, 39).zipWithIndex)
+      arriving.filter(pmod(col("vec_id"), lit(40)) === r)
+        .coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(addDir2)
+    drive(addDir2, 4, "add")
+    // gen 7: delete D3 — the tombstone fold fires WITH the horizon
+    val delDir2 = s"$idx/src/dels2"
+    deletes.filter(pmod(col("vec_id"), lit(21)) === 17)
+      .coalesce(1).write.mode("overwrite").parquet(delDir2)
+    drive(delDir2, 6, "del")
+    // gen 8: re-deliver half of PURGED D1 (resurfaces) and half of
+    // STILL-TOMBSTONED D3 (stays dead), as one add batch
+    val redelivD1 = base.filter(pmod(col("vec_id"), lit(42)) === 3)
+    val redelivD3 = base.filter(pmod(col("vec_id"), lit(42)) === 17)
+    val redelivDir = s"$idx/src/redeliver"
+    redelivD1.unionByName(redelivD3)
+      .coalesce(1).write.mode("overwrite").parquet(redelivDir)
+    drive(redelivDir, 7, "add")
+
+    // ---- final state ------------------------------------------------
+    val codes = codeParts().map(p => codeCols(spark.read.parquet(p)))
+      .reduce(_.unionByName(_))
+    val dead = tombIds().get
+    val living = codes.join(dead, Seq("vec_id"), "left_anti")
+    // expected live set, closed form: (everything delivered minus the
+    // full delete set) ∪ the re-delivered PURGED half — encoded under
+    // the same frozen models
+    val expected = codeCols(ProductQuantizer.ivfPqEncodeWith(
+        base.unionByName(arriving), "vec_id", "embedding", 8,
+        coarseF, booksF))
+      .join(deletes, Seq("vec_id"), "left_anti")
+      .unionByName(codeCols(ProductQuantizer.ivfPqEncodeWith(
+        redelivD1, "vec_id", "embedding", 8, coarseF, booksF)))
+    val same = sameCodeRows(living, expected, "lifecycle_invisible")
+    val deadCheck = living.join(redelivD3.select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .agg((count(lit(1)) === 0).as("inside_horizon_redelivery_dead"))
+    val aliveCheck = living.join(redelivD1.select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_alive_d1"))
+      .crossJoin(redelivD1.agg(count(lit(1)).as("n_d1")))
+      .select((col("n_alive_d1") === col("n_d1") && col("n_d1") > 0)
+        .as("purged_redelivery_resurfaces"))
+    // physical control: gen 8 is unfolded, so the stored codes must
+    // still CARRY both re-delivered halves — only the anti-join hides
+    // the D3 half from queries
+    // countDistinct, not count: D3's BASE copies are legitimately still
+    // stored too (D3 was deleted after the last code fold), so a
+    // re-delivered D3 id matches two physical rows
+    val rawCarries = codes.join(
+        redelivD1.unionByName(redelivD3).select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .agg(countDistinct(col("vec_id")).as("n_raw"))
+      .crossJoin(redelivD1.unionByName(redelivD3)
+        .agg(count(lit(1)).as("n_redeliv")))
+      .select((col("n_raw") === col("n_redeliv"))
+        .as("raw_carries_redelivered"))
+    val served = serve(living)
+    val tombEpochRows = tombIds().get.count()
+    val onDiskOk = codeParts().length <= k && tombParts().length <= k
+    val log = spark.read.parquet(s"$idx/log")
+    log.agg(
+        count(lit(1)).as("n_triggers"),
+        count(when(col("folded_codes"), 1)).as("code_folds"),
+        count(when(col("folded_tombs"), 1)).as("tomb_folds"),
+        (max(col("codes_before")) <= k && max(col("tombs_before")) <= k &&
+          lit(onDiskOk)).as("both_bounded"),
+        max(col("n_purged")).as("n_purged"))
+      .crossJoin(spark.range(1)
+        .select(lit(tombEpochRows).as("tomb_epoch_rows")))
+      .crossJoin(living.agg(count(lit(1)).as("n_live"),
+        (count(lit(1)) === countDistinct(col("vec_id"))).as("ids_unique")))
+      .crossJoin(same)
+      .crossJoin(deadCheck)
+      .crossJoin(aliveCheck)
+      .crossJoin(rawCarries)
+      .crossJoin(served.agg(count(lit(1)).as("n_results")))
+      .select(col("n_triggers"), col("code_folds"), col("tomb_folds"),
+        col("both_bounded"), col("n_purged"), col("tomb_epoch_rows"),
+        col("n_live"), col("ids_unique"), col("lifecycle_invisible"),
+        col("inside_horizon_redelivery_dead"),
+        col("purged_redelivery_resurfaces"),
+        col("raw_carries_redelivered"), col("n_results"))
+  }
+
   /** The retrain trigger RIDING the streaming append path — q69 and
     * q76 composed into the production shape: every arriving micro-batch
     * lands one index generation AND one persisted drift row. The drift
@@ -1584,11 +1857,8 @@ object StreamOps {
     // deterministic: it re-reads the same pre-batch state, re-makes the
     // same decision, and overwrites the same artifacts.
     def decisions(upTo: Long): Seq[(Long, Boolean)] = {
-      val dir = new java.io.File(s"$idx/log")
-      Option(dir.listFiles()).toSeq.flatten
-        .flatMap(f => Option(f.getName).filter(_.startsWith("gen="))
-          .map(_.drop(4).toLong))
-        .filter(_ < upTo).sorted
+      genDirs(s"$idx/log", "gen=")
+        .filter(_ < upTo)
         .map(g => (g, spark.read.parquet(s"$idx/log/gen=$g")
           .select(col("retrain_fired")).collect()(0).getBoolean(0)))
     }
@@ -1799,9 +2069,6 @@ object StreamOps {
     val mDir = s"$idx/model"
 
     // ---- durable-state accessors (decisions derive ONLY from these) --
-    def requestGens(): Seq[Long] = genDirs(s"$idx/req", "gen=")
-    def retrainDone(g: Long): Boolean =
-      new java.io.File(s"$idx/retrain/req=$g/_RETRAIN_DONE").exists()
     // (req, foldedThrough) per durable switch record, ordered by req
     def switches(): Seq[(Long, Long)] =
       genDirs(s"$idx/switch", "req=").map(g =>
@@ -1817,88 +2084,42 @@ object StreamOps {
         spark.read.parquet(s"$dir/books"))
 
     // ---- the async retrain ------------------------------------------
-    // the thread handle is an optimization for joining; its DECISIONS
-    // (request, done, switch) all live in durable state. Launches come
-    // from micro-batch threads, joins from the driver thread — use a
-    // concurrent list
-    val threads = new java.util.concurrent.CopyOnWriteArrayList[Thread]()
-    @volatile var retrainError: Option[Throwable] = None
-    // at-least-once belt: a replayed firing trigger re-writes its
-    // (idempotent) request record, but must not launch a SECOND live
-    // thread racing the first one's writes to the same retrain dir
-    val launched = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
-    def launchRetrain(reqGen: Long): Unit = if (launched.add(reqGen)) {
-      val t = new Thread(() => {
-        try {
-          // DETACH from the launching trigger's job group: Spark local
-          // properties are inheritable thread-locals, so this thread
-          // starts out carrying the streaming query's group id — and
-          // q.stop() cancels that group, which would kill the
-          // concurrent training's jobs mid-flight (observed as a flaky
-          // SPARK_JOB_CANCELLED when the stream stops while a retrain
-          // is training). The retrain is its own job, not part of any
-          // trigger.
-          spark.sparkContext.clearJobGroup()
-          spark.sparkContext.setJobGroup(s"graft-q86-retrain-$reqGen",
-            "q86 async index retrain", interruptOnCancel = false)
-          // delivery gate: hold training until gen 4's trigger has
-          // fully COMPLETED (its log row is the trigger's LAST write),
-          // so both gap triggers provably compute their inflight flag
-          // while this thread is still open — gating on the arrival
-          // write would leave a window where a fast retrain completes
-          // inside gen 4's own trigger and flips its flag
-          // (scaffolding — production launches immediately; see doc)
-          val gate = new java.io.File(s"$idx/log/gen=4/_SUCCESS")
-          val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
-          while (!gate.exists()) {
-            if (System.nanoTime() > deadline)
-              throw new IllegalStateException(
-                "q86 retrain gate timed out waiting for gen 4")
-            Thread.sleep(100)
-          }
-          // snapshot = base + arrived raws up to the firing generation,
-          // all READ BACK from storage (persist-then-reread: the one
-          // bit-stable handoff for float model training)
-          val snapshot = (1L to reqGen)
-            .map(g => spark.read.parquet(s"$idx/arrived/gen=$g"))
-            .foldLeft(base)(_.unionByName(_))
-            .localCheckpoint(true)
-          LlmOps.buildFrozenIndex(spark, sfDir, snapshot,
-            s"$idx/retrain/req=$reqGen", "q86 retrained coarse-centroid table")
-          // done marker STRICTLY AFTER every artifact landed
-          val ok = new java.io.File(s"$idx/retrain/req=$reqGen/_RETRAIN_DONE")
-          ok.getParentFile.mkdirs()
-          ok.createNewFile()
-          ()
-        } catch {
-          case ex: Throwable => retrainError = retrainError.orElse(Some(ex))
-        }
-      }, s"graft-q86-retrain-$reqGen")
-      t.setDaemon(true)
-      threads.add(t)
-      t.start()
-    }
-    def joinRetrains(): Unit = {
-      threads.forEach { t =>
-        t.join(600000)
-        // a silently-hung retrain must fail the query here, not
-        // surface later as an indeterminate PSI on an un-switched
-        // pointer (the post phase's contract assumes the handoff ran)
-        if (t.isAlive)
+    // the shared async-handoff machine (see Handoff): durable request →
+    // job-group-detached pooled worker → done marker strictly after the
+    // retrained layout lands → restart re-arm. The worker's gate is
+    // delivery scaffolding: hold training until gen 4's trigger has
+    // fully COMPLETED (its log row is the trigger's LAST write), so
+    // both gap triggers provably compute their inflight flag while the
+    // worker is still open — production launches immediately (see doc).
+    val handoff = new Handoff(spark, s"$idx/req",
+      g => new java.io.File(s"$idx/retrain/req=$g/_RETRAIN_DONE"),
+      "graft-q86-retrain")({ (reqGen, _) =>
+      val gate = new java.io.File(s"$idx/log/gen=4/_SUCCESS")
+      val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+      while (!gate.exists()) {
+        if (System.nanoTime() > deadline)
           throw new IllegalStateException(
-            s"q86 retrain thread ${t.getName} still running after 10 min")
+            "q86 retrain gate timed out waiting for gen 4")
+        Thread.sleep(100)
       }
-      retrainError.foreach(ex => throw ex)
-    }
+      // snapshot = base + arrived raws up to the firing generation,
+      // all READ BACK from storage (persist-then-reread: the one
+      // bit-stable handoff for float model training)
+      val snapshot = (1L to reqGen)
+        .map(g => spark.read.parquet(s"$idx/arrived/gen=$g"))
+        .foldLeft(base)(_.unionByName(_))
+        .localCheckpoint(true)
+      LlmOps.buildFrozenIndex(spark, sfDir, snapshot,
+        s"$idx/retrain/req=$reqGen", "q86 retrained coarse-centroid table")
+      ()
+    })
 
     // ---- the switch: fold gap generations, flip the pointer ----------
     // idempotent (everything overwrite-keyed by req/gen), runnable from
     // a trigger (atGen = the observing generation) or from the
     // driver-side maintenance pass after the stream ends
     def switchIfReady(atGen: Long): Unit = {
-      val done = requestGens().filter(retrainDone)
-        .filterNot(switches().map(_._1).toSet)
-      done.maxOption.foreach { g =>
+      handoff.adoptNewestReady(switches().map(_._1).toSet) { g =>
         val rdir = s"$idx/retrain/req=$g"
         val (coarseR, booksR) = frozenModels(rdir)
         // fold: re-encode the RAW gap batches (appended under the old
@@ -1926,6 +2147,7 @@ object StreamOps {
         .parquet(srcDir)
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
+          val t0 = System.nanoTime()
           val gen = genOffset + id + 1
           // 1. persist the raw batch (the fold and any later retrain
           //    read THIS, never the in-memory batch)
@@ -1951,31 +2173,35 @@ object StreamOps {
             .select(col("psi")).collect()(0).getDouble(0)
           val fired = psi > 0.75
           // 5. fired → REQUEST (durable record, then the concurrent
-          //    thread); coalesce if an earlier request is still open
-          val pendingBefore = requestGens()
+          //    worker); coalesce if an earlier request is still open
+          val pendingBefore = handoff.requests()
             .filterNot(switches().map(_._1).toSet).filter(_ < gen)
           // restart recovery, not just documentation: a pending request
-          // whose thread died with a previous driver re-arms here (the
-          // in-JVM `launched` set dedupes the common case where the
-          // thread is alive, so this is a no-op on every healthy
-          // trigger and a re-launch exactly when durable state says a
-          // request exists with no done marker)
-          pendingBefore.filterNot(retrainDone).foreach(launchRetrain)
+          // whose worker died with a previous driver re-arms here — a
+          // no-op on every healthy trigger (the Handoff's launched
+          // set), a re-launch exactly when durable state says a request
+          // exists with no done marker
+          handoff.rearm(pendingBefore)
           val requested = fired && pendingBefore.isEmpty
           if (requested) {
-            spark.range(1).select(lit(gen).as("gen"))
-              .write.mode("overwrite").parquet(s"$idx/req/gen=$gen")
-            // the simulated death skips the launch for the drifted
-            // trigger's request (gen 2) — recovery picks it up above
-            if (!(dieAfterRequest && gen == 2)) launchRetrain(gen)
+            // the simulated death leaves exactly the crash-window state
+            // (record durable, no worker) for the drifted trigger's
+            // request — recovery picks it up above
+            val rec = spark.range(1).select(lit(gen).as("gen"))
+            if (dieAfterRequest && gen == 2) handoff.submitRecord(gen, rec)
+            else handoff.submit(gen, rec)
           }
-          // 6. durable per-generation log row
+          // 6. durable per-generation log row, written LAST — `ms` is
+          //    the trigger's whole synchronous cost (what a 100 TB
+          //    stream pays per micro-batch while a retrain runs
+          //    concurrently; the latency rehearsal reads this)
           spark.range(1)
             .select(lit(gen).as("gen"), lit(phase).as("phase"),
               lit(fired).as("retrain_fired"),
               lit(requested).as("retrain_requested"),
               lit(pendingBefore.nonEmpty).as("inflight"),
-              lit(ptr != mDir).as("on_retrained"))
+              lit(ptr != mDir).as("on_retrained"),
+              lit((System.nanoTime() - t0) / 1000000L).as("ms"))
             .write.mode("overwrite").parquet(s"$idx/log/gen=$gen")
           ()
         }
@@ -2012,7 +2238,7 @@ object StreamOps {
     drive(gapDir, "gap", genOffset = 2)
     // the handoff: wait for the retrain to LAND (sequencing only — the
     // stream above already proved it keeps appending while training)
-    joinRetrains()
+    handoff.joinAll()
     // gen 5: a fresh-id copy of the merged corpus — the switching
     // trigger folds gens 3-4 and appends quietly on the retrained index
     // (postShifted: shifted AGAIN — must fire a SECOND request)
@@ -2026,7 +2252,7 @@ object StreamOps {
     drive(postDir, "post", genOffset = 4)
     // maintenance pass: adopt any retrain that completed after the
     // last trigger (the postShifted second fire lands here)
-    joinRetrains()
+    handoff.joinAll()
     val maxGen = genDirs(s"$idx/arrived", "gen=").max
     switchIfReady(maxGen + 1)
 
@@ -2084,6 +2310,384 @@ object StreamOps {
         col("gaps_inflight"), col("post_on_retrained"), col("post_quiet"),
         col("n_index"), col("ids_unique"), col("same_as_oneshot_fold"),
         col("n_results"))
+  }
+
+  /** [[streamIndexRetrainAsync]] with the GAP FOLD itself taken off the
+    * trigger — the last in-trigger O(>batch) cost in the streaming
+    * index story removed (r12's lead finding). q86's switching trigger
+    * re-encodes EVERY gap generation inline before flipping the
+    * pointer: bounded by retrain duration / trigger period, but at
+    * hour-scale retrains that is hundreds of O(batch) re-encode jobs
+    * concentrated into one stall — effectively re-ingesting everything
+    * that arrived during the retrain, synchronously. Here the q89
+    * machinery (a second [[Handoff]]) folds the gap CONCURRENTLY:
+    *
+    *   - the retrain's done marker SEALS the gap set: generations
+    *     between the request and the observing trigger are immutable
+    *     once their trigger completes (raws are overwrite-keyed and
+    *     never rewritten);
+    *   - the trigger that observes a completed-but-unswitched retrain
+    *     writes a durable FOLD request naming the sealed range
+    *     `(sealed_from, sealed_to]`; a job-group-detached pooled
+    *     worker re-encodes those raw batches under the NEW model;
+    *   - generations landing while the fold runs stay on the OLD
+    *     pointer — internally consistent serving (every stored code
+    *     row under ONE model's codebooks; mixing would make ADC
+    *     scores incomparable), which is exactly why "serve the new
+    *     pointer with unfolded gaps" is rejected;
+    *   - the next trigger to observe the fold done either ADOPTS
+    *     (residual gap empty: one switch write flips the pointer, and
+    *     ITS OWN batch encodes fresh under the new model) or seals the
+    *     residual into the next fold request — the catch-up recursion,
+    *     each round bounded by fold duration / trigger period, so the
+    *     residual shrinks geometrically whenever folds outpace
+    *     arrivals (the steady-state assumption every compaction
+    *     scheme needs; if arrivals outpace re-encode the system is
+    *     under-provisioned regardless of architecture).
+    *
+    * Every synchronous trigger cost is O(batch): append, PSI gate,
+    * request writes, the adoption's single manifest write. Training
+    * AND gap folding both run off-trigger.
+    *
+    * Delivery harness (q78 exactness discipline; gates are
+    * scaffolding, production launches immediately): gen 1 clean; gen 2
+    * drifted (fires, retrain REQUEST, gated on gen 4 completing); gens
+    * 3-4 clean gap (retrain provably in flight); [join] gen 5 clean —
+    * observes the retrain done, writes FOLD request #1 sealing
+    * (2, 5], gated on gen 6 completing; gen 6 clean (fold #1 provably
+    * in flight — the append-during-fold proof); [join] gen 7 clean —
+    * observes fold #1 done, residual {6, 7} nonempty → FOLD request #2
+    * sealing (5, 7], gated on its own log row; [join] gen 8 post
+    * (fresh-id merged copy) — observes fold #2 done, residual EMPTY →
+    * adopts with one switch write, encodes itself under the new
+    * pointer, appends quietly. Gens 5-7 are fresh-id copies of the
+    * full clean set (in-distribution, so the PSI gate stays quiet on
+    * the old pointer; id offsets 4·span/5·span/6·span keep every copy
+    * disjoint from the post copy's [2·span, 4·span) range).
+    *
+    * Contracts (one row, deterministic): 8 triggers; clean/gap/fold
+    * phases quiet; drift fires exactly once; both gap gens
+    * retrain-inflight; 2 fold requests; gen 6 appends with the fold in
+    * flight; NO trigger before the adoption serves the retrained
+    * pointer (old-pointer-until-adopted); exactly 1 in-stream
+    * adoption; the post gen runs ON the retrained pointer, quietly;
+    * serving covers base + every arrival exactly once
+    * (2·n + 3·n_clean); ids unique; serving row-identical to a
+    * one-shot re-encode of all post-snapshot raws under the persisted
+    * retrained model; k=10 probe.
+    */
+  def streamIndexRetrainFoldAsync(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{IndexDrift, ProductQuantizer}
+    import graft.queries.LlmOps
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val all = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val base = all.filter(!pmod(col("vec_id"), lit(10)).isin(8, 9))
+    val clean = all.filter(pmod(col("vec_id"), lit(10)) === 8)
+    val idSpan = all.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
+    val driftSrc = IndexDrift
+      .shifted(all.filter(pmod(col("vec_id"), lit(10)) === 9),
+        "vec_id", "embedding")
+      .select((col("vec_id") + lit(idSpan)).as("vec_id"), col("embedding"))
+    val idx = graft.RunPaths.scratch(
+      s"graft_q90_index_${graft.RunPaths.keyFor(sfDir)}")
+    val mDir = s"$idx/model"
+
+    // ---- durable-state accessors (decisions derive ONLY from these) --
+    def switches(): Seq[(Long, Long)] =
+      genDirs(s"$idx/switch", "req=").map(g =>
+        (g, spark.read.parquet(s"$idx/switch/req=$g")
+          .select(col("folded_through")).collect()(0).getLong(0)))
+    def pointer(): (String, Long) = switches().lastOption
+      .map { case (g, f) => (s"$idx/retrain/req=$g", f) }
+      .getOrElse((mDir, 0L))
+    def frozenModels(dir: String): (DataFrame, DataFrame) =
+      (LlmOps.modelScaleStamp(spark.read.parquet(s"$dir/coarse"),
+        "q90 frozen coarse-centroid table"),
+        spark.read.parquet(s"$dir/books"))
+
+    // ---- the two handoffs: retrain, then gap fold --------------------
+    val retrainH = new Handoff(spark, s"$idx/req",
+      g => new java.io.File(s"$idx/retrain/req=$g/_RETRAIN_DONE"),
+      "graft-q90-retrain")({ (reqGen, _) =>
+      // delivery gate: both gap triggers must log inflight first
+      val gate = new java.io.File(s"$idx/log/gen=4/_SUCCESS")
+      val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+      while (!gate.exists()) {
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            "q90 retrain gate timed out waiting for gen 4")
+        Thread.sleep(100)
+      }
+      val snapshot = (1L to reqGen)
+        .map(g => spark.read.parquet(s"$idx/arrived/gen=$g"))
+        .foldLeft(base)(_.unionByName(_))
+        .localCheckpoint(true)
+      LlmOps.buildFrozenIndex(spark, sfDir, snapshot,
+        s"$idx/retrain/req=$reqGen", "q90 retrained coarse-centroid table")
+      ()
+    })
+    val foldH = new Handoff(spark, s"$idx/fold_req",
+      g => new java.io.File(s"$idx/fold_req/req=$g/_FOLD_DONE"),
+      "graft-q90-fold")({ (_, rec) =>
+      // delivery gate from the durable record: hold the re-encode
+      // until the named trigger completes, so its append provably
+      // lands with the fold in flight (scaffolding, as above)
+      val gateGen = rec.getAs[Long]("gate_gen")
+      val gate = new java.io.File(s"$idx/log/gen=$gateGen/_SUCCESS")
+      val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+      while (!gate.exists()) {
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"q90 fold gate timed out waiting for gen $gateGen")
+        Thread.sleep(100)
+      }
+      // the SEALED range: raws (sealed_from, sealed_to] are immutable
+      // (their triggers completed before the request was written) —
+      // re-encode each under the retrained model, overwrite-keyed
+      val rr = rec.getAs[Long]("retrain_req")
+      val rdir = s"$idx/retrain/req=$rr"
+      val (coarseR, booksR) = frozenModels(rdir)
+      (rec.getAs[Long]("sealed_from") + 1 to rec.getAs[Long]("sealed_to"))
+        .foreach { gg =>
+          ProductQuantizer.ivfPqEncodeWith(
+              spark.read.parquet(s"$idx/arrived/gen=$gg"),
+              "vec_id", "embedding", 8, coarseR, booksR)
+            .write.mode("overwrite").parquet(s"$rdir/fold/gen=$gg")
+        }
+      ()
+    })
+
+    /** The fold/adopt state machine, run at trigger start (and by the
+      * driver-side maintenance pass with atGen = maxGen + 1):
+      * completed-but-unswitched retrain → either re-arm a pending
+      * fold, seal the next residual range into a new fold request, or
+      * — when the folded range reaches atGen's doorstep — flip the
+      * pointer with ONE switch write. Idempotent: every artifact is
+      * overwrite-keyed and the decision derives from durable state.
+      * Returns (foldRequested, foldInflight, adopted).
+      */
+    def maintain(atGen: Long): (Boolean, Boolean, Boolean) = {
+      val unswitched = retrainH.requests().filter(retrainH.isDone)
+        .filterNot(switches().map(_._1).toSet)
+      unswitched.maxOption match {
+        case None => (false, false, false)
+        case Some(rr) =>
+          val foldReqs = foldH.requests()
+          val pending = foldReqs.filterNot(foldH.isDone)
+          if (pending.nonEmpty) {
+            // restart re-arm: a fold whose worker died with a previous
+            // driver relaunches from its durable record; no-op when
+            // the worker is alive in this JVM
+            foldH.rearm(pending)
+            (false, true, false)
+          } else {
+            // folds are contiguous: each request seals
+            // (previous sealed_to, its own gen], so the covered range
+            // ends at the newest request's gen
+            val sealedTo = foldReqs.maxOption.getOrElse(rr)
+            if (sealedTo >= atGen - 1) {
+              // residual empty — adopt: the durable pointer flip, one
+              // write; this trigger's own batch encodes fresh below
+              spark.range(1)
+                .select(lit(rr).as("req"),
+                  lit(sealedTo).as("folded_through"),
+                  lit(atGen).as("at_gen"))
+                .write.mode("overwrite").parquet(s"$idx/switch/req=$rr")
+              (false, false, true)
+            } else {
+              // seal the residual (the catch-up recursion): the first
+              // fold gates on the NEXT trigger (append-during-fold
+              // proof); later folds gate on the requesting trigger's
+              // own row so the harness stays deterministic
+              val gateGen =
+                if (foldReqs.isEmpty) atGen + 1 else atGen
+              foldH.submit(atGen, spark.range(1)
+                .select(lit(atGen).as("req_gen"), lit(rr).as("retrain_req"),
+                  lit(sealedTo).as("sealed_from"),
+                  lit(atGen).as("sealed_to"), lit(gateGen).as("gate_gen")))
+              (true, false, false)
+            }
+          }
+      }
+    }
+
+    def drive(srcDir: String, phase: String, genOffset: Int): Unit = {
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val t0 = System.nanoTime()
+          val gen = genOffset + id + 1
+          // 1. persist the raw batch (folds and retrains read THIS)
+          batch.select(col("vec_id"), col("embedding"))
+            .write.mode("overwrite").parquet(s"$idx/arrived/gen=$gen")
+          // 2. fold/adopt state machine — O(batch) at most (a request
+          //    or one switch write); the re-encode itself is foldH's
+          val (foldRequested, foldInflight, adopted) = maintain(gen)
+          // 3. append under the CURRENT pointer (old until adopted —
+          //    serving stays internally consistent under one model)
+          val (ptr, _) = pointer()
+          val (coarseF, booksF) = frozenModels(ptr)
+          ProductQuantizer.ivfPqEncodeWith(
+              spark.read.parquet(s"$idx/arrived/gen=$gen"),
+              "vec_id", "embedding", 8, coarseF, booksF)
+            .write.mode("overwrite").parquet(s"$idx/append/gen=$gen")
+          // 4. PSI gate from STORED state (1-row statistic)
+          val psi = IndexDrift.occupancyPsiFromOccupancies(
+              spark.read.parquet(s"$ptr/base_occ"),
+              IndexDrift.occupancyOfCodes(
+                spark.read.parquet(s"$idx/append/gen=$gen")),
+              coarseF)
+            .select(col("psi")).collect()(0).getDouble(0)
+          val fired = psi > 0.75
+          // 5. fired → retrain REQUEST (coalesced while one is open)
+          val pendingR = retrainH.requests()
+            .filterNot(switches().map(_._1).toSet).filter(_ < gen)
+          retrainH.rearm(pendingR)
+          val requested = fired && pendingR.isEmpty
+          if (requested)
+            retrainH.submit(gen, spark.range(1).select(lit(gen).as("gen")))
+          // 6. durable log row, LAST (ms = whole synchronous cost)
+          spark.range(1)
+            .select(lit(gen).as("gen"), lit(phase).as("phase"),
+              lit(fired).as("retrain_fired"),
+              lit(requested).as("retrain_requested"),
+              lit(pendingR.nonEmpty && !retrainH.isDone(
+                pendingR.headOption.getOrElse(-1L))).as("retrain_inflight"),
+              lit(foldRequested).as("fold_requested"),
+              lit(foldInflight).as("fold_inflight"),
+              lit(adopted).as("adopted"),
+              lit(pointer()._1 != mDir).as("on_retrained"),
+              lit((System.nanoTime() - t0) / 1000000L).as("ms"))
+            .write.mode("overwrite").parquet(s"$idx/log/gen=$gen")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // wipe durable state from any PRIOR run in this process
+    Seq("log", "req", "fold_req", "retrain", "switch", "arrived", "append")
+      .foreach(d => wipeDir(new java.io.File(s"$idx/$d")))
+    LlmOps.buildFrozenIndex(spark, sfDir, base, mDir,
+      "q90 frozen coarse-centroid table")
+
+    // gen 1: one clean batch (ids ≡ 8 mod 30)
+    val cleanDir = s"$idx/src/clean"
+    clean.filter(pmod(col("vec_id"), lit(30)) === 8)
+      .coalesce(1).write.mode("overwrite").parquet(cleanDir)
+    drive(cleanDir, "clean", genOffset = 0)
+    // gen 2: the drifted batch — fires, REQUESTS, keeps streaming
+    val driftDir = s"$idx/src/drift"
+    driftSrc.coalesce(1).write.mode("overwrite").parquet(driftDir)
+    drive(driftDir, "drift", genOffset = 1)
+    // gens 3-4: clean batches WHILE the retrain runs
+    val gapDir = s"$idx/src/gap"
+    for ((r, i) <- Seq(18, 28).zipWithIndex)
+      clean.filter(pmod(col("vec_id"), lit(30)) === r)
+        .coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(gapDir)
+    drive(gapDir, "gap", genOffset = 2)
+    handoffJoinBoth(retrainH, foldH)
+    // gens 5-6: fold phase A — gen 5 requests fold #1 (seals 3..5),
+    // gen 6 appends WHILE it folds; fresh-id full-clean copies keep
+    // the PSI gate quiet on the old pointer
+    val foldADir = s"$idx/src/fold_a"
+    for ((off, i) <- Seq(4L, 5L).zipWithIndex)
+      clean.select((col("vec_id") + lit(off * idSpan)).as("vec_id"),
+          col("embedding"))
+        .coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(foldADir)
+    drive(foldADir, "fold", genOffset = 4)
+    handoffJoinBoth(retrainH, foldH)
+    // gen 7: fold phase B — observes fold #1 done, seals the residual
+    // {6, 7} into fold #2
+    val foldBDir = s"$idx/src/fold_b"
+    clean.select((col("vec_id") + lit(6L * idSpan)).as("vec_id"),
+        col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(foldBDir)
+    drive(foldBDir, "fold", genOffset = 6)
+    handoffJoinBoth(retrainH, foldH)
+    // gen 8: post — observes fold #2 done, residual empty → ADOPTS,
+    // encodes itself under the new pointer, appends quietly
+    val postDir = s"$idx/src/post"
+    base.unionByName(clean).unionByName(driftSrc)
+      .select((col("vec_id") + lit(2 * idSpan)).as("vec_id"),
+        col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(postDir)
+    drive(postDir, "post", genOffset = 7)
+    // maintenance pass: nothing pending in the healthy schedule (the
+    // adoption happened in-stream at gen 8); idempotent belt
+    handoffJoinBoth(retrainH, foldH)
+    maintain(genDirs(s"$idx/arrived", "gen=").max + 1)
+
+    // ---- serving state, derived from the same durable records --------
+    val (ptr, foldedThrough) = pointer()
+    val foldCodes = genDirs(s"$ptr/fold", "gen=").map(g =>
+      codeCols(spark.read.parquet(s"$ptr/fold/gen=$g")))
+    val appendCodes = genDirs(s"$idx/append", "gen=")
+      .filter(_ > foldedThrough).map(g =>
+        codeCols(spark.read.parquet(s"$idx/append/gen=$g")))
+    val serving = (foldCodes ++ appendCodes)
+      .foldLeft(codeCols(spark.read.parquet(s"$ptr/codes/gen=0")))(
+        _.unionByName(_))
+    val snapGen = switches().lastOption.map(_._1).getOrElse(0L)
+    val lateGens = genDirs(s"$idx/arrived", "gen=").filter(_ > snapGen)
+    val (coarseP, booksP) = frozenModels(ptr)
+    val oneShot = lateGens
+      .map(g => spark.read.parquet(s"$idx/arrived/gen=$g"))
+      .reduceOption(_.unionByName(_))
+      .map(raws => codeCols(spark.read.parquet(s"$ptr/codes/gen=0"))
+        .unionByName(codeCols(ProductQuantizer.ivfPqEncodeWith(
+          raws, "vec_id", "embedding", 8, coarseP, booksP))))
+      .getOrElse(codeCols(spark.read.parquet(s"$ptr/codes/gen=0")))
+    val same = sameCodeRows(serving, oneShot, "same_as_oneshot_fold")
+    val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
+    val served = ProductQuantizer.ivfPqTopK(
+      query, "embedding", 8, coarseP, booksP, serving, "vec_id",
+      nProbe = 4, k = 10)
+
+    val log = spark.read.parquet(s"$idx/log")
+    log.agg(
+        count(lit(1)).as("n_triggers"),
+        (count(when(col("phase").isin("clean", "gap", "fold") &&
+          col("retrain_fired"), 1)) === 0).as("clean_quiet"),
+        (count(when(col("phase") === "drift" && !col("retrain_fired"), 1))
+          === 0 && count(when(col("retrain_fired"), 1)) === 1)
+          .as("drift_fires_once"),
+        (count(when(col("retrain_inflight"), 1)) === 2 &&
+          count(when(col("phase") === "gap" && !col("retrain_inflight"), 1))
+            === 0).as("gaps_inflight"),
+        count(when(col("fold_requested"), 1)).as("n_fold_requests"),
+        count(when(col("fold_inflight"), 1)).as("n_gens_during_fold"),
+        (count(when(col("phase") =!= "post" && col("on_retrained"), 1))
+          === 0).as("old_pointer_until_adopted"),
+        count(when(col("adopted"), 1)).as("n_adopted_in_stream"),
+        (count(when(col("phase") === "post" && !col("on_retrained"), 1))
+          === 0).as("post_on_retrained"),
+        (count(when(col("phase") === "post" && col("retrain_fired"), 1))
+          === 0).as("post_quiet"))
+      .crossJoin(serving.agg(count(lit(1)).as("n_index"),
+        (count(lit(1)) === countDistinct(col("vec_id"))).as("ids_unique")))
+      .crossJoin(same)
+      .crossJoin(served.agg(count(lit(1)).as("n_results")))
+      .select(col("n_triggers"), col("clean_quiet"), col("drift_fires_once"),
+        col("gaps_inflight"), col("n_fold_requests"),
+        col("n_gens_during_fold"), col("old_pointer_until_adopted"),
+        col("n_adopted_in_stream"), col("post_on_retrained"),
+        col("post_quiet"), col("n_index"), col("ids_unique"),
+        col("same_as_oneshot_fold"), col("n_results"))
+  }
+
+  /** Join both handoffs of a two-stage maintenance pipeline — retrain
+    * first (the fold depends on its artifacts), then the fold.
+    */
+  private def handoffJoinBoth(retrain: Handoff, fold: Handoff): Unit = {
+    retrain.joinAll(); fold.joinAll()
   }
 
   /** The pipeline behind [[streamPrioritySample]], parameterized on the

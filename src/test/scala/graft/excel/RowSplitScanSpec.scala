@@ -526,6 +526,42 @@ class RowSplitScanSpec extends AnyFunSuite {
     }
   }
 
+  test("alternating contentStamp modes on an unchanged workbook pays " +
+      "ONE hashed re-spill, then hits in both modes") {
+    // the r12 churn finding: a hashed scan rightly condemns an
+    // unhashed spill it cannot verify, but the chunks it spills ITSELF
+    // are verified content — published under the unhashed key too, so
+    // the alternation U,H,U,H,... re-spills exactly once (at the first
+    // hashed scan), not O(sheet) per alternation
+    val path = bigSheet(6000)
+    def readAll(contentStamp: Boolean): Long =
+      spark.read.format("excel")
+        .option("sheetPartitions", "3")
+        .option("contentStamp", contentStamp.toString)
+        .load(path).count()
+    withGraceMs(250) {
+      val before = spillDirs()
+      assert(readAll(contentStamp = false) == 6000)
+      val afterU = spillDirs() -- before
+      assert(afterU.nonEmpty, "first unhashed read spills")
+      assert(readAll(contentStamp = true) == 6000)
+      val afterH = spillDirs() -- before
+      assert(afterH.size > afterU.size,
+        "the first hashed read must re-spill (the unhashed spill is " +
+          "unverifiable against the content the hash observed)")
+      // grace elapses: the condemned unhashed spill's files are reaped,
+      // but the re-published verified chunks keep serving both modes
+      Thread.sleep(400)
+      for (_ <- 1 to 3) {
+        assert(readAll(contentStamp = false) == 6000)
+        assert(readAll(contentStamp = true) == 6000)
+      }
+      val finalDirs = (spillDirs() -- before).filter(nonEmpty)
+      assert(finalDirs.subsetOf(afterH),
+        "no alternation after the first hashed scan may spill new chunks")
+    }
+  }
+
   test("split-scan PLANNING does not inflate or spill sheets — the " +
       "first executing task does, lazily and once") {
     val path = bigSheet(12000)

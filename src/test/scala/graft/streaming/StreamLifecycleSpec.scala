@@ -85,4 +85,51 @@ class StreamLifecycleSpec extends AnyFunSuite {
         "anti-join")
     assert(row.getLong(8) == 10)
   }
+
+  test("q91 horizon purge: aged+physically-absent tombstones leave the " +
+      "epoch; a still-tombstoned re-delivery stays dead; a purged " +
+      "re-delivery resurfaces (the documented at-your-own-risk case)") {
+    val row = StreamOps.streamIndexLifecyclePurge(spark, sf).collect()(0)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") =!= 0)
+    val d12 = emb.filter(pmod(col("vec_id"), lit(10)) =!= 9 &&
+      pmod(col("vec_id"), lit(21)).isin(3, 10)).count()
+    val d3 = emb.filter(pmod(col("vec_id"), lit(10)) =!= 9 &&
+      pmod(col("vec_id"), lit(21)) === 17).count()
+    val redelivD1 = emb.filter(pmod(col("vec_id"), lit(10)) =!= 9 &&
+      pmod(col("vec_id"), lit(42)) === 3).count()
+    assert(row.getLong(0) == 8, "8 triggers")
+    assert(row.getLong(1) == 2, "code folds at t2 and t6")
+    assert(row.getLong(2) == 1, "tombstone fold (with purge) at t7")
+    assert(row.getBoolean(3), "both families ≤ k at every trigger")
+    assert(row.getLong(4) == d12 && d12 > 0,
+      "the purge drops exactly D1∪D2 — aged past the horizon AND " +
+        "physically removed by the t6 code fold; D3 (inside the " +
+        "horizon) must survive on age, and nothing may purge on age " +
+        "alone while its rows are still stored")
+    assert(row.getLong(5) == d3,
+      "the epoch shrinks to exactly the surviving tombstones")
+    assert(row.getLong(6) ==
+      emb.filter(pmod(col("vec_id"), lit(10)) === 9 ||
+        pmod(col("vec_id"), lit(7)) =!= 3).count() + redelivD1,
+      "live = non-deleted corpus + the resurfaced purged re-delivery")
+    assert(row.getBoolean(7), "no id served twice")
+    assert(row.getBoolean(8),
+      "serving row-identical to the closed-form expected live set")
+    assert(row.getBoolean(9),
+      "a re-delivery of a STILL-TOMBSTONED id (deleted inside the " +
+        "horizon) stays dead through the purge")
+    assert(row.getBoolean(10) && redelivD1 > 0,
+      "a re-delivery of a PURGED id resurfaces — the at-your-own-risk " +
+        "contract is real and visible, not prose")
+    assert(row.getBoolean(11),
+      "gen 8 is unfolded: the stored codes physically carry both " +
+        "re-delivered halves; only the anti-join hides the dead one")
+    assert(row.getLong(12) == 10)
+    val idx = graft.RunPaths.scratch(
+      s"graft_q91_index_${graft.RunPaths.keyFor(sf)}_3")
+    assert(dirCount(idx, "tepoch", "epoch=") == 1 &&
+      dirCount(idx, "tombs", "gen=") == 0,
+      "one purged tombstone epoch remains on disk")
+  }
 }

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q90 — the retrain handoff with the GAP FOLD itself off the trigger
+  * (r12's lead finding closed): the switching trigger writes a durable
+  * fold request over the sealed gap range instead of re-encoding it
+  * inline; a concurrent worker folds; a later trigger adopts
+  * fold+pointer with one switch write; serving stays on the OLD
+  * pointer (internally consistent) until adoption. The two named
+  * proofs the verdict asked for: appends land DURING the gap fold, and
+  * post-adoption serving is row-identical to the one-shot re-encode.
+  */
+class StreamRetrainFoldSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.scheduler.mode", "FAIR")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("appends land during the gap fold, no pre-adoption trigger " +
+      "serves the new pointer, and post-adoption serving equals the " +
+      "one-shot re-encode") {
+    val row = StreamOps.streamIndexRetrainFoldAsync(spark, sf).collect()(0)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") =!= 0)
+    val n = emb.count()
+    val nClean = emb.filter(pmod(col("vec_id"), lit(10)) === 8).count()
+    assert(row.getLong(0) == 8,
+      "8 triggers (clean, drift, 2 gap, 3 fold-phase, post)")
+    assert(row.getBoolean(1), "clean/gap/fold phases must not fire")
+    assert(row.getBoolean(2), "the drifted batch fires exactly once")
+    assert(row.getBoolean(3),
+      "both gap batches land while the RETRAIN is in flight")
+    assert(row.getLong(4) == 2,
+      "two fold requests: the sealed gap (3..5), then the residual " +
+        "(6..7) — the catch-up recursion, each off the trigger")
+    assert(row.getLong(5) == 1,
+      "gen 6 must append WHILE fold #1 runs — the gap fold never " +
+        "stalls ingestion")
+    assert(row.getBoolean(6),
+      "no trigger before the adoption may serve the retrained " +
+        "pointer — mixing models would make ADC scores incomparable; " +
+        "the old pointer stays internally consistent until the fold " +
+        "fully covers the gap")
+    assert(row.getLong(7) == 1, "exactly one in-stream adoption (gen 8)")
+    assert(row.getBoolean(8),
+      "the post batch runs ON the retrained pointer — the adoption " +
+        "happened in-stream, one switch write")
+    assert(row.getBoolean(9), "the merged-distribution post batch is quiet")
+    assert(row.getLong(10) == 2 * n + 3 * nClean,
+      "serving covers base + every arrival exactly once")
+    assert(row.getBoolean(11), "no id served twice")
+    assert(row.getBoolean(12),
+      "serving (retrained codes ∪ async-folded gaps ∪ post-adoption " +
+        "appends) must be row-identical to a one-shot re-encode of " +
+        "all post-snapshot raws under the same persisted model")
+    assert(row.getLong(13) == 10)
+    // physical shape: the adopted retrain directory carries fold
+    // generations for exactly the gap gens 3..7
+    val idx = graft.RunPaths.scratch(
+      s"graft_q90_index_${graft.RunPaths.keyFor(sf)}")
+    val foldGens = StreamOps.genDirs(s"$idx/retrain/req=2/fold", "gen=")
+    assert(foldGens == Seq(3L, 4L, 5L, 6L, 7L),
+      "the two fold workers cover the whole gap, disjointly")
+  }
+}
