@@ -41,8 +41,15 @@ object ExcelRead {
       // the split-scan version stamp, closing the one documented
       // staleness window — an in-place rewrite with equal length inside
       // the mtime granularity (same inode, so fileKey matches too).
-      // Off by default: the hash costs up to 128 KiB of I/O per stamp
-      // check, worth it only for small workbooks rewritten in place
+      // Off by default, and DELIBERATELY not auto-enabled under a size
+      // threshold (considered, r12 ADVICE): the mode is part of the
+      // cache-key identity, so a threshold would silently flip modes
+      // as a workbook grows past it — churning its spills at exactly
+      // the boundary — and the risk the CRC guards (an editor that
+      // rewrites in place preserving length/mtime/inode) is a property
+      // of the WORKLOAD, not of file size. Callers who face that
+      // editor behavior opt in explicitly; the cost is up to 128 KiB
+      // of I/O per stamp check
       contentStamp: Boolean = false)
 
   final case class SheetLayout(

@@ -2487,6 +2487,14 @@ object StreamOps {
             // (previous sealed_to, its own gen], so the covered range
             // ends at the newest request's gen
             val sealedTo = foldReqs.maxOption.getOrElse(rr)
+            // cap any new seal at the max EXISTING raw: a trigger's own
+            // gen is always durable by the time it runs maintain (raw
+            // persisted first), but the driver-side maintenance pass
+            // calls with atGen = maxGen + 1, and sealing a ghost
+            // generation would send the worker after a raw that was
+            // never written
+            val sealTo = math.min(atGen,
+              genDirs(s"$idx/arrived", "gen=").maxOption.getOrElse(0L))
             if (sealedTo >= atGen - 1) {
               // residual empty — adopt: the durable pointer flip, one
               // write; this trigger's own batch encodes fresh below
@@ -2502,11 +2510,16 @@ object StreamOps {
               // proof); later folds gate on the requesting trigger's
               // own row so the harness stays deterministic
               val gateGen =
-                if (foldReqs.isEmpty) atGen + 1 else atGen
-              foldH.submit(atGen, spark.range(1)
-                .select(lit(atGen).as("req_gen"), lit(rr).as("retrain_req"),
+                if (foldReqs.isEmpty) sealTo + 1 else sealTo
+              // request id = sealed_to: `sealedTo` above derives the
+              // covered range from request IDS alone (no record reads
+              // on the trigger path), which is sound only while the
+              // two stay equal — including for a maintenance-submitted
+              // capped request
+              foldH.submit(sealTo, spark.range(1)
+                .select(lit(sealTo).as("req_gen"), lit(rr).as("retrain_req"),
                   lit(sealedTo).as("sealed_from"),
-                  lit(atGen).as("sealed_to"), lit(gateGen).as("gate_gen")))
+                  lit(sealTo).as("sealed_to"), lit(gateGen).as("gate_gen")))
               (true, false, false)
             }
           }
