@@ -1609,18 +1609,20 @@ object LlmOps {
           "graft_q89adopt_run_" + graft.RunPaths.keyFor(dir))
         wipeDirRec(new java.io.File(work))
         copyDirRec(new java.io.File(tpl), new java.io.File(work))
-        // ---- the adopting trigger's synchronous work (q89's
-        // adoptIfReady): nothing below touches data-sized rows ----
+        // ---- the adopting trigger's synchronous work: the EXACT
+        // production adoption body (StreamOps.adoptCompactEpoch —
+        // shared with q89's adoptIfReady, so the benched path cannot
+        // drift from the path it claims to measure). Nothing below
+        // touches data-sized rows ----
         import graft.streaming.StreamOps
         val ready = StreamOps.genDirs(s"$work/freq", "req=")
           .filter(r => r > 0L &&
             new java.io.File(s"$work/freq/req=$r/_FOLD_DONE").exists())
+        require(ready.nonEmpty,
+          s"q89_adopt_trigger fixture has no completed fold request under " +
+            s"$work/freq — template copy missing or corrupt")
         val r = ready.max
-        s.range(1)
-          .select(lit(1L).as("epoch"), lit(r).as("folded_through"))
-          .write.mode("overwrite").parquet(s"$work/manifest/epoch=1")
-        StreamOps.genDirs(s"$work/codes", "gen=").filter(_ <= r)
-          .foreach(g => wipeDirRec(new java.io.File(s"$work/codes/gen=$g")))
+        StreamOps.adoptCompactEpoch(s, work, 0L, r)
         s.range(1).select(lit(4L).as("gen"), lit(true).as("adopted"))
           .write.mode("overwrite").parquet(s"$work/log/gen=4")
         val nGens = StreamOps.genDirs(s"$work/codes", "gen=").length

@@ -445,6 +445,48 @@ object Streaming {
              |  CAST(10 AS BIGINT) AS n_results
              |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
 
+    // q91 under an ADVANCING horizon — the production shape (r13 task
+    // 5): TWO tombstone folds, each purging against horizon =
+    // fold_gen − lag. Proves what a single purge cannot: the epoch
+    // stays bounded ACROSS purges (per-fold n_purged from the durable
+    // tombstone manifests, final epoch = |D3|+|D2|, not cumulative); a
+    // re-deleted id's RESTARTED clock survives the first purge and
+    // qualifies at the second; the physically-carried condition stays
+    // load-bearing late (D3 ages inside horizon 2 but its rows
+    // postdate the last code fold — purging it would resurrect them).
+    QueryDef(
+      "q92_stream_multi_purge",
+      (s, dir) =>
+        graft.streaming.StreamOps.streamIndexLifecycleMultiPurge(s, dir),
+      Some("""SELECT CAST(10 AS BIGINT) AS n_triggers,
+             |  CAST(2 AS BIGINT) AS code_folds,
+             |  CAST(2 AS BIGINT) AS tomb_folds,
+             |  true AS both_bounded,
+             |  true AS horizons_advanced,
+             |  CAST(count(CASE WHEN vec_id % 10 <> 9
+             |                  AND vec_id % 42 = 24 THEN 1 END) +
+             |       count(CASE WHEN vec_id % 10 <> 9
+             |                  AND vec_id % 21 = 10 THEN 1 END)
+             |    AS BIGINT) AS n_purged_1,
+             |  CAST(count(CASE WHEN vec_id % 10 <> 9
+             |                  AND vec_id % 42 = 3 THEN 1 END)
+             |    AS BIGINT) AS n_purged_2,
+             |  CAST(count(CASE WHEN vec_id % 10 <> 9
+             |                  AND vec_id % 21 IN (10, 17) THEN 1 END)
+             |    AS BIGINT) AS tomb_epoch_rows,
+             |  CAST(count(CASE WHEN vec_id % 10 = 9 OR vec_id % 7 <> 3
+             |                  THEN 1 END) +
+             |       count(CASE WHEN vec_id % 10 <> 9
+             |                  AND vec_id % 42 = 3 THEN 1 END)
+             |    AS BIGINT) AS n_live,
+             |  true AS ids_unique,
+             |  true AS lifecycle_invisible,
+             |  true AS inside_horizon_redelivery_dead,
+             |  true AS purged_redelivery_resurfaces,
+             |  true AS raw_carries_redelivered,
+             |  CAST(10 AS BIGINT) AS n_results
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
+
     // Streaming appends with a BOUNDED generation count: q69-style
     // per-trigger generations, but whenever the serving-directory count
     // reaches k (= 3) the trigger folds epoch + live generations into
@@ -512,6 +554,7 @@ object Streaming {
              |  CAST(1 AS BIGINT) AS n_adopted_in_stream,
              |  true AS post_on_retrained,
              |  true AS post_quiet,
+             |  true AS ptr_reads_bounded,
              |  CAST(2 * count(*) +
              |    3 * count(CASE WHEN vec_id % 10 = 8 THEN 1 END) AS BIGINT)
              |    AS n_index,
@@ -520,6 +563,11 @@ object Streaming {
              |  CAST(10 AS BIGINT) AS n_results
              |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
 
+    // FROZEN CONTRAST FIXTURE (r13 task 8): q86's inline switch path
+    // (gap re-encoded synchronously by the switching trigger) is
+    // superseded by q90's FoldMachine — kept only so the latency
+    // rehearsal can measure the disease next to the cure. Contracts
+    // unchanged; no new serving-path work lands here.
     QueryDef(
       "q86_stream_retrain_async",
       (s, dir) => graft.streaming.StreamOps.streamIndexRetrainAsync(s, dir),
@@ -529,6 +577,7 @@ object Streaming {
              |  true AS gaps_inflight,
              |  true AS post_on_retrained,
              |  true AS post_quiet,
+             |  true AS ptr_reads_bounded,
              |  CAST(2 * count(*) AS BIGINT) AS n_index,
              |  true AS ids_unique,
              |  true AS same_as_oneshot_fold,

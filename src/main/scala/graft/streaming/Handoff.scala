@@ -1,10 +1,11 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 /** The shared async-maintenance state machine behind every
   * off-the-trigger job in the streaming index family (q86's retrain,
-  * q89's compaction fold, q90's gap fold):
+  * q89's compaction fold, q90's gap fold via [[FoldMachine]]):
   *
   *   1. durable REQUEST record over immutable inputs
   *      (`requestRoot/req=N`, overwrite-keyed → at-least-once triggers
@@ -38,11 +39,31 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * same durable request records; this in-process shape is the
   * single-JVM degenerate case of the same protocol — which is why every
   * decision (request, done, adopt) lives in storage and none in memory.
+  * The done marker accordingly goes through the Hadoop `FileSystem`
+  * API, not `java.io.File` (r13 task 3): `doneMarkerPathFor` returns a
+  * PATH, resolved against the session's Hadoop configuration, so the
+  * same code runs when requests, artifacts, and markers live on shared
+  * storage. On HDFS `createNewFile` is an atomic create-flag; on an
+  * object store it is a PUT visible on close — still sound here,
+  * because at most one worker per request runs per JVM, the marker is
+  * written strictly after the artifacts, and a duplicate create by a
+  * re-armed worker re-marks an identical (idempotently overwritten)
+  * artifact set. Local paths resolve to the local filesystem and
+  * behave exactly as the previous `java.io.File` implementation did.
+  *
+  * In-JVM bookkeeping is BOUNDED (r13 task 6): terminated worker
+  * threads and the `launched` entries of done requests are pruned on
+  * every launch/join, so a long-lived stream holds O(live workers)
+  * state, not O(requests ever). A FAILED request's `launched` entry is
+  * deliberately kept — forgetting it would turn every later trigger's
+  * re-arm into an in-process retry loop; a failed worker re-runs only
+  * via a fresh driver's re-arm (the restart path), where the failure
+  * is already surfaced by `joinAll`.
   */
 final class Handoff(
     spark: SparkSession,
     requestRoot: String,
-    doneMarkerFor: Long => java.io.File,
+    doneMarkerPathFor: Long => String,
     label: String)(work: (Long, Row) => Unit) {
 
   private val threads =
@@ -52,11 +73,35 @@ final class Handoff(
   private val launched =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
 
+  private def fsFor(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Request ids present in durable state, sorted. */
   def requests(): Seq[Long] = StreamOps.genDirs(requestRoot, "req=")
 
   /** Whether `req`'s worker has landed its done marker. */
-  def isDone(req: Long): Boolean = doneMarkerFor(req).exists()
+  def isDone(req: Long): Boolean = {
+    val p = new Path(doneMarkerPathFor(req))
+    fsFor(p).exists(p)
+  }
+
+  /** Bounded-bookkeeping sweep: drop threads that already terminated
+    * (their outcome lives in the done marker / `firstError`) and the
+    * `launched` entries of DONE requests (re-arm and every launch
+    * caller filter on `isDone`, so a done request can never relaunch;
+    * failed-but-launched entries stay — see class doc).
+    */
+  private def prune(): Unit = {
+    threads.removeIf(t => !t.isAlive)
+    launched.forEach { r =>
+      if (isDone(r)) { launched.remove(r); () }
+    }
+  }
+
+  /** (live thread handles, launched entries) — exposed for the
+    * bounded-bookkeeping spec only. */
+  private[streaming] def bookkeepingSizes: (Int, Int) =
+    (threads.size, launched.size)
 
   /** The durable request record (one row). Workers and re-armed
     * launches read THIS, never in-memory arguments — the record is the
@@ -87,6 +132,7 @@ final class Handoff(
     * artifact directory).
     */
   def launch(req: Long): Unit = if (launched.add(req)) {
+    prune()
     val t = new Thread(() => {
       try {
         // detach from the launching trigger's inherited job group
@@ -102,10 +148,11 @@ final class Handoff(
         if (pool.nonEmpty)
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
         work(req, record(req))
-        // done marker STRICTLY AFTER every artifact `work` produced
-        val ok = doneMarkerFor(req)
-        ok.getParentFile.mkdirs()
-        ok.createNewFile()
+        // done marker STRICTLY AFTER every artifact `work` produced;
+        // Hadoop FileSystem, so the marker lives wherever the
+        // artifacts do (createNewFile creates missing parents)
+        val ok = new Path(doneMarkerPathFor(req))
+        fsFor(ok).createNewFile(ok)
         ()
       } catch {
         case ex: Throwable => firstError.compareAndSet(null, ex)
@@ -137,9 +184,9 @@ final class Handoff(
     ready.nonEmpty
   }
 
-  /** Join every worker this JVM launched; a silently-hung worker fails
-    * HERE (not later as an indeterminate contract on unadopted state),
-    * and the first captured worker error is rethrown.
+  /** Join every live worker this JVM launched; a silently-hung worker
+    * fails HERE (not later as an indeterminate contract on unadopted
+    * state), and the first captured worker error is rethrown.
     */
   def joinAll(timeoutMs: Long = 600000L): Unit = {
     threads.forEach { t =>
@@ -148,6 +195,7 @@ final class Handoff(
         throw new IllegalStateException(
           s"$label worker ${t.getName} still running after $timeoutMs ms")
     }
+    prune()
     Option(firstError.get()).foreach(ex => throw ex)
   }
 }

@@ -45,6 +45,25 @@ object StreamOps {
   private def codeCols(df: DataFrame): DataFrame =
     df.select(col("cell_id"), col("vec_id"), col("codes"))
 
+  /** The compaction ADOPTION body — ONE 1-row manifest write, then the
+    * sweep of superseded code generations and compact epochs. Shared
+    * between the q89 loop's `adoptIfReady` and the `q89_adopt_trigger`
+    * bench so the benched path IS the production path and cannot
+    * silently drift from it (ADVICE r13). Idempotent: the manifest is
+    * overwrite-keyed and re-sweeping already-swept directories is a
+    * no-op.
+    */
+  private[graft] def adoptCompactEpoch(
+      spark: SparkSession, idx: String, prevEpoch: Long, req: Long): Unit = {
+    spark.range(1)
+      .select(lit(prevEpoch + 1).as("epoch"), lit(req).as("folded_through"))
+      .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${prevEpoch + 1}")
+    genDirs(s"$idx/codes", "gen=").filter(_ <= req)
+      .foreach(g => wipeDir(new java.io.File(s"$idx/codes/gen=$g")))
+    genDirs(s"$idx/compact", "epoch=").filter(_ <= prevEpoch)
+      .foreach(p => wipeDir(new java.io.File(s"$idx/compact/epoch=$p")))
+  }
+
   /** One row, one boolean `outCol`: the two code tables are
     * ROW-IDENTICAL — same ids, same cell assignments, same PQ codes
     * (full outer join; a null on either side or any field mismatch
@@ -970,7 +989,7 @@ object StreamOps {
     // completed, so those appends provably land with the fold in
     // flight.
     val handoff = new Handoff(spark, s"$idx/freq",
-      r => new java.io.File(s"$idx/freq/req=$r/_FOLD_DONE"),
+      r => s"$idx/freq/req=$r/_FOLD_DONE",
       "graft-q89-fold")({ (reqGen, rec) =>
       val gateGen = math.min(reqGen + 2, slices.toLong)
       val gate = new java.io.File(s"$idx/log/gen=$gateGen/_SUCCESS")
@@ -1000,18 +1019,12 @@ object StreamOps {
       ()
     })
     // adoption: one manifest write + sweep, idempotent, runnable from a
-    // trigger or the driver-side maintenance pass
+    // trigger or the driver-side maintenance pass (body shared with the
+    // q89_adopt_trigger bench — the benched path IS this path)
     def adoptIfReady(): Boolean = {
       val (ep, f) = manifest()
-      handoff.adoptNewestReady(r => r <= f) { r =>
-        spark.range(1)
-          .select(lit(ep + 1).as("epoch"), lit(r).as("folded_through"))
-          .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${ep + 1}")
-        genDirs(s"$idx/codes", "gen=").filter(_ <= r)
-          .foreach(g => wipeDir(new java.io.File(s"$idx/codes/gen=$g")))
-        genDirs(s"$idx/compact", "epoch=").filter(_ <= ep)
-          .foreach(p => wipeDir(new java.io.File(s"$idx/compact/epoch=$p")))
-      }
+      handoff.adoptNewestReady(r => r <= f)(r =>
+        adoptCompactEpoch(spark, idx, ep, r))
     }
 
     val splitDir = s"$idx/src/arrivals"
@@ -1662,6 +1675,307 @@ object StreamOps {
         col("raw_carries_redelivered"), col("n_results"))
   }
 
+  /** [[streamIndexLifecyclePurge]] under an ADVANCING horizon — the
+    * production shape (r13 task 5): q91 takes one constant horizon and
+    * fires one purge, but a live pipeline advances its delivery
+    * watermark continuously, so every tombstone fold purges against a
+    * FRESHER horizon. This delivery drives TWO tombstone folds with
+    * `horizon = fold_gen − lag` and proves the properties a single
+    * purge cannot:
+    *
+    *   - the epoch stays BOUNDED ACROSS purges: each fold's surviving
+    *     set reflects only tombstones still inside the current horizon
+    *     or still physically carried — never the cumulative history;
+    *   - a RE-DELETED id's restarted horizon clock (newest delete
+    *     wins) is load-bearing across folds: half of D1 is re-deleted
+    *     just before fold #1, SURVIVES it (its new del_gen is inside
+    *     the first horizon — under oldest-wins it would purge with the
+    *     rest of D1), then QUALIFIES at fold #2 once the advanced
+    *     horizon passes its restarted clock;
+    *   - the carry condition stays load-bearing late: D3's delete
+    *     lands after the last code fold, so at fold #2 it is inside
+    *     the horizon ON AGE but still physically carried — purging it
+    *     would resurrect stored rows.
+    *
+    * Delivery (q78 exactness discipline, k = 3, lag = 1): gen 1 add A1;
+    * gens 2-3 delete D1/D2 (residues 3/10 mod 21 of the ≡3-mod-7 base
+    * class); gen 4 add A2 → CODE FOLD 1 pre-applies D1∪D2 (their rows
+    * leave storage); gen 5 re-deletes R = half of D1 (ids ≡ 3 mod 42,
+    * del_gen 5) → TOMB FOLD 1, horizon 4: D1∖R and D2 purge (aged +
+    * absent), R survives on its restarted clock; gens 6-7 add A3/A4 →
+    * CODE FOLD 2; gen 8 deletes D3 (residue 17 mod 21, del_gen 8);
+    * gen 9 re-deletes D2 (del_gen 9) → TOMB FOLD 2, horizon 8: R
+    * purges (aged past the ADVANCED horizon + absent), D3 survives
+    * (aged but CARRIED — its rows postdate code fold 2), re-deleted D2
+    * survives on age; gen 10 re-delivers R (purged → RESURFACES) and
+    * half of D3 (ids ≡ 17 mod 42 — tombstoned → stays dead).
+    *
+    * Contracts (one row, deterministic): 10 triggers; 2 code folds; 2
+    * tombstone folds; both families ≤ k at every trigger; the horizons
+    * strictly advance; n_purged_1 = |D1∖R| + |D2| and n_purged_2 = |R|
+    * (per-fold, from the durable tombstone manifests); the final epoch
+    * holds exactly |D3| + |D2| ids (bounded, not cumulative); serving
+    * row-identical to the closed-form live set under the same frozen
+    * models; the re-delivered D3 half stays dead, the re-delivered R
+    * resurfaces; the raw codes physically carry both re-delivered
+    * halves; ids unique; k=10 probe.
+    */
+  def streamIndexLifecycleMultiPurge(
+      spark: SparkSession, sfDir: String, k: Int = 3,
+      lag: Long = 1L): DataFrame = {
+    import graft.operators.ProductQuantizer
+    import graft.queries.LlmOps
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
+    val merged = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val base = merged.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+    val arriving = merged.filter(pmod(col("vec_id"), lit(10)) === 9)
+    val idx = graft.RunPaths.scratch(
+      s"graft_q92_index_${graft.RunPaths.keyFor(sfDir)}_$k")
+    Seq("codes", "compact", "manifest", "tombs", "tepoch", "tmanifest", "log")
+      .foreach(d => wipeDir(new java.io.File(s"$idx/$d")))
+    val (coarseF, booksF) = LlmOps.buildFrozenIndex(spark, sfDir, base, idx,
+      "q92 frozen coarse-centroid table", withOccupancy = false)
+
+    def maxManifest(dir: String): Long =
+      genDirs(dir, "epoch=").maxOption.getOrElse(0L)
+    def foldedThrough(): Long = {
+      val ep = maxManifest(s"$idx/manifest")
+      if (ep == 0L) 0L
+      else spark.read.parquet(s"$idx/manifest/epoch=$ep")
+        .select(col("folded_through")).collect()(0).getLong(0)
+    }
+    def codeParts(): Seq[String] = {
+      val ep = maxManifest(s"$idx/manifest")
+      val epochDir =
+        if (ep == 0L) s"$idx/codes/gen=0" else s"$idx/compact/epoch=$ep"
+      epochDir +: genDirs(s"$idx/codes", "gen=").filter(_ > foldedThrough())
+        .map(g => s"$idx/codes/gen=$g")
+    }
+    def tombParts(): Seq[String] = {
+      val tp = maxManifest(s"$idx/tmanifest")
+      val tFolded =
+        if (tp == 0L) 0L
+        else spark.read.parquet(s"$idx/tmanifest/epoch=$tp")
+          .select(col("folded_through")).collect()(0).getLong(0)
+      (if (tp == 0L) Seq.empty else Seq(s"$idx/tepoch/epoch=$tp")) ++
+        genDirs(s"$idx/tombs", "gen=").filter(_ > tFolded)
+          .map(g => s"$idx/tombs/gen=$g")
+    }
+    def tombIds(): Option[DataFrame] = {
+      val ps = tombParts()
+      if (ps.isEmpty) None
+      else Some(ps.map(p => spark.read.parquet(p).select(col("vec_id")))
+        .reduce(_.unionByName(_)).distinct())
+    }
+    def serve(codes: DataFrame): DataFrame = ProductQuantizer.ivfPqTopK(
+      query, "embedding", 8, coarseF, booksF, codes, "vec_id",
+      nProbe = 4, k = 10)
+
+    val deletes = base.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select(col("vec_id"))
+
+    def drive(srcDir: String, genOffset: Int, op: String): Unit = {
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val gen = genOffset + id + 1
+          if (op == "add")
+            ProductQuantizer.ivfPqEncodeWith(
+                batch, "vec_id", "embedding", 8, coarseF, booksF)
+              .write.mode("overwrite").parquet(s"$idx/codes/gen=$gen")
+          else
+            batch.select(col("vec_id"), lit(gen).as("del_gen"))
+              .write.mode("overwrite").parquet(s"$idx/tombs/gen=$gen")
+          val (cBefore, tBefore) = (codeParts(), tombParts())
+          val foldCodes = cBefore.length >= k
+          if (foldCodes) {
+            val ep = maxManifest(s"$idx/manifest")
+            val live = cBefore.map(p => codeCols(spark.read.parquet(p)))
+              .reduce(_.unionByName(_))
+            tombIds().map(live.join(_, Seq("vec_id"), "left_anti"))
+              .getOrElse(live)
+              .repartition(col("cell_id"))
+              .write.mode("overwrite").parquet(s"$idx/compact/epoch=${ep + 1}")
+            spark.range(1)
+              .select(lit(ep + 1).as("epoch"), lit(gen).as("folded_through"))
+              .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${ep + 1}")
+            genDirs(s"$idx/codes", "gen=").filter(_ <= gen)
+              .foreach(g => wipeDir(new java.io.File(s"$idx/codes/gen=$g")))
+            genDirs(s"$idx/compact", "epoch=").filter(_ <= ep)
+              .foreach(p => wipeDir(new java.io.File(s"$idx/compact/epoch=$p")))
+          }
+          val foldTombs = tBefore.length >= k
+          var nPurged = 0L
+          if (foldTombs) {
+            // the ADVANCING horizon: the delivery watermark trails the
+            // current generation by a fixed lag — each fold purges
+            // against a fresher bound than the last (the production
+            // shape; q91's constant horizon is the single-purge case)
+            val horizon = gen - lag
+            val tp = maxManifest(s"$idx/tmanifest")
+            val mergedT = tBefore.map(p => spark.read.parquet(p)
+                .select(col("vec_id"), col("del_gen")))
+              .reduce(_.unionByName(_))
+              .groupBy(col("vec_id")).agg(max(col("del_gen")).as("del_gen"))
+            val carried = codeParts()
+              .map(p => spark.read.parquet(p).select(col("vec_id")))
+              .reduce(_.unionByName(_))
+            val purged = mergedT.filter(col("del_gen") <= horizon)
+              .join(carried, Seq("vec_id"), "left_anti")
+            nPurged = purged.count()
+            mergedT.join(purged.select(col("vec_id")),
+                Seq("vec_id"), "left_anti")
+              .coalesce(1)
+              .write.mode("overwrite").parquet(s"$idx/tepoch/epoch=${tp + 1}")
+            spark.range(1)
+              .select(lit(tp + 1).as("epoch"), lit(gen).as("folded_through"),
+                lit(nPurged).as("n_purged"), lit(horizon).as("horizon"))
+              .write.mode("overwrite")
+              .parquet(s"$idx/tmanifest/epoch=${tp + 1}")
+            genDirs(s"$idx/tombs", "gen=").filter(_ <= gen)
+              .foreach(g => wipeDir(new java.io.File(s"$idx/tombs/gen=$g")))
+            genDirs(s"$idx/tepoch", "epoch=").filter(_ <= tp)
+              .foreach(p => wipeDir(new java.io.File(s"$idx/tepoch/epoch=$p")))
+          }
+          spark.range(1)
+            .select(lit(gen).as("gen"), lit(op).as("op"),
+              lit(cBefore.length.toLong).as("codes_before"),
+              lit(tBefore.length.toLong).as("tombs_before"),
+              lit(foldCodes).as("folded_codes"),
+              lit(foldTombs).as("folded_tombs"),
+              lit(nPurged).as("n_purged"))
+            .write.mode("overwrite").parquet(s"$idx/log/gen=$gen")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    val redelivR = base.filter(pmod(col("vec_id"), lit(42)) === 3)
+    val redelivD3 = base.filter(pmod(col("vec_id"), lit(42)) === 17)
+    // gen 1: add A1
+    val addDir1 = s"$idx/src/adds1"
+    arriving.filter(pmod(col("vec_id"), lit(40)) === 9)
+      .coalesce(1).write.mode("overwrite").parquet(addDir1)
+    drive(addDir1, 0, "add")
+    // gens 2-3: deletes D1, D2
+    val delDir1 = s"$idx/src/dels1"
+    for ((r, i) <- Seq(3, 10).zipWithIndex)
+      deletes.filter(pmod(col("vec_id"), lit(21)) === r)
+        .coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(delDir1)
+    drive(delDir1, 1, "del")
+    // gen 4: add A2 — CODE FOLD 1 pre-applies D1∪D2
+    val addDir2 = s"$idx/src/adds2"
+    arriving.filter(pmod(col("vec_id"), lit(40)) === 19)
+      .coalesce(1).write.mode("overwrite").parquet(addDir2)
+    drive(addDir2, 3, "add")
+    // gen 5: RE-delete half of D1 (the restarted-clock case) —
+    // TOMB FOLD 1 at horizon 4
+    val delDirR = s"$idx/src/dels_r"
+    redelivR.select(col("vec_id"))
+      .coalesce(1).write.mode("overwrite").parquet(delDirR)
+    drive(delDirR, 4, "del")
+    // gens 6-7: adds A3, A4 — CODE FOLD 2 at gen 7
+    val addDir3 = s"$idx/src/adds3"
+    for ((r, i) <- Seq(29, 39).zipWithIndex)
+      arriving.filter(pmod(col("vec_id"), lit(40)) === r)
+        .coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(addDir3)
+    drive(addDir3, 5, "add")
+    // gen 8: delete D3 (after the last code fold — stays CARRIED)
+    val delDir2 = s"$idx/src/dels2"
+    deletes.filter(pmod(col("vec_id"), lit(21)) === 17)
+      .coalesce(1).write.mode("overwrite").parquet(delDir2)
+    drive(delDir2, 7, "del")
+    // gen 9: re-delete D2 (a delete of already-purged ids re-tombstones
+    // them with a fresh clock) — TOMB FOLD 2 at horizon 8
+    val delDir3 = s"$idx/src/dels3"
+    deletes.filter(pmod(col("vec_id"), lit(21)) === 10)
+      .coalesce(1).write.mode("overwrite").parquet(delDir3)
+    drive(delDir3, 8, "del")
+    // gen 10: re-deliver R (purged at fold 2 → resurfaces) and half of
+    // D3 (tombstoned → stays dead)
+    val redelivDir = s"$idx/src/redeliver"
+    redelivR.unionByName(redelivD3)
+      .coalesce(1).write.mode("overwrite").parquet(redelivDir)
+    drive(redelivDir, 9, "add")
+
+    // ---- final state ------------------------------------------------
+    val codes = codeParts().map(p => codeCols(spark.read.parquet(p)))
+      .reduce(_.unionByName(_))
+    val dead = tombIds().get
+    val living = codes.join(dead, Seq("vec_id"), "left_anti")
+    // expected live set, closed form: (everything delivered minus the
+    // full delete set) ∪ the re-delivered PURGED half R
+    val expected = codeCols(ProductQuantizer.ivfPqEncodeWith(
+        base.unionByName(arriving), "vec_id", "embedding", 8,
+        coarseF, booksF))
+      .join(deletes, Seq("vec_id"), "left_anti")
+      .unionByName(codeCols(ProductQuantizer.ivfPqEncodeWith(
+        redelivR, "vec_id", "embedding", 8, coarseF, booksF)))
+    val same = sameCodeRows(living, expected, "lifecycle_invisible")
+    val deadCheck = living.join(redelivD3.select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .agg((count(lit(1)) === 0).as("inside_horizon_redelivery_dead"))
+    val aliveCheck = living.join(redelivR.select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_alive_r"))
+      .crossJoin(redelivR.agg(count(lit(1)).as("n_r")))
+      .select((col("n_alive_r") === col("n_r") && col("n_r") > 0)
+        .as("purged_redelivery_resurfaces"))
+    // physical control: gen 10 is unfolded — countDistinct because the
+    // D3 half legitimately matches its still-stored base copies too
+    val rawCarries = codes.join(
+        redelivR.unionByName(redelivD3).select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .agg(countDistinct(col("vec_id")).as("n_raw"))
+      .crossJoin(redelivR.unionByName(redelivD3)
+        .agg(count(lit(1)).as("n_redeliv")))
+      .select((col("n_raw") === col("n_redeliv"))
+        .as("raw_carries_redelivered"))
+    val served = serve(living)
+    val tombEpochRows = tombIds().get.count()
+    val onDiskOk = codeParts().length <= k && tombParts().length <= k
+    // per-fold purge accounting and the advancing horizon, from the
+    // durable tombstone manifests (kept forever — 1-row records)
+    val tm = genDirs(s"$idx/tmanifest", "epoch=").map(ep =>
+      spark.read.parquet(s"$idx/tmanifest/epoch=$ep")
+        .select(col("n_purged"), col("horizon")).collect()(0))
+    val (purged1, h1) = (tm(0).getLong(0), tm(0).getLong(1))
+    val (purged2, h2) = (tm(1).getLong(0), tm(1).getLong(1))
+    val log = spark.read.parquet(s"$idx/log")
+    log.agg(
+        count(lit(1)).as("n_triggers"),
+        count(when(col("folded_codes"), 1)).as("code_folds"),
+        count(when(col("folded_tombs"), 1)).as("tomb_folds"),
+        (max(col("codes_before")) <= k && max(col("tombs_before")) <= k &&
+          lit(onDiskOk)).as("both_bounded"))
+      .crossJoin(spark.range(1)
+        .select(lit(h2 > h1).as("horizons_advanced"),
+          lit(purged1).as("n_purged_1"), lit(purged2).as("n_purged_2"),
+          lit(tombEpochRows).as("tomb_epoch_rows")))
+      .crossJoin(living.agg(count(lit(1)).as("n_live"),
+        (count(lit(1)) === countDistinct(col("vec_id"))).as("ids_unique")))
+      .crossJoin(same)
+      .crossJoin(deadCheck)
+      .crossJoin(aliveCheck)
+      .crossJoin(rawCarries)
+      .crossJoin(served.agg(count(lit(1)).as("n_results")))
+      .select(col("n_triggers"), col("code_folds"), col("tomb_folds"),
+        col("both_bounded"), col("horizons_advanced"),
+        col("n_purged_1"), col("n_purged_2"), col("tomb_epoch_rows"),
+        col("n_live"), col("ids_unique"), col("lifecycle_invisible"),
+        col("inside_horizon_redelivery_dead"),
+        col("purged_redelivery_resurfaces"),
+        col("raw_carries_redelivered"), col("n_results"))
+  }
+
   /** The retrain trigger RIDING the streaming append path — q69 and
     * q76 composed into the production shape: every arriving micro-batch
     * lands one index generation AND one persisted drift row. The drift
@@ -2038,6 +2352,17 @@ object StreamOps {
     * retrain completes after the stream ends and is switched by the
     * driver-side maintenance pass. Serving still covers every row
     * exactly once.
+    *
+    * STATUS (r13 task 8 resolved): this query is a FROZEN CONTRAST
+    * FIXTURE. Its inline `switchIfReady` — the switching trigger
+    * re-encoding the whole gap synchronously — is superseded by
+    * [[FoldMachine]] (q90's off-trigger gap fold), and is kept ONLY so
+    * `tools/TriggerLatencyRehearsal` can measure the disease next to
+    * the cure (the ~20 s post trigger vs q90's flat one). New serving-
+    * path work goes in [[FoldMachine]]; this path must not grow. The
+    * pointer derivation itself is shared with the canonical path
+    * ([[SwitchLog]] — listing-only membership, one record read,
+    * `ptr_reads_bounded` in the contract row).
     */
   def streamIndexRetrainAsync(
       spark: SparkSession, sfDir: String,
@@ -2069,15 +2394,17 @@ object StreamOps {
     val mDir = s"$idx/model"
 
     // ---- durable-state accessors (decisions derive ONLY from these) --
-    // (req, foldedThrough) per durable switch record, ordered by req
-    def switches(): Seq[(Long, Long)] =
-      genDirs(s"$idx/switch", "req=").map(g =>
-        (g, spark.read.parquet(s"$idx/switch/req=$g")
-          .select(col("folded_through")).collect()(0).getLong(0)))
+    // adopted-set membership needs only the request IDS (a directory
+    // listing); only the serving pointer reads a record — ONE 1-row
+    // read for the MAX switch, O(1) in switch history (the r13 lead
+    // finding: reading every historical record made per-trigger driver
+    // cost grow with total retrains over the stream's lifetime)
+    def adoptedSwitches(): Seq[Long] = SwitchLog.adopted(s"$idx/switch")
     // serving pointer: the LAST switched retrain, else the base model
-    def pointer(): (String, Long) = switches().lastOption
-      .map { case (g, f) => (s"$idx/retrain/req=$g", f) }
-      .getOrElse((mDir, 0L))
+    def pointer(): (String, Long) =
+      SwitchLog.pointer(spark, s"$idx/switch")
+        .map { case (g, f) => (s"$idx/retrain/req=$g", f) }
+        .getOrElse((mDir, 0L))
     def frozenModels(dir: String): (DataFrame, DataFrame) =
       (LlmOps.modelScaleStamp(spark.read.parquet(s"$dir/coarse"),
         "q86 frozen coarse-centroid table"),
@@ -2092,7 +2419,7 @@ object StreamOps {
     // both gap triggers provably compute their inflight flag while the
     // worker is still open — production launches immediately (see doc).
     val handoff = new Handoff(spark, s"$idx/req",
-      g => new java.io.File(s"$idx/retrain/req=$g/_RETRAIN_DONE"),
+      g => s"$idx/retrain/req=$g/_RETRAIN_DONE",
       "graft-q86-retrain")({ (reqGen, _) =>
       val gate = new java.io.File(s"$idx/log/gen=4/_SUCCESS")
       val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
@@ -2119,7 +2446,7 @@ object StreamOps {
     // a trigger (atGen = the observing generation) or from the
     // driver-side maintenance pass after the stream ends
     def switchIfReady(atGen: Long): Unit = {
-      handoff.adoptNewestReady(switches().map(_._1).toSet) { g =>
+      handoff.adoptNewestReady(adoptedSwitches().toSet) { g =>
         val rdir = s"$idx/retrain/req=$g"
         val (coarseR, booksR) = frozenModels(rdir)
         // fold: re-encode the RAW gap batches (appended under the old
@@ -2133,10 +2460,7 @@ object StreamOps {
               .write.mode("overwrite").parquet(s"$rdir/fold/gen=$gg")
           }
         // the durable pointer flip, LAST (persist-first ordering)
-        spark.range(1)
-          .select(lit(g).as("req"), lit(atGen - 1).as("folded_through"),
-            lit(atGen).as("at_gen"))
-          .write.mode("overwrite").parquet(s"$idx/switch/req=$g")
+        SwitchLog.write(spark, s"$idx/switch", g, atGen - 1, atGen)
       }
     }
 
@@ -2148,6 +2472,7 @@ object StreamOps {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
           val t0 = System.nanoTime()
+          val reads0 = SwitchLog.recordReads(s"$idx/switch")
           val gen = genOffset + id + 1
           // 1. persist the raw batch (the fold and any later retrain
           //    read THIS, never the in-memory batch)
@@ -2175,7 +2500,7 @@ object StreamOps {
           // 5. fired → REQUEST (durable record, then the concurrent
           //    worker); coalesce if an earlier request is still open
           val pendingBefore = handoff.requests()
-            .filterNot(switches().map(_._1).toSet).filter(_ < gen)
+            .filterNot(adoptedSwitches().toSet).filter(_ < gen)
           // restart recovery, not just documentation: a pending request
           // whose worker died with a previous driver re-arms here — a
           // no-op on every healthy trigger (the Handoff's launched
@@ -2194,13 +2519,17 @@ object StreamOps {
           // 6. durable per-generation log row, written LAST — `ms` is
           //    the trigger's whole synchronous cost (what a 100 TB
           //    stream pays per micro-batch while a retrain runs
-          //    concurrently; the latency rehearsal reads this)
+          //    concurrently; the latency rehearsal reads this), and
+          //    `ptr_reads` the switch-RECORD reads this trigger issued
+          //    (the O(1)-in-history probe; contract-asserted ≤ 1)
           spark.range(1)
             .select(lit(gen).as("gen"), lit(phase).as("phase"),
               lit(fired).as("retrain_fired"),
               lit(requested).as("retrain_requested"),
               lit(pendingBefore.nonEmpty).as("inflight"),
               lit(ptr != mDir).as("on_retrained"),
+              lit(SwitchLog.recordReads(s"$idx/switch") - reads0)
+                .as("ptr_reads"),
               lit((System.nanoTime() - t0) / 1000000L).as("ms"))
             .write.mode("overwrite").parquet(s"$idx/log/gen=$gen")
           ()
@@ -2271,7 +2600,7 @@ object StreamOps {
     // one-shot comparison: everything past the retrain snapshot,
     // re-encoded in ONE batch under the same persisted models — the
     // fold + post-switch-append plumbing must be invisible to queries
-    val snapGen = switches().lastOption.map(_._1).getOrElse(0L)
+    val snapGen = adoptedSwitches().maxOption.getOrElse(0L)
     val lateGens = genDirs(s"$idx/arrived", "gen=").filter(_ > snapGen)
     val (coarseP, booksP) = frozenModels(ptr)
     val oneShot = lateGens
@@ -2301,13 +2630,17 @@ object StreamOps {
         (count(when(col("phase") === "post" && !col("on_retrained"), 1))
           === 0).as("post_on_retrained"),
         (count(when(col("phase") === "post" && col("retrain_fired"), 1))
-          === 0).as("post_quiet"))
+          === 0).as("post_quiet"),
+        // O(1)-in-history: no trigger may read more than ONE switch
+        // record, no matter how many retrains the stream has adopted
+        (max(col("ptr_reads")) <= 1).as("ptr_reads_bounded"))
       .crossJoin(serving.agg(count(lit(1)).as("n_index"),
         (count(lit(1)) === countDistinct(col("vec_id"))).as("ids_unique")))
       .crossJoin(same)
       .crossJoin(served.agg(count(lit(1)).as("n_results")))
       .select(col("n_triggers"), col("clean_quiet"), col("drift_fires_once"),
         col("gaps_inflight"), col("post_on_retrained"), col("post_quiet"),
+        col("ptr_reads_bounded"),
         col("n_index"), col("ids_unique"), col("same_as_oneshot_fold"),
         col("n_results"))
   }
@@ -2347,7 +2680,13 @@ object StreamOps {
     *
     * Every synchronous trigger cost is O(batch): append, PSI gate,
     * request writes, the adoption's single manifest write. Training
-    * AND gap folding both run off-trigger.
+    * AND gap folding both run off-trigger. The fold worker + the
+    * seal/re-arm/adopt decision live in [[FoldMachine]] (THE canonical
+    * serving path — FoldMachineSpec drives it against synthetic durable
+    * state for the cases this harness cannot reach), and the pointer in
+    * [[SwitchLog]]: adopted-set membership from the directory listing,
+    * ONE 1-row record read per trigger regardless of switch history
+    * (`ptr_reads_bounded` in the contract row — the r13 lead fix).
     *
     * Delivery harness (q78 exactness discipline; gates are
     * scaffolding, production launches immediately): gen 1 clean; gen 2
@@ -2374,7 +2713,8 @@ object StreamOps {
     * serving covers base + every arrival exactly once
     * (2·n + 3·n_clean); ids unique; serving row-identical to a
     * one-shot re-encode of all post-snapshot raws under the persisted
-    * retrained model; k=10 probe.
+    * retrained model; no trigger reads more than one switch record
+    * (ptr_reads_bounded); k=10 probe.
     */
   def streamIndexRetrainFoldAsync(
       spark: SparkSession, sfDir: String): DataFrame = {
@@ -2394,22 +2734,12 @@ object StreamOps {
       s"graft_q90_index_${graft.RunPaths.keyFor(sfDir)}")
     val mDir = s"$idx/model"
 
-    // ---- durable-state accessors (decisions derive ONLY from these) --
-    def switches(): Seq[(Long, Long)] =
-      genDirs(s"$idx/switch", "req=").map(g =>
-        (g, spark.read.parquet(s"$idx/switch/req=$g")
-          .select(col("folded_through")).collect()(0).getLong(0)))
-    def pointer(): (String, Long) = switches().lastOption
-      .map { case (g, f) => (s"$idx/retrain/req=$g", f) }
-      .getOrElse((mDir, 0L))
-    def frozenModels(dir: String): (DataFrame, DataFrame) =
-      (LlmOps.modelScaleStamp(spark.read.parquet(s"$dir/coarse"),
-        "q90 frozen coarse-centroid table"),
-        spark.read.parquet(s"$dir/books"))
-
-    // ---- the two handoffs: retrain, then gap fold --------------------
+    // ---- the retrain handoff + the canonical fold machine ------------
+    // durable-state accessors live in FoldMachine/SwitchLog: adopted-set
+    // membership from the directory listing, the serving pointer from
+    // ONE 1-row record read (O(1) in switch history — the r13 lead fix)
     val retrainH = new Handoff(spark, s"$idx/req",
-      g => new java.io.File(s"$idx/retrain/req=$g/_RETRAIN_DONE"),
+      g => s"$idx/retrain/req=$g/_RETRAIN_DONE",
       "graft-q90-retrain")({ (reqGen, _) =>
       // delivery gate: both gap triggers must log inflight first
       val gate = new java.io.File(s"$idx/log/gen=4/_SUCCESS")
@@ -2428,103 +2758,14 @@ object StreamOps {
         s"$idx/retrain/req=$reqGen", "q90 retrained coarse-centroid table")
       ()
     })
-    val foldH = new Handoff(spark, s"$idx/fold_req",
-      g => new java.io.File(s"$idx/fold_req/req=$g/_FOLD_DONE"),
-      "graft-q90-fold")({ (_, rec) =>
-      // delivery gate from the durable record: hold the re-encode
-      // until the named trigger completes, so its append provably
-      // lands with the fold in flight (scaffolding, as above)
-      val gateGen = rec.getAs[Long]("gate_gen")
-      val gate = new java.io.File(s"$idx/log/gen=$gateGen/_SUCCESS")
-      val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
-      while (!gate.exists()) {
-        if (System.nanoTime() > deadline)
-          throw new IllegalStateException(
-            s"q90 fold gate timed out waiting for gen $gateGen")
-        Thread.sleep(100)
-      }
-      // the SEALED range: raws (sealed_from, sealed_to] are immutable
-      // (their triggers completed before the request was written) —
-      // re-encode each under the retrained model, overwrite-keyed
-      val rr = rec.getAs[Long]("retrain_req")
-      val rdir = s"$idx/retrain/req=$rr"
-      val (coarseR, booksR) = frozenModels(rdir)
-      (rec.getAs[Long]("sealed_from") + 1 to rec.getAs[Long]("sealed_to"))
-        .foreach { gg =>
-          ProductQuantizer.ivfPqEncodeWith(
-              spark.read.parquet(s"$idx/arrived/gen=$gg"),
-              "vec_id", "embedding", 8, coarseR, booksR)
-            .write.mode("overwrite").parquet(s"$rdir/fold/gen=$gg")
-        }
-      ()
-    })
-
-    /** The fold/adopt state machine, run at trigger start (and by the
-      * driver-side maintenance pass with atGen = maxGen + 1):
-      * completed-but-unswitched retrain → either re-arm a pending
-      * fold, seal the next residual range into a new fold request, or
-      * — when the folded range reaches atGen's doorstep — flip the
-      * pointer with ONE switch write. Idempotent: every artifact is
-      * overwrite-keyed and the decision derives from durable state.
-      * Returns (foldRequested, foldInflight, adopted).
-      */
-    def maintain(atGen: Long): (Boolean, Boolean, Boolean) = {
-      val unswitched = retrainH.requests().filter(retrainH.isDone)
-        .filterNot(switches().map(_._1).toSet)
-      unswitched.maxOption match {
-        case None => (false, false, false)
-        case Some(rr) =>
-          val foldReqs = foldH.requests()
-          val pending = foldReqs.filterNot(foldH.isDone)
-          if (pending.nonEmpty) {
-            // restart re-arm: a fold whose worker died with a previous
-            // driver relaunches from its durable record; no-op when
-            // the worker is alive in this JVM
-            foldH.rearm(pending)
-            (false, true, false)
-          } else {
-            // folds are contiguous: each request seals
-            // (previous sealed_to, its own gen], so the covered range
-            // ends at the newest request's gen
-            val sealedTo = foldReqs.maxOption.getOrElse(rr)
-            // cap any new seal at the max EXISTING raw: a trigger's own
-            // gen is always durable by the time it runs maintain (raw
-            // persisted first), but the driver-side maintenance pass
-            // calls with atGen = maxGen + 1, and sealing a ghost
-            // generation would send the worker after a raw that was
-            // never written
-            val sealTo = math.min(atGen,
-              genDirs(s"$idx/arrived", "gen=").maxOption.getOrElse(0L))
-            if (sealedTo >= atGen - 1) {
-              // residual empty — adopt: the durable pointer flip, one
-              // write; this trigger's own batch encodes fresh below
-              spark.range(1)
-                .select(lit(rr).as("req"),
-                  lit(sealedTo).as("folded_through"),
-                  lit(atGen).as("at_gen"))
-                .write.mode("overwrite").parquet(s"$idx/switch/req=$rr")
-              (false, false, true)
-            } else {
-              // seal the residual (the catch-up recursion): the first
-              // fold gates on the NEXT trigger (append-during-fold
-              // proof); later folds gate on the requesting trigger's
-              // own row so the harness stays deterministic
-              val gateGen =
-                if (foldReqs.isEmpty) sealTo + 1 else sealTo
-              // request id = sealed_to: `sealedTo` above derives the
-              // covered range from request IDS alone (no record reads
-              // on the trigger path), which is sound only while the
-              // two stay equal — including for a maintenance-submitted
-              // capped request
-              foldH.submit(sealTo, spark.range(1)
-                .select(lit(sealTo).as("req_gen"), lit(rr).as("retrain_req"),
-                  lit(sealedTo).as("sealed_from"),
-                  lit(sealTo).as("sealed_to"), lit(gateGen).as("gate_gen")))
-              (true, false, false)
-            }
-          }
-      }
-    }
+    // THE canonical serving-path state machine (fold worker + the
+    // maintain() seal/re-arm/adopt decision + the SwitchLog pointer) —
+    // shared with FoldMachineSpec's synthetic-state cases and the
+    // catch-up rehearsal; q86's inline switch is the frozen contrast
+    val fm = new FoldMachine(spark, idx, retrainH, "graft-q90-fold",
+      "q90 frozen coarse-centroid table")
+    def frozenModels(dir: String): (DataFrame, DataFrame) =
+      fm.frozenModels(dir)
 
     def drive(srcDir: String, phase: String, genOffset: Int): Unit = {
       val schema = spark.read.parquet(srcDir).schema
@@ -2534,16 +2775,17 @@ object StreamOps {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
           val t0 = System.nanoTime()
+          val reads0 = fm.recordReads()
           val gen = genOffset + id + 1
           // 1. persist the raw batch (folds and retrains read THIS)
           batch.select(col("vec_id"), col("embedding"))
             .write.mode("overwrite").parquet(s"$idx/arrived/gen=$gen")
           // 2. fold/adopt state machine — O(batch) at most (a request
-          //    or one switch write); the re-encode itself is foldH's
-          val (foldRequested, foldInflight, adopted) = maintain(gen)
+          //    or one switch write); the re-encode itself is fm.foldH's
+          val (foldRequested, foldInflight, adopted) = fm.maintain(gen)
           // 3. append under the CURRENT pointer (old until adopted —
           //    serving stays internally consistent under one model)
-          val (ptr, _) = pointer()
+          val (ptr, _) = fm.pointer(mDir)
           val (coarseF, booksF) = frozenModels(ptr)
           ProductQuantizer.ivfPqEncodeWith(
               spark.read.parquet(s"$idx/arrived/gen=$gen"),
@@ -2557,14 +2799,17 @@ object StreamOps {
               coarseF)
             .select(col("psi")).collect()(0).getDouble(0)
           val fired = psi > 0.75
-          // 5. fired → retrain REQUEST (coalesced while one is open)
+          // 5. fired → retrain REQUEST (coalesced while one is open);
+          //    adopted-set membership from the listing, no record reads
           val pendingR = retrainH.requests()
-            .filterNot(switches().map(_._1).toSet).filter(_ < gen)
+            .filterNot(fm.adopted().toSet).filter(_ < gen)
           retrainH.rearm(pendingR)
           val requested = fired && pendingR.isEmpty
           if (requested)
             retrainH.submit(gen, spark.range(1).select(lit(gen).as("gen")))
-          // 6. durable log row, LAST (ms = whole synchronous cost)
+          // 6. durable log row, LAST (ms = whole synchronous cost;
+          //    ptr_reads = switch-record reads this trigger issued —
+          //    the O(1)-in-history probe, contract-asserted ≤ 1)
           spark.range(1)
             .select(lit(gen).as("gen"), lit(phase).as("phase"),
               lit(fired).as("retrain_fired"),
@@ -2574,7 +2819,8 @@ object StreamOps {
               lit(foldRequested).as("fold_requested"),
               lit(foldInflight).as("fold_inflight"),
               lit(adopted).as("adopted"),
-              lit(pointer()._1 != mDir).as("on_retrained"),
+              lit(ptr != mDir).as("on_retrained"),
+              lit(fm.recordReads() - reads0).as("ptr_reads"),
               lit((System.nanoTime() - t0) / 1000000L).as("ms"))
             .write.mode("overwrite").parquet(s"$idx/log/gen=$gen")
           ()
@@ -2605,7 +2851,7 @@ object StreamOps {
         .coalesce(1)
         .write.mode(if (i == 0) "overwrite" else "append").parquet(gapDir)
     drive(gapDir, "gap", genOffset = 2)
-    handoffJoinBoth(retrainH, foldH)
+    fm.joinAll()
     // gens 5-6: fold phase A — gen 5 requests fold #1 (seals 3..5),
     // gen 6 appends WHILE it folds; fresh-id full-clean copies keep
     // the PSI gate quiet on the old pointer
@@ -2616,7 +2862,7 @@ object StreamOps {
         .coalesce(1)
         .write.mode(if (i == 0) "overwrite" else "append").parquet(foldADir)
     drive(foldADir, "fold", genOffset = 4)
-    handoffJoinBoth(retrainH, foldH)
+    fm.joinAll()
     // gen 7: fold phase B — observes fold #1 done, seals the residual
     // {6, 7} into fold #2
     val foldBDir = s"$idx/src/fold_b"
@@ -2624,7 +2870,7 @@ object StreamOps {
         col("embedding"))
       .coalesce(1).write.mode("overwrite").parquet(foldBDir)
     drive(foldBDir, "fold", genOffset = 6)
-    handoffJoinBoth(retrainH, foldH)
+    fm.joinAll()
     // gen 8: post — observes fold #2 done, residual empty → ADOPTS,
     // encodes itself under the new pointer, appends quietly
     val postDir = s"$idx/src/post"
@@ -2634,12 +2880,19 @@ object StreamOps {
       .coalesce(1).write.mode("overwrite").parquet(postDir)
     drive(postDir, "post", genOffset = 7)
     // maintenance pass: nothing pending in the healthy schedule (the
-    // adoption happened in-stream at gen 8); idempotent belt
-    handoffJoinBoth(retrainH, foldH)
-    maintain(genDirs(s"$idx/arrived", "gen=").max + 1)
+    // adoption happened in-stream at gen 8); idempotent belt. If the
+    // first pass DID submit a fold (a retrain landed after the last
+    // trigger), join it and maintain again so the fold completes and
+    // is adopted before serving state is derived — a daemon worker's
+    // failure must surface here, not be swallowed (ADVICE r13)
+    val maxGenAll = genDirs(s"$idx/arrived", "gen=").max
+    fm.joinAll()
+    fm.maintain(maxGenAll + 1)
+    fm.joinAll()
+    fm.maintain(maxGenAll + 1)
 
     // ---- serving state, derived from the same durable records --------
-    val (ptr, foldedThrough) = pointer()
+    val (ptr, foldedThrough) = fm.pointer(mDir)
     val foldCodes = genDirs(s"$ptr/fold", "gen=").map(g =>
       codeCols(spark.read.parquet(s"$ptr/fold/gen=$g")))
     val appendCodes = genDirs(s"$idx/append", "gen=")
@@ -2648,7 +2901,7 @@ object StreamOps {
     val serving = (foldCodes ++ appendCodes)
       .foldLeft(codeCols(spark.read.parquet(s"$ptr/codes/gen=0")))(
         _.unionByName(_))
-    val snapGen = switches().lastOption.map(_._1).getOrElse(0L)
+    val snapGen = fm.adopted().maxOption.getOrElse(0L)
     val lateGens = genDirs(s"$idx/arrived", "gen=").filter(_ > snapGen)
     val (coarseP, booksP) = frozenModels(ptr)
     val oneShot = lateGens
@@ -2683,7 +2936,10 @@ object StreamOps {
         (count(when(col("phase") === "post" && !col("on_retrained"), 1))
           === 0).as("post_on_retrained"),
         (count(when(col("phase") === "post" && col("retrain_fired"), 1))
-          === 0).as("post_quiet"))
+          === 0).as("post_quiet"),
+        // O(1)-in-history: no trigger may read more than ONE switch
+        // record, no matter how many retrains the stream has adopted
+        (max(col("ptr_reads")) <= 1).as("ptr_reads_bounded"))
       .crossJoin(serving.agg(count(lit(1)).as("n_index"),
         (count(lit(1)) === countDistinct(col("vec_id"))).as("ids_unique")))
       .crossJoin(same)
@@ -2692,15 +2948,9 @@ object StreamOps {
         col("gaps_inflight"), col("n_fold_requests"),
         col("n_gens_during_fold"), col("old_pointer_until_adopted"),
         col("n_adopted_in_stream"), col("post_on_retrained"),
-        col("post_quiet"), col("n_index"), col("ids_unique"),
+        col("post_quiet"), col("ptr_reads_bounded"),
+        col("n_index"), col("ids_unique"),
         col("same_as_oneshot_fold"), col("n_results"))
-  }
-
-  /** Join both handoffs of a two-stage maintenance pipeline — retrain
-    * first (the fold depends on its artifacts), then the fold.
-    */
-  private def handoffJoinBoth(retrain: Handoff, fold: Handoff): Unit = {
-    retrain.joinAll(); fold.joinAll()
   }
 
   /** The pipeline behind [[streamPrioritySample]], parameterized on the

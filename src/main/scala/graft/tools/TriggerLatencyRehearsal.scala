@@ -63,14 +63,39 @@ object TriggerLatencyRehearsal {
     // the fresher (JIT-warmer) of the two — bias AGAINST the claim
     val noPool = run(pool = false)
     val withPool = run(pool = true)
-    def fmt(m: Map[String, Double]): String =
-      Seq("clean", "drift", "gap", "post").flatMap(p =>
+
+    // the CURE, measured in the same table (r13 task 2): q90's pipeline
+    // — gap fold AND adoption off the trigger — at the same blowup. Its
+    // post trigger should cost ≈ a clean trigger (one switch write +
+    // its own O(batch) append), where q86's post trigger pays the whole
+    // inline gap re-encode; its fold-phase triggers should be flat
+    // (the re-encode runs in the pooled worker)
+    def runFold(): Map[String, Double] = {
+      graft.streaming.StreamOps.streamIndexRetrainFoldAsync(spark, out)
+        .collect()
+      val idx = graft.RunPaths.scratch(
+        s"graft_q90_index_${graft.RunPaths.keyFor(out)}")
+      spark.read.parquet(s"$idx/log")
+        .groupBy(col("phase"))
+        .agg(avg(col("ms")).as("ms"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    val fold = runFold()
+
+    def fmt(phases: Seq[String])(m: Map[String, Double]): String =
+      phases.flatMap(p =>
         m.get(p).map(v => s"${graft.JsonText.quote(p)}:${v.round}"))
         .mkString("{", ",", "}")
-    Seq("clean", "drift", "gap", "post").foreach { p =>
-      System.err.println(f"[latency] $p%-6s nopool=${noPool.getOrElse(p, Double.NaN)}%8.0f ms  pool=${withPool.getOrElse(p, Double.NaN)}%8.0f ms")
+    val q86Phases = Seq("clean", "drift", "gap", "post")
+    val q90Phases = Seq("clean", "drift", "gap", "fold", "post")
+    q86Phases.foreach { p =>
+      System.err.println(f"[latency] q86 $p%-6s nopool=${noPool.getOrElse(p, Double.NaN)}%8.0f ms  pool=${withPool.getOrElse(p, Double.NaN)}%8.0f ms")
     }
-    println(s"""{"metric":"trigger_latency_ms","data_factor":$factor,"nopool":${fmt(noPool)},"pool":${fmt(withPool)},"src":${graft.JsonText.quote(src)}}""")
+    q90Phases.foreach { p =>
+      System.err.println(f"[latency] q90 $p%-6s pool=${fold.getOrElse(p, Double.NaN)}%8.0f ms")
+    }
+    println(s"""{"metric":"trigger_latency_ms","data_factor":$factor,"nopool":${fmt(q86Phases)(noPool)},"pool":${fmt(q86Phases)(withPool)},"q90":${fmt(q90Phases)(fold)},"src":${graft.JsonText.quote(src)}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The canonical fold/adopt state machine (FoldMachine) and the
+  * switch-log pointer (SwitchLog), driven against SYNTHETIC durable
+  * state — the cases the q90 delivery harness cannot reach:
+  *
+  *   - O(1)-in-history pointer derivation with ≥ 3 historical switch
+  *     records (the r13 lead finding: adopted-set membership must be a
+  *     listing, the pointer exactly ONE record read);
+  *   - a stale fold request lingering from a PREVIOUS retrain cycle
+  *     must not drag sealed_from under the new retrain's snapshot
+  *     boundary (ADVICE r13: duplicate vec_ids in serving otherwise);
+  *   - a maintenance-pass-submitted FIRST fold request must cap its
+  *     delivery gate at an EXISTING log generation (ADVICE r13: gating
+  *     on a row that will never be written hangs the worker 300 s and
+  *     swallows the failure in a daemon thread).
+  */
+class FoldMachineSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.scheduler.mode", "FAIR")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshIdx(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"foldmachine_$tag").toString
+
+  private lazy val slices: org.apache.spark.sql.DataFrame =
+    graft.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+
+  /** A retrain the machine can observe: durable request record, a real
+    * trained model layout (the fold worker re-encodes under it), and
+    * the done marker. */
+  private def plantRetrain(h: Handoff, idx: String, req: Long): Unit = {
+    h.submitRecord(req, spark.range(1).select(lit(req).as("gen")))
+    graft.queries.LlmOps.buildFrozenIndex(spark, sf,
+      slices.filter(pmod(col("vec_id"), lit(10)) =!= 9),
+      s"$idx/retrain/req=$req", "foldmachine spec retrained table",
+      withOccupancy = false)
+    val m = new java.io.File(s"$idx/retrain/req=$req/_RETRAIN_DONE")
+    m.getParentFile.mkdirs()
+    m.createNewFile()
+    ()
+  }
+
+  private def plantRaw(idx: String, gen: Long, residue: Int): Unit =
+    slices.filter(pmod(col("vec_id"), lit(30)) === residue)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$idx/arrived/gen=$gen")
+
+  private def mkRetrainH(idx: String): Handoff =
+    new Handoff(spark, s"$idx/req",
+      g => s"$idx/retrain/req=$g/_RETRAIN_DONE", "fm-spec-retrain")(
+      (_, _) => fail("the spec plants retrains; no worker may run"))
+
+  test("SwitchLog: with 3+ historical switches the adopted set is a " +
+      "listing (0 record reads) and the pointer exactly ONE record " +
+      "read — O(1) in switch history") {
+    val root = s"${freshIdx("switchlog")}/switch"
+    for (r <- Seq(1L, 2L, 3L))
+      SwitchLog.write(spark, root, r, r * 10, r * 10 + 1)
+    val reads0 = SwitchLog.recordReads(root)
+    assert(SwitchLog.adopted(root) == Seq(1L, 2L, 3L))
+    assert(SwitchLog.recordReads(root) == reads0,
+      "adopted-set membership must not read records — request ids ARE " +
+        "the directory names")
+    assert(SwitchLog.pointer(spark, root).contains((3L, 30L)),
+      "the pointer is the MAX record's folded_through")
+    assert(SwitchLog.recordReads(root) == reads0 + 1,
+      "the pointer costs exactly one 1-row read no matter how many " +
+        "retrains the stream has ever adopted")
+  }
+
+  test("a stale fold request from a previous retrain cycle never drags " +
+      "sealed_from under the new retrain's snapshot boundary") {
+    val idx = freshIdx("stale")
+    val retrainH = mkRetrainH(idx)
+    val fm = new FoldMachine(spark, idx, retrainH, "fm-spec-fold",
+      "foldmachine spec frozen table", gated = false)
+    // cycle 1, already finished: retrain req=2 adopted (switch record),
+    // and its fold request req=4 still on disk — sealed ranges from a
+    // CLOSED cycle linger in durable state by design (replay history)
+    val m2 = new java.io.File(s"$idx/retrain/req=2/_RETRAIN_DONE")
+    m2.getParentFile.mkdirs(); m2.createNewFile()
+    retrainH.submitRecord(2L, spark.range(1).select(lit(2L).as("gen")))
+    SwitchLog.write(spark, s"$idx/switch", 2L, 4L, 5L)
+    fm.foldH.submitRecord(4L, spark.range(1)
+      .select(lit(4L).as("req_gen"), lit(2L).as("retrain_req"),
+        lit(2L).as("sealed_from"), lit(4L).as("sealed_to"),
+        lit(4L).as("gate_gen")))
+    val m4 = new java.io.File(s"$idx/fold_req/req=4/_FOLD_DONE")
+    m4.getParentFile.mkdirs(); m4.createNewFile()
+    // cycle 2: a NEW completed retrain whose snapshot covers gens ≤ 5
+    (1L to 5L).foreach(g => new java.io.File(s"$idx/arrived/gen=$g").mkdirs())
+    plantRaw(idx, 6L, residue = 18)
+    plantRaw(idx, 7L, residue = 28)
+    plantRetrain(retrainH, idx, 5L)
+    // the observing trigger: the seal must start at the retrain's own
+    // boundary (5), not at the stale cycle-1 request (4) — sealing
+    // (4, 7] would re-encode gen 5, which the snapshot already carries
+    val (requested, inflight, adopted) = fm.maintain(7L)
+    assert(requested && !inflight && !adopted)
+    val rec = fm.foldH.record(7L)
+    assert(rec.getAs[Long]("sealed_from") == 5L,
+      "sealed_from = max(retrain req, newest fold req): a stale " +
+        "cycle-1 request must not pull the seal under the snapshot " +
+        "boundary (duplicate vec_ids in serving)")
+    assert(rec.getAs[Long]("sealed_to") == 7L)
+    fm.foldH.joinAll()
+    assert(StreamOps.genDirs(s"$idx/retrain/req=5/fold", "gen=") ==
+      Seq(6L, 7L),
+      "the fold re-encodes exactly the residual gap — nothing the " +
+        "snapshot already encodes")
+    // next observation adopts: covered range reaches the doorstep
+    val (_, _, adopted2) = fm.maintain(8L)
+    assert(adopted2 && fm.pointer("base") == (s"$idx/retrain/req=5", 7L))
+  }
+
+  test("a maintenance-pass-submitted FIRST fold request caps its gate " +
+      "at an existing log generation; joined and re-maintained, it " +
+      "completes and adopts instead of hanging a daemon worker") {
+    val idx = freshIdx("gatecap")
+    val retrainH = mkRetrainH(idx)
+    val fm = new FoldMachine(spark, idx, retrainH, "fm-spec-fold2",
+      "foldmachine spec frozen table") // gated = true: the capped path
+    (1L to 2L).foreach(g => new java.io.File(s"$idx/arrived/gen=$g").mkdirs())
+    plantRaw(idx, 3L, residue = 18)
+    plantRaw(idx, 4L, residue = 28)
+    // the triggers' log rows exist for gens 1..4 and never will for 5
+    (1L to 4L).foreach(g => spark.range(1).select(lit(g).as("gen"))
+      .write.mode("overwrite").parquet(s"$idx/log/gen=$g"))
+    plantRetrain(retrainH, idx, 2L)
+    // the stream has ended; only the maintenance pass observes the
+    // retrain. atGen = maxGen + 1 = 5: the uncapped gate would be
+    // sealTo + 1 = 5 — a log row that will never be written
+    val (requested, _, _) = fm.maintain(5L)
+    assert(requested)
+    assert(fm.foldH.record(4L).getAs[Long]("gate_gen") == 4L,
+      "the gate caps at the newest EXISTING log generation — gating " +
+        "on gen 5 would spin the worker 300 s against a row nobody " +
+        "will write")
+    fm.foldH.joinAll() // completes promptly: gen 4's _SUCCESS exists
+    val (_, _, adopted) = fm.maintain(5L)
+    assert(adopted, "join + re-maintain adopts the maintenance fold")
+    assert(fm.pointer("base") == (s"$idx/retrain/req=2", 4L))
+    assert(StreamOps.genDirs(s"$idx/retrain/req=2/fold", "gen=") ==
+      Seq(3L, 4L))
+  }
+}

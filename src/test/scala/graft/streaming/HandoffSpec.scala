@@ -27,7 +27,7 @@ class HandoffSpec extends AnyFunSuite {
 
   private def mk(root: String)(work: (Long, org.apache.spark.sql.Row) => Unit) =
     new Handoff(spark, root,
-      r => new java.io.File(s"$root/req=$r/_DONE"), "handoff-spec")(work)
+      r => s"$root/req=$r/_DONE", "handoff-spec")(work)
 
   private def rec(payload: Long) =
     spark.range(1).select(lit(payload).as("payload"))
@@ -166,5 +166,50 @@ class HandoffSpec extends AnyFunSuite {
     assert(ex.getMessage == "first cause",
       "the root cause of a failure cascade must survive — a second " +
         "failure overwriting it would mask the diagnosis")
+  }
+
+  test("the done marker goes through the Hadoop FileSystem API: an " +
+      "explicit file: URI marker path works, is visible to an " +
+      "independent FileSystem.exists, and local behavior is unchanged") {
+    val root = freshRoot()
+    // the cross-cluster shape the scaladoc promises: marker addressed
+    // by PATH (here a file: URI), resolved via the Hadoop conf — on a
+    // cluster the same string would be hdfs://... next to the artifacts
+    val h = new Handoff(spark, root,
+      r => s"file:$root/req=$r/_DONE", "handoff-spec")((_, _) => ())
+    h.submit(9L, rec(90L))
+    h.joinAll()
+    assert(h.isDone(9L))
+    val p = new org.apache.hadoop.fs.Path(s"file:$root/req=9/_DONE")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(p),
+      "an independent Hadoop FileSystem client must see the marker")
+    // and the plain local path (what every query passes) still works:
+    // java.io observes the same file the Hadoop API wrote
+    assert(new java.io.File(s"$root/req=9/_DONE").exists())
+  }
+
+  test("in-JVM bookkeeping stays bounded over many requests: " +
+      "terminated threads and done requests' launched entries are " +
+      "pruned, not accumulated for the life of the stream") {
+    val root = freshRoot()
+    val h = mk(root)((_, _) => ())
+    for (r <- 1L to 25L) {
+      h.submit(r, rec(r * 10))
+      h.joinAll() // each request completes before the next launches
+    }
+    assert(h.requests().size == 25, "durable state keeps full history")
+    val (liveThreads, launchedEntries) = h.bookkeepingSizes
+    assert(liveThreads <= 1 && launchedEntries <= 1,
+      s"in-JVM bookkeeping must be O(live workers), not O(history): " +
+        s"threads=$liveThreads launched=$launchedEntries after 25 requests")
+    // a FAILED request's launched entry is deliberately retained (no
+    // in-process retry loop), but it must not block a fresh driver
+    val h2 = mk(root)((_, _) => throw new IllegalStateException("boom"))
+    h2.submit(26L, rec(260L))
+    intercept[IllegalStateException](h2.joinAll())
+    assert(h2.bookkeepingSizes._2 == 1,
+      "the failed request's launched entry stays — rearm in THIS " +
+        "process must not retry it")
   }
 }

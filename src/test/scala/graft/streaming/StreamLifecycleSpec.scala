@@ -132,4 +132,57 @@ class StreamLifecycleSpec extends AnyFunSuite {
       dirCount(idx, "tombs", "gen=") == 0,
       "one purged tombstone epoch remains on disk")
   }
+
+  test("q92 advancing horizon across TWO purges: the epoch stays " +
+      "bounded per-fold, a re-deleted id's restarted clock survives " +
+      "the first purge and qualifies at the second, and the carry " +
+      "condition stays load-bearing late") {
+    val row = StreamOps.streamIndexLifecycleMultiPurge(spark, sf)
+      .collect()(0)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") =!= 0)
+    def baseCnt(c: org.apache.spark.sql.Column): Long =
+      emb.filter(pmod(col("vec_id"), lit(10)) =!= 9 && c).count()
+    val d1Rest = baseCnt(pmod(col("vec_id"), lit(42)) === 24)
+    val d2 = baseCnt(pmod(col("vec_id"), lit(21)) === 10)
+    val d3 = baseCnt(pmod(col("vec_id"), lit(21)) === 17)
+    val r = baseCnt(pmod(col("vec_id"), lit(42)) === 3)
+    assert(row.getAs[Long]("n_triggers") == 10)
+    assert(row.getAs[Long]("code_folds") == 2, "code folds at t4 and t7")
+    assert(row.getAs[Long]("tomb_folds") == 2,
+      "tombstone folds (purges) at t5 and t9")
+    assert(row.getAs[Boolean]("both_bounded"),
+      "both families ≤ k at every trigger, across BOTH purges")
+    assert(row.getAs[Boolean]("horizons_advanced"),
+      "the second purge ran against a strictly fresher horizon — the " +
+        "production watermark shape, not q91's constant")
+    assert(row.getAs[Long]("n_purged_1") == d1Rest + d2 && d1Rest > 0,
+      "purge 1 drops exactly D1∖R and D2: R was re-deleted just before " +
+        "the fold, so its RESTARTED clock (newest delete wins) keeps it " +
+        "inside the horizon — under oldest-wins it would purge here")
+    assert(row.getAs[Long]("n_purged_2") == r && r > 0,
+      "purge 2 drops exactly R: the advanced horizon passed its " +
+        "restarted clock, and its rows are physically absent. D3 ages " +
+        "inside horizon 2 but is still CARRIED (deleted after the last " +
+        "code fold) — purging it would resurrect stored rows")
+    assert(row.getAs[Long]("tomb_epoch_rows") == d3 + d2,
+      "the epoch after purge 2 holds exactly the survivors — bounded " +
+        "per-fold, never cumulative history")
+    assert(row.getAs[Boolean]("ids_unique"))
+    assert(row.getAs[Boolean]("lifecycle_invisible"),
+      "serving row-identical to the closed-form live set")
+    assert(row.getAs[Boolean]("inside_horizon_redelivery_dead"),
+      "the re-delivered D3 half stays dead — still tombstoned")
+    assert(row.getAs[Boolean]("purged_redelivery_resurfaces"),
+      "the re-delivered R resurfaces — purged at fold 2, which also " +
+        "proves it SURVIVED fold 1 (a tombstoned id cannot resurface)")
+    assert(row.getAs[Boolean]("raw_carries_redelivered"))
+    assert(row.getAs[Long]("n_results") == 10)
+    val idx = graft.RunPaths.scratch(
+      s"graft_q92_index_${graft.RunPaths.keyFor(sf)}_3")
+    assert(dirCount(idx, "tepoch", "epoch=") == 1 &&
+      dirCount(idx, "tombs", "gen=") == 0 &&
+      dirCount(idx, "tmanifest", "epoch=") == 2,
+      "one surviving tombstone epoch + both 1-row purge manifests on disk")
+  }
 }

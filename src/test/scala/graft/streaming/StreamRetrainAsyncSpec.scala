@@ -35,26 +35,29 @@ class StreamRetrainAsyncSpec extends AnyFunSuite {
     val row = StreamOps.streamIndexRetrainAsync(spark, sf).collect()(0)
     val n = graft.Tables.load(spark, sf, "embeddings")
       .filter(col("vec_id") =!= 0).count()
-    assert(row.getLong(0) == 5, "5 triggers (clean, drift, 2 gap, post)")
-    assert(row.getBoolean(1), "clean and gap batches must not fire")
-    assert(row.getBoolean(2), "the drifted batch fires exactly once")
-    assert(row.getBoolean(3),
+    assert(row.getAs[Long]("n_triggers") == 5, "5 triggers (clean, drift, 2 gap, post)")
+    assert(row.getAs[Boolean]("clean_quiet"), "clean and gap batches must not fire")
+    assert(row.getAs[Boolean]("drift_fires_once"), "the drifted batch fires exactly once")
+    assert(row.getAs[Boolean]("gaps_inflight"),
       "both gap batches must land while the retrain is IN FLIGHT — " +
         "the stream does not stall on training")
-    assert(row.getBoolean(4),
+    assert(row.getAs[Boolean]("post_on_retrained"),
       "the post batch must run on the RETRAINED pointer — the switch " +
         "happened in-stream, not in teardown")
-    assert(row.getBoolean(5),
+    assert(row.getAs[Boolean]("post_quiet"),
       "the merged-distribution post batch appends quietly on the new index")
-    assert(row.getLong(6) == 2 * n,
+    assert(row.getAs[Long]("n_index") == 2 * n,
       "serving covers base + every arrival exactly once")
-    assert(row.getBoolean(7), "no id served twice")
-    assert(row.getBoolean(8),
+    assert(row.getAs[Boolean]("ids_unique"), "no id served twice")
+    assert(row.getAs[Boolean]("same_as_oneshot_fold"),
       "streamed serving state (retrained codes ∪ folded gaps ∪ " +
         "post-switch appends) must be row-identical to the one-shot " +
         "batch re-encode under the same persisted model — the async " +
         "handoff is invisible to queries, like the inline path")
-    assert(row.getLong(9) == 10)
+    assert(row.getAs[Boolean]("ptr_reads_bounded"),
+      "no trigger may read more than ONE switch record — the pointer " +
+        "derivation is O(1) in switch history (r13 lead finding)")
+    assert(row.getAs[Long]("n_results") == 10)
   }
 
   test("restart recovery: a request whose launcher died before starting " +
@@ -69,18 +72,18 @@ class StreamRetrainAsyncSpec extends AnyFunSuite {
       .collect()(0)
     val n = graft.Tables.load(spark, sf, "embeddings")
       .filter(col("vec_id") =!= 0).count()
-    assert(row.getLong(0) == 5)
-    assert(row.getBoolean(1), "clean and gap batches quiet")
-    assert(row.getBoolean(2), "the drifted batch fires exactly once")
-    assert(row.getBoolean(3),
+    assert(row.getAs[Long]("n_triggers") == 5)
+    assert(row.getAs[Boolean]("clean_quiet"), "clean and gap batches quiet")
+    assert(row.getAs[Boolean]("drift_fires_once"), "the drifted batch fires exactly once")
+    assert(row.getAs[Boolean]("gaps_inflight"),
       "the re-armed retrain still overlaps both gap batches")
-    assert(row.getBoolean(4), "the post batch runs on the retrained pointer")
-    assert(row.getBoolean(5), "post quiet")
-    assert(row.getLong(6) == 2 * n)
-    assert(row.getBoolean(7))
-    assert(row.getBoolean(8),
+    assert(row.getAs[Boolean]("post_on_retrained"), "the post batch runs on the retrained pointer")
+    assert(row.getAs[Boolean]("post_quiet"), "post quiet")
+    assert(row.getAs[Long]("n_index") == 2 * n)
+    assert(row.getAs[Boolean]("ids_unique"))
+    assert(row.getAs[Boolean]("same_as_oneshot_fold"),
       "recovery must be invisible to serving — row-identical one-shot")
-    assert(row.getLong(9) == 10)
+    assert(row.getAs[Long]("n_results") == 10)
   }
 
   test("the loop stays ARMED after the handoff: a re-drifted post batch " +
@@ -90,22 +93,26 @@ class StreamRetrainAsyncSpec extends AnyFunSuite {
       .collect()(0)
     val n = graft.Tables.load(spark, sf, "embeddings")
       .filter(col("vec_id") =!= 0).count()
-    assert(row.getLong(0) == 5)
-    assert(row.getBoolean(1), "clean and gap batches still quiet")
-    assert(!row.getBoolean(2),
+    assert(row.getAs[Long]("n_triggers") == 5)
+    assert(row.getAs[Boolean]("clean_quiet"), "clean and gap batches still quiet")
+    assert(!row.getAs[Boolean]("drift_fires_once"),
       "two requests fired — drift_fires_once is the once-only flag")
-    assert(row.getBoolean(3), "gap batches still land in flight")
-    assert(row.getBoolean(4),
+    assert(row.getAs[Boolean]("gaps_inflight"), "gap batches still land in flight")
+    assert(row.getAs[Boolean]("post_on_retrained"),
       "the post batch still runs on the first retrained pointer")
-    assert(!row.getBoolean(5),
+    assert(!row.getAs[Boolean]("post_quiet"),
       "a re-drifted post batch must FIRE against the retrained model")
-    assert(row.getLong(6) == 2 * n,
+    assert(row.getAs[Long]("n_index") == 2 * n,
       "the second retrain (adopted by the maintenance switch) still " +
         "covers every row exactly once")
-    assert(row.getBoolean(7))
-    assert(row.getBoolean(8),
+    assert(row.getAs[Boolean]("ids_unique"))
+    assert(row.getAs[Boolean]("same_as_oneshot_fold"),
       "after the maintenance switch the one-shot comparison collapses " +
         "to the retrained base generation — still row-identical")
-    assert(row.getLong(9) == 10)
+    assert(row.getAs[Boolean]("ptr_reads_bounded"),
+      "with TWO switches in history the per-trigger record reads stay " +
+        "≤ 1 — membership checks ride the listing, only the pointer " +
+        "reads (the max record)")
+    assert(row.getAs[Long]("n_results") == 10)
   }
 }

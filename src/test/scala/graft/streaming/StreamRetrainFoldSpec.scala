@@ -33,36 +33,39 @@ class StreamRetrainFoldSpec extends AnyFunSuite {
       .filter(col("vec_id") =!= 0)
     val n = emb.count()
     val nClean = emb.filter(pmod(col("vec_id"), lit(10)) === 8).count()
-    assert(row.getLong(0) == 8,
+    assert(row.getAs[Long]("n_triggers") == 8,
       "8 triggers (clean, drift, 2 gap, 3 fold-phase, post)")
-    assert(row.getBoolean(1), "clean/gap/fold phases must not fire")
-    assert(row.getBoolean(2), "the drifted batch fires exactly once")
-    assert(row.getBoolean(3),
+    assert(row.getAs[Boolean]("clean_quiet"), "clean/gap/fold phases must not fire")
+    assert(row.getAs[Boolean]("drift_fires_once"), "the drifted batch fires exactly once")
+    assert(row.getAs[Boolean]("gaps_inflight"),
       "both gap batches land while the RETRAIN is in flight")
-    assert(row.getLong(4) == 2,
+    assert(row.getAs[Long]("n_fold_requests") == 2,
       "two fold requests: the sealed gap (3..5), then the residual " +
         "(6..7) — the catch-up recursion, each off the trigger")
-    assert(row.getLong(5) == 1,
+    assert(row.getAs[Long]("n_gens_during_fold") == 1,
       "gen 6 must append WHILE fold #1 runs — the gap fold never " +
         "stalls ingestion")
-    assert(row.getBoolean(6),
+    assert(row.getAs[Boolean]("old_pointer_until_adopted"),
       "no trigger before the adoption may serve the retrained " +
         "pointer — mixing models would make ADC scores incomparable; " +
         "the old pointer stays internally consistent until the fold " +
         "fully covers the gap")
-    assert(row.getLong(7) == 1, "exactly one in-stream adoption (gen 8)")
-    assert(row.getBoolean(8),
+    assert(row.getAs[Long]("n_adopted_in_stream") == 1, "exactly one in-stream adoption (gen 8)")
+    assert(row.getAs[Boolean]("post_on_retrained"),
       "the post batch runs ON the retrained pointer — the adoption " +
         "happened in-stream, one switch write")
-    assert(row.getBoolean(9), "the merged-distribution post batch is quiet")
-    assert(row.getLong(10) == 2 * n + 3 * nClean,
+    assert(row.getAs[Boolean]("post_quiet"), "the merged-distribution post batch is quiet")
+    assert(row.getAs[Long]("n_index") == 2 * n + 3 * nClean,
       "serving covers base + every arrival exactly once")
-    assert(row.getBoolean(11), "no id served twice")
-    assert(row.getBoolean(12),
+    assert(row.getAs[Boolean]("ids_unique"), "no id served twice")
+    assert(row.getAs[Boolean]("ptr_reads_bounded"),
+      "no trigger may read more than ONE switch record — the pointer " +
+        "derivation is O(1) in switch history (r13 lead finding)")
+    assert(row.getAs[Boolean]("same_as_oneshot_fold"),
       "serving (retrained codes ∪ async-folded gaps ∪ post-adoption " +
         "appends) must be row-identical to a one-shot re-encode of " +
         "all post-snapshot raws under the same persisted model")
-    assert(row.getLong(13) == 10)
+    assert(row.getAs[Long]("n_results") == 10)
     // physical shape: the adopted retrain directory carries fold
     // generations for exactly the gap gens 3..7
     val idx = graft.RunPaths.scratch(
