@@ -83,11 +83,14 @@ final class FoldMachine(
     */
   val foldH: Handoff = new Handoff(spark, s"$idx/fold_req",
     g => s"$idx/fold_req/req=$g/_FOLD_DONE", label)({ (_, rec) =>
-    if (gated) {
-      // delivery gate from the durable record: hold the re-encode
-      // until the named trigger completes, so its append provably
-      // lands with the fold in flight (scaffolding, not production)
-      val gateGen = rec.getAs[Long]("gate_gen")
+    // delivery gate from the durable record: hold the re-encode until
+    // the named trigger completes, so its append provably lands with
+    // the fold in flight (scaffolding, not production). gate_gen ≤ 0
+    // means NO gate: a maintenance pass that runs before any log row
+    // exists caps to 0, and waiting on log/gen=0 would be the exact
+    // 300 s daemon hang the cap exists to prevent
+    val gateGen = rec.getAs[Long]("gate_gen")
+    if (gated && gateGen > 0) {
       val gate = new java.io.File(s"$idx/log/gen=$gateGen/_SUCCESS")
       val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
       while (!gate.exists()) {

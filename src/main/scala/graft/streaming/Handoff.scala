@@ -92,7 +92,10 @@ final class Handoff(
     * failed-but-launched entries stay — see class doc).
     */
   private def prune(): Unit = {
-    threads.removeIf(t => !t.isAlive)
+    // TERMINATED, not !isAlive: a thread added to `threads` but not
+    // yet started also reports !isAlive, and dropping it in that
+    // window would let the worker run unjoined
+    threads.removeIf(t => t.getState == Thread.State.TERMINATED)
     launched.forEach { r =>
       if (isDone(r)) { launched.remove(r); () }
     }

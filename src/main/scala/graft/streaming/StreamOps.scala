@@ -2880,16 +2880,23 @@ object StreamOps {
       .coalesce(1).write.mode("overwrite").parquet(postDir)
     drive(postDir, "post", genOffset = 7)
     // maintenance pass: nothing pending in the healthy schedule (the
-    // adoption happened in-stream at gen 8); idempotent belt. If the
-    // first pass DID submit a fold (a retrain landed after the last
-    // trigger), join it and maintain again so the fold completes and
-    // is adopted before serving state is derived — a daemon worker's
-    // failure must surface here, not be swallowed (ADVICE r13)
+    // adoption happened in-stream at gen 8); idempotent belt. Loop
+    // join+maintain until the machine reports QUIET — a single fixed
+    // number of rounds would leave a freshly re-armed or freshly
+    // sealed fold un-joined (its pointer un-flipped, its daemon
+    // worker's failure swallowed) in the restart shapes Handoff
+    // advertises; each round either re-arms, seals, adopts, or is the
+    // terminal no-op, so the loop is bounded by design (belt at 8)
     val maxGenAll = genDirs(s"$idx/arrived", "gen=").max
+    var quiet = false
+    var beltRounds = 0
+    while (!quiet && beltRounds < 8) {
+      fm.joinAll()
+      val (req, inflight, adopted) = fm.maintain(maxGenAll + 1)
+      quiet = !req && !inflight && !adopted
+      beltRounds += 1
+    }
     fm.joinAll()
-    fm.maintain(maxGenAll + 1)
-    fm.joinAll()
-    fm.maintain(maxGenAll + 1)
 
     // ---- serving state, derived from the same durable records --------
     val (ptr, foldedThrough) = fm.pointer(mDir)

@@ -50,14 +50,18 @@ object FoldCatchupRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
 
-    // T/c ≈ 2.3 and ≈ 3.4 (c also carries the real re-encode cost, so
-    // the MEASURED ratio is reported from the fold walls, not assumed).
-    // Exactly 2.0 is deliberately avoided: the steady-state residual is
-    // ceil(c/T · s) + timing noise ≈ 2, and a 2-gen fold adopts only if
-    // 2c ≤ T — ratio 2.0 sits ON that boundary and oscillates, which is
-    // the honest convergence edge, not a good demonstration point
-    val results = Seq(Config(2400L, 800L), Config(2400L, 450L))
-      .zipWithIndex.map { case (cfg, i) => run(spark, sfDir, cfg, i) }
+    // Three points (c also carries the real re-encode cost — ~550 ms
+    // per generation at sf0.1 on this rig — so the MEASURED ratio is
+    // reported from the fold walls, not assumed): two converging runs
+    // at T/c in the 2–3 band, and one deliberately AT the boundary.
+    // The boundary is real: the steady-state residual is ~2 (the
+    // observing trigger's own gen is always in the seal), and a 2-gen
+    // fold adopts only if 2c ≤ T — below ratio 2 the series plateaus
+    // at 2 without adopting, which is the honest convergence edge
+    // (and below 1 nothing converges: under-provisioned)
+    val results =
+      Seq(Config(2400L, 800L), Config(2400L, 550L), Config(2400L, 250L))
+        .zipWithIndex.map { case (cfg, i) => run(spark, sfDir, cfg, i) }
 
     def fmt(r: Result): String =
       s"""{"trigger_ms":${r.triggerMs},"fold_sleep_ms":${r.foldSleepMs},""" +

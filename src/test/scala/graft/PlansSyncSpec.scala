@@ -18,8 +18,11 @@ class PlansSyncSpec extends AnyFunSuite {
     val path = Paths.get("PLANS.md")
     assert(Files.exists(path), "PLANS.md missing — run graft.tools.PlanDump")
     val plans = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
+    // line-anchored with trailing newline: a bare substring check
+    // would let a bench name that is a proper PREFIX of an existing
+    // section name pass without its own section
     val missing = SparkEntry.benchQueries.map(_.name)
-      .filterNot(n => plans.contains(s"## $n"))
+      .filterNot(n => plans.contains(s"## $n\n"))
     assert(missing.isEmpty,
       s"PLANS.md is stale — regenerate with " +
         s"`sbt \"runMain graft.tools.PlanDump\"`; missing: " +
