@@ -124,13 +124,24 @@ final class FoldMachine(
     * Returns (foldRequested, foldInflight, adopted).
     */
   def maintain(atGen: Long): (Boolean, Boolean, Boolean) = {
-    val unswitched = retrainH.requests().filter(retrainH.isDone)
-      .filterNot(adopted().toSet)
+    // listing-first, probe-the-residue: done-marker exists() checks are
+    // FS round trips on a real store, so they run only on requests the
+    // cheap listings cannot classify — the UNADOPTED retrains (≤ 1
+    // under the coalescing discipline) and the CURRENT cycle's fold
+    // requests. Probing every request ever would re-grow per-trigger
+    // cost with the stream's lifetime — the exact creep family the
+    // SwitchLog split removed from the pointer.
+    val unswitched = retrainH.requests().filterNot(adopted().toSet)
+      .filter(retrainH.isDone)
     unswitched.maxOption match {
       case None => (false, false, false)
       case Some(rr) =>
         val foldReqs = foldH.requests()
-        val pending = foldReqs.filterNot(foldH.isDone)
+        // fold requests at or below rr belong to CLOSED cycles: their
+        // cycle's adoption required an empty pending set, so they are
+        // necessarily done — only the current cycle's (> rr, bounded
+        // by catch-up rounds in flight) need a done-marker probe
+        val pending = foldReqs.filter(_ > rr).filterNot(foldH.isDone)
         if (pending.nonEmpty) {
           // restart re-arm: a fold whose worker died with a previous
           // driver relaunches from its durable record; no-op when

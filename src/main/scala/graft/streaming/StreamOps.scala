@@ -2715,9 +2715,22 @@ object StreamOps {
     * one-shot re-encode of all post-snapshot raws under the persisted
     * retrained model; no trigger reads more than one switch record
     * (ptr_reads_bounded); k=10 probe.
+    *
+    * `postShifted` (spec-only, the LIVE second-cycle proof): after the
+    * in-stream adoption, gen 9 delivers a drifted fresh-id copy — it
+    * must fire a SECOND retrain against the adopted pointer, and the
+    * maintenance belt must adopt cycle 2 WITHOUT folding anything: the
+    * new snapshot already covers every generation, and the stale
+    * cycle-1 fold requests (ids 5 and 7) must not drag the seal under
+    * the new snapshot boundary (the r13 ADVICE scenario, exercised
+    * end-to-end — without the `math.max(rr, …)` guard in
+    * [[FoldMachine.maintain]], gens 8–9 would be re-encoded into a
+    * fold their snapshot already carries, and ids_unique /
+    * same_as_oneshot_fold fail loudly).
     */
   def streamIndexRetrainFoldAsync(
-      spark: SparkSession, sfDir: String): DataFrame = {
+      spark: SparkSession, sfDir: String,
+      postShifted: Boolean = false): DataFrame = {
     import graft.operators.{IndexDrift, ProductQuantizer}
     import graft.queries.LlmOps
     val e = graft.Tables.load(spark, sfDir, "embeddings")
@@ -2731,7 +2744,8 @@ object StreamOps {
         "vec_id", "embedding")
       .select((col("vec_id") + lit(idSpan)).as("vec_id"), col("embedding"))
     val idx = graft.RunPaths.scratch(
-      s"graft_q90_index_${graft.RunPaths.keyFor(sfDir)}")
+      s"graft_q90_index_${graft.RunPaths.keyFor(sfDir)}" +
+        (if (postShifted) "_ps" else ""))
     val mDir = s"$idx/model"
 
     // ---- the retrain handoff + the canonical fold machine ------------
@@ -2879,6 +2893,19 @@ object StreamOps {
         col("embedding"))
       .coalesce(1).write.mode("overwrite").parquet(postDir)
     drive(postDir, "post", genOffset = 7)
+    if (postShifted) {
+      // cycle 2, LIVE: a drifted gen 9 fires a second retrain against
+      // the adopted pointer; the belt below must adopt it WITHOUT
+      // folding (its snapshot covers gens 1-9), with the stale
+      // cycle-1 fold requests still on disk — the ADVICE-a scenario
+      val post2Dir = s"$idx/src/post2"
+      IndexDrift.shifted(base.unionByName(clean).unionByName(driftSrc),
+          "vec_id", "embedding")
+        .select((col("vec_id") + lit(7 * idSpan)).as("vec_id"),
+          col("embedding"))
+        .coalesce(1).write.mode("overwrite").parquet(post2Dir)
+      drive(post2Dir, "post2", genOffset = 8)
+    }
     // maintenance pass: nothing pending in the healthy schedule (the
     // adoption happened in-stream at gen 8); idempotent belt. Loop
     // join+maintain until the machine reports QUIET — a single fixed

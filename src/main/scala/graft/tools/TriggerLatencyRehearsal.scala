@@ -65,11 +65,17 @@ object TriggerLatencyRehearsal {
     val withPool = run(pool = true)
 
     // the CURE, measured in the same table (r13 task 2): q90's pipeline
-    // — gap fold AND adoption off the trigger — at the same blowup. Its
-    // post trigger should cost ≈ a clean trigger (one switch write +
-    // its own O(batch) append), where q86's post trigger pays the whole
-    // inline gap re-encode; its fold-phase triggers should be flat
-    // (the re-encode runs in the pooled worker)
+    // — gap fold AND adoption off the trigger — at the same blowup.
+    // Reading the post row needs one decomposition: in BOTH pipelines
+    // the harness's post batch is a deliberately CORPUS-SIZED fresh-id
+    // copy (what keeps the PSI gate provably quiet), so the post wall
+    // is dominated by that batch's own O(batch) append in q90 exactly
+    // as in q86 — the adoption itself adds only ONE switch write,
+    // where q86's post additionally re-encodes its whole gap inline.
+    // The rows that isolate the machinery: fold-phase triggers (appends
+    // WHILE the gap fold re-encodes concurrently) should sit in the
+    // clean band, and q90's post should land at-or-below q86's despite
+    // its folds having covered a larger gap off-trigger
     def runFold(): Map[String, Double] = {
       graft.streaming.StreamOps.streamIndexRetrainFoldAsync(spark, out)
         .collect()

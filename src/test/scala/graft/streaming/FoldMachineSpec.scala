@@ -157,4 +157,68 @@ class FoldMachineSpec extends AnyFunSuite {
     assert(StreamOps.genDirs(s"$idx/retrain/req=2/fold", "gen=") ==
       Seq(3L, 4L))
   }
+
+  test("a maintenance pass with NO log rows at all writes gate_gen=0 " +
+      "and the gated worker treats that as NO gate — not a 300s wait " +
+      "on a generation nobody will write") {
+    val idx = freshIdx("nogate")
+    val retrainH = mkRetrainH(idx)
+    val fm = new FoldMachine(spark, idx, retrainH, "fm-spec-fold3",
+      "foldmachine spec frozen table") // gated = true
+    plantRaw(idx, 1L, residue = 18)
+    plantRaw(idx, 2L, residue = 28)
+    plantRetrain(retrainH, idx, 1L)
+    // no log/ directory exists: the cap has nothing to gate on
+    val (requested, _, _) = fm.maintain(3L)
+    assert(requested)
+    assert(fm.foldH.record(2L).getAs[Long]("gate_gen") == 0L)
+    fm.foldH.joinAll() // must complete promptly — 0 means no gate
+    val (_, _, adopted) = fm.maintain(3L)
+    assert(adopted &&
+      StreamOps.genDirs(s"$idx/retrain/req=1/fold", "gen=") == Seq(2L))
+  }
+
+  test("restart shape: a fold request from a dead driver (record, no " +
+      "marker, no worker) is re-armed, its residual sealed, and " +
+      "adopted by the loop-until-quiet maintenance belt") {
+    val idx = freshIdx("restart")
+    val retrainH = mkRetrainH(idx)
+    val fm = new FoldMachine(spark, idx, retrainH, "fm-spec-fold4",
+      "foldmachine spec frozen table", gated = false)
+    (1L to 2L).foreach(g => new java.io.File(s"$idx/arrived/gen=$g").mkdirs())
+    plantRaw(idx, 3L, residue = 8)
+    plantRaw(idx, 4L, residue = 18)
+    plantRaw(idx, 5L, residue = 28)
+    plantRetrain(retrainH, idx, 2L)
+    // the dead driver's state: fold request sealing (2,4] durable,
+    // worker never started, stream over at gen 5 — so after the
+    // re-armed fold lands there is STILL a residual {5} to seal
+    fm.foldH.submitRecord(4L, spark.range(1)
+      .select(lit(4L).as("req_gen"), lit(2L).as("retrain_req"),
+        lit(2L).as("sealed_from"), lit(4L).as("sealed_to"),
+        lit(0L).as("gate_gen")))
+    // the q90 teardown belt: loop join+maintain until quiet — a fixed
+    // two rounds would leave the resealed residual un-adopted
+    var quiet = false
+    var rounds = 0
+    var sawInflight = false
+    var sawRequested = false
+    while (!quiet && rounds < 8) {
+      fm.joinAll()
+      val (req, inflight, adopted) = fm.maintain(6L)
+      sawInflight ||= inflight
+      sawRequested ||= req
+      quiet = !req && !inflight && !adopted
+      rounds += 1
+    }
+    fm.joinAll()
+    assert(sawInflight, "round 1 re-arms the dead driver's fold")
+    assert(sawRequested, "a later round seals the residual {5}")
+    assert(fm.adopted() == Seq(2L) &&
+      fm.pointer("base") == (s"$idx/retrain/req=2", 5L),
+      "the belt adopts with folded_through at the newest raw")
+    assert(StreamOps.genDirs(s"$idx/retrain/req=2/fold", "gen=") ==
+      Seq(3L, 4L, 5L),
+      "both the re-armed fold and the residual fold landed")
+  }
 }

@@ -74,4 +74,52 @@ class StreamRetrainFoldSpec extends AnyFunSuite {
     assert(foldGens == Seq(3L, 4L, 5L, 6L, 7L),
       "the two fold workers cover the whole gap, disjointly")
   }
+
+  test("live second retrain cycle: a drifted gen 9 fires against the " +
+      "adopted pointer, and the maintenance belt adopts cycle 2 with " +
+      "NO fold — the stale cycle-1 fold requests must not drag the " +
+      "seal under the new snapshot boundary") {
+    val row = StreamOps
+      .streamIndexRetrainFoldAsync(spark, sf, postShifted = true)
+      .collect()(0)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") =!= 0)
+    val n = emb.count()
+    val nClean = emb.filter(pmod(col("vec_id"), lit(10)) === 8).count()
+    assert(row.getAs[Long]("n_triggers") == 9)
+    assert(row.getAs[Boolean]("clean_quiet"))
+    assert(!row.getAs[Boolean]("drift_fires_once"),
+      "two requests fired — the loop stays armed after cycle 1")
+    assert(row.getAs[Boolean]("gaps_inflight"))
+    assert(row.getAs[Long]("n_fold_requests") == 2,
+      "cycle 2 must NOT fold: its snapshot covers gens 1-9, so the " +
+        "belt adopts directly — a third fold request here would mean " +
+        "the stale cycle-1 requests (ids 5, 7) dragged sealed_from " +
+        "under the new snapshot boundary")
+    assert(row.getAs[Long]("n_adopted_in_stream") == 1,
+      "cycle 2's adoption happens in the maintenance belt, unlogged")
+    assert(!row.getAs[Boolean]("old_pointer_until_adopted"),
+      "gen 9 runs ON cycle 1's retrained pointer by design (this " +
+        "column counts non-post phases on a retrained pointer)")
+    assert(row.getAs[Boolean]("post_on_retrained"))
+    assert(row.getAs[Boolean]("post_quiet"))
+    assert(row.getAs[Boolean]("ptr_reads_bounded"),
+      "per-trigger record reads stay ≤ 1 with TWO switches in history")
+    assert(row.getAs[Long]("n_index") == 3 * n + 3 * nClean,
+      "cycle 2 serves base + every arrival 1-9 exactly once — a " +
+        "re-encoded duplicate of gens 8-9 (the ADVICE-a bug) would " +
+        "inflate this and break ids_unique")
+    assert(row.getAs[Boolean]("ids_unique"),
+      "the live ADVICE-a proof: without max(rr, foldReqs.max) the " +
+        "belt would fold gens 8-9 into a snapshot that already " +
+        "carries them")
+    assert(row.getAs[Boolean]("same_as_oneshot_fold"))
+    assert(row.getAs[Long]("n_results") == 10)
+    // physical shape: BOTH switches durable; cycle 2's retrain dir
+    // has NO fold generations (nothing left to fold)
+    val idx = graft.RunPaths.scratch(
+      s"graft_q90_index_${graft.RunPaths.keyFor(sf)}_ps")
+    assert(StreamOps.genDirs(s"$idx/switch", "req=") == Seq(2L, 9L))
+    assert(StreamOps.genDirs(s"$idx/retrain/req=9/fold", "gen=").isEmpty)
+  }
 }
