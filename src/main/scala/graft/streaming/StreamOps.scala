@@ -18,11 +18,30 @@ object StreamOps {
 
   // ---- shared helpers for the persisted-index streaming family ------
 
-  /** Recursively delete `f` — the per-run scratch-state wipe, and the
-    * post-manifest sweep of superseded generation/epoch directories. */
+  /** Recursively delete `f` — the per-run scratch-state wipe (harness
+    * state is local by construction; production SWEEPS go through
+    * [[sweepDir]]). */
   private def wipeDir(f: java.io.File): Unit = {
     Option(f.listFiles()).toSeq.flatten.foreach(wipeDir)
     f.delete(); ()
+  }
+
+  /** Delete a superseded generation/epoch directory through the Hadoop
+    * FileSystem API — the SWEEP half of an adoption is production
+    * protocol (it runs wherever the artifacts live: HDFS, object
+    * store), unlike the per-run scratch wipes, which are harness-local
+    * by construction. Recursive; silently a no-op on already-absent
+    * paths, because sweeps are replayed idempotently (an adopting
+    * trigger that re-runs re-sweeps directories its first run already
+    * removed). Completes the r13 finding that markers/sweeps were
+    * `java.io.File`-only: markers moved in [[Handoff]], sweeps here;
+    * the remaining `java.io` uses are delivery-gate scaffolding and
+    * scratch wipes, documented as harness-only.
+    */
+  private[graft] def sweepDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
   }
 
   /** Numeric suffixes of `parent`'s `prefix`-named child directories,
@@ -59,9 +78,9 @@ object StreamOps {
       .select(lit(prevEpoch + 1).as("epoch"), lit(req).as("folded_through"))
       .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${prevEpoch + 1}")
     genDirs(s"$idx/codes", "gen=").filter(_ <= req)
-      .foreach(g => wipeDir(new java.io.File(s"$idx/codes/gen=$g")))
+      .foreach(g => sweepDir(spark, s"$idx/codes/gen=$g"))
     genDirs(s"$idx/compact", "epoch=").filter(_ <= prevEpoch)
-      .foreach(p => wipeDir(new java.io.File(s"$idx/compact/epoch=$p")))
+      .foreach(p => sweepDir(spark, s"$idx/compact/epoch=$p"))
   }
 
   /** One row, one boolean `outCol`: the two code tables are
@@ -862,9 +881,9 @@ object StreamOps {
             .select(lit(ep + 1).as("epoch"), lit(gen).as("folded_through"))
             .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${ep + 1}")
           genDirs(s"$idx/codes", "gen=").filter(_ <= gen)
-            .foreach(g => wipeDir(new java.io.File(s"$idx/codes/gen=$g")))
+            .foreach(g => sweepDir(spark, s"$idx/codes/gen=$g"))
           genDirs(s"$idx/compact", "epoch=").filter(_ <= ep)
-            .foreach(p => wipeDir(new java.io.File(s"$idx/compact/epoch=$p")))
+            .foreach(p => sweepDir(spark, s"$idx/compact/epoch=$p"))
         }
         spark.range(1)
           .select(lit(gen).as("gen"),
@@ -1264,9 +1283,9 @@ object StreamOps {
               .select(lit(ep + 1).as("epoch"), lit(gen).as("folded_through"))
               .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${ep + 1}")
             genDirs(s"$idx/codes", "gen=").filter(_ <= gen)
-              .foreach(g => wipeDir(new java.io.File(s"$idx/codes/gen=$g")))
+              .foreach(g => sweepDir(spark, s"$idx/codes/gen=$g"))
             genDirs(s"$idx/compact", "epoch=").filter(_ <= ep)
-              .foreach(p => wipeDir(new java.io.File(s"$idx/compact/epoch=$p")))
+              .foreach(p => sweepDir(spark, s"$idx/compact/epoch=$p"))
           }
           val foldTombs = tBefore.length >= k
           if (foldTombs) {
@@ -1279,9 +1298,9 @@ object StreamOps {
               .select(lit(tp + 1).as("epoch"), lit(gen).as("folded_through"))
               .write.mode("overwrite").parquet(s"$idx/tmanifest/epoch=${tp + 1}")
             genDirs(s"$idx/tombs", "gen=").filter(_ <= gen)
-              .foreach(g => wipeDir(new java.io.File(s"$idx/tombs/gen=$g")))
+              .foreach(g => sweepDir(spark, s"$idx/tombs/gen=$g"))
             genDirs(s"$idx/tepoch", "epoch=").filter(_ <= tp)
-              .foreach(p => wipeDir(new java.io.File(s"$idx/tepoch/epoch=$p")))
+              .foreach(p => sweepDir(spark, s"$idx/tepoch/epoch=$p"))
           }
           spark.range(1)
             .select(lit(gen).as("gen"), lit(op).as("op"),
@@ -1519,9 +1538,9 @@ object StreamOps {
               .select(lit(ep + 1).as("epoch"), lit(gen).as("folded_through"))
               .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${ep + 1}")
             genDirs(s"$idx/codes", "gen=").filter(_ <= gen)
-              .foreach(g => wipeDir(new java.io.File(s"$idx/codes/gen=$g")))
+              .foreach(g => sweepDir(spark, s"$idx/codes/gen=$g"))
             genDirs(s"$idx/compact", "epoch=").filter(_ <= ep)
-              .foreach(p => wipeDir(new java.io.File(s"$idx/compact/epoch=$p")))
+              .foreach(p => sweepDir(spark, s"$idx/compact/epoch=$p"))
           }
           val foldTombs = tBefore.length >= k
           var nPurged = 0L
@@ -1554,9 +1573,9 @@ object StreamOps {
               .write.mode("overwrite")
               .parquet(s"$idx/tmanifest/epoch=${tp + 1}")
             genDirs(s"$idx/tombs", "gen=").filter(_ <= gen)
-              .foreach(g => wipeDir(new java.io.File(s"$idx/tombs/gen=$g")))
+              .foreach(g => sweepDir(spark, s"$idx/tombs/gen=$g"))
             genDirs(s"$idx/tepoch", "epoch=").filter(_ <= tp)
-              .foreach(p => wipeDir(new java.io.File(s"$idx/tepoch/epoch=$p")))
+              .foreach(p => sweepDir(spark, s"$idx/tepoch/epoch=$p"))
           }
           spark.range(1)
             .select(lit(gen).as("gen"), lit(op).as("op"),
@@ -1805,9 +1824,9 @@ object StreamOps {
               .select(lit(ep + 1).as("epoch"), lit(gen).as("folded_through"))
               .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${ep + 1}")
             genDirs(s"$idx/codes", "gen=").filter(_ <= gen)
-              .foreach(g => wipeDir(new java.io.File(s"$idx/codes/gen=$g")))
+              .foreach(g => sweepDir(spark, s"$idx/codes/gen=$g"))
             genDirs(s"$idx/compact", "epoch=").filter(_ <= ep)
-              .foreach(p => wipeDir(new java.io.File(s"$idx/compact/epoch=$p")))
+              .foreach(p => sweepDir(spark, s"$idx/compact/epoch=$p"))
           }
           val foldTombs = tBefore.length >= k
           var nPurged = 0L
@@ -1838,9 +1857,9 @@ object StreamOps {
               .write.mode("overwrite")
               .parquet(s"$idx/tmanifest/epoch=${tp + 1}")
             genDirs(s"$idx/tombs", "gen=").filter(_ <= gen)
-              .foreach(g => wipeDir(new java.io.File(s"$idx/tombs/gen=$g")))
+              .foreach(g => sweepDir(spark, s"$idx/tombs/gen=$g"))
             genDirs(s"$idx/tepoch", "epoch=").filter(_ <= tp)
-              .foreach(p => wipeDir(new java.io.File(s"$idx/tepoch/epoch=$p")))
+              .foreach(p => sweepDir(spark, s"$idx/tepoch/epoch=$p"))
           }
           spark.range(1)
             .select(lit(gen).as("gen"), lit(op).as("op"),
