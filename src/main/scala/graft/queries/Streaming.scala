@@ -487,6 +487,37 @@ object Streaming {
              |  CAST(10 AS BIGINT) AS n_results
              |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
 
+    // TIME-TRAVEL serving from the durable switch log (round 14): the
+    // index family's serving state is a pure function of durable
+    // records, so "what did the index serve AS OF generation G?" is
+    // answerable offline with no snapshot ever taken — the
+    // reproducibility/audit question months-old training batches get
+    // asked. Three as-of points spanning pre-first-switch, mid-cycle,
+    // and at-the-second-adoption, each row-identical to a one-shot
+    // re-encode under the same persisted as-of models.
+    QueryDef(
+      "q93_index_asof",
+      (s, dir) => graft.streaming.StreamOps.indexServeAsOf(s, dir),
+      Some("""SELECT
+             |  CAST(count(CASE WHEN vec_id % 10 NOT IN (8, 9) THEN 1 END) +
+             |       count(CASE WHEN vec_id % 60 IN (8, 18) THEN 1 END)
+             |    AS BIGINT) AS n_asof_2,
+             |  true AS asof_2_exact,
+             |  true AS asof_2_on_base,
+             |  CAST(count(CASE WHEN vec_id % 10 NOT IN (8, 9) THEN 1 END) +
+             |       count(CASE WHEN vec_id % 60 IN (8, 18, 28, 38) THEN 1 END)
+             |    AS BIGINT) AS n_asof_4,
+             |  true AS asof_4_exact,
+             |  true AS asof_4_on_first_retrain,
+             |  CAST(count(CASE WHEN vec_id % 10 NOT IN (8, 9) THEN 1 END) +
+             |       count(CASE WHEN vec_id % 10 = 8 THEN 1 END)
+             |    AS BIGINT) AS n_asof_6,
+             |  true AS asof_6_exact,
+             |  true AS asof_6_on_second_retrain,
+             |  true AS ids_unique,
+             |  CAST(10 AS BIGINT) AS n_results
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
+
     // Streaming appends with a BOUNDED generation count: q69-style
     // per-trigger generations, but whenever the serving-directory count
     // reaches k (= 3) the trigger folds epoch + live generations into

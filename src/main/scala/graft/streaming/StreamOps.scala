@@ -3006,6 +3006,134 @@ object StreamOps {
         col("same_as_oneshot_fold"), col("n_results"))
   }
 
+  /** TIME-TRAVEL serving from the durable switch log — the payoff of
+    * the family's replay discipline made a first-class operator: every
+    * serving decision lives in storage (switch records with
+    * `(req, folded_through, at_gen)`, overwrite-keyed raw/append/code
+    * generations), so "what did the index serve AS OF generation G?"
+    * is answerable offline, exactly, with no snapshot ever having been
+    * taken — the reproducibility/audit question a training-data
+    * pipeline gets asked months later ("which neighbors did retrieval
+    * return when batch G was built?").
+    *
+    * Reconstruction: `pointerAsOf(G)` picks the last switch adopted
+    * at-or-before G (the audit path — O(adoptions) record reads by
+    * design, never the trigger path, which stays O(1) via
+    * [[SwitchLog.pointer]]); serving(G) = that pointer's snapshot
+    * codes ∪ the appends in `(folded_through, G]` — each of which was
+    * itself encoded under that same pointer when it arrived, so the
+    * reconstruction is internally consistent under ONE model by the
+    * family's own old-pointer-until-adopted invariant.
+    *
+    * Fixture (deterministic replay of the q90 protocol, no streaming
+    * harness): 6 arrival generations (clean-class slices, residues
+    * 8+10i mod 60), two retrain cycles adopted at gens 3 and 6
+    * (snapshots over raws 1-2 and 1-5; empty gaps — gap-fold
+    * reconstruction is q90's domain), every append encoded under the
+    * pointer active at its generation. Contracts: serving as of G ∈
+    * {2, 4, 6} — spanning pre-first-switch (base model + appends),
+    * mid-cycle (retrain #1 + its appends), and at-the-second-adoption
+    * (retrain #2 + its own-gen append) — each ROW-IDENTICAL to a
+    * one-shot re-encode of base + raws ≤ G under the same persisted
+    * as-of models, with closed-form counts; k=10 probe served on the
+    * G=6 reconstruction.
+    */
+  def indexServeAsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.ProductQuantizer
+    import graft.queries.LlmOps
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val all = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val base = all.filter(!pmod(col("vec_id"), lit(10)).isin(8, 9))
+    val clean = all.filter(pmod(col("vec_id"), lit(10)) === 8)
+    val idx = graft.RunPaths.scratch(
+      s"graft_q93_index_${graft.RunPaths.keyFor(sfDir)}")
+    val mDir = s"$idx/model"
+    Seq("arrived", "append", "switch", "retrain", "model")
+      .foreach(d => wipeDir(new java.io.File(s"$idx/$d")))
+    val sroot = s"$idx/switch"
+
+    def models(dir: String) =
+      (LlmOps.modelScaleStamp(spark.read.parquet(s"$dir/coarse"),
+        "q93 frozen coarse-centroid table"),
+        spark.read.parquet(s"$dir/books"))
+    def ptrDir(p: Option[(Long, Long)]): (String, Long) =
+      p.map { case (r, f) => (s"$idx/retrain/req=$r", f) }.getOrElse((mDir, 0L))
+
+    // offline build, then the six generations, replaying the protocol:
+    // raw persisted first; a retrain adopted AT gens 3 and 6 (snapshot
+    // read back from the raws — persist-then-reread); every append
+    // encoded under the pointer active at its own generation
+    LlmOps.buildFrozenIndex(spark, sfDir, base, mDir,
+      "q93 frozen coarse-centroid table", withOccupancy = false)
+    for (g <- 1L to 6L) {
+      clean.filter(pmod(col("vec_id"), lit(60)) === 8 + 10 * (g - 1))
+        .write.mode("overwrite").parquet(s"$idx/arrived/gen=$g")
+      if (g == 3L || g == 6L) {
+        val rr = g - 1 // the retrain "requested" at the previous gen
+        val snapshot = (1L to rr)
+          .map(gg => spark.read.parquet(s"$idx/arrived/gen=$gg"))
+          .foldLeft(base)(_.unionByName(_)).localCheckpoint(true)
+        LlmOps.buildFrozenIndex(spark, sfDir, snapshot,
+          s"$idx/retrain/req=$rr", "q93 frozen coarse-centroid table",
+          withOccupancy = false)
+        SwitchLog.write(spark, sroot, rr, foldedThrough = rr, atGen = g)
+      }
+      val (pd, _) = ptrDir(SwitchLog.pointer(spark, sroot))
+      val (cF, bF) = models(pd)
+      ProductQuantizer.ivfPqEncodeWith(
+          spark.read.parquet(s"$idx/arrived/gen=$g"),
+          "vec_id", "embedding", 8, cF, bF)
+        .write.mode("overwrite").parquet(s"$idx/append/gen=$g")
+    }
+
+    // ---- as-of reconstructions, each against its one-shot shape -----
+    def asOf(g: Long): (DataFrame, DataFrame, String) = {
+      val (pd, folded) = ptrDir(SwitchLog.pointerAsOf(spark, sroot, g))
+      val serving = genDirs(s"$idx/append", "gen=")
+        .filter(gg => gg > folded && gg <= g)
+        .map(gg => codeCols(spark.read.parquet(s"$idx/append/gen=$gg")))
+        .foldLeft(codeCols(spark.read.parquet(s"$pd/codes/gen=0")))(
+          _.unionByName(_))
+      val (cF, bF) = models(pd)
+      val late = (folded + 1 to g)
+        .map(gg => spark.read.parquet(s"$idx/arrived/gen=$gg"))
+        .reduceOption(_.unionByName(_))
+      val oneShot = late
+        .map(raws => codeCols(spark.read.parquet(s"$pd/codes/gen=0"))
+          .unionByName(codeCols(ProductQuantizer.ivfPqEncodeWith(
+            raws, "vec_id", "embedding", 8, cF, bF))))
+        .getOrElse(codeCols(spark.read.parquet(s"$pd/codes/gen=0")))
+      (serving, oneShot, pd)
+    }
+    val (s2, o2, p2) = asOf(2L)
+    val (s4, o4, p4) = asOf(4L)
+    val (s6, o6, p6) = asOf(6L)
+    val (cP, bP) = models(p6)
+    val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
+    val served = ProductQuantizer.ivfPqTopK(
+      query, "embedding", 8, cP, bP, s6, "vec_id", nProbe = 4, k = 10)
+
+    s2.agg(count(lit(1)).as("n_asof_2"))
+      .crossJoin(sameCodeRows(s2, o2, "asof_2_exact"))
+      .crossJoin(s4.agg(count(lit(1)).as("n_asof_4")))
+      .crossJoin(sameCodeRows(s4, o4, "asof_4_exact"))
+      .crossJoin(s6.agg(count(lit(1)).as("n_asof_6"),
+        (count(lit(1)) === countDistinct(col("vec_id"))).as("ids_unique")))
+      .crossJoin(sameCodeRows(s6, o6, "asof_6_exact"))
+      .crossJoin(spark.range(1).select(
+        lit(p2 == mDir).as("asof_2_on_base"),
+        lit(p4 == s"$idx/retrain/req=2").as("asof_4_on_first_retrain"),
+        lit(p6 == s"$idx/retrain/req=5").as("asof_6_on_second_retrain")))
+      .crossJoin(served.agg(count(lit(1)).as("n_results")))
+      .select(col("n_asof_2"), col("asof_2_exact"), col("asof_2_on_base"),
+        col("n_asof_4"), col("asof_4_exact"),
+        col("asof_4_on_first_retrain"),
+        col("n_asof_6"), col("asof_6_exact"),
+        col("asof_6_on_second_retrain"),
+        col("ids_unique"), col("n_results"))
+  }
+
   /** The pipeline behind [[streamPrioritySample]], parameterized on the
     * document stream so the spec can force scrambled multi-micro-batch
     * arrival and assert batch-equivalence.

@@ -63,6 +63,24 @@ object SwitchLog {
   def pointer(spark: SparkSession, root: String): Option[(Long, Long)] =
     adopted(root).maxOption.map(g => (g, foldedThrough(spark, root, g)))
 
+  /** AUDIT-path pointer: the switch that was ACTIVE as of generation
+    * `gen` — the last record whose `at_gen` is at-or-before it, as
+    * `(req, folded_through)`; None when `gen` predates every switch.
+    * Reads every adopted record (O(adoptions) 1-row reads, counted by
+    * the probe like any other record read): this is the OFFLINE
+    * time-travel path for audits and reproducibility queries, never
+    * the trigger path — triggers only ever need the current pointer,
+    * which stays O(1) via [[pointer]].
+    */
+  def pointerAsOf(
+      spark: SparkSession, root: String, gen: Long): Option[(Long, Long)] =
+    adopted(root).flatMap { r =>
+      counters.computeIfAbsent(root, _ => new AtomicLong()).incrementAndGet()
+      val row = spark.read.parquet(s"$root/req=$r")
+        .select(col("folded_through"), col("at_gen")).collect()(0)
+      if (row.getLong(1) <= gen) Some((r, row.getLong(0))) else None
+    }.lastOption // adopted() is req-sorted and at_gen is monotone in req
+
   /** The one-write durable pointer flip (overwrite-keyed by `req`, so a
     * replayed adopting trigger rewrites its own record idempotently).
     */
