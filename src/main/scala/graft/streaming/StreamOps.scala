@@ -51,37 +51,71 @@ object StreamOps {
     * scratch tree) are SKIPPED rather than parsed: listing-derived
     * control flow must tolerate stray directories, not die in a
     * NumberFormatException inside a trigger or fold thread.
+    *
+    * Listed through the Hadoop FileSystem API (r14 review finding): a
+    * `java.io.File` listing silently returns EMPTY on an `hdfs://` or
+    * `s3a://` root, which would disable every listing-derived decision
+    * — sweeps would stop sweeping, the adopted set would read empty —
+    * exactly on the shared-storage deployments the marker/sweep ports
+    * exist for. Local paths list identically (checksum side-files
+    * start with `.` and never match a `gen=`/`req=` prefix).
     */
-  private[graft] def genDirs(parent: String, prefix: String): Seq[Long] =
-    Option(new java.io.File(parent).listFiles()).toSeq.flatten
-      .flatMap(f => Option(f.getName).filter(_.startsWith(prefix))
-        .map(_.drop(prefix.length))
-        .filter(s => s.nonEmpty && s.forall(_.isDigit))
-        .map(_.toLong)).sorted
+  private[graft] def genDirs(parent: String, prefix: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(parent)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
+    val names =
+      if (fs.exists(p)) fs.listStatus(p).toSeq.map(_.getPath.getName)
+      else Seq.empty[String]
+    names.filter(_.startsWith(prefix))
+      .map(_.drop(prefix.length))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong).sorted
+  }
 
   /** The canonical (cell_id, vec_id, codes) projection of a stored
     * code generation. */
   private def codeCols(df: DataFrame): DataFrame =
     df.select(col("cell_id"), col("vec_id"), col("codes"))
 
-  /** The compaction ADOPTION body — ONE 1-row manifest write, then the
-    * sweep of superseded code generations and compact epochs. Shared
-    * between the q89 loop's `adoptIfReady` and the `q89_adopt_trigger`
-    * bench so the benched path IS the production path and cannot
-    * silently drift from it (ADVICE r13). Idempotent: the manifest is
-    * overwrite-keyed and re-sweeping already-swept directories is a
-    * no-op.
+  /** The manifest-last PUBLISH half every fold and adoption shares:
+    * one 1-row manifest write for epoch `prevEpoch + 1` covering
+    * generations ≤ `gen` (plus caller extras — purge accounting), then
+    * the sweep of the superseded live generations and prior epochs.
+    * Idempotent: the manifest is overwrite-keyed and re-sweeping
+    * already-swept directories is a no-op, so a replayed fold or
+    * adoption republishes coherently. Extracted once (r14 review
+    * finding): the same 7-line tail lived inline in every fold body,
+    * and the round's sweep port had to edit each clone — a protocol
+    * change must have exactly one place to land.
+    */
+  private[graft] def publishEpoch(
+      spark: SparkSession, liveRoot: String, epochRoot: String,
+      manifestRoot: String, prevEpoch: Long, gen: Long,
+      extras: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
+    spark.range(1)
+      .select(lit(prevEpoch + 1).as("epoch") +:
+        lit(gen).as("folded_through") +: extras: _*)
+      .write.mode("overwrite").parquet(s"$manifestRoot/epoch=${prevEpoch + 1}")
+    genDirs(liveRoot, "gen=").filter(_ <= gen)
+      .foreach(g => sweepDir(spark, s"$liveRoot/gen=$g"))
+    genDirs(epochRoot, "epoch=").filter(_ <= prevEpoch)
+      .foreach(p => sweepDir(spark, s"$epochRoot/epoch=$p"))
+  }
+
+  /** The compaction ADOPTION body — [[publishEpoch]] on the code
+    * family's directory names. Shared between the q89 loop's
+    * `adoptIfReady` and the `q89_adopt_trigger` bench so the benched
+    * path IS the production path and cannot silently drift from it
+    * (ADVICE r13).
     */
   private[graft] def adoptCompactEpoch(
-      spark: SparkSession, idx: String, prevEpoch: Long, req: Long): Unit = {
-    spark.range(1)
-      .select(lit(prevEpoch + 1).as("epoch"), lit(req).as("folded_through"))
-      .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${prevEpoch + 1}")
-    genDirs(s"$idx/codes", "gen=").filter(_ <= req)
-      .foreach(g => sweepDir(spark, s"$idx/codes/gen=$g"))
-    genDirs(s"$idx/compact", "epoch=").filter(_ <= prevEpoch)
-      .foreach(p => sweepDir(spark, s"$idx/compact/epoch=$p"))
-  }
+      spark: SparkSession, idx: String, prevEpoch: Long, req: Long): Unit =
+    publishEpoch(spark, s"$idx/codes", s"$idx/compact", s"$idx/manifest",
+      prevEpoch, req)
 
   /** One row, one boolean `outCol`: the two code tables are
     * ROW-IDENTICAL — same ids, same cell assignments, same PQ codes
@@ -877,13 +911,8 @@ object StreamOps {
             .write.mode("overwrite").parquet(s"$idx/compact/epoch=${ep + 1}")
           // durable pointer LAST (persist-first), then sweep what the
           // new manifest no longer references
-          spark.range(1)
-            .select(lit(ep + 1).as("epoch"), lit(gen).as("folded_through"))
-            .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${ep + 1}")
-          genDirs(s"$idx/codes", "gen=").filter(_ <= gen)
-            .foreach(g => sweepDir(spark, s"$idx/codes/gen=$g"))
-          genDirs(s"$idx/compact", "epoch=").filter(_ <= ep)
-            .foreach(p => sweepDir(spark, s"$idx/compact/epoch=$p"))
+          publishEpoch(spark, s"$idx/codes", s"$idx/compact",
+            s"$idx/manifest", ep, gen)
         }
         spark.range(1)
           .select(lit(gen).as("gen"),
@@ -1279,13 +1308,8 @@ object StreamOps {
               .getOrElse(live)
               .repartition(col("cell_id"))
               .write.mode("overwrite").parquet(s"$idx/compact/epoch=${ep + 1}")
-            spark.range(1)
-              .select(lit(ep + 1).as("epoch"), lit(gen).as("folded_through"))
-              .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${ep + 1}")
-            genDirs(s"$idx/codes", "gen=").filter(_ <= gen)
-              .foreach(g => sweepDir(spark, s"$idx/codes/gen=$g"))
-            genDirs(s"$idx/compact", "epoch=").filter(_ <= ep)
-              .foreach(p => sweepDir(spark, s"$idx/compact/epoch=$p"))
+            publishEpoch(spark, s"$idx/codes", s"$idx/compact",
+              s"$idx/manifest", ep, gen)
           }
           val foldTombs = tBefore.length >= k
           if (foldTombs) {
@@ -1294,13 +1318,8 @@ object StreamOps {
               .reduce(_.unionByName(_)).distinct()
               .coalesce(1)
               .write.mode("overwrite").parquet(s"$idx/tepoch/epoch=${tp + 1}")
-            spark.range(1)
-              .select(lit(tp + 1).as("epoch"), lit(gen).as("folded_through"))
-              .write.mode("overwrite").parquet(s"$idx/tmanifest/epoch=${tp + 1}")
-            genDirs(s"$idx/tombs", "gen=").filter(_ <= gen)
-              .foreach(g => sweepDir(spark, s"$idx/tombs/gen=$g"))
-            genDirs(s"$idx/tepoch", "epoch=").filter(_ <= tp)
-              .foreach(p => sweepDir(spark, s"$idx/tepoch/epoch=$p"))
+            publishEpoch(spark, s"$idx/tombs", s"$idx/tepoch",
+              s"$idx/tmanifest", tp, gen)
           }
           spark.range(1)
             .select(lit(gen).as("gen"), lit(op).as("op"),
@@ -1534,13 +1553,8 @@ object StreamOps {
               .getOrElse(live)
               .repartition(col("cell_id"))
               .write.mode("overwrite").parquet(s"$idx/compact/epoch=${ep + 1}")
-            spark.range(1)
-              .select(lit(ep + 1).as("epoch"), lit(gen).as("folded_through"))
-              .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${ep + 1}")
-            genDirs(s"$idx/codes", "gen=").filter(_ <= gen)
-              .foreach(g => sweepDir(spark, s"$idx/codes/gen=$g"))
-            genDirs(s"$idx/compact", "epoch=").filter(_ <= ep)
-              .foreach(p => sweepDir(spark, s"$idx/compact/epoch=$p"))
+            publishEpoch(spark, s"$idx/codes", s"$idx/compact",
+              s"$idx/manifest", ep, gen)
           }
           val foldTombs = tBefore.length >= k
           var nPurged = 0L
@@ -1567,15 +1581,9 @@ object StreamOps {
                 Seq("vec_id"), "left_anti")
               .coalesce(1)
               .write.mode("overwrite").parquet(s"$idx/tepoch/epoch=${tp + 1}")
-            spark.range(1)
-              .select(lit(tp + 1).as("epoch"), lit(gen).as("folded_through"),
-                lit(nPurged).as("n_purged"))
-              .write.mode("overwrite")
-              .parquet(s"$idx/tmanifest/epoch=${tp + 1}")
-            genDirs(s"$idx/tombs", "gen=").filter(_ <= gen)
-              .foreach(g => sweepDir(spark, s"$idx/tombs/gen=$g"))
-            genDirs(s"$idx/tepoch", "epoch=").filter(_ <= tp)
-              .foreach(p => sweepDir(spark, s"$idx/tepoch/epoch=$p"))
+            publishEpoch(spark, s"$idx/tombs", s"$idx/tepoch",
+              s"$idx/tmanifest", tp, gen,
+              extras = Seq(lit(nPurged).as("n_purged")))
           }
           spark.range(1)
             .select(lit(gen).as("gen"), lit(op).as("op"),
@@ -1820,13 +1828,8 @@ object StreamOps {
               .getOrElse(live)
               .repartition(col("cell_id"))
               .write.mode("overwrite").parquet(s"$idx/compact/epoch=${ep + 1}")
-            spark.range(1)
-              .select(lit(ep + 1).as("epoch"), lit(gen).as("folded_through"))
-              .write.mode("overwrite").parquet(s"$idx/manifest/epoch=${ep + 1}")
-            genDirs(s"$idx/codes", "gen=").filter(_ <= gen)
-              .foreach(g => sweepDir(spark, s"$idx/codes/gen=$g"))
-            genDirs(s"$idx/compact", "epoch=").filter(_ <= ep)
-              .foreach(p => sweepDir(spark, s"$idx/compact/epoch=$p"))
+            publishEpoch(spark, s"$idx/codes", s"$idx/compact",
+              s"$idx/manifest", ep, gen)
           }
           val foldTombs = tBefore.length >= k
           var nPurged = 0L
@@ -1851,15 +1854,10 @@ object StreamOps {
                 Seq("vec_id"), "left_anti")
               .coalesce(1)
               .write.mode("overwrite").parquet(s"$idx/tepoch/epoch=${tp + 1}")
-            spark.range(1)
-              .select(lit(tp + 1).as("epoch"), lit(gen).as("folded_through"),
-                lit(nPurged).as("n_purged"), lit(horizon).as("horizon"))
-              .write.mode("overwrite")
-              .parquet(s"$idx/tmanifest/epoch=${tp + 1}")
-            genDirs(s"$idx/tombs", "gen=").filter(_ <= gen)
-              .foreach(g => sweepDir(spark, s"$idx/tombs/gen=$g"))
-            genDirs(s"$idx/tepoch", "epoch=").filter(_ <= tp)
-              .foreach(p => sweepDir(spark, s"$idx/tepoch/epoch=$p"))
+            publishEpoch(spark, s"$idx/tombs", s"$idx/tepoch",
+              s"$idx/tmanifest", tp, gen,
+              extras = Seq(lit(nPurged).as("n_purged"),
+                lit(horizon).as("horizon")))
           }
           spark.range(1)
             .select(lit(gen).as("gen"), lit(op).as("op"),

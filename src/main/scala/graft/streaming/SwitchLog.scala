@@ -73,13 +73,24 @@ object SwitchLog {
     * which stays O(1) via [[pointer]].
     */
   def pointerAsOf(
-      spark: SparkSession, root: String, gen: Long): Option[(Long, Long)] =
-    adopted(root).flatMap { r =>
+      spark: SparkSession, root: String, gen: Long): Option[(Long, Long)] = {
+    // short-circuit on the monotonicity of at_gen in req (adoptions
+    // happen in generation order): stop at the first record past
+    // `gen`, so an early-generation audit reads O(answer position)
+    // records, not O(adoptions)
+    var last = Option.empty[(Long, Long)]
+    val it = adopted(root).iterator
+    var past = false
+    while (!past && it.hasNext) {
+      val r = it.next()
       counters.computeIfAbsent(root, _ => new AtomicLong()).incrementAndGet()
       val row = spark.read.parquet(s"$root/req=$r")
         .select(col("folded_through"), col("at_gen")).collect()(0)
-      if (row.getLong(1) <= gen) Some((r, row.getLong(0))) else None
-    }.lastOption // adopted() is req-sorted and at_gen is monotone in req
+      if (row.getLong(1) <= gen) last = Some((r, row.getLong(0)))
+      else past = true
+    }
+    last
+  }
 
   /** The one-write durable pointer flip (overwrite-keyed by `req`, so a
     * replayed adopting trigger rewrites its own record idempotently).

@@ -172,13 +172,18 @@ class HandoffSpec extends AnyFunSuite {
       "explicit file: URI marker path works, is visible to an " +
       "independent FileSystem.exists, and local behavior is unchanged") {
     val root = freshRoot()
-    // the cross-cluster shape the scaladoc promises: marker addressed
-    // by PATH (here a file: URI), resolved via the Hadoop conf — on a
-    // cluster the same string would be hdfs://... next to the artifacts
-    val h = new Handoff(spark, root,
+    // the cross-cluster shape the scaladoc promises: the WHOLE handoff
+    // — request records, the request listing, and the done marker —
+    // addressed by URI (here file:), resolved via the Hadoop conf; on
+    // a cluster the same strings would be hdfs://... A java.io-backed
+    // listing would silently return EMPTY here and disarm every
+    // listing-derived decision (r14 review finding).
+    val h = new Handoff(spark, s"file:$root",
       r => s"file:$root/req=$r/_DONE", "handoff-spec")((_, _) => ())
     h.submit(9L, rec(90L))
     h.joinAll()
+    assert(h.requests() == Seq(9L),
+      "the request listing works on a URI root (Hadoop FS, not java.io)")
     assert(h.isDone(9L))
     val p = new org.apache.hadoop.fs.Path(s"file:$root/req=9/_DONE")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
