@@ -1964,6 +1964,9 @@ object StreamOps {
     val tm = genDirs(s"$idx/tmanifest", "epoch=").map(ep =>
       spark.read.parquet(s"$idx/tmanifest/epoch=$ep")
         .select(col("n_purged"), col("horizon")).collect()(0))
+    require(tm.length == 2,
+      s"q92 delivery must land exactly 2 tombstone folds, found " +
+        s"${tm.length} manifests — schedule or fold-threshold drift")
     val (purged1, h1) = (tm(0).getLong(0), tm(0).getLong(1))
     val (purged2, h2) = (tm(1).getLong(0), tm(1).getLong(1))
     val log = spark.read.parquet(s"$idx/log")
