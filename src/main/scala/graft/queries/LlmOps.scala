@@ -1615,7 +1615,7 @@ object LlmOps {
         // drift from the path it claims to measure). Nothing below
         // touches data-sized rows ----
         import graft.streaming.StreamOps
-        val ready = StreamOps.genDirs(s"$work/freq", "req=")
+        val ready = StreamOps.genDirs(s, s"$work/freq", "req=")
           .filter(r => r > 0L &&
             new java.io.File(s"$work/freq/req=$r/_FOLD_DONE").exists())
         require(ready.nonEmpty,
@@ -1625,7 +1625,7 @@ object LlmOps {
         StreamOps.adoptCompactEpoch(s, work, 0L, r)
         s.range(1).select(lit(4L).as("gen"), lit(true).as("adopted"))
           .write.mode("overwrite").parquet(s"$work/log/gen=4")
-        val nGens = StreamOps.genDirs(s"$work/codes", "gen=").length
+        val nGens = StreamOps.genDirs(s, s"$work/codes", "gen=").length
         s.read.parquet(s"$work/compact/epoch=1")
           .agg(count(lit(1)).as("n_index"),
             (count(lit(1)) === countDistinct(col("vec_id")))

@@ -58,7 +58,7 @@ final class FoldMachine(
   private def switchRoot = s"$idx/switch"
 
   /** Adopted retrain request ids — listing only, no record reads. */
-  def adopted(): Seq[Long] = SwitchLog.adopted(switchRoot)
+  def adopted(): Seq[Long] = SwitchLog.adopted(spark, switchRoot)
 
   /** Serving pointer `(modelDir, foldedThrough)`: the last adopted
     * retrain, else the base model at `mDir`. ≤ 1 record read. */
@@ -163,7 +163,7 @@ final class FoldMachine(
           // calls with atGen = maxGen + 1, and sealing a ghost
           // generation would send the worker after a raw that was
           // never written
-          val maxRaw = genDirs(s"$idx/arrived", "gen=").maxOption.getOrElse(0L)
+          val maxRaw = genDirs(spark, s"$idx/arrived", "gen=").maxOption.getOrElse(0L)
           val sealTo = math.min(atGen, maxRaw)
           if (coveredThrough >= atGen - 1) {
             // residual empty — adopt: the durable pointer flip, one
@@ -183,7 +183,7 @@ final class FoldMachine(
             val gateGen =
               if (atGen > maxRaw)
                 math.min(gateWanted,
-                  genDirs(s"$idx/log", "gen=").maxOption.getOrElse(0L))
+                  genDirs(spark, s"$idx/log", "gen=").maxOption.getOrElse(0L))
               else gateWanted
             // request id = sealed_to: `coveredThrough` above derives
             // the covered range from request IDS alone (no record

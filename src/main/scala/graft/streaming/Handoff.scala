@@ -77,7 +77,7 @@ final class Handoff(
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Request ids present in durable state, sorted. */
-  def requests(): Seq[Long] = StreamOps.genDirs(requestRoot, "req=")
+  def requests(): Seq[Long] = StreamOps.genDirs(spark, requestRoot, "req=")
 
   /** Whether `req`'s worker has landed its done marker. */
   def isDone(req: Long): Boolean = {

@@ -58,18 +58,21 @@ object StreamOps {
     * — sweeps would stop sweeping, the adopted set would read empty —
     * exactly on the shared-storage deployments the marker/sweep ports
     * exist for. Local paths list identically (checksum side-files
-    * start with `.` and never match a `gen=`/`req=` prefix).
+    * start with `.` and never match a `gen=`/`req=` prefix). The
+    * session is explicit (like [[sweepDir]]'s) so the FileSystem
+    * always resolves against the configuration that wrote the data —
+    * never a bare default that would lack `spark.hadoop.*` settings.
+    * One listStatus, no exists() pre-check: the extra call would
+    * double remote metadata round-trips and open a TOCTOU window;
+    * absent-parent is the catch branch instead.
     */
-  private[graft] def genDirs(parent: String, prefix: String): Seq[Long] = {
+  private[graft] def genDirs(
+      spark: SparkSession, parent: String, prefix: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(parent)
-    val conf = org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-    val fs = p.getFileSystem(conf)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val names =
-      if (fs.exists(p)) fs.listStatus(p).toSeq.map(_.getPath.getName)
-      else Seq.empty[String]
+      try fs.listStatus(p).toSeq.map(_.getPath.getName)
+      catch { case _: java.io.FileNotFoundException => Seq.empty[String] }
     names.filter(_.startsWith(prefix))
       .map(_.drop(prefix.length))
       .filter(s => s.nonEmpty && s.forall(_.isDigit))
@@ -100,9 +103,9 @@ object StreamOps {
       .select(lit(prevEpoch + 1).as("epoch") +:
         lit(gen).as("folded_through") +: extras: _*)
       .write.mode("overwrite").parquet(s"$manifestRoot/epoch=${prevEpoch + 1}")
-    genDirs(liveRoot, "gen=").filter(_ <= gen)
+    genDirs(spark, liveRoot, "gen=").filter(_ <= gen)
       .foreach(g => sweepDir(spark, s"$liveRoot/gen=$g"))
-    genDirs(epochRoot, "epoch=").filter(_ <= prevEpoch)
+    genDirs(spark, epochRoot, "epoch=").filter(_ <= prevEpoch)
       .foreach(p => sweepDir(spark, s"$epochRoot/epoch=$p"))
   }
 
@@ -867,7 +870,7 @@ object StreamOps {
 
     // (epoch, folded_through), max-epoch-wins; epoch 0 is the base
     // build (codes/gen=0), nothing folded
-    def manifest(): (Long, Long) = genDirs(s"$idx/manifest", "epoch=")
+    def manifest(): (Long, Long) = genDirs(spark, s"$idx/manifest", "epoch=")
       .maxOption.map(ep =>
         (ep, spark.read.parquet(s"$idx/manifest/epoch=$ep")
           .select(col("folded_through")).collect()(0).getLong(0)))
@@ -877,7 +880,7 @@ object StreamOps {
     // the union serving reads: the current epoch + unfolded generations
     def servingParts(): Seq[String] = {
       val (ep, f) = manifest()
-      epochDir(ep) +: genDirs(s"$idx/codes", "gen=").filter(_ > f)
+      epochDir(ep) +: genDirs(spark, s"$idx/codes", "gen=").filter(_ > f)
         .map(g => s"$idx/codes/gen=$g")
     }
 
@@ -1017,7 +1020,7 @@ object StreamOps {
     // freq/req=N: (req_gen, epoch_at_req, folded_from) — a fold request
     //   naming its sealed inputs; compact/epoch=E+1 + _FOLD_DONE is the
     //   thread's output; adoption = the manifest write
-    def manifest(): (Long, Long) = genDirs(s"$idx/manifest", "epoch=")
+    def manifest(): (Long, Long) = genDirs(spark, s"$idx/manifest", "epoch=")
       .maxOption.map(ep =>
         (ep, spark.read.parquet(s"$idx/manifest/epoch=$ep")
           .select(col("folded_through")).collect()(0).getLong(0)))
@@ -1026,7 +1029,7 @@ object StreamOps {
       if (ep == 0L) s"$idx/codes/gen=0" else s"$idx/compact/epoch=$ep"
     def servingParts(): Seq[String] = {
       val (ep, f) = manifest()
-      epochDir(ep) +: genDirs(s"$idx/codes", "gen=").filter(_ > f)
+      epochDir(ep) +: genDirs(spark, s"$idx/codes", "gen=").filter(_ > f)
         .map(g => s"$idx/codes/gen=$g")
     }
     // the shared async-handoff machine: durable request → detached
@@ -1056,7 +1059,7 @@ object StreamOps {
       val epochAtReq = rec.getAs[Long]("epoch_at_req")
       val foldedFrom = rec.getAs[Long]("folded_from")
       val inputs = epochDir(epochAtReq) +:
-        genDirs(s"$idx/codes", "gen=")
+        genDirs(spark, s"$idx/codes", "gen=")
           .filter(g => g > foldedFrom && g <= reqGen)
           .map(g => s"$idx/codes/gen=$g")
       inputs.map(p => codeCols(spark.read.parquet(p)))
@@ -1234,7 +1237,7 @@ object StreamOps {
       "q88 frozen coarse-centroid table", withOccupancy = false)
 
     def maxManifest(dir: String): Long =
-      genDirs(dir, "epoch=").maxOption.getOrElse(0L)
+      genDirs(spark, dir, "epoch=").maxOption.getOrElse(0L)
     def foldedThrough(): Long = {
       val ep = maxManifest(s"$idx/manifest")
       if (ep == 0L) 0L
@@ -1245,7 +1248,7 @@ object StreamOps {
       val ep = maxManifest(s"$idx/manifest")
       val epochDir =
         if (ep == 0L) s"$idx/codes/gen=0" else s"$idx/compact/epoch=$ep"
-      epochDir +: genDirs(s"$idx/codes", "gen=").filter(_ > foldedThrough())
+      epochDir +: genDirs(spark, s"$idx/codes", "gen=").filter(_ > foldedThrough())
         .map(g => s"$idx/codes/gen=$g")
     }
     def tombParts(): Seq[String] = {
@@ -1255,7 +1258,7 @@ object StreamOps {
         else spark.read.parquet(s"$idx/tmanifest/epoch=$tp")
           .select(col("folded_through")).collect()(0).getLong(0)
       (if (tp == 0L) Seq.empty else Seq(s"$idx/tepoch/epoch=$tp")) ++
-        genDirs(s"$idx/tombs", "gen=").filter(_ > tFolded)
+        genDirs(spark, s"$idx/tombs", "gen=").filter(_ > tFolded)
           .map(g => s"$idx/tombs/gen=$g")
     }
     def tombIds(): Option[DataFrame] = {
@@ -1486,7 +1489,7 @@ object StreamOps {
       "q91 frozen coarse-centroid table", withOccupancy = false)
 
     def maxManifest(dir: String): Long =
-      genDirs(dir, "epoch=").maxOption.getOrElse(0L)
+      genDirs(spark, dir, "epoch=").maxOption.getOrElse(0L)
     def foldedThrough(): Long = {
       val ep = maxManifest(s"$idx/manifest")
       if (ep == 0L) 0L
@@ -1497,7 +1500,7 @@ object StreamOps {
       val ep = maxManifest(s"$idx/manifest")
       val epochDir =
         if (ep == 0L) s"$idx/codes/gen=0" else s"$idx/compact/epoch=$ep"
-      epochDir +: genDirs(s"$idx/codes", "gen=").filter(_ > foldedThrough())
+      epochDir +: genDirs(spark, s"$idx/codes", "gen=").filter(_ > foldedThrough())
         .map(g => s"$idx/codes/gen=$g")
     }
     // tombstone parts carry (vec_id, del_gen) — the delete's arrival
@@ -1509,7 +1512,7 @@ object StreamOps {
         else spark.read.parquet(s"$idx/tmanifest/epoch=$tp")
           .select(col("folded_through")).collect()(0).getLong(0)
       (if (tp == 0L) Seq.empty else Seq(s"$idx/tepoch/epoch=$tp")) ++
-        genDirs(s"$idx/tombs", "gen=").filter(_ > tFolded)
+        genDirs(spark, s"$idx/tombs", "gen=").filter(_ > tFolded)
           .map(g => s"$idx/tombs/gen=$g")
     }
     def tombIds(): Option[DataFrame] = {
@@ -1766,7 +1769,7 @@ object StreamOps {
       "q92 frozen coarse-centroid table", withOccupancy = false)
 
     def maxManifest(dir: String): Long =
-      genDirs(dir, "epoch=").maxOption.getOrElse(0L)
+      genDirs(spark, dir, "epoch=").maxOption.getOrElse(0L)
     def foldedThrough(): Long = {
       val ep = maxManifest(s"$idx/manifest")
       if (ep == 0L) 0L
@@ -1777,7 +1780,7 @@ object StreamOps {
       val ep = maxManifest(s"$idx/manifest")
       val epochDir =
         if (ep == 0L) s"$idx/codes/gen=0" else s"$idx/compact/epoch=$ep"
-      epochDir +: genDirs(s"$idx/codes", "gen=").filter(_ > foldedThrough())
+      epochDir +: genDirs(spark, s"$idx/codes", "gen=").filter(_ > foldedThrough())
         .map(g => s"$idx/codes/gen=$g")
     }
     def tombParts(): Seq[String] = {
@@ -1787,7 +1790,7 @@ object StreamOps {
         else spark.read.parquet(s"$idx/tmanifest/epoch=$tp")
           .select(col("folded_through")).collect()(0).getLong(0)
       (if (tp == 0L) Seq.empty else Seq(s"$idx/tepoch/epoch=$tp")) ++
-        genDirs(s"$idx/tombs", "gen=").filter(_ > tFolded)
+        genDirs(spark, s"$idx/tombs", "gen=").filter(_ > tFolded)
           .map(g => s"$idx/tombs/gen=$g")
     }
     def tombIds(): Option[DataFrame] = {
@@ -1961,7 +1964,7 @@ object StreamOps {
     val onDiskOk = codeParts().length <= k && tombParts().length <= k
     // per-fold purge accounting and the advancing horizon, from the
     // durable tombstone manifests (kept forever — 1-row records)
-    val tm = genDirs(s"$idx/tmanifest", "epoch=").map(ep =>
+    val tm = genDirs(spark, s"$idx/tmanifest", "epoch=").map(ep =>
       spark.read.parquet(s"$idx/tmanifest/epoch=$ep")
         .select(col("n_purged"), col("horizon")).collect()(0))
     require(tm.length == 2,
@@ -2191,7 +2194,7 @@ object StreamOps {
     // deterministic: it re-reads the same pre-batch state, re-makes the
     // same decision, and overwrites the same artifacts.
     def decisions(upTo: Long): Seq[(Long, Boolean)] = {
-      genDirs(s"$idx/log", "gen=")
+      genDirs(spark, s"$idx/log", "gen=")
         .filter(_ < upTo)
         .map(g => (g, spark.read.parquet(s"$idx/log/gen=$g")
           .select(col("retrain_fired")).collect()(0).getBoolean(0)))
@@ -2419,7 +2422,7 @@ object StreamOps {
     // read for the MAX switch, O(1) in switch history (the r13 lead
     // finding: reading every historical record made per-trigger driver
     // cost grow with total retrains over the stream's lifetime)
-    def adoptedSwitches(): Seq[Long] = SwitchLog.adopted(s"$idx/switch")
+    def adoptedSwitches(): Seq[Long] = SwitchLog.adopted(spark, s"$idx/switch")
     // serving pointer: the LAST switched retrain, else the base model
     def pointer(): (String, Long) =
       SwitchLog.pointer(spark, s"$idx/switch")
@@ -2471,7 +2474,7 @@ object StreamOps {
         val (coarseR, booksR) = frozenModels(rdir)
         // fold: re-encode the RAW gap batches (appended under the old
         // model while the retrain ran) with the new frozen models
-        genDirs(s"$idx/arrived", "gen=")
+        genDirs(spark, s"$idx/arrived", "gen=")
           .filter(gg => gg > g && gg < atGen)
           .foreach { gg =>
             ProductQuantizer.ivfPqEncodeWith(
@@ -2602,15 +2605,15 @@ object StreamOps {
     // maintenance pass: adopt any retrain that completed after the
     // last trigger (the postShifted second fire lands here)
     handoff.joinAll()
-    val maxGen = genDirs(s"$idx/arrived", "gen=").max
+    val maxGen = genDirs(spark, s"$idx/arrived", "gen=").max
     switchIfReady(maxGen + 1)
 
     // ---- serving state, derived from the same durable records --------
     val (ptr, foldedThrough) = pointer()
-    val folds = genDirs(s"$ptr/fold", "gen=")
+    val folds = genDirs(spark, s"$ptr/fold", "gen=")
     val foldCodes = folds.map(g =>
       codeCols(spark.read.parquet(s"$ptr/fold/gen=$g")))
-    val appendsAfter = genDirs(s"$idx/append", "gen=")
+    val appendsAfter = genDirs(spark, s"$idx/append", "gen=")
       .filter(_ > foldedThrough)
     val appendCodes = appendsAfter.map(g =>
       codeCols(spark.read.parquet(s"$idx/append/gen=$g")))
@@ -2621,7 +2624,7 @@ object StreamOps {
     // re-encoded in ONE batch under the same persisted models — the
     // fold + post-switch-append plumbing must be invisible to queries
     val snapGen = adoptedSwitches().maxOption.getOrElse(0L)
-    val lateGens = genDirs(s"$idx/arrived", "gen=").filter(_ > snapGen)
+    val lateGens = genDirs(spark, s"$idx/arrived", "gen=").filter(_ > snapGen)
     val (coarseP, booksP) = frozenModels(ptr)
     val oneShot = lateGens
       .map(g => spark.read.parquet(s"$idx/arrived/gen=$g"))
@@ -2934,7 +2937,7 @@ object StreamOps {
     // worker's failure swallowed) in the restart shapes Handoff
     // advertises; each round either re-arms, seals, adopts, or is the
     // terminal no-op, so the loop is bounded by design (belt at 8)
-    val maxGenAll = genDirs(s"$idx/arrived", "gen=").max
+    val maxGenAll = genDirs(spark, s"$idx/arrived", "gen=").max
     var quiet = false
     var beltRounds = 0
     while (!quiet && beltRounds < 8) {
@@ -2947,16 +2950,16 @@ object StreamOps {
 
     // ---- serving state, derived from the same durable records --------
     val (ptr, foldedThrough) = fm.pointer(mDir)
-    val foldCodes = genDirs(s"$ptr/fold", "gen=").map(g =>
+    val foldCodes = genDirs(spark, s"$ptr/fold", "gen=").map(g =>
       codeCols(spark.read.parquet(s"$ptr/fold/gen=$g")))
-    val appendCodes = genDirs(s"$idx/append", "gen=")
+    val appendCodes = genDirs(spark, s"$idx/append", "gen=")
       .filter(_ > foldedThrough).map(g =>
         codeCols(spark.read.parquet(s"$idx/append/gen=$g")))
     val serving = (foldCodes ++ appendCodes)
       .foldLeft(codeCols(spark.read.parquet(s"$ptr/codes/gen=0")))(
         _.unionByName(_))
     val snapGen = fm.adopted().maxOption.getOrElse(0L)
-    val lateGens = genDirs(s"$idx/arrived", "gen=").filter(_ > snapGen)
+    val lateGens = genDirs(spark, s"$idx/arrived", "gen=").filter(_ > snapGen)
     val (coarseP, booksP) = frozenModels(ptr)
     val oneShot = lateGens
       .map(g => spark.read.parquet(s"$idx/arrived/gen=$g"))
@@ -3018,9 +3021,9 @@ object StreamOps {
     * return when batch G was built?").
     *
     * Reconstruction: `pointerAsOf(G)` picks the last switch adopted
-    * at-or-before G (the audit path — O(adoptions) record reads by
-    * design, never the trigger path, which stays O(1) via
-    * [[SwitchLog.pointer]]); serving(G) = that pointer's snapshot
+    * at-or-before G (the audit path — record reads up to the answer's
+    * position, bounded by O(adoptions), never the trigger path, which
+    * stays O(1) via [[SwitchLog.pointer]]); serving(G) = that pointer's snapshot
     * codes ∪ the appends in `(folded_through, G]` — each of which was
     * itself encoded under that same pointer when it arrived, so the
     * reconstruction is internally consistent under ONE model by the
@@ -3091,7 +3094,7 @@ object StreamOps {
     // ---- as-of reconstructions, each against its one-shot shape -----
     def asOf(g: Long): (DataFrame, DataFrame, String) = {
       val (pd, folded) = ptrDir(SwitchLog.pointerAsOf(spark, sroot, g))
-      val serving = genDirs(s"$idx/append", "gen=")
+      val serving = genDirs(spark, s"$idx/append", "gen=")
         .filter(gg => gg > folded && gg <= g)
         .map(gg => codeCols(spark.read.parquet(s"$idx/append/gen=$gg")))
         .foldLeft(codeCols(spark.read.parquet(s"$pd/codes/gen=0")))(

@@ -47,7 +47,8 @@ object SwitchLog {
 
   /** Adopted retrain request ids, sorted — a directory listing, NO
     * record reads. */
-  def adopted(root: String): Seq[Long] = StreamOps.genDirs(root, "req=")
+  def adopted(spark: SparkSession, root: String): Seq[Long] =
+    StreamOps.genDirs(spark, root, "req=")
 
   /** `folded_through` of one switch record — the single 1-row read. */
   def foldedThrough(spark: SparkSession, root: String, req: Long): Long = {
@@ -61,32 +62,42 @@ object SwitchLog {
     * switch exists, zero otherwise — O(1) in switch history.
     */
   def pointer(spark: SparkSession, root: String): Option[(Long, Long)] =
-    adopted(root).maxOption.map(g => (g, foldedThrough(spark, root, g)))
+    adopted(spark, root).maxOption
+      .map(g => (g, foldedThrough(spark, root, g)))
 
   /** AUDIT-path pointer: the switch that was ACTIVE as of generation
     * `gen` — the last record whose `at_gen` is at-or-before it, as
     * `(req, folded_through)`; None when `gen` predates every switch.
-    * Reads every adopted record (O(adoptions) 1-row reads, counted by
-    * the probe like any other record read): this is the OFFLINE
-    * time-travel path for audits and reproducibility queries, never
-    * the trigger path — triggers only ever need the current pointer,
-    * which stays O(1) via [[pointer]].
+    * Reads records in req order and STOPS at the first one past `gen`
+    * — O(answer position) 1-row reads, bounded by O(adoptions), all
+    * counted by the probe. This is the OFFLINE time-travel path for
+    * audits and reproducibility queries, never the trigger path —
+    * triggers only ever need the current pointer, which stays O(1)
+    * via [[pointer]]. The short-circuit leans on `at_gen` being
+    * monotone in `req`; that invariant is ENFORCED where records are
+    * created ([[write]] rejects an out-of-order req), and the scan
+    * re-verifies the prefix it reads as a belt — so a violation fails
+    * loudly at the write, not as a silently-wrong audit answer here.
     */
   def pointerAsOf(
       spark: SparkSession, root: String, gen: Long): Option[(Long, Long)] = {
-    // short-circuit on the monotonicity of at_gen in req (adoptions
-    // happen in generation order): stop at the first record past
-    // `gen`, so an early-generation audit reads O(answer position)
-    // records, not O(adoptions)
     var last = Option.empty[(Long, Long)]
-    val it = adopted(root).iterator
+    val it = adopted(spark, root).iterator
     var past = false
+    var prevAtGen = Long.MinValue
     while (!past && it.hasNext) {
       val r = it.next()
       counters.computeIfAbsent(root, _ => new AtomicLong()).incrementAndGet()
       val row = spark.read.parquet(s"$root/req=$r")
         .select(col("folded_through"), col("at_gen")).collect()(0)
-      if (row.getLong(1) <= gen) last = Some((r, row.getLong(0)))
+      val atGen = row.getLong(1)
+      require(atGen > prevAtGen,
+        s"switch log $root is not at_gen-monotone at req=$r " +
+          s"($atGen after $prevAtGen) — the as-of short-circuit would " +
+          "return a wrong audit answer; adoptions must happen in " +
+          "generation order")
+      prevAtGen = atGen
+      if (atGen <= gen) last = Some((r, row.getLong(0)))
       else past = true
     }
     last
@@ -94,9 +105,21 @@ object SwitchLog {
 
   /** The one-write durable pointer flip (overwrite-keyed by `req`, so a
     * replayed adopting trigger rewrites its own record idempotently).
+    *
+    * Enforces req-order == adoption-order at the only place records
+    * are created: the coalescing discipline (at most one unadopted
+    * request exists, so adoptions happen in request order) is what
+    * [[pointer]]'s max-record read and [[pointerAsOf]]'s short-circuit
+    * lean on, and an out-of-order write here would silently corrupt
+    * both — fail it loudly instead.
     */
   def write(spark: SparkSession, root: String, req: Long,
       foldedThrough: Long, atGen: Long): Unit = {
+    val newest = adopted(spark, root).lastOption.getOrElse(Long.MinValue)
+    require(req >= newest,
+      s"switch write req=$req at_gen=$atGen would land BEHIND the " +
+        s"newest adopted record (req=$newest) in $root — adoption " +
+        "order must follow request order (the coalescing discipline)")
     spark.range(1)
       .select(lit(req).as("req"), lit(foldedThrough).as("folded_through"),
         lit(atGen).as("at_gen"))

@@ -45,7 +45,7 @@ object SwitchHistoryRehearsal {
       planted = n
       // the pre-round-14 derivation: one 1-row read PER record
       val oldMs = timeMs {
-        SwitchLog.adopted(root)
+        SwitchLog.adopted(spark, root)
           .foreach(r => SwitchLog.foldedThrough(spark, root, r))
       }
       // the shipped derivation: listing + ONE read of the max record

@@ -71,7 +71,7 @@ class FoldMachineSpec extends AnyFunSuite {
     for (r <- Seq(1L, 2L, 3L))
       SwitchLog.write(spark, root, r, r * 10, r * 10 + 1)
     val reads0 = SwitchLog.recordReads(root)
-    assert(SwitchLog.adopted(root) == Seq(1L, 2L, 3L))
+    assert(SwitchLog.adopted(spark, root) == Seq(1L, 2L, 3L))
     assert(SwitchLog.recordReads(root) == reads0,
       "adopted-set membership must not read records — request ids ARE " +
         "the directory names")
@@ -118,7 +118,7 @@ class FoldMachineSpec extends AnyFunSuite {
         "boundary (duplicate vec_ids in serving)")
     assert(rec.getAs[Long]("sealed_to") == 7L)
     fm.foldH.joinAll()
-    assert(StreamOps.genDirs(s"$idx/retrain/req=5/fold", "gen=") ==
+    assert(StreamOps.genDirs(spark, s"$idx/retrain/req=5/fold", "gen=") ==
       Seq(6L, 7L),
       "the fold re-encodes exactly the residual gap — nothing the " +
         "snapshot already encodes")
@@ -154,7 +154,7 @@ class FoldMachineSpec extends AnyFunSuite {
     val (_, _, adopted) = fm.maintain(5L)
     assert(adopted, "join + re-maintain adopts the maintenance fold")
     assert(fm.pointer("base") == (s"$idx/retrain/req=2", 4L))
-    assert(StreamOps.genDirs(s"$idx/retrain/req=2/fold", "gen=") ==
+    assert(StreamOps.genDirs(spark, s"$idx/retrain/req=2/fold", "gen=") ==
       Seq(3L, 4L))
   }
 
@@ -175,7 +175,7 @@ class FoldMachineSpec extends AnyFunSuite {
     fm.foldH.joinAll() // must complete promptly — 0 means no gate
     val (_, _, adopted) = fm.maintain(3L)
     assert(adopted &&
-      StreamOps.genDirs(s"$idx/retrain/req=1/fold", "gen=") == Seq(2L))
+      StreamOps.genDirs(spark, s"$idx/retrain/req=1/fold", "gen=") == Seq(2L))
   }
 
   test("restart shape: a fold request from a dead driver (record, no " +
@@ -217,7 +217,7 @@ class FoldMachineSpec extends AnyFunSuite {
     assert(fm.adopted() == Seq(2L) &&
       fm.pointer("base") == (s"$idx/retrain/req=2", 5L),
       "the belt adopts with folded_through at the newest raw")
-    assert(StreamOps.genDirs(s"$idx/retrain/req=2/fold", "gen=") ==
+    assert(StreamOps.genDirs(spark, s"$idx/retrain/req=2/fold", "gen=") ==
       Seq(3L, 4L, 5L),
       "both the re-armed fold and the residual fold landed")
   }

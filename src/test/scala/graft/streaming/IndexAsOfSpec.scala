@@ -53,22 +53,23 @@ class IndexAsOfSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_results") == 10)
   }
 
-  test("cost split: the as-of pointer is the AUDIT path (O(adoptions) " +
-      "record reads), the current pointer stays exactly one read") {
+  test("cost split: the as-of pointer is the AUDIT path (reads up to " +
+      "the answer's position), the current pointer stays one read") {
     // durable state from the query above (same scratch key, same JVM);
     // rebuilt here if this test runs alone
     val sroot = graft.RunPaths.scratch(
       s"graft_q93_index_${graft.RunPaths.keyFor(sf)}") + "/switch"
-    if (SwitchLog.adopted(sroot).isEmpty)
+    if (SwitchLog.adopted(spark, sroot).isEmpty)
       StreamOps.indexServeAsOf(spark, sf).collect()
-    assert(SwitchLog.adopted(sroot) == Seq(2L, 5L))
+    assert(SwitchLog.adopted(spark, sroot) == Seq(2L, 5L))
     val r0 = SwitchLog.recordReads(sroot)
     assert(SwitchLog.pointer(spark, sroot).contains((5L, 5L)))
     assert(SwitchLog.recordReads(sroot) == r0 + 1,
       "the trigger-path pointer reads ONE record with 2 switches down")
     assert(SwitchLog.pointerAsOf(spark, sroot, 4L).contains((2L, 2L)))
     assert(SwitchLog.recordReads(sroot) == r0 + 3,
-      "the audit path reads each adopted record — O(adoptions) by " +
-        "design, and never on a trigger")
+      "the audit path reads up to the answer's position plus the " +
+        "first record past it (2 here) — bounded by O(adoptions), " +
+        "and never on a trigger")
   }
 }

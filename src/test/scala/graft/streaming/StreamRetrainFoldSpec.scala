@@ -70,7 +70,7 @@ class StreamRetrainFoldSpec extends AnyFunSuite {
     // generations for exactly the gap gens 3..7
     val idx = graft.RunPaths.scratch(
       s"graft_q90_index_${graft.RunPaths.keyFor(sf)}")
-    val foldGens = StreamOps.genDirs(s"$idx/retrain/req=2/fold", "gen=")
+    val foldGens = StreamOps.genDirs(spark, s"$idx/retrain/req=2/fold", "gen=")
     assert(foldGens == Seq(3L, 4L, 5L, 6L, 7L),
       "the two fold workers cover the whole gap, disjointly")
   }
@@ -119,7 +119,7 @@ class StreamRetrainFoldSpec extends AnyFunSuite {
     // has NO fold generations (nothing left to fold)
     val idx = graft.RunPaths.scratch(
       s"graft_q90_index_${graft.RunPaths.keyFor(sf)}_ps")
-    assert(StreamOps.genDirs(s"$idx/switch", "req=") == Seq(2L, 9L))
-    assert(StreamOps.genDirs(s"$idx/retrain/req=9/fold", "gen=").isEmpty)
+    assert(StreamOps.genDirs(spark, s"$idx/switch", "req=") == Seq(2L, 9L))
+    assert(StreamOps.genDirs(spark, s"$idx/retrain/req=9/fold", "gen=").isEmpty)
   }
 }
