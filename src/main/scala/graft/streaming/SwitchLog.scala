@@ -74,10 +74,13 @@ object SwitchLog {
     * audits and reproducibility queries, never the trigger path —
     * triggers only ever need the current pointer, which stays O(1)
     * via [[pointer]]. The short-circuit leans on `at_gen` being
-    * monotone in `req`; that invariant is ENFORCED where records are
-    * created ([[write]] rejects an out-of-order req), and the scan
-    * re-verifies the prefix it reads as a belt — so a violation fails
-    * loudly at the write, not as a silently-wrong audit answer here.
+    * monotone in `req`. That holds by construction: [[write]] rejects
+    * an out-of-order req, and given req order, at_gen order is a
+    * THEOREM of the protocol — a new request only fires after the
+    * previous adoption (coalescing), and an adoption strictly follows
+    * its own request's generation, so at_gen' ≥ req' + 1 > req' ≥
+    * previous at_gen. The scan additionally re-verifies the prefix it
+    * reads as a belt against hand-written records.
     */
   def pointerAsOf(
       spark: SparkSession, root: String, gen: Long): Option[(Long, Long)] = {
@@ -103,15 +106,21 @@ object SwitchLog {
     last
   }
 
-  /** The one-write durable pointer flip (overwrite-keyed by `req`, so a
-    * replayed adopting trigger rewrites its own record idempotently).
+  /** The one-write durable pointer flip (overwrite-keyed by `req`).
     *
     * Enforces req-order == adoption-order at the only place records
     * are created: the coalescing discipline (at most one unadopted
     * request exists, so adoptions happen in request order) is what
     * [[pointer]]'s max-record read and [[pointerAsOf]]'s short-circuit
     * lean on, and an out-of-order write here would silently corrupt
-    * both — fail it loudly instead.
+    * both — fail it loudly instead. `req >= newest` deliberately
+    * ADMITS the idempotent replay: a replayed adopting trigger
+    * rewrites its OWN record, which is still the newest, because
+    * structured streaming replays a batch only when no later batch
+    * has committed — a replay arriving after a newer adoption cannot
+    * happen, so rejecting `req < newest` forbids nothing legitimate.
+    * Cost: one listing per ADOPTION (once per retrain cycle) — never
+    * on the quiet trigger path.
     */
   def write(spark: SparkSession, root: String, req: Long,
       foldedThrough: Long, atGen: Long): Unit = {
