@@ -518,6 +518,46 @@ object Streaming {
              |  CAST(10 AS BIGINT) AS n_results
              |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
 
+    // ARCHIVAL CHECKPOINT for the protocol records (round 14): the
+    // last unbounded durable growth in the retrain family — one
+    // switch/request/fold-request directory per cycle forever — is
+    // bounded at adoption: scaffolding subsumed by the switch record
+    // is swept, the switch log archived down to keepSwitches live
+    // records with the closed history consolidated into ONE parquet.
+    // Per-trigger listings become O(current cycle) for the stream's
+    // lifetime; the q93 audit path reads the whole history in one job
+    // instead of one per adoption — and time travel through ARCHIVED
+    // history stays row-identical to one-shot re-encodes.
+    QueryDef(
+      "q94_switch_archive",
+      (s, dir) => graft.streaming.StreamOps.indexSwitchArchive(s, dir),
+      Some("""SELECT CAST(9 AS BIGINT) AS n_triggers,
+             |  CAST(4 AS BIGINT) AS n_adoptions,
+             |  true AS history_complete,
+             |  CAST(3 AS BIGINT) AS n_archived,
+             |  true AS live_switch_bounded,
+             |  true AS scaffolding_bounded,
+             |  true AS quiet_reads_bounded,
+             |  true AS adopt_reads_bounded,
+             |  true AS audit_reads_bounded,
+             |  CAST(count(CASE WHEN vec_id % 10 NOT IN (8, 9) THEN 1 END) +
+             |       count(CASE WHEN vec_id % 90 IN (8, 18) THEN 1 END)
+             |    AS BIGINT) AS n_asof_2,
+             |  true AS asof_2_exact,
+             |  true AS asof_2_on_first_retrain,
+             |  CAST(count(CASE WHEN vec_id % 10 NOT IN (8, 9) THEN 1 END) +
+             |       count(CASE WHEN vec_id % 10 = 8 THEN 1 END)
+             |    AS BIGINT) AS n_asof_9,
+             |  true AS asof_9_exact,
+             |  true AS asof_9_on_third_retrain,
+             |  CAST(count(CASE WHEN vec_id % 10 NOT IN (8, 9) THEN 1 END) +
+             |       count(CASE WHEN vec_id % 10 = 8 THEN 1 END)
+             |    AS BIGINT) AS n_index,
+             |  true AS ids_unique,
+             |  true AS serving_exact,
+             |  CAST(10 AS BIGINT) AS n_results
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
+
     // Streaming appends with a BOUNDED generation count: q69-style
     // per-trigger generations, but whenever the serving-directory count
     // reaches k (= 3) the trigger folds epoch + live generations into

@@ -18,7 +18,15 @@ import org.apache.spark.sql.functions._
   *   - `fold_req/req=S`   gap-fold requests sealing `(sealed_from, S]`
   *   - `retrain/req=R/fold/gen=G`  re-encoded gap generations
   *   - `switch/req=R`     the adopted pointer records ([[SwitchLog]])
+  *   - `switch/archive/upto=R`  consolidated closed switch history
   *   - `log/gen=G`        the per-trigger decision log (gates only)
+  *
+  * An adoption CLOSES its cycle (q94): fold requests and adopted
+  * retrain request records are swept (subsumed by the switch record)
+  * and the switch log archived down to `keepSwitches` live records —
+  * so every listing a trigger pays is O(current cycle), not
+  * O(stream lifetime), while the consolidated archive keeps the full
+  * history durable for the audit path.
   *
   * [[maintain]] is the whole synchronous cost a trigger pays for the
   * machinery: a directory listing or two, at most ONE 1-row record
@@ -51,7 +59,8 @@ final class FoldMachine(
     label: String,
     stampMsg: String,
     gated: Boolean = true,
-    foldSleepMsPerGen: Long = 0L) {
+    foldSleepMsPerGen: Long = 0L,
+    keepSwitches: Int = 2) {
 
   import StreamOps.genDirs
 
@@ -131,7 +140,15 @@ final class FoldMachine(
     // requests. Probing every request ever would re-grow per-trigger
     // cost with the stream's lifetime — the exact creep family the
     // SwitchLog split removed from the pointer.
-    val unswitched = retrainH.requests().filterNot(adopted().toSet)
+    // membership is a THRESHOLD, not a set: adoption order follows
+    // request order (write-enforced in SwitchLog) and the newest
+    // switch record is never archived, so "req > max live adopted" IS
+    // the unadopted set — and stays correct in every crash window
+    // where the close-cycle sweeps or the archival lag the switch
+    // write (a set built from the live listing would not, once closed
+    // records move into the archive)
+    val maxAdopted = adopted().maxOption.getOrElse(Long.MinValue)
+    val unswitched = retrainH.requests().filter(_ > maxAdopted)
       .filter(retrainH.isDone)
     unswitched.maxOption match {
       case None => (false, false, false)
@@ -169,6 +186,7 @@ final class FoldMachine(
             // residual empty — adopt: the durable pointer flip, one
             // write; the observing trigger's own batch encodes fresh
             SwitchLog.write(spark, switchRoot, rr, coveredThrough, atGen)
+            closeCycle(rr)
             (false, false, true)
           } else {
             // seal the residual (the catch-up recursion): the first
@@ -198,6 +216,32 @@ final class FoldMachine(
           }
         }
     }
+  }
+
+  /** Close the adopted cycle's scaffolding — the once-per-adoption
+    * bounding step (q94), never on the quiet trigger path. Every fold
+    * request is subsumed by the switch record just written (its
+    * `folded_through` IS the covered range — adoption requires the
+    * pending set empty, so they are all done), and retrain request
+    * records at-or-below the adopted req are subsumed by the pointer,
+    * so both are swept: the per-trigger request listings stay
+    * O(current cycle) for the stream's lifetime instead of one
+    * directory per cycle ever. The switch log itself is archived down
+    * to `keepSwitches` live records, the closed history consolidated
+    * into one parquet the audit path reads in one job. Sweeping the
+    * fold requests also removes the stale-request hazard STRUCTURALLY
+    * (the r13 ADVICE scenario): the `math.max(rr, …)` seal guard above
+    * stays as the belt for the crash window where this sweep dies
+    * between the switch write and the delete — a window FoldMachineSpec
+    * pins with planted stale state. Retrain ARTIFACTS (`retrain/req=R`:
+    * models, snapshot codes, folds) are never swept here — serving and
+    * the q93 time-travel reconstructions read them.
+    */
+  private def closeCycle(rr: Long): Unit = {
+    foldH.requests().foreach(foldH.sweepRequest)
+    retrainH.requests().filter(_ <= rr).foreach(retrainH.sweepRequest)
+    SwitchLog.archive(spark, switchRoot, keepSwitches)
+    ()
   }
 
   /** Join both workers — retrain first (the fold depends on its

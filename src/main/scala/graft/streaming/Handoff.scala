@@ -166,6 +166,24 @@ final class Handoff(
     t.start()
   }
 
+  /** Close-cycle sweep: delete `req`'s durable request record and
+    * forget its in-JVM launch entry — for requests whose outcome is
+    * fully subsumed by an adopted durable artifact (a switch record,
+    * an epoch manifest), so the request listing stays O(current cycle)
+    * instead of one directory per request ever (q94). The explicit
+    * forget is load-bearing when the done marker lives INSIDE the
+    * request directory (fold requests): after the sweep `isDone` turns
+    * false again, so [[prune]] could never drop the entry on its own
+    * and a long-lived stream would leak one per request. Safe against
+    * re-launch: an adopted request is never in any `pending` set, and
+    * re-arm filters on exactly that.
+    */
+  def sweepRequest(req: Long): Unit = {
+    StreamOps.sweepDir(spark, s"$requestRoot/req=$req")
+    launched.remove(req)
+    ()
+  }
+
   /** Restart re-arm: launch workers for the given pending (unadopted)
     * requests that have no done marker and no live worker in this JVM.
     * No-op on healthy triggers; a re-launch recomputes from the durable

@@ -2742,13 +2742,16 @@ object StreamOps {
     * `postShifted` (spec-only, the LIVE second-cycle proof): after the
     * in-stream adoption, gen 9 delivers a drifted fresh-id copy — it
     * must fire a SECOND retrain against the adopted pointer, and the
-    * maintenance belt must adopt cycle 2 WITHOUT folding anything: the
-    * new snapshot already covers every generation, and the stale
-    * cycle-1 fold requests (ids 5 and 7) must not drag the seal under
-    * the new snapshot boundary (the r13 ADVICE scenario, exercised
-    * end-to-end — without the `math.max(rr, …)` guard in
-    * [[FoldMachine.maintain]], gens 8–9 would be re-encoded into a
-    * fold their snapshot already carries, and ids_unique /
+    * maintenance belt must adopt cycle 2 WITHOUT folding anything:
+    * the new snapshot already covers every generation. Cycle 1's fold
+    * requests were swept at its own adoption (the q94 close-cycle
+    * step), which removes the r13 ADVICE stale-request hazard
+    * STRUCTURALLY; the `math.max(rr, …)` seal guard in
+    * [[FoldMachine.maintain]] remains the belt for the crash window
+    * where the sweep dies between the switch write and the delete —
+    * FoldMachineSpec pins that window with planted stale state
+    * (without the guard, gens 8–9 would be re-encoded into a fold
+    * their snapshot already carries, and ids_unique /
     * same_as_oneshot_fold fail loudly).
     */
   def streamIndexRetrainFoldAsync(
@@ -2837,9 +2840,13 @@ object StreamOps {
             .select(col("psi")).collect()(0).getDouble(0)
           val fired = psi > 0.75
           // 5. fired → retrain REQUEST (coalesced while one is open);
-          //    adopted-set membership from the listing, no record reads
+          //    membership is the same threshold maintain() uses (req >
+          //    max live adopted — sound because adoption order follows
+          //    request order and the newest switch is never archived),
+          //    from the listing alone, no record reads
+          val maxAd = fm.adopted().maxOption.getOrElse(Long.MinValue)
           val pendingR = retrainH.requests()
-            .filterNot(fm.adopted().toSet).filter(_ < gen)
+            .filter(r => r > maxAd && r < gen)
           retrainH.rearm(pendingR)
           val requested = fired && pendingR.isEmpty
           if (requested)
@@ -3136,6 +3143,232 @@ object StreamOps {
         col("n_asof_6"), col("asof_6_exact"),
         col("asof_6_on_second_retrain"),
         col("ids_unique"), col("n_results"))
+  }
+
+  /** ARCHIVAL CHECKPOINT for the retrain family's protocol records
+    * (q94) — the last unbounded durable growth in the streaming index
+    * story closed. q87 bounded the raw/code generations, q88/q91/q92
+    * the epochs and tombstones, and the r14 SwitchLog split the
+    * per-trigger RECORD READS — but the protocol records themselves
+    * still grew one directory per retrain cycle forever (`switch/req=`,
+    * `req/req=`, `fold_req/req=`): per-trigger listings are cheap but
+    * O(lifetime) (~720 dirs a month at hour-scale retrains, and an S3
+    * LIST pages at 1k), and the q93 audit path paid one 1-row job per
+    * historical adoption. [[FoldMachine]]'s close-cycle step at
+    * adoption bounds all three: fold requests and adopted retrain
+    * request records are swept (their outcome is subsumed by the
+    * switch record), and the switch log is archived down to
+    * `keepSwitches` live records with the closed history consolidated
+    * into ONE small parquet ([[SwitchLog.archive]]) — so every listing
+    * a trigger pays is O(current cycle) for the stream's lifetime, and
+    * the audit path reads the whole closed history in one job plus
+    * O(keep) record reads instead of O(adoptions).
+    *
+    * Time travel is PRESERVED exactly: the archive carries the same
+    * write-once `(req, folded_through, at_gen)` facts the live records
+    * did, and the retrain ARTIFACTS (models, snapshot codes, folds)
+    * are never archived — so [[SwitchLog.pointerAsOf]] reconstructions
+    * whose answer lies in ARCHIVED history stay row-identical to
+    * one-shot re-encodes under the as-of models.
+    *
+    * Fixture (deterministic replay, q93 style, through the REAL
+    * FoldMachine with `keepSwitches = 1`): 9 generations, 4 retrain
+    * cycles. Cycles 1–3 request at gens 1/3/5 (snapshot over raws ≤
+    * request gen) and are observed + adopted by the next generation's
+    * `maintain` with an empty gap. Cycle 4 requests at gen 7 but its
+    * worker is gated until after gen 8 (the in-flight generation), so
+    * gen 9's maintain seals the residual gap (7, 9] into a fold
+    * request — exercising the fold-request sweep too — and the
+    * maintenance belt adopts with `folded_through = 9`. Adoptions 2–4
+    * archive: final state is ONE live switch dir (req=7), the archive
+    * holding {1, 3, 5}, and zero request/fold-request scaffolding.
+    *
+    * Contracts (one row): 9 triggers; 4 adoptions with the full
+    * history visible through the archive; 3 records archived; live
+    * switch dirs ≤ keep and request dirs ≤ 1 after EVERY trigger, 0
+    * at end; per-trigger switch-record reads stay ≤ 1 on quiet
+    * triggers and ≤ 3 on adopting ones (pointer + the amortized-O(1)
+    * archive consolidation — every record archived exactly once);
+    * as-of generation 2 and as-of generation 9 — both of whose switch
+    * records are ARCHIVED — each row-identical to a one-shot re-encode
+    * under the as-of pointer's persisted models, at ≤ 2 record-read
+    * jobs each regardless of adoption count; final serving exact vs a
+    * one-shot re-encode under the last retrain; ids unique; k=10
+    * probe.
+    */
+  def indexSwitchArchive(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.ProductQuantizer
+    import graft.queries.LlmOps
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val all = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val base = all.filter(!pmod(col("vec_id"), lit(10)).isin(8, 9))
+    val clean = all.filter(pmod(col("vec_id"), lit(10)) === 8)
+    val idx = graft.RunPaths.scratch(
+      s"graft_q94_index_${graft.RunPaths.keyFor(sfDir)}")
+    val mDir = s"$idx/model"
+    Seq("arrived", "append", "switch", "retrain", "req", "fold_req",
+      "model", "log").foreach(d => wipeDir(new java.io.File(s"$idx/$d")))
+    new java.io.File(s"$idx/gate_r7").delete()
+
+    val retrainH = new Handoff(spark, s"$idx/req",
+      g => s"$idx/retrain/req=$g/_RETRAIN_DONE",
+      "graft-q94-retrain")({ (reqGen, _) =>
+      if (reqGen == 7L) {
+        // delivery gate (harness scaffolding, not production): cycle
+        // 4's retrain must provably span gen 8's trigger
+        val gate = new java.io.File(s"$idx/gate_r7")
+        val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+        while (!gate.exists()) {
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              "q94 retrain gate timed out waiting for gen 8")
+          Thread.sleep(50)
+        }
+      }
+      val snapshot = (1L to reqGen)
+        .map(g => spark.read.parquet(s"$idx/arrived/gen=$g"))
+        .foldLeft(base)(_.unionByName(_))
+        .localCheckpoint(true)
+      LlmOps.buildFrozenIndex(spark, sfDir, snapshot,
+        s"$idx/retrain/req=$reqGen", "q94 frozen coarse-centroid table",
+        withOccupancy = false)
+      ()
+    })
+    val fm = new FoldMachine(spark, idx, retrainH, "graft-q94-fold",
+      "q94 frozen coarse-centroid table", gated = false, keepSwitches = 1)
+
+    LlmOps.buildFrozenIndex(spark, sfDir, base, mDir,
+      "q94 frozen coarse-centroid table", withOccupancy = false)
+
+    var maxLiveSwitch = 0L
+    var maxLiveReqs = 0L
+    var quietReadsMax = 0L
+    var adoptReadsMax = 0L
+    for (g <- 1L to 9L) {
+      clean.filter(pmod(col("vec_id"), lit(90)) === 8 + 10 * (g - 1))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$idx/arrived/gen=$g")
+      val reads0 = fm.recordReads()
+      val (_, _, adoptedNow) = fm.maintain(g)
+      val (pd, _) = fm.pointer(mDir)
+      val (cF, bF) = fm.frozenModels(pd)
+      ProductQuantizer.ivfPqEncodeWith(
+          spark.read.parquet(s"$idx/arrived/gen=$g"),
+          "vec_id", "embedding", 8, cF, bF)
+        .write.mode("overwrite").parquet(s"$idx/append/gen=$g")
+      if (g % 2 == 1 && g <= 7) {
+        retrainH.submit(g, spark.range(1).select(lit(g).as("gen")))
+        if (g < 7) fm.joinAll() // cycle 4 stays in flight through gen 8
+      }
+      if (g == 8L) {
+        new java.io.File(s"$idx/gate_r7").createNewFile()
+        fm.joinAll()
+      }
+      val reads = fm.recordReads() - reads0
+      if (adoptedNow) adoptReadsMax = math.max(adoptReadsMax, reads)
+      else quietReadsMax = math.max(quietReadsMax, reads)
+      maxLiveSwitch = math.max(maxLiveSwitch,
+        genDirs(spark, s"$idx/switch", "req=").size.toLong)
+      maxLiveReqs = math.max(maxLiveReqs,
+        retrainH.requests().size.toLong)
+    }
+    fm.joinAll() // the gen-9 fold over the residual (7, 9]
+    // maintenance belt: observes the fold done, adopts cycle 4 with
+    // folded_through = 9 and closes the cycle (sweeps + archive)
+    val beltReads0 = fm.recordReads()
+    val (_, _, beltAdopted) = fm.maintain(10L)
+    adoptReadsMax = math.max(adoptReadsMax, fm.recordReads() - beltReads0)
+    require(beltAdopted, "q94: the maintenance belt must adopt cycle 4")
+
+    val sroot = s"$idx/switch"
+    val history = SwitchLog.historyReqs(spark, sroot)
+    val nArchived = SwitchLog.archivedRecords(spark, sroot)
+      .map(_.count()).getOrElse(0L)
+    val liveFinal = SwitchLog.adopted(spark, sroot)
+    val reqsFinal = retrainH.requests().size
+    val foldReqsFinal = fm.foldH.requests().size
+
+    def models(dir: String) = fm.frozenModels(dir)
+    // the q93 as-of reconstruction, here driven THROUGH the archive:
+    // both probed answers (req=1, req=5) live in archived history
+    def asOf(g: Long): (DataFrame, DataFrame, String, Long) = {
+      val reads0 = SwitchLog.recordReads(sroot)
+      val p = SwitchLog.pointerAsOf(spark, sroot, g)
+      val auditReads = SwitchLog.recordReads(sroot) - reads0
+      val (pd, folded) = p
+        .map { case (r, f) => (s"$idx/retrain/req=$r", f) }
+        .getOrElse((mDir, 0L))
+      val serving = genDirs(spark, s"$idx/append", "gen=")
+        .filter(gg => gg > folded && gg <= g)
+        .map(gg => codeCols(spark.read.parquet(s"$idx/append/gen=$gg")))
+        .foldLeft(codeCols(spark.read.parquet(s"$pd/codes/gen=0")))(
+          _.unionByName(_))
+      val (cF, bF) = models(pd)
+      val oneShot = (folded + 1 to g)
+        .map(gg => spark.read.parquet(s"$idx/arrived/gen=$gg"))
+        .reduceOption(_.unionByName(_))
+        .map(raws => codeCols(spark.read.parquet(s"$pd/codes/gen=0"))
+          .unionByName(codeCols(ProductQuantizer.ivfPqEncodeWith(
+            raws, "vec_id", "embedding", 8, cF, bF))))
+        .getOrElse(codeCols(spark.read.parquet(s"$pd/codes/gen=0")))
+      (serving, oneShot, pd, auditReads)
+    }
+    val (s2, o2, p2, r2) = asOf(2L)
+    val (s9, o9, p9, r9) = asOf(9L)
+
+    // final serving under the adopted cycle-4 pointer
+    val (ptr, foldedThrough) = fm.pointer(mDir)
+    val serving = (genDirs(spark, s"$ptr/fold", "gen=").map(g =>
+        codeCols(spark.read.parquet(s"$ptr/fold/gen=$g"))) ++
+      genDirs(spark, s"$idx/append", "gen=").filter(_ > foldedThrough)
+        .map(g => codeCols(spark.read.parquet(s"$idx/append/gen=$g"))))
+      .foldLeft(codeCols(spark.read.parquet(s"$ptr/codes/gen=0")))(
+        _.unionByName(_))
+    val snapGen = liveFinal.maxOption.getOrElse(0L)
+    val (cP, bP) = models(ptr)
+    val oneShot = genDirs(spark, s"$idx/arrived", "gen=")
+      .filter(_ > snapGen)
+      .map(g => spark.read.parquet(s"$idx/arrived/gen=$g"))
+      .reduceOption(_.unionByName(_))
+      .map(raws => codeCols(spark.read.parquet(s"$ptr/codes/gen=0"))
+        .unionByName(codeCols(ProductQuantizer.ivfPqEncodeWith(
+          raws, "vec_id", "embedding", 8, cP, bP))))
+      .getOrElse(codeCols(spark.read.parquet(s"$ptr/codes/gen=0")))
+    val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
+    val served = ProductQuantizer.ivfPqTopK(
+      query, "embedding", 8, cP, bP, serving, "vec_id", nProbe = 4, k = 10)
+
+    spark.range(1)
+      .select(lit(9L).as("n_triggers"),
+        lit(history.size.toLong).as("n_adoptions"),
+        lit(history == Seq(1L, 3L, 5L, 7L)).as("history_complete"),
+        lit(nArchived).as("n_archived"),
+        lit(maxLiveSwitch <= 1 && liveFinal == Seq(7L))
+          .as("live_switch_bounded"),
+        lit(maxLiveReqs <= 1 && reqsFinal == 0 && foldReqsFinal == 0)
+          .as("scaffolding_bounded"),
+        lit(quietReadsMax <= 1).as("quiet_reads_bounded"),
+        lit(adoptReadsMax <= 3).as("adopt_reads_bounded"),
+        lit(r2 <= 2 && r9 <= 2).as("audit_reads_bounded"),
+        lit(p2 == s"$idx/retrain/req=1").as("asof_2_on_first_retrain"),
+        lit(p9 == s"$idx/retrain/req=5").as("asof_9_on_third_retrain"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_asof_2")))
+      .crossJoin(sameCodeRows(s2, o2, "asof_2_exact"))
+      .crossJoin(s9.agg(count(lit(1)).as("n_asof_9")))
+      .crossJoin(sameCodeRows(s9, o9, "asof_9_exact"))
+      .crossJoin(serving.agg(count(lit(1)).as("n_index"),
+        (count(lit(1)) === countDistinct(col("vec_id"))).as("ids_unique")))
+      .crossJoin(sameCodeRows(serving, oneShot, "serving_exact"))
+      .crossJoin(served.agg(count(lit(1)).as("n_results")))
+      .select(col("n_triggers"), col("n_adoptions"), col("history_complete"),
+        col("n_archived"), col("live_switch_bounded"),
+        col("scaffolding_bounded"), col("quiet_reads_bounded"),
+        col("adopt_reads_bounded"), col("audit_reads_bounded"),
+        col("n_asof_2"), col("asof_2_exact"), col("asof_2_on_first_retrain"),
+        col("n_asof_9"), col("asof_9_exact"), col("asof_9_on_third_retrain"),
+        col("n_index"), col("ids_unique"), col("serving_exact"),
+        col("n_results"))
   }
 
   /** The pipeline behind [[streamPrioritySample]], parameterized on the

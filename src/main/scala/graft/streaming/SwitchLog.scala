@@ -3,7 +3,7 @@ package graft.streaming
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The durable switch log behind the streaming-index serving pointer
@@ -32,6 +32,12 @@ import org.apache.spark.sql.functions._
   * in switch history. [[recordReads]] is the per-root probe the q86/q90
   * contracts assert on (`ptr_reads_bounded`): the bound is enforced by
   * the queries' own durable logs, not trusted from this comment.
+  *
+  * The LIVE listing itself is bounded by [[archive]] (q94): closed
+  * records are consolidated into one parquet under `root/archive/` and
+  * their directories swept, so a month-long stream's switch root holds
+  * `keep` live dirs + one checkpoint, not one dir per adoption ever —
+  * and the audit path reads the whole closed history in one job.
   */
 object SwitchLog {
 
@@ -45,10 +51,109 @@ object SwitchLog {
   def recordReads(root: String): Long =
     Option(counters.get(root)).map(_.get()).getOrElse(0L)
 
-  /** Adopted retrain request ids, sorted — a directory listing, NO
-    * record reads. */
+  /** LIVE adopted retrain request ids, sorted — a directory listing, NO
+    * record reads. With archival ([[archive]]) this is the newest
+    * `keep` records only; the full adopted set is the archive ∪ this,
+    * but no trigger-path decision needs the full set: membership
+    * checks reduce to "req > max live" because adoption order follows
+    * request order (enforced at [[write]]) and the newest record is
+    * never archived (`keep ≥ 1`), so max-live IS the global max.
+    */
   def adopted(spark: SparkSession, root: String): Seq[Long] =
     StreamOps.genDirs(spark, root, "req=")
+
+  // ---- archival checkpoint (q94) -----------------------------------
+  // The switch log was the one durable collection in the retrain
+  // family still growing one DIRECTORY per adoption forever (~720 a
+  // month at hour-scale retrains): per-trigger listings are cheap but
+  // O(lifetime), and the audit path paid one 1-row Spark job per
+  // historical record. `archive` folds every live record except the
+  // newest `keep` into ONE small parquet at `root/archive/upto=R`, so
+  // the live listing is bounded for the stream's lifetime and the
+  // audit path reads the whole closed history in ONE job. The records
+  // are write-once facts (req, folded_through, at_gen), so the
+  // consolidated copy is byte-equivalent history, not a summary —
+  // time-travel ([[pointerAsOf]]) stays exact through it.
+
+  /** Archive checkpoint ids (`upto=R` suffixes), sorted. More than one
+    * exists only inside a crash window between writing a new
+    * consolidated archive and sweeping its predecessor; readers union
+    * + dedup, and the next [[archive]] call converges back to one. */
+  def archives(spark: SparkSession, root: String): Seq[Long] =
+    StreamOps.genDirs(spark, s"$root/archive", "upto=")
+
+  /** The consolidated closed history, read in ONE job (None when no
+    * archive exists). Dedup by `req` absorbs every crash window: a
+    * record can transiently sit in two archive checkpoints (new
+    * written, old not yet swept) or in the archive AND live (live dir
+    * not yet swept) — the copies are identical write-once facts.
+    * Counts ONE probe read: the point of consolidation is that the
+    * whole history costs one job, and the probe must say so honestly.
+    */
+  def archivedRecords(spark: SparkSession, root: String): Option[DataFrame] = {
+    val ups = archives(spark, root)
+    if (ups.isEmpty) None
+    else {
+      counters.computeIfAbsent(root, _ => new AtomicLong()).incrementAndGet()
+      Some(spark.read.parquet(ups.map(u => s"$root/archive/upto=$u"): _*)
+        .dropDuplicates("req"))
+    }
+  }
+
+  /** Fold all live records except the newest `keep` into the
+    * consolidated archive and sweep them — the once-per-adoption
+    * bounding step (never on the quiet trigger path). Returns how many
+    * records were newly archived (0 when live ≤ keep).
+    *
+    * `keep ≥ 1` is load-bearing: [[pointer]] and [[write]]'s ordering
+    * check read the LIVE listing only, which is sound exactly because
+    * the newest record is never archived. Write order is
+    * crash-idempotent: the new checkpoint (a superset union of every
+    * existing checkpoint + the records being archived) lands first,
+    * then superseded checkpoints are swept, then the archived live
+    * dirs — a crash anywhere leaves a readable superset that
+    * [[archivedRecords]] dedups and the next call re-converges.
+    * Amortized O(1): each record is read into a checkpoint once
+    * (usually one per adoption), plus one read of the prior
+    * checkpoint.
+    */
+  def archive(spark: SparkSession, root: String, keep: Int): Long = {
+    require(keep >= 1,
+      s"archive keep=$keep: the newest switch record must stay live — " +
+        "pointer() and the write-order check read only the live listing")
+    val live = adopted(spark, root)
+    if (live.size <= keep) 0L
+    else {
+      val toArchive = live.dropRight(keep)
+      counters.computeIfAbsent(root, _ => new AtomicLong()).incrementAndGet()
+      val newRows = spark.read.parquet(
+        toArchive.map(r => s"$root/req=$r"): _*)
+      val prior = archivedRecords(spark, root)
+      val allRows = prior.map(_.unionByName(newRows)).getOrElse(newRows)
+        .dropDuplicates("req")
+      // monotone checkpoint keys even if a crashed half-sweep left an
+      // older live record behind a newer checkpoint: the union above
+      // already carries everything, so the max key is always correct
+      val upto = math.max(toArchive.max,
+        archives(spark, root).maxOption.getOrElse(Long.MinValue))
+      allRows.coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/archive/upto=$upto")
+      archives(spark, root).filter(_ < upto)
+        .foreach(u => StreamOps.sweepDir(spark, s"$root/archive/upto=$u"))
+      toArchive.foreach(r => StreamOps.sweepDir(spark, s"$root/req=$r"))
+      toArchive.size.toLong
+    }
+  }
+
+  /** Every adopted request id ever — archive ∪ live (one job + a
+    * listing). The AUDIT-side completeness view; trigger paths never
+    * need it. */
+  def historyReqs(spark: SparkSession, root: String): Seq[Long] = {
+    val arch = archivedRecords(spark, root)
+      .map(_.select(col("req")).collect().map(_.getLong(0)).toSeq)
+      .getOrElse(Seq.empty)
+    (arch ++ adopted(spark, root)).distinct.sorted
+  }
 
   /** `folded_through` of one switch record — the single 1-row read. */
   def foldedThrough(spark: SparkSession, root: String, req: Long): Long = {
@@ -68,10 +173,13 @@ object SwitchLog {
   /** AUDIT-path pointer: the switch that was ACTIVE as of generation
     * `gen` — the last record whose `at_gen` is at-or-before it, as
     * `(req, folded_through)`; None when `gen` predates every switch.
-    * Reads records in req order and STOPS at the first one past `gen`
-    * — O(answer position) 1-row reads, bounded by O(adoptions), all
-    * counted by the probe. This is the OFFLINE time-travel path for
-    * audits and reproducibility queries, never the trigger path —
+    * Reads the consolidated archive (when one exists) in ONE job, then
+    * live records in req order, STOPPING at the first one past `gen` —
+    * with archival the cost is one archive job + O(keep) 1-row reads
+    * regardless of how many retrains the stream ever adopted (without
+    * it, O(answer position) 1-row reads, bounded by O(adoptions)); all
+    * reads counted by the probe. This is the OFFLINE time-travel path
+    * for audits and reproducibility queries, never the trigger path —
     * triggers only ever need the current pointer, which stays O(1)
     * via [[pointer]]. The short-circuit leans on `at_gen` being
     * monotone in `req`. That holds by construction: [[write]] rejects
@@ -79,15 +187,39 @@ object SwitchLog {
     * THEOREM of the protocol — a new request only fires after the
     * previous adoption (coalescing), and an adoption strictly follows
     * its own request's generation, so at_gen' ≥ req' + 1 > req' ≥
-    * previous at_gen. The scan additionally re-verifies the prefix it
-    * reads as a belt against hand-written records.
+    * previous at_gen. The scan additionally re-verifies every row it
+    * reads (archived and live) as a belt against hand-written records.
     */
   def pointerAsOf(
       spark: SparkSession, root: String, gen: Long): Option[(Long, Long)] = {
     var last = Option.empty[(Long, Long)]
-    val it = adopted(spark, root).iterator
     var past = false
     var prevAtGen = Long.MinValue
+    var maxArchivedReq = Long.MinValue
+    // archived prefix first: the whole CLOSED history in one read (the
+    // q94 payoff — with archival the audit path is O(keep) record
+    // reads + one archive job, no longer O(adoptions)); the scan over
+    // the collected rows is driver-local, no further jobs
+    archivedRecords(spark, root).foreach { df =>
+      df.select(col("req"), col("folded_through"), col("at_gen"))
+        .collect().sortBy(_.getLong(0)).foreach { row =>
+          val (r, atGen) = (row.getLong(0), row.getLong(2))
+          require(atGen > prevAtGen,
+            s"switch archive $root is not at_gen-monotone at req=$r " +
+              s"($atGen after $prevAtGen) — adoptions must happen in " +
+              "generation order")
+          prevAtGen = atGen
+          maxArchivedReq = r
+          if (!past) {
+            if (atGen <= gen) last = Some((r, row.getLong(1)))
+            else past = true
+          }
+        }
+    }
+    // live suffix with the existing short-circuit; records at-or-below
+    // the archive boundary are crash-window duplicates of archived
+    // facts (a not-yet-swept live dir) — skipped, already scanned
+    val it = adopted(spark, root).iterator.filter(_ > maxArchivedReq)
     while (!past && it.hasNext) {
       val r = it.next()
       counters.computeIfAbsent(root, _ => new AtomicLong()).incrementAndGet()
@@ -119,6 +251,8 @@ object SwitchLog {
     * structured streaming replays a batch only when no later batch
     * has committed — a replay arriving after a newer adoption cannot
     * happen, so rejecting `req < newest` forbids nothing legitimate.
+    * The LIVE listing suffices under archival too: the newest record
+    * is never archived (`keep ≥ 1`), so max-live is the global max.
     * Cost: one listing per ADOPTION (once per retrain cycle) — never
     * on the quiet trigger path.
     */

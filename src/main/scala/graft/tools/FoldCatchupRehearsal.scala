@@ -108,7 +108,22 @@ object FoldCatchupRehearsal {
       "catchup rehearsal retrained table", withOccupancy = false)
     retrainH.submitRecord(2L, spark.range(1).select(lit(2L).as("gen")))
 
+    // seals and fold walls are collected INCREMENTALLY: the adopting
+    // trigger's close-cycle step (q94) sweeps the fold requests and
+    // their done markers, so a post-loop read of durable state would
+    // come up empty — each request's record is read when it is
+    // written, and each marker's timestamp polled at the next trigger
+    // (before maintain, which may sweep it) and once after the final
+    // join for the never-adopted boundary run
     val submitAt = scala.collection.mutable.Map.empty[Long, Long]
+    val seals = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val doneAtMs = scala.collection.mutable.Map.empty[Long, Long]
+    def pollDone(): Unit = seals.foreach { case (r, _, _) =>
+      if (!doneAtMs.contains(r)) {
+        val done = new java.io.File(s"$idx/fold_req/req=$r/_FOLD_DONE")
+        if (done.exists()) doneAtMs(r) = done.lastModified()
+      }
+    }
     var adoptedAtGen = 0L
     var gen = 0L
     while (gen < nGens && adoptedAtGen == 0L) {
@@ -126,9 +141,15 @@ object FoldCatchupRehearsal {
         val m = new java.io.File(s"$idx/retrain/req=2/_RETRAIN_DONE")
         m.createNewFile()
       }
+      pollDone()
       val (requested, _, adopted) = fm.maintain(gen)
-      if (requested)
-        submitAt(fm.foldH.requests().max) = System.currentTimeMillis()
+      if (requested) {
+        val r = fm.foldH.requests().max
+        submitAt(r) = System.currentTimeMillis()
+        val rec = fm.foldH.record(r)
+        seals += ((r, rec.getAs[Long]("sealed_from"),
+          rec.getAs[Long]("sealed_to")))
+      }
       if (adopted) adoptedAtGen = gen
       val (ptr, _) = fm.pointer(mDir)
       val (coarseF, booksF) = fm.frozenModels(ptr)
@@ -143,19 +164,12 @@ object FoldCatchupRehearsal {
       if (left > 0) Thread.sleep(left)
     }
     fm.joinAll()
+    pollDone()
 
-    // the durable fold requests ARE the residual series
-    val reqs = fm.foldH.requests()
-    val seals = reqs.map { r =>
-      val rec = fm.foldH.record(r)
-      (r, rec.getAs[Long]("sealed_from"), rec.getAs[Long]("sealed_to"))
-    }
-    val residuals = seals.map { case (_, from, to) => to - from }
-    val foldWalls = seals.flatMap { case (r, from, to) =>
-      submitAt.get(r).map { t =>
-        val done = new java.io.File(s"$idx/fold_req/req=$r/_FOLD_DONE")
-        (done.lastModified() - t).toDouble / math.max(1L, to - from)
-      }
+    val residuals = seals.toSeq.map { case (_, from, to) => to - from }
+    val foldWalls = seals.toSeq.flatMap { case (r, from, to) =>
+      for (t <- submitAt.get(r); d <- doneAtMs.get(r))
+        yield (d - t).toDouble / math.max(1L, to - from)
     }
     val measuredRatio =
       if (foldWalls.isEmpty) 0.0

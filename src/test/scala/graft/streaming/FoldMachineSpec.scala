@@ -89,8 +89,10 @@ class FoldMachineSpec extends AnyFunSuite {
     val fm = new FoldMachine(spark, idx, retrainH, "fm-spec-fold",
       "foldmachine spec frozen table", gated = false)
     // cycle 1, already finished: retrain req=2 adopted (switch record),
-    // and its fold request req=4 still on disk — sealed ranges from a
-    // CLOSED cycle linger in durable state by design (replay history)
+    // and its fold request req=4 still on disk — the close-cycle sweep
+    // normally removes it at adoption, so this is the CRASH WINDOW
+    // (adoption's switch write landed, the sweep died) the seal guard
+    // exists for
     val m2 = new java.io.File(s"$idx/retrain/req=2/_RETRAIN_DONE")
     m2.getParentFile.mkdirs(); m2.createNewFile()
     retrainH.submitRecord(2L, spark.range(1).select(lit(2L).as("gen")))
@@ -125,6 +127,84 @@ class FoldMachineSpec extends AnyFunSuite {
     // next observation adopts: covered range reaches the doorstep
     val (_, _, adopted2) = fm.maintain(8L)
     assert(adopted2 && fm.pointer("base") == (s"$idx/retrain/req=5", 7L))
+  }
+
+  test("adoption closes the cycle: request and fold-request " +
+      "scaffolding swept, in-JVM bookkeeping forgotten, and the switch " +
+      "log archived — listings stay O(current cycle), history stays " +
+      "complete and audit-exact through the archive") {
+    val idx = freshIdx("closecycle")
+    val retrainH = mkRetrainH(idx)
+    val fm = new FoldMachine(spark, idx, retrainH, "fm-spec-close",
+      "foldmachine spec frozen table", gated = false, keepSwitches = 1)
+    // cycle 1: retrain req=2 done over raws ≤ 2, adopted at gen 3
+    (1L to 2L).foreach(g => new java.io.File(s"$idx/arrived/gen=$g").mkdirs())
+    plantRetrain(retrainH, idx, 2L)
+    val (_, _, a1) = fm.maintain(3L)
+    assert(a1)
+    assert(retrainH.requests().isEmpty,
+      "the adopted retrain's request record is subsumed by the switch " +
+        "record and swept at adoption")
+    assert(SwitchLog.adopted(spark, s"$idx/switch") == Seq(2L) &&
+      SwitchLog.archives(spark, s"$idx/switch").isEmpty,
+      "one live record stays under keep=1 — no archive yet")
+    // cycle 2: a new retrain req=5 with a real residual gap {6, 7}
+    // (so a fold request is LAUNCHED, not planted), plus a DONE
+    // cycle-1-shaped fold request left behind (the sweep crash
+    // window): adoption must sweep both and archive cycle 1's switch
+    (3L to 5L).foreach(g => new java.io.File(s"$idx/arrived/gen=$g").mkdirs())
+    plantRaw(idx, 6L, residue = 18)
+    plantRaw(idx, 7L, residue = 28)
+    plantRetrain(retrainH, idx, 5L)
+    fm.foldH.submitRecord(4L, spark.range(1)
+      .select(lit(4L).as("req_gen"), lit(2L).as("retrain_req"),
+        lit(2L).as("sealed_from"), lit(4L).as("sealed_to"),
+        lit(0L).as("gate_gen")))
+    val m4 = new java.io.File(s"$idx/fold_req/req=4/_FOLD_DONE")
+    m4.getParentFile.mkdirs(); m4.createNewFile()
+    val (req2, _, _) = fm.maintain(7L)
+    assert(req2, "covered = max(rr=5, stale fold 4) = 5 < 6 — seal " +
+      "(5, 7]; the stale request must not drag the seal under 5")
+    assert(fm.foldH.record(7L).getAs[Long]("sealed_from") == 5L)
+    // wait for the worker's marker WITHOUT joinAll: in the real loop
+    // the adopting trigger runs with no intervening join, so the
+    // launch entry is still held when close-cycle runs — the exact
+    // state the explicit forget exists for (the sweep deletes the
+    // done marker with its directory, after which prune() could never
+    // drop the entry and a long stream would leak one per fold)
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!fm.foldH.isDone(7L)) {
+      assert(System.nanoTime() < deadline, "fold worker hung")
+      Thread.sleep(50)
+    }
+    assert(fm.foldH.bookkeepingSizes._2 == 1,
+      "precondition: the launch entry is held going into adoption")
+    val (_, _, a2) = fm.maintain(8L)
+    assert(a2, "covered = max(5, fold 7) = 7 ≥ 7 — adopt")
+    assert(retrainH.requests().isEmpty && fm.foldH.requests().isEmpty,
+      "close-cycle sweeps BOTH scaffolding families")
+    assert(fm.foldH.bookkeepingSizes._2 == 0,
+      "the swept fold request's launch entry is forgotten explicitly")
+    fm.joinAll()
+    val sroot = s"$idx/switch"
+    assert(SwitchLog.adopted(spark, sroot) == Seq(5L) &&
+      SwitchLog.archives(spark, sroot) == Seq(2L),
+      "keep=1: cycle 1's record moved into the consolidated archive")
+    assert(SwitchLog.historyReqs(spark, sroot) == Seq(2L, 5L),
+      "the full adopted history stays visible through the archive")
+    assert(fm.pointer("base") == (s"$idx/retrain/req=5", 7L))
+    assert(StreamOps.genDirs(spark, s"$idx/retrain/req=5/fold", "gen=") ==
+      Seq(6L, 7L),
+      "the fold ARTIFACTS survive the scaffolding sweep — serving and " +
+        "time travel read them")
+    // the audit path answers from ARCHIVED history, exactly, and in
+    // one archive job (+ live reads that short-circuit immediately)
+    val reads0 = SwitchLog.recordReads(sroot)
+    assert(SwitchLog.pointerAsOf(spark, sroot, 4L).contains((2L, 2L)),
+      "as-of gen 4 resolves to the archived cycle-1 switch")
+    assert(SwitchLog.recordReads(sroot) - reads0 <= 2,
+      "audit reads are O(keep) + one archive job, no longer " +
+        "O(adoptions)")
   }
 
   test("a maintenance-pass-submitted FIRST fold request caps its gate " +

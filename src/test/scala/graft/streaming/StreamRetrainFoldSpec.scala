@@ -77,8 +77,8 @@ class StreamRetrainFoldSpec extends AnyFunSuite {
 
   test("live second retrain cycle: a drifted gen 9 fires against the " +
       "adopted pointer, and the maintenance belt adopts cycle 2 with " +
-      "NO fold — the stale cycle-1 fold requests must not drag the " +
-      "seal under the new snapshot boundary") {
+      "NO fold — cycle 1's scaffolding was closed at its adoption, so " +
+      "nothing drags the seal under the new snapshot boundary") {
     val row = StreamOps
       .streamIndexRetrainFoldAsync(spark, sf, postShifted = true)
       .collect()(0)
@@ -93,9 +93,10 @@ class StreamRetrainFoldSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("gaps_inflight"))
     assert(row.getAs[Long]("n_fold_requests") == 2,
       "cycle 2 must NOT fold: its snapshot covers gens 1-9, so the " +
-        "belt adopts directly — a third fold request here would mean " +
-        "the stale cycle-1 requests (ids 5, 7) dragged sealed_from " +
-        "under the new snapshot boundary")
+        "belt adopts directly — cycle 1's fold requests (ids 5, 7) " +
+        "were swept at its adoption (close-cycle), and a third fold " +
+        "request here would mean the seal started under the new " +
+        "snapshot boundary")
     assert(row.getAs[Long]("n_adopted_in_stream") == 1,
       "cycle 2's adoption happens in the maintenance belt, unlogged")
     assert(!row.getAs[Boolean]("old_pointer_until_adopted"),
@@ -110,9 +111,11 @@ class StreamRetrainFoldSpec extends AnyFunSuite {
         "re-encoded duplicate of gens 8-9 (the ADVICE-a bug) would " +
         "inflate this and break ids_unique")
     assert(row.getAs[Boolean]("ids_unique"),
-      "the live ADVICE-a proof: without max(rr, foldReqs.max) the " +
-        "belt would fold gens 8-9 into a snapshot that already " +
-        "carries them")
+      "a re-encoded duplicate of gens 8-9 into a snapshot that " +
+        "already carries them (the ADVICE-a hazard — now structurally " +
+        "removed by the close-cycle sweep, with the max(rr, …) seal " +
+        "guard kept for the sweep's crash window and pinned against " +
+        "planted stale state in FoldMachineSpec) would break this")
     assert(row.getAs[Boolean]("same_as_oneshot_fold"))
     assert(row.getAs[Long]("n_results") == 10)
     // physical shape: BOTH switches durable; cycle 2's retrain dir
