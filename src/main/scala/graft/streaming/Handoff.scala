@@ -180,6 +180,14 @@ final class Handoff(
     */
   def sweepRequest(req: Long): Unit = {
     StreamOps.sweepDir(spark, s"$requestRoot/req=$req")
+    forget(req)
+  }
+
+  /** Drop `req`'s in-JVM launch entry only — for call sites whose
+    * adoption body already swept the request directory itself (the
+    * shared [[StreamOps.adoptCompactEpoch]], which must carry the
+    * sweep so the q89 bench times the true adoption cost). */
+  def forget(req: Long): Unit = {
     launched.remove(req)
     ()
   }

@@ -110,15 +110,23 @@ object StreamOps {
   }
 
   /** The compaction ADOPTION body — [[publishEpoch]] on the code
-    * family's directory names. Shared between the q89 loop's
+    * family's directory names, plus the close-cycle sweep of the
+    * adopted fold REQUEST records (q94 discipline applied to the
+    * compaction family: a request at-or-below the new manifest's
+    * `folded_through` is subsumed by it, and leaving the records would
+    * grow the `freq` listing — filtered by every trigger — one
+    * directory per fold forever). Shared between the q89 loop's
     * `adoptIfReady` and the `q89_adopt_trigger` bench so the benched
-    * path IS the production path and cannot silently drift from it
-    * (ADVICE r13).
+    * path IS the production path, sweep included, and cannot silently
+    * drift from it (ADVICE r13).
     */
   private[graft] def adoptCompactEpoch(
-      spark: SparkSession, idx: String, prevEpoch: Long, req: Long): Unit =
+      spark: SparkSession, idx: String, prevEpoch: Long, req: Long): Unit = {
     publishEpoch(spark, s"$idx/codes", s"$idx/compact", s"$idx/manifest",
       prevEpoch, req)
+    genDirs(spark, s"$idx/freq", "req=").filter(_ <= req)
+      .foreach(r => sweepDir(spark, s"$idx/freq/req=$r"))
+  }
 
   /** One row, one boolean `outCol`: the two code tables are
     * ROW-IDENTICAL — same ids, same cell assignments, same PQ codes
@@ -1074,8 +1082,15 @@ object StreamOps {
     // q89_adopt_trigger bench — the benched path IS this path)
     def adoptIfReady(): Boolean = {
       val (ep, f) = manifest()
-      handoff.adoptNewestReady(r => r <= f)(r =>
-        adoptCompactEpoch(spark, idx, ep, r))
+      handoff.adoptNewestReady(r => r <= f) { r =>
+        // ids to forget must be captured BEFORE the adoption body
+        // sweeps their directories (the in-JVM entries would otherwise
+        // leak: the sweep takes the done markers with it, after which
+        // prune() can never classify the requests as done)
+        val closed = handoff.requests().filter(_ <= r)
+        adoptCompactEpoch(spark, idx, ep, r)
+        closed.foreach(handoff.forget)
+      }
     }
 
     val splitDir = s"$idx/src/arrivals"

@@ -49,6 +49,10 @@ class StreamCompactAsyncSpec extends AnyFunSuite {
     assert(dirCount(idx, "codes", "gen=") == 0 &&
       dirCount(idx, "compact", "epoch=") == 1,
       "exactly one compacted epoch remains on disk")
+    assert(dirCount(idx, "freq", "req=") == 0,
+      "adopted fold requests are swept by the adoption body (the q94 " +
+        "close-cycle discipline) — the freq listing every trigger " +
+        "filters must not grow one directory per fold forever")
   }
 
   // The r12 verdict's dropped-parameters issue: the delivery schedule
