@@ -69,7 +69,8 @@ object Bench {
     // or LinkageError leaves the JVM untrustworthy, and timings taken
     // in a corrupted JVM are worse than an aborted run.
     if (set.exists(q => q.name == "q68_ann_serve" || q.name == "q68_ann_append" ||
-        q.name == "q84_quiet_trigger" || q.name == "q89_adopt_trigger"))
+        q.name == "q84_quiet_trigger" || q.name == "q89_adopt_trigger" ||
+        q.name == "q95_filtered_serve"))
       try {
         graft.queries.LlmOps.ensureAnnServeIndex(spark, sfDir)
         // adoption-template fixture (on top of the shared index) so
