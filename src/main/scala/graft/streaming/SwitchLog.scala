@@ -43,10 +43,16 @@ object SwitchLog {
 
   private val counters = new ConcurrentHashMap[String, AtomicLong]()
 
-  /** Total switch-RECORD reads ever issued against `root` in this JVM —
-    * the probe behind the `ptr_reads_bounded` contracts. Listings are
-    * deliberately not counted: they are the cheap path the design
-    * moves membership checks onto.
+  /** Total switch-record read JOBS ever issued against `root` in this
+    * JVM — the probe behind the `ptr_reads_bounded` contracts. The
+    * unit is deliberately the driver-side Spark job, because that is
+    * what the r13 creep was made of (one 1-row job per historical
+    * record, per trigger): a single multi-path read that consolidates
+    * several records (archival) counts once, and the consolidated
+    * archive read counts once however much history it carries —
+    * that consolidation is exactly the cost structure the archive
+    * exists to buy. Listings are deliberately not counted: they are
+    * the cheap path the design moves membership checks onto.
     */
   def recordReads(root: String): Long =
     Option(counters.get(root)).map(_.get()).getOrElse(0L)
