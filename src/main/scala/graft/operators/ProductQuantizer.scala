@@ -258,7 +258,28 @@ object ProductQuantizer {
       codes: DataFrame,
       idCol: String,
       nProbe: Int,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    ivfPqScores(query, vecCol, m, coarse, books, codes, idCol, nProbe)
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+
+  /** Every probed row's ADC distance — [[ivfPqTopK]] without the final
+    * top-k. Exposed so verification anchors can compare the COMPLETE
+    * score surface of two plans instead of their top-k id sets: a
+    * set comparison flaps when two rows' sums differ only in float
+    * summation order at the rank-k boundary, while a per-row score
+    * comparison within reassociation tolerance is stable (the
+    * q24_ann_pq precedent).
+    */
+  def ivfPqScores(
+      query: DataFrame,
+      vecCol: String,
+      m: Int,
+      coarse: DataFrame,
+      books: DataFrame,
+      codes: DataFrame,
+      idCol: String,
+      nProbe: Int): DataFrame = {
     val q = query.select(col(vecCol).as("qv"))
     val l2 = VectorFns.normSq(col("cv")) -
       lit(2.0) * VectorFns.dot(col("cv"), col("qv")) +
@@ -279,8 +300,6 @@ object ProductQuantizer {
     codes.join(broadcast(luts), "cell_id")
       .withColumn("adc_dist", LutSumF(col("codes"), col("lut")))
       .select(col(idCol), col("cell_id"), col("adc_dist"))
-      .orderBy(col("adc_dist").asc, col(idCol).asc)
-      .limit(k)
   }
 
   /** (cell_id, code, d): partial distance of each probed cell's query

@@ -1556,10 +1556,11 @@ object LlmOps {
     //     predicates starve it. Both paths probe the SAME cells, which
     //     makes post ⊆ pre a THEOREM (a filtered row in post's final
     //     k survived the harsher cut), contract-asserted.
-    // Exactness anchor: the pre-filter path probed over EVERY cell is
+    // Exactness anchor: every filtered row probed over EVERY cell is
     // re-scored by an independent plan (posexplode codes → join
     // ivfPqLutRows → sum — the LUT rows exposed for exactly this) and
-    // must agree on the top-k id set.
+    // the two score surfaces must agree per row within
+    // float-reassociation tolerance.
     QueryDef(
       "q95_filtered_ann",
       (s, dir) => {
@@ -1604,26 +1605,32 @@ object LlmOps {
           .orderBy(col("adc_dist").asc, col("vec_id").asc)
           .limit(10)
         // independent re-scoring of the exhaustive reference: explode
-        // the code arrays, join the per-cell LUT rows, sum — different
-        // plan, same math, must agree on the id set
+        // the code arrays, join the per-cell LUT rows, sum — a
+        // different plan computing the same math. Compared as the
+        // COMPLETE per-row score surface within float-reassociation
+        // tolerance (the q24_ann_pq precedent), NOT as top-k id sets:
+        // the two plans sum the same 8 doubles in different orders,
+        // and a set comparison would flap whenever two rows straddle
+        // the rank-k boundary by less than a ulp. Stronger anyway —
+        // every filtered row's score must agree, not just ten.
         val q = query.select(col("embedding").as("qv"))
         val probesAll = coarseF.crossJoin(broadcast(q))
           .select(col("cell_id"),
             zip_with(col("qv"), col("cv"), (x, c) => x.cast("double") - c)
               .as("qr"))
-        val rescored = filtered
+        val rescoredAll = filtered
           .select(col("vec_id"), col("cell_id"),
             posexplode(col("codes")).as(Seq("pos", "code")))
           .join(ProductQuantizer.ivfPqLutRows(probesAll, 8, booksF),
             Seq("cell_id", "code"))
           .groupBy(col("vec_id"))
           .agg(sum(col("d")).as("adc2"))
-          .orderBy(col("adc2").asc, col("vec_id").asc)
-          .limit(10)
-        val exact = exhaustive.select(col("vec_id")).withColumn("a", lit(1))
-          .join(rescored.select(col("vec_id")).withColumn("b", lit(1)),
-            Seq("vec_id"), "full")
-          .agg((count(when(col("a").isNull || col("b").isNull, 1)) === 0)
+        val scoredAll = ProductQuantizer.ivfPqScores(query, "embedding", 8,
+          coarseF, booksF, filtered, "vec_id", nProbe = nCells)
+        val exact = scoredAll.select(col("vec_id"), col("adc_dist"))
+          .join(rescoredAll, Seq("vec_id"), "full")
+          .agg((count(when(col("adc_dist").isNull || col("adc2").isNull ||
+            abs(col("adc_dist") - col("adc2")) > 1e-9, 1)) === 0)
             .as("exhaustive_exact"))
         val subset = post.select(col("vec_id")).withColumn("p", lit(1))
           .join(pre.select(col("vec_id")).withColumn("q", lit(1)),

@@ -2751,8 +2751,10 @@ object StreamOps {
     * serving covers base + every arrival exactly once
     * (2·n + 3·n_clean); ids unique; serving row-identical to a
     * one-shot re-encode of all post-snapshot raws under the persisted
-    * retrained model; no trigger reads more than one switch record
-    * (ptr_reads_bounded); k=10 probe.
+    * retrained model; per-trigger switch-record reads bounded as the
+    * invariant pair — quiet triggers ≤ 1, adopting triggers ≤ 3
+    * (pointer + the amortized-O(1) archival consolidation), O(1) in
+    * switch history either way (ptr_reads_bounded); k=10 probe.
     *
     * `postShifted` (spec-only, the LIVE second-cycle proof): after the
     * in-stream adoption, gen 9 delivers a drifted fresh-id copy — it
@@ -3016,9 +3018,18 @@ object StreamOps {
           === 0).as("post_on_retrained"),
         (count(when(col("phase") === "post" && col("retrain_fired"), 1))
           === 0).as("post_quiet"),
-        // O(1)-in-history: no trigger may read more than ONE switch
-        // record, no matter how many retrains the stream has adopted
-        (max(col("ptr_reads")) <= 1).as("ptr_reads_bounded"))
+        // O(1)-in-history, stated as the invariant PAIR that survives
+        // any number of adoptions: a QUIET trigger reads at most ONE
+        // switch record (the pointer), and an ADOPTING trigger at most
+        // three (pointer + the amortized-O(1) archival consolidation —
+        // prior checkpoint + the records being archived, each a
+        // once-per-adoption job). A flat max ≤ 1 would hold only while
+        // the stream has at most keepSwitches adoptions, i.e. it would
+        // be a property of this fixture, not of the design
+        (coalesce(max(when(!col("adopted"), col("ptr_reads"))), lit(0L))
+          <= 1 &&
+          coalesce(max(when(col("adopted"), col("ptr_reads"))), lit(0L))
+          <= 3).as("ptr_reads_bounded"))
       .crossJoin(serving.agg(count(lit(1)).as("n_index"),
         (count(lit(1)) === countDistinct(col("vec_id"))).as("ids_unique")))
       .crossJoin(same)
@@ -3030,6 +3041,48 @@ object StreamOps {
         col("post_quiet"), col("ptr_reads_bounded"),
         col("n_index"), col("ids_unique"),
         col("same_as_oneshot_fold"), col("n_results"))
+  }
+
+  /** The as-of reconstruction shared by q93 ([[indexServeAsOf]]) and
+    * q94 ([[indexSwitchArchive]]) — extracted because the next change
+    * to the reconstruction protocol must have exactly one place to
+    * land (the publishEpoch lesson): resolve the switch active as of
+    * generation `g` from the durable log (the probe-counted AUDIT
+    * path), then serving = that pointer's snapshot codes ∪ the appends
+    * in `(folded_through, g]` — each of which was encoded under this
+    * same pointer when it arrived (old-pointer-until-adopted) — and
+    * the one-shot contrast re-encodes the same raws in ONE batch under
+    * the same persisted models. Returns (serving, oneShot, pointerDir,
+    * auditReadJobs).
+    */
+  private def asOfReconstruction(
+      spark: SparkSession, idx: String, mDir: String, stampMsg: String,
+      g: Long): (DataFrame, DataFrame, String, Long) = {
+    import graft.operators.ProductQuantizer
+    import graft.queries.LlmOps
+    val sroot = s"$idx/switch"
+    val reads0 = SwitchLog.recordReads(sroot)
+    val p = SwitchLog.pointerAsOf(spark, sroot, g)
+    val auditReads = SwitchLog.recordReads(sroot) - reads0
+    val (pd, folded) = p
+      .map { case (r, f) => (s"$idx/retrain/req=$r", f) }
+      .getOrElse((mDir, 0L))
+    val serving = genDirs(spark, s"$idx/append", "gen=")
+      .filter(gg => gg > folded && gg <= g)
+      .map(gg => codeCols(spark.read.parquet(s"$idx/append/gen=$gg")))
+      .foldLeft(codeCols(spark.read.parquet(s"$pd/codes/gen=0")))(
+        _.unionByName(_))
+    val cF = LlmOps.modelScaleStamp(
+      spark.read.parquet(s"$pd/coarse"), stampMsg)
+    val bF = spark.read.parquet(s"$pd/books")
+    val oneShot = (folded + 1 to g)
+      .map(gg => spark.read.parquet(s"$idx/arrived/gen=$gg"))
+      .reduceOption(_.unionByName(_))
+      .map(raws => codeCols(spark.read.parquet(s"$pd/codes/gen=0"))
+        .unionByName(codeCols(ProductQuantizer.ivfPqEncodeWith(
+          raws, "vec_id", "embedding", 8, cF, bF))))
+      .getOrElse(codeCols(spark.read.parquet(s"$pd/codes/gen=0")))
+    (serving, oneShot, pd, auditReads)
   }
 
   /** TIME-TRAVEL serving from the durable switch log — the payoff of
@@ -3114,22 +3167,11 @@ object StreamOps {
     }
 
     // ---- as-of reconstructions, each against its one-shot shape -----
+    // (the shared asOfReconstruction — the audit-read counts it
+    // returns are IndexAsOfSpec's territory, not this contract row's)
     def asOf(g: Long): (DataFrame, DataFrame, String) = {
-      val (pd, folded) = ptrDir(SwitchLog.pointerAsOf(spark, sroot, g))
-      val serving = genDirs(spark, s"$idx/append", "gen=")
-        .filter(gg => gg > folded && gg <= g)
-        .map(gg => codeCols(spark.read.parquet(s"$idx/append/gen=$gg")))
-        .foldLeft(codeCols(spark.read.parquet(s"$pd/codes/gen=0")))(
-          _.unionByName(_))
-      val (cF, bF) = models(pd)
-      val late = (folded + 1 to g)
-        .map(gg => spark.read.parquet(s"$idx/arrived/gen=$gg"))
-        .reduceOption(_.unionByName(_))
-      val oneShot = late
-        .map(raws => codeCols(spark.read.parquet(s"$pd/codes/gen=0"))
-          .unionByName(codeCols(ProductQuantizer.ivfPqEncodeWith(
-            raws, "vec_id", "embedding", 8, cF, bF))))
-        .getOrElse(codeCols(spark.read.parquet(s"$pd/codes/gen=0")))
+      val (serving, oneShot, pd, _) = asOfReconstruction(
+        spark, idx, mDir, "q93 frozen coarse-centroid table", g)
       (serving, oneShot, pd)
     }
     val (s2, o2, p2) = asOf(2L)
@@ -3305,30 +3347,13 @@ object StreamOps {
     val foldReqsFinal = fm.foldH.requests().size
 
     def models(dir: String) = fm.frozenModels(dir)
-    // the q93 as-of reconstruction, here driven THROUGH the archive:
-    // both probed answers (req=1, req=5) live in archived history
-    def asOf(g: Long): (DataFrame, DataFrame, String, Long) = {
-      val reads0 = SwitchLog.recordReads(sroot)
-      val p = SwitchLog.pointerAsOf(spark, sroot, g)
-      val auditReads = SwitchLog.recordReads(sroot) - reads0
-      val (pd, folded) = p
-        .map { case (r, f) => (s"$idx/retrain/req=$r", f) }
-        .getOrElse((mDir, 0L))
-      val serving = genDirs(spark, s"$idx/append", "gen=")
-        .filter(gg => gg > folded && gg <= g)
-        .map(gg => codeCols(spark.read.parquet(s"$idx/append/gen=$gg")))
-        .foldLeft(codeCols(spark.read.parquet(s"$pd/codes/gen=0")))(
-          _.unionByName(_))
-      val (cF, bF) = models(pd)
-      val oneShot = (folded + 1 to g)
-        .map(gg => spark.read.parquet(s"$idx/arrived/gen=$gg"))
-        .reduceOption(_.unionByName(_))
-        .map(raws => codeCols(spark.read.parquet(s"$pd/codes/gen=0"))
-          .unionByName(codeCols(ProductQuantizer.ivfPqEncodeWith(
-            raws, "vec_id", "embedding", 8, cF, bF))))
-        .getOrElse(codeCols(spark.read.parquet(s"$pd/codes/gen=0")))
-      (serving, oneShot, pd, auditReads)
-    }
+    // the q93 as-of reconstruction (shared asOfReconstruction), here
+    // driven THROUGH the archive: both probed answers (req=1, req=5)
+    // live in archived history, and the returned audit-read counts
+    // feed the audit_reads_bounded contract
+    def asOf(g: Long): (DataFrame, DataFrame, String, Long) =
+      asOfReconstruction(spark, idx, mDir,
+        "q94 frozen coarse-centroid table", g)
     val (s2, o2, p2, r2) = asOf(2L)
     val (s9, o9, p9, r9) = asOf(9L)
 

@@ -109,19 +109,33 @@ object SwitchLog {
   /** Fold all live records except the newest `keep` into the
     * consolidated archive and sweep them — the once-per-adoption
     * bounding step (never on the quiet trigger path). Returns how many
-    * records were newly archived (0 when live ≤ keep).
+    * live records were moved out of the live listing (0 when
+    * live ≤ keep).
     *
     * `keep ≥ 1` is load-bearing: [[pointer]] and [[write]]'s ordering
     * check read the LIVE listing only, which is sound exactly because
     * the newest record is never archived. Write order is
     * crash-idempotent: the new checkpoint (a superset union of every
-    * existing checkpoint + the records being archived) lands first,
-    * then superseded checkpoints are swept, then the archived live
-    * dirs — a crash anywhere leaves a readable superset that
-    * [[archivedRecords]] dedups and the next call re-converges.
+    * existing checkpoint + the records being archived) lands FIRST
+    * under a strictly NEWER key, then superseded checkpoints are
+    * swept, then the archived live dirs — a crash anywhere leaves a
+    * readable superset that [[archivedRecords]] dedups and the next
+    * call re-converges. A checkpoint is never rewritten in place:
+    * when every record being archived is already covered by the
+    * newest checkpoint (the half-sweep crash window — a live dir
+    * survived behind a checkpoint that contains it, which the
+    * prefix/induction invariant below guarantees), the write is
+    * SKIPPED and only the leftover live dirs are swept, because an
+    * in-place overwrite would derive the replacement from the very
+    * file being deleted — the one non-crash-safe shape in the
+    * protocol. (Invariant: any live record with req ≤ the newest
+    * checkpoint's key is contained in that checkpoint — `toArchive`
+    * is always a PREFIX of the sorted live listing, so a record below
+    * the key was in some earlier call's toArchive, whose checkpoint
+    * carried it, and every later checkpoint is a superset.)
     * Amortized O(1): each record is read into a checkpoint once
     * (usually one per adoption), plus one read of the prior
-    * checkpoint.
+    * checkpoint; one listing of the checkpoint directory per call.
     */
   def archive(spark: SparkSession, root: String, keep: Int): Long = {
     require(keep >= 1,
@@ -131,21 +145,31 @@ object SwitchLog {
     if (live.size <= keep) 0L
     else {
       val toArchive = live.dropRight(keep)
-      counters.computeIfAbsent(root, _ => new AtomicLong()).incrementAndGet()
-      val newRows = spark.read.parquet(
-        toArchive.map(r => s"$root/req=$r"): _*)
-      val prior = archivedRecords(spark, root)
-      val allRows = prior.map(_.unionByName(newRows)).getOrElse(newRows)
-        .dropDuplicates("req")
-      // monotone checkpoint keys even if a crashed half-sweep left an
-      // older live record behind a newer checkpoint: the union above
-      // already carries everything, so the max key is always correct
-      val upto = math.max(toArchive.max,
-        archives(spark, root).maxOption.getOrElse(Long.MinValue))
-      allRows.coalesce(1).write.mode("overwrite")
-        .parquet(s"$root/archive/upto=$upto")
-      archives(spark, root).filter(_ < upto)
-        .foreach(u => StreamOps.sweepDir(spark, s"$root/archive/upto=$u"))
+      val ups = archives(spark, root)
+      val existingMax = ups.maxOption.getOrElse(Long.MinValue)
+      if (toArchive.max > existingMax) {
+        counters.computeIfAbsent(root, _ => new AtomicLong()).incrementAndGet()
+        val newRows = spark.read.parquet(
+          toArchive.map(r => s"$root/req=$r"): _*)
+        val prior =
+          if (ups.isEmpty) None
+          else {
+            counters.computeIfAbsent(root, _ => new AtomicLong())
+              .incrementAndGet()
+            Some(spark.read.parquet(
+                ups.map(u => s"$root/archive/upto=$u"): _*)
+              .dropDuplicates("req"))
+          }
+        val allRows = prior.map(_.unionByName(newRows)).getOrElse(newRows)
+          .dropDuplicates("req")
+        allRows.coalesce(1).write.mode("overwrite")
+          .parquet(s"$root/archive/upto=${toArchive.max}")
+        ups.filter(_ < toArchive.max)
+          .foreach(u => StreamOps.sweepDir(spark, s"$root/archive/upto=$u"))
+      }
+      // else: every toArchive record is already inside the newest
+      // checkpoint (see invariant above) — no write, just finish the
+      // interrupted sweeps
       toArchive.foreach(r => StreamOps.sweepDir(spark, s"$root/req=$r"))
       toArchive.size.toLong
     }

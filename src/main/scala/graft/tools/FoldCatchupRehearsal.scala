@@ -150,7 +150,19 @@ object FoldCatchupRehearsal {
         seals += ((r, rec.getAs[Long]("sealed_from"),
           rec.getAs[Long]("sealed_to")))
       }
-      if (adopted) adoptedAtGen = gen
+      if (adopted) {
+        adoptedAtGen = gen
+        // a marker that appeared between this trigger's pollDone() and
+        // maintain()'s own done probe was adopted and SWEPT before its
+        // timestamp could be read — stamp those folds with "now", an
+        // upper bound off by at most maintain's own wall (tens of ms
+        // against multi-second folds), instead of silently dropping
+        // the (typically final) sample from the ratio
+        seals.foreach { case (r, _, _) =>
+          if (!doneAtMs.contains(r))
+            doneAtMs(r) = System.currentTimeMillis()
+        }
+      }
       val (ptr, _) = fm.pointer(mDir)
       val (coarseF, booksF) = fm.frozenModels(ptr)
       graft.operators.ProductQuantizer.ivfPqEncodeWith(

@@ -10,8 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *   - the pre-filter path's label predicate reaches the parquet scan
   *     (PushedFilters — the require inside the query fails loudly
   *     otherwise, this spec re-asserts the emitted column);
-  *   - the every-cell pre-filter reference agrees with an independent
-  *     re-scoring plan on the top-k id set (exhaustive_exact);
+  *   - the every-cell pre-filter score surface agrees with an
+  *     independent re-scoring plan per row, within
+  *     float-reassociation tolerance (exhaustive_exact);
   *   - post-filter ⊆ pre-filter under the same probes (the theorem:
   *     both paths rank identical ADC doubles, and a filtered row in
   *     post's final k survived the harsher all-labels top-k' cut);
@@ -42,7 +43,8 @@ class FilteredAnnSpec extends AnyFunSuite {
         "filter can never starve it below the subset size")
     assert(row.getAs[Boolean]("exhaustive_exact"),
       "LutSumF scoring and the posexplode/join/sum re-scoring must " +
-        "agree on the top-k id set")
+        "agree per row within float-reassociation tolerance across " +
+        "the WHOLE filtered score surface")
     assert(row.getAs[Boolean]("filter_pushed"),
       "EqualTo(label, …) must appear in the codes scan's PushedFilters")
     assert(row.getAs[Boolean]("pre_all_labeled"),

@@ -59,8 +59,9 @@ class StreamRetrainFoldSpec extends AnyFunSuite {
       "serving covers base + every arrival exactly once")
     assert(row.getAs[Boolean]("ids_unique"), "no id served twice")
     assert(row.getAs[Boolean]("ptr_reads_bounded"),
-      "no trigger may read more than ONE switch record — the pointer " +
-        "derivation is O(1) in switch history (r13 lead finding)")
+      "quiet triggers read at most ONE switch record and adopting " +
+        "triggers at most three (pointer + archival consolidation) — " +
+        "O(1) in switch history either way (r13 lead finding + q94)")
     assert(row.getAs[Boolean]("same_as_oneshot_fold"),
       "serving (retrained codes ∪ async-folded gaps ∪ post-adoption " +
         "appends) must be row-identical to a one-shot re-encode of " +
