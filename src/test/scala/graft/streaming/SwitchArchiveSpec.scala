@@ -93,6 +93,27 @@ class SwitchArchiveSpec extends AnyFunSuite {
       SwitchLog.historyReqs(spark, root) == Seq(1L, 2L, 3L))
   }
 
+  test("mixed window: one archival carries BOTH a swept-behind live " +
+      "leftover and genuinely new records — the checkpoint advances " +
+      "to a strictly newer key, never rewriting in place") {
+    val root = freshRoot("mixed")
+    for (r <- 1L to 3L) SwitchLog.write(spark, root, r, r * 10, r * 10 + 1)
+    assert(SwitchLog.archive(spark, root, keep = 1) == 2L) // upto=2
+    plantRecord(root, 2L, 20L, 21L) // the half-sweep leftover
+    for (r <- 4L to 5L) SwitchLog.write(spark, root, r, r * 10, r * 10 + 1)
+    // live = {2, 3, 4, 5}: toArchive = {2, 3, 4} spans the leftover
+    // (already in upto=2) and two new records — the write goes to the
+    // NEW key upto=4 as a superset, then upto=2 is swept
+    assert(SwitchLog.archive(spark, root, keep = 1) == 3L)
+    assert(SwitchLog.adopted(spark, root) == Seq(5L))
+    assert(SwitchLog.archives(spark, root) == Seq(4L),
+      "one checkpoint at the strictly newer key — the superseded one " +
+        "is swept only after the superset landed")
+    assert(SwitchLog.historyReqs(spark, root) == (1L to 5L))
+    assert(SwitchLog.pointerAsOf(spark, root, 21L).contains((2L, 20L)) &&
+      SwitchLog.pointerAsOf(spark, root, 99L).contains((5L, 50L)))
+  }
+
   test("crash window B: a superseded archive checkpoint survives — " +
       "readers union + dedup, and the next call consolidates to one") {
     val root = freshRoot("archcrash")
