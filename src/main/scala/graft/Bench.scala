@@ -77,6 +77,10 @@ object Bench {
         // q89_adopt_trigger times only the adoption, never the encode
         if (set.exists(_.name == "q89_adopt_trigger"))
           graft.queries.LlmOps.ensureAdoptFixture(spark, sfDir)
+        // metadata-carrying codes layout so q95_filtered_serve times
+        // only the pruned scan + probe, never the layout derivation
+        if (set.exists(_.name == "q95_filtered_serve"))
+          graft.queries.LlmOps.ensureFilteredServeLayout(spark, sfDir)
       }
       catch {
         case scala.util.control.NonFatal(e) =>

@@ -498,6 +498,31 @@ object LlmOps {
       tpl
     })
 
+  /** The q95_filtered_serve pre-filter layout, derived once per
+    * process beside the shared q68 index: codes with the label column
+    * joined on, cell-clustered, label-sorted within partitions so
+    * parquet row-group min/max stats prune on the predicate. Bench
+    * prewarms it UNTIMED together with the index (review finding:
+    * deriving it behind the marker inside the timed body wasted the
+    * first of the three samples on layout work the entry's own doc
+    * says it excludes); under Verify the single invocation pays it
+    * here either way. Returns the layout directory.
+    */
+  def ensureFilteredServeLayout(s: SparkSession, dir: String): String = {
+    val idx = ensureAnnServeIndex(s, dir)
+    val metaDir = s"$idx/codes_meta"
+    if (!new java.io.File(s"$metaDir/_SUCCESS").exists()) {
+      s.read.parquet(s"$idx/codes")
+        .select(col("cell_id"), col("vec_id"), col("codes"))
+        .join(t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label")), "vec_id")
+        .repartition(col("cell_id"))
+        .sortWithinPartitions(col("cell_id"), col("label"))
+        .write.mode("overwrite").parquet(metaDir)
+    }
+    metaDir
+  }
+
   def ensureAnnServeIndex(s: SparkSession, dir: String): String =
     serveIndexCache.computeIfAbsent(dir, _ => {
       val e = t(s, dir, "embeddings")
@@ -1669,29 +1694,21 @@ object LlmOps {
     // filtered query costs against an already-persisted index — a
     // pushdown-pruned scan of the metadata-carrying codes layout +
     // probe + top-k, zero training and zero layout work. The
-    // codes_meta layout is derived once per process from the shared
-    // untimed q68 index (label joined on, cell-clustered, label-sorted
-    // within partitions — the storage the pre-filter strategy leans
-    // on) and written BESIDE it, so q68's own entries see an untouched
-    // fixture. Contracts are model-independent and falsifiable: the
-    // pushdown plan-asserted, every result on-label, probed cells
-    // bounded by nProbe, k bounded, ADC sums finite and non-negative.
+    // codes_meta layout lives in ensureFilteredServeLayout (Bench
+    // prewarms it UNTIMED alongside the shared q68 index, so no timed
+    // sample ever pays the derivation; under Verify the single
+    // invocation pays it behind the marker) and is written BESIDE the
+    // q68 index, so q68's own entries see an untouched fixture.
+    // Contracts are model-independent and falsifiable: the pushdown
+    // plan-asserted, every result on-label, probed cells bounded by
+    // nProbe, k bounded, ADC sums finite and non-negative.
     QueryDef(
       "q95_filtered_serve",
       (s, dir) => {
         import graft.operators.ProductQuantizer
-        val idx = ensureAnnServeIndex(s, dir)
         val lbl = 3
-        val metaDir = s"$idx/codes_meta"
-        if (!new java.io.File(s"$metaDir/_SUCCESS").exists()) {
-          s.read.parquet(s"$idx/codes")
-            .select(col("cell_id"), col("vec_id"), col("codes"))
-            .join(t(s, dir, "embeddings")
-              .select(col("vec_id"), col("label")), "vec_id")
-            .repartition(col("cell_id"))
-            .sortWithinPartitions(col("cell_id"), col("label"))
-            .write.mode("overwrite").parquet(metaDir)
-        }
+        val metaDir = ensureFilteredServeLayout(s, dir)
+        val idx = ensureAnnServeIndex(s, dir)
         val coarseF = s.read.parquet(s"$idx/coarse")
         val booksF = s.read.parquet(s"$idx/books")
         val query = t(s, dir, "embeddings").filter(col("vec_id") === 0)

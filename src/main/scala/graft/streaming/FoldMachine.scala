@@ -174,14 +174,6 @@ final class FoldMachine(
           // sealed_from under the snapshot boundary and re-encode
           // generations the snapshot carries (duplicate vec_ids)
           val coveredThrough = math.max(rr, foldReqs.maxOption.getOrElse(rr))
-          // cap any new seal at the max EXISTING raw: a trigger's own
-          // gen is always durable by the time it runs maintain (raw
-          // persisted first), but the driver-side maintenance pass
-          // calls with atGen = maxGen + 1, and sealing a ghost
-          // generation would send the worker after a raw that was
-          // never written
-          val maxRaw = genDirs(spark, s"$idx/arrived", "gen=").maxOption.getOrElse(0L)
-          val sealTo = math.min(atGen, maxRaw)
           if (coveredThrough >= atGen - 1) {
             // residual empty — adopt: the durable pointer flip, one
             // write; the observing trigger's own batch encodes fresh
@@ -189,6 +181,17 @@ final class FoldMachine(
             closeCycle(rr)
             (false, false, true)
           } else {
+            // cap any new seal at the max EXISTING raw: a trigger's
+            // own gen is always durable by the time it runs maintain
+            // (raw persisted first), but the driver-side maintenance
+            // pass calls with atGen = maxGen + 1, and sealing a ghost
+            // generation would send the worker after a raw that was
+            // never written. Listed HERE, on the seal path only — an
+            // adoption never needs it, and the listing is an FS round
+            // trip on the trigger path the class doc budgets
+            val maxRaw =
+              genDirs(spark, s"$idx/arrived", "gen=").maxOption.getOrElse(0L)
+            val sealTo = math.min(atGen, maxRaw)
             // seal the residual (the catch-up recursion): the first
             // fold gates on the NEXT trigger (append-during-fold
             // proof); later folds gate on the requesting trigger's

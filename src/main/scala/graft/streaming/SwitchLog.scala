@@ -167,9 +167,18 @@ object SwitchLog {
         ups.filter(_ < toArchive.max)
           .foreach(u => StreamOps.sweepDir(spark, s"$root/archive/upto=$u"))
       }
-      // else: every toArchive record is already inside the newest
-      // checkpoint (see invariant above) — no write, just finish the
-      // interrupted sweeps
+      else {
+        // every toArchive record is already inside the newest
+        // checkpoint (see invariant above) — no write, just finish the
+        // interrupted sweeps, INCLUDING any superseded checkpoint the
+        // crashed call left behind (the newest is a superset of every
+        // older one by write order, so older keys are always safe to
+        // drop; without this the stale checkpoint would survive
+        // exactly the call documented to converge it, doubling every
+        // archive read until some later cycle happens to rewrite)
+        ups.filter(_ < existingMax)
+          .foreach(u => StreamOps.sweepDir(spark, s"$root/archive/upto=$u"))
+      }
       toArchive.foreach(r => StreamOps.sweepDir(spark, s"$root/req=$r"))
       toArchive.size.toLong
     }

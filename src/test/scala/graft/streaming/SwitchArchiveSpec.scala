@@ -179,6 +179,32 @@ class SwitchArchiveSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_results") == 10)
   }
 
+  test("skip branch converges too: a crash after the checkpoint write " +
+      "but before ANY sweep leaves a superseded checkpoint plus live " +
+      "leftovers, and the next archival sweeps both without rewriting") {
+    val root = freshRoot("skipconv")
+    for (r <- 1L to 5L) SwitchLog.write(spark, root, r, r * 10, r * 10 + 1)
+    assert(SwitchLog.archive(spark, root, keep = 1) == 4L) // upto=4
+    // the crash window: superseded checkpoint not swept, two archived
+    // records' live dirs not swept
+    plantRecord(s"$root/archive", 1L, 10L, 11L)
+    new java.io.File(s"$root/archive/req=1")
+      .renameTo(new java.io.File(s"$root/archive/upto=2"))
+    plantRecord(root, 3L, 30L, 31L)
+    plantRecord(root, 4L, 40L, 41L)
+    // toArchive = {3, 4}, max == existing checkpoint key → the skip
+    // branch: no write (rewriting upto=4 in place would derive the
+    // replacement from the file being deleted), but BOTH interrupted
+    // sweep families finish — without the checkpoint sweep the stale
+    // upto=2 would double every archive read until some later cycle
+    // happened to advance the key
+    assert(SwitchLog.archive(spark, root, keep = 1) == 2L)
+    assert(SwitchLog.adopted(spark, root) == Seq(5L))
+    assert(SwitchLog.archives(spark, root) == Seq(4L),
+      "the superseded checkpoint is swept by the skip branch")
+    assert(SwitchLog.historyReqs(spark, root) == (1L to 5L))
+  }
+
   test("keep must be >= 1: the newest record stays live") {
     val root = freshRoot("keep")
     SwitchLog.write(spark, root, 1L, 10L, 11L)
