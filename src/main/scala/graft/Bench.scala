@@ -70,7 +70,8 @@ object Bench {
     // in a corrupted JVM are worse than an aborted run.
     if (set.exists(q => q.name == "q68_ann_serve" || q.name == "q68_ann_append" ||
         q.name == "q84_quiet_trigger" || q.name == "q89_adopt_trigger" ||
-        q.name == "q95_filtered_serve"))
+        q.name == "q95_filtered_serve" || q.name == "q96_refine_serve" ||
+        q.name == "q97_sharded_serve"))
       try {
         graft.queries.LlmOps.ensureAnnServeIndex(spark, sfDir)
         // adoption-template fixture (on top of the shared index) so
@@ -81,6 +82,14 @@ object Bench {
         // only the pruned scan + probe, never the layout derivation
         if (set.exists(_.name == "q95_filtered_serve"))
           graft.queries.LlmOps.ensureFilteredServeLayout(spark, sfDir)
+        // id-sorted raw vectors so q96_refine_serve times only the
+        // two-stage query path, never the layout derivation
+        if (set.exists(_.name == "q96_refine_serve"))
+          graft.queries.LlmOps.ensureRefineServeLayout(spark, sfDir)
+        // shard-partitioned codes so q97_sharded_serve times only the
+        // scatter-gather serve path, never the layout derivation
+        if (set.exists(_.name == "q97_sharded_serve"))
+          graft.queries.LlmOps.ensureShardedServeLayout(spark, sfDir)
       }
       catch {
         case scala.util.control.NonFatal(e) =>

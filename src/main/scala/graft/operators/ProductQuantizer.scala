@@ -302,6 +302,42 @@ object ProductQuantizer {
       .select(col(idCol), col("cell_id"), col("adc_dist"))
   }
 
+  /** Exact re-rank (the FAISS-style "refine" stage): re-score an ADC
+    * candidate set against the RAW vectors and return the exact top-k.
+    * Two-stage retrieval is how a 100 TB store buys back the recall the
+    * quantizer gave away: stage 1 scans CODES (32× smaller) for a
+    * candidate set of m ≈ 4k ids, stage 2 fetches only those m raw
+    * vectors and ranks them by true squared L2.
+    *
+    * The candidate id set is tiny by construction (bounded by the
+    * stage-1 limit), so the fetch is a broadcast LEFT SEMI join against
+    * the raw table — no shuffle of the big side; with the raw vectors
+    * stored id-sorted the fetch is additionally a rowgroup-pruned scan
+    * (the q96_refine_serve layout). The total order everywhere is
+    * (distance, id), which is what makes the refine guarantee a
+    * theorem: every exact-top-k member that survives stage 1 outranks
+    * every non-member inside the candidate set under the SAME order,
+    * so refine recall ≥ ADC recall on every instance, not on average.
+    */
+  def exactRerank(
+      candidates: DataFrame,
+      raw: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      qCol: String,
+      k: Int): DataFrame = {
+    val q = query.select(col(qCol).as("qv")).limit(1)
+    raw.join(broadcast(candidates.select(col(idCol))), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        (VectorFns.normSq(col(vecCol)) -
+          lit(2.0) * VectorFns.dot(col(vecCol), col("qv")) +
+          VectorFns.normSq(col("qv"))).as("exact_dist"))
+      .orderBy(col("exact_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** (cell_id, code, d): partial distance of each probed cell's query
     * residual subvector to each codebook entry. Exposed for independent
     * re-scoring in verification.

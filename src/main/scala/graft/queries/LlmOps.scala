@@ -523,6 +523,51 @@ object LlmOps {
     metaDir
   }
 
+  /** The q96_refine_serve stage-2 layout, derived once per process
+    * beside the shared q68 index: the raw vectors range-partitioned and
+    * sorted by vec_id, so the refine stage's candidate fetch (an
+    * IN-list of ≤ m ids) is a rowgroup-pruned scan — parquet min/max
+    * stats on the sort key skip every rowgroup holding none of the
+    * candidates. At 100 TB this is the difference between "fetch 40
+    * vectors" and "scan 100 TB of floats to find 40 rows".
+    */
+  def ensureRefineServeLayout(s: SparkSession, dir: String): String = {
+    val idx = ensureAnnServeIndex(s, dir)
+    val rawDir = s"$idx/raw_sorted"
+    if (!new java.io.File(s"$rawDir/_SUCCESS").exists()) {
+      t(s, dir, "embeddings")
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+        .repartitionByRange(8, col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite").parquet(rawDir)
+    }
+    rawDir
+  }
+
+  /** The q97_sharded_serve layout, derived once per process beside the
+    * shared q68 index: the same codes hash-sharded by vec_id into
+    * `shard=` partition directories, cell-clustered within each shard.
+    * The shard is a pure partitioning of the postings under the SHARED
+    * frozen models, which is what makes sharded serving exactly equal
+    * to unsharded serving (same candidate set, same ADC doubles) while
+    * buying independent per-shard maintenance — see q97_sharded_index
+    * for the proofs.
+    */
+  def ensureShardedServeLayout(s: SparkSession, dir: String): String = {
+    val idx = ensureAnnServeIndex(s, dir)
+    val shDir = s"$idx/codes_sharded"
+    if (!new java.io.File(s"$shDir/_SUCCESS").exists()) {
+      s.read.parquet(s"$idx/codes")
+        .select(col("cell_id"), col("vec_id"), col("codes"))
+        .withColumn("shard", pmod(col("vec_id"), lit(4)).cast("int"))
+        .repartition(col("shard"), col("cell_id"))
+        .sortWithinPartitions(col("cell_id"))
+        .write.partitionBy("shard").mode("overwrite").parquet(shDir)
+    }
+    shDir
+  }
+
   def ensureAnnServeIndex(s: SparkSession, dir: String): String =
     serveIndexCache.computeIfAbsent(dir, _ => {
       val e = t(s, dir, "embeddings")
@@ -1737,6 +1782,361 @@ object LlmOps {
       Some("""SELECT true AS k_bounded, true AS all_labeled,
              |  true AS cells_ok, true AS finite_ok, true AS nonneg_ok,
              |  true AS filter_pushed""".stripMargin),
+      bench = true),
+
+    // TWO-STAGE RETRIEVAL (round 14): ADC candidates → exact re-rank —
+    // the FAISS-style "refine" stage that buys back the recall the
+    // quantizer gave away. Stage 1 scans CODES (32× smaller than the
+    // floats) for a top-m candidate set; stage 2 fetches only those m
+    // raw vectors and ranks them by true squared L2. The guarantee is
+    // a THEOREM, not a tendency, because every ranking here uses the
+    // same total order (distance, vec_id): any exact-top-k member that
+    // survives stage 1 outranks every candidate non-member under that
+    // order, so it is in the refined top-k — refine recall ≥ ADC
+    // recall on EVERY instance. Both theorem halves are
+    // contract-asserted against a full brute-force ground truth (the
+    // verification-only path — at 100 TB that scan is the offline
+    // recall audit, never the serving path; serving costs are under
+    // q96_refine_serve).
+    QueryDef(
+      "q96_ann_refine",
+      (s, dir) => {
+        import graft.operators.ProductQuantizer
+        val idx = ensureAnnServeIndex(s, dir)
+        val coarseF = modelScaleStamp(s.read.parquet(s"$idx/coarse"),
+          "q96_ann_refine frozen coarse-centroid table")
+        val booksF = s.read.parquet(s"$idx/books")
+        val codes = s.read.parquet(s"$idx/codes")
+          .select(col("cell_id"), col("vec_id"), col("codes"))
+        val e = t(s, dir, "embeddings")
+        val corpus = e.filter(col("vec_id") =!= 0)
+        val query = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).limit(1)
+        val k = 10
+        val m = 40
+        // stage 1: ADC top-m candidate set over the probed cells
+        val cands = ProductQuantizer.ivfPqScores(query, "embedding", 8,
+            coarseF, booksF, codes, "vec_id", nProbe = 4)
+          .orderBy(col("adc_dist").asc, col("vec_id").asc)
+          .limit(m)
+          .select(col("vec_id"), col("adc_dist"))
+        // stage 2: exact re-rank of the candidates against raw vectors
+        val refined = ProductQuantizer.exactRerank(cands,
+          corpus.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", query, "embedding", k)
+        // ground truth: exact top-k over the whole corpus, same total
+        // order (exact_dist, vec_id) as the refine stage
+        val q = query.select(col("embedding").as("qv"))
+        val exactD = VectorFns.normSq(col("embedding")) -
+          lit(2.0) * VectorFns.dot(col("embedding"), col("qv")) +
+          VectorFns.normSq(col("qv"))
+        val gt = corpus.crossJoin(broadcast(q))
+          .select(col("vec_id"), exactD.as("exact_dist"))
+          .orderBy(col("exact_dist").asc, col("vec_id").asc)
+          .limit(k)
+        // ADC's own top-k (the stage-1 answer refine must not lose to)
+        val adcK = cands
+          .orderBy(col("adc_dist").asc, col("vec_id").asc)
+          .limit(k)
+        // theorem half 1: every GT member inside the candidate set is
+        // in the refined top-k (no survivor is ever dropped)
+        val thm1 = gt.join(cands.select(col("vec_id")), Seq("vec_id"),
+            "left_semi")
+          .join(refined.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .agg((count(lit(1)) === 0).as("gt_cands_refined"))
+        // theorem half 2: refined recall ≥ ADC recall, same GT
+        val hitsR = refined.select(col("vec_id"))
+          .join(gt.select(col("vec_id")), "vec_id")
+          .agg(count(lit(1)).as("rh"))
+        val hitsA = adcK.select(col("vec_id"))
+          .join(gt.select(col("vec_id")), "vec_id")
+          .agg(count(lit(1)).as("ah"))
+        val thm2 = hitsR.crossJoin(hitsA)
+          .select((col("rh") >= col("ah")).as("refine_ge_adc"))
+        // exactness anchor: the refine plan's distances agree with an
+        // independently-arranged computation (zip_with fold of squared
+        // differences vs the norm-expansion form) within
+        // float-reassociation tolerance, per row
+        val indep = corpus
+          .join(broadcast(refined.select(col("vec_id"))), Seq("vec_id"),
+            "left_semi")
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            aggregate(
+              zip_with(col("embedding"), col("qv"),
+                (x, b) => (x.cast("double") - b) * (x.cast("double") - b)),
+              lit(0.0), (acc, v) => acc + v).as("d2"))
+        val anchor = refined.join(indep, Seq("vec_id"), "full")
+          .agg((count(when(col("exact_dist").isNull || col("d2").isNull ||
+            abs(col("exact_dist") - col("d2")) > 1e-9, 1)) === 0)
+            .as("exact_plan_agrees"))
+        corpus.agg(
+            count(lit(1)).as("n_corpus"),
+            least(lit(10L), count(lit(1))).as("n_results"))
+          .crossJoin(cands.agg((count(lit(1)) <= m).as("cand_bounded")))
+          .crossJoin(thm1)
+          .crossJoin(thm2)
+          .crossJoin(anchor)
+          .crossJoin(refined.agg(
+            (count(when(col("exact_dist").isNull ||
+              isnan(col("exact_dist")), 1)) === 0).as("finite_ok")))
+          .select(col("n_corpus"), col("n_results"), col("cand_bounded"),
+            col("gt_cands_refined"), col("refine_ge_adc"),
+            col("exact_plan_agrees"), col("finite_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+             |  CAST(least(10, count(*)) AS BIGINT) AS n_results,
+             |  true AS cand_bounded, true AS gt_cands_refined,
+             |  true AS refine_ge_adc, true AS exact_plan_agrees,
+             |  true AS finite_ok
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
+
+    // Serve-only sibling of q96, benched (the q68_ann_serve split
+    // applied to two-stage retrieval): the timed path is EXACTLY what
+    // a refined query costs against an already-persisted index — ADC
+    // top-m over the codes, a rowgroup-PRUNED fetch of the ≤ m
+    // candidate raw vectors (id-sorted layout + an IN-list bracketed
+    // by a pushdown-asserted id range), and the exact top-k over those
+    // m rows. Zero training, zero layout work (Bench prewarms the
+    // raw_sorted layout untimed beside the shared q68 index; under
+    // Verify the single invocation pays it behind the marker). The
+    // candidate-id collect is an m-row driver fetch, bounded by the
+    // stage-1 limit by construction.
+    QueryDef(
+      "q96_refine_serve",
+      (s, dir) => {
+        import graft.operators.ProductQuantizer
+        val idx = ensureAnnServeIndex(s, dir)
+        val rawDir = ensureRefineServeLayout(s, dir)
+        val coarseF = s.read.parquet(s"$idx/coarse")
+        val booksF = s.read.parquet(s"$idx/books")
+        val codes = s.read.parquet(s"$idx/codes")
+          .select(col("cell_id"), col("vec_id"), col("codes"))
+        val query = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).limit(1)
+        val cands = ProductQuantizer.ivfPqTopK(query, "embedding", 8,
+          coarseF, booksF, codes, "vec_id", nProbe = 4, k = 40)
+        val candIds = cands.select(col("vec_id")).collect()
+          .map(_.getLong(0)).toSeq
+        require(candIds.nonEmpty && candIds.size <= 40,
+          s"q96_refine_serve: stage 1 returned ${candIds.size} candidates " +
+            "— outside (0, 40]; the index build is broken")
+        // the id-range bracket is the rowgroup pruner (parquet min/max
+        // stats on the sort key); the IN-list exactifies within it
+        val fetched = s.read.parquet(rawDir)
+          .filter(col("vec_id") >= candIds.min &&
+            col("vec_id") <= candIds.max &&
+            col("vec_id").isin(candIds: _*))
+        val plan = fetched.queryExecution.executedPlan.toString
+        val pruned = plan.contains("PushedFilters") &&
+          plan.contains("GreaterThanOrEqual(vec_id") &&
+          plan.contains("LessThanOrEqual(vec_id")
+        require(pruned,
+          "q96_refine_serve: the candidate id range did not reach the " +
+            "raw_sorted scan — stage 2 degrades to a full raw-vector read")
+        // candidates = the fetched rows' own ids: stage 1 already ran
+        // (the collect above); re-using its DataFrame here would run
+        // the probe+top-m job a second time inside the semi join
+        val refined = ProductQuantizer.exactRerank(
+          fetched.select(col("vec_id")), fetched,
+          "vec_id", "embedding", query, "embedding", 10)
+        refined.agg(
+            (count(lit(1)) <= 10).as("k_bounded"),
+            (count(when(col("exact_dist").isNull ||
+              isnan(col("exact_dist")), 1)) === 0).as("finite_ok"),
+            (count(when(col("exact_dist") < -1e-9, 1)) === 0)
+              .as("nonneg_ok"))
+          .crossJoin(s.range(1).select(
+            lit(candIds.size <= 40).as("cand_bounded"),
+            lit(pruned).as("fetch_pruned")))
+          .select(col("k_bounded"), col("finite_ok"), col("nonneg_ok"),
+            col("cand_bounded"), col("fetch_pruned"))
+      },
+      Some("""SELECT true AS k_bounded, true AS finite_ok,
+             |  true AS nonneg_ok, true AS cand_bounded,
+             |  true AS fetch_pruned""".stripMargin),
+      bench = true),
+
+    // SHARDED INDEX (round 14): the codes hash-sharded by vec_id into
+    // independent shard subtrees under SHARED frozen models — the
+    // layout a 100 TB index actually ships as. The shard is a pure
+    // partitioning of the postings, which yields two properties proven
+    // here rather than assumed:
+    //   - serving EQUALS unsharded serving exactly (same candidate
+    //     set, same ADC doubles — union of shard postings = unsharded
+    //     postings under shared models), and the merge is Catalyst's
+    //     own scatter-gather: the top-k plans as TakeOrderedAndProject
+    //     (per-partition local top-k, driver merges S·k rows), plan-
+    //     asserted — NOT a hand-rolled window, which would shuffle
+    //     every candidate by shard;
+    //   - maintenance is per-shard INDEPENDENT: appending a batch
+    //     slice to one shard and compacting that shard's generations
+    //     touch ONLY that subtree (byte-level listing snapshots of the
+    //     other shards asserted unchanged), so a 1000-executor rebuild
+    //     runs S ways parallel with 1/S blast radius.
+    // Model RETRAINS stay global (the q90 fold machinery): per-shard
+    // retraining would break score comparability across shards — the
+    // same ADC-comparability argument that keeps serving on the old
+    // pointer during a fold.
+    QueryDef(
+      "q97_sharded_index",
+      (s, dir) => {
+        import graft.operators.ProductQuantizer
+        val e = t(s, dir, "embeddings")
+        val corpus = e.filter(col("vec_id") =!= 0)
+        val base = corpus.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+        val batch = corpus.filter(pmod(col("vec_id"), lit(10)) === 9)
+        val query = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).limit(1)
+        val idx = graft.RunPaths.scratch(
+          "graft_q97_index_" + graft.RunPaths.keyFor(dir))
+        val (coarseF, booksF) = buildFrozenIndex(s, dir,
+          base.select(col("vec_id"), col("embedding")), idx,
+          "q97 frozen coarse-centroid table", withOccupancy = false)
+        val nShards = 4
+        val gen0 = s.read.parquet(s"$idx/codes/gen=0")
+          .select(col("cell_id"), col("vec_id"), col("codes"))
+        for (i <- 0 until nShards)
+          gen0.filter(pmod(col("vec_id"), lit(nShards)) === i)
+            .repartition(col("cell_id"))
+            .sortWithinPartitions(col("cell_id"))
+            .write.mode("overwrite")
+            .parquet(s"$idx/sharded/shard=$i/gen=0")
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        def listing(shards: Seq[Int]): Set[(String, Long)] =
+          shards.flatMap(i =>
+            walk(new java.io.File(s"$idx/sharded/shard=$i"))
+              .map(f => (f.getPath, f.length()))).toSet
+        val before = listing(Seq(0, 2, 3))
+        // append ONLY shard 1's slice of the arriving batch: O(slice)
+        // work confined to one shard subtree
+        val slice1 = batch.filter(pmod(col("vec_id"), lit(nShards)) === 1)
+        ProductQuantizer.ivfPqEncodeWith(
+            slice1, "vec_id", "embedding", 8, coarseF, booksF)
+          .write.mode("overwrite").parquet(s"$idx/sharded/shard=1/gen=1")
+        val appendIsolated = listing(Seq(0, 2, 3)) == before
+        def codesAt(paths: Seq[String]): DataFrame = paths
+          .map(p => s.read.parquet(p)
+            .select(col("cell_id"), col("vec_id"), col("codes")))
+          .reduce(_.unionByName(_))
+        val shardedAll = s.read.parquet(s"$idx/sharded")
+          .select(col("cell_id"), col("vec_id"), col("codes"))
+        // unsharded reference over the identical logical content
+        val refAll = codesAt(Seq(s"$idx/codes/gen=0",
+          s"$idx/sharded/shard=1/gen=1"))
+        def surface(cs: DataFrame): DataFrame =
+          ProductQuantizer.ivfPqScores(query, "embedding", 8,
+            coarseF, booksF, cs, "vec_id", nProbe = 4)
+        def surfacesAgree(a: DataFrame, b: DataFrame, as: String): DataFrame =
+          a.select(col("vec_id"), col("adc_dist").as("da"))
+            .join(b.select(col("vec_id"), col("adc_dist").as("db")),
+              Seq("vec_id"), "full")
+            .agg((count(when(col("da").isNull || col("db").isNull ||
+              abs(col("da") - col("db")) > 1e-9, 1)) === 0).as(as))
+        val servedSharded = surface(shardedAll)
+        val eq1 = surfacesAgree(servedSharded, surface(refAll),
+          "serve_matches_unsharded")
+        val planStr = ProductQuantizer.ivfPqTopK(query, "embedding", 8,
+            coarseF, booksF, shardedAll, "vec_id", nProbe = 4, k = 10)
+          .queryExecution.executedPlan.toString
+        val scatter = planStr.contains("TakeOrderedAndProject")
+        require(scatter,
+          "q97_sharded_index: the sharded top-k did not plan as " +
+            "TakeOrderedAndProject — the scatter-gather merge degraded " +
+            "to a global sort")
+        // compact ONLY shard 1 (its two generations → one clustered
+        // epoch outside the tree), other shards again byte-untouched
+        codesAt(Seq(s"$idx/sharded/shard=1/gen=0",
+            s"$idx/sharded/shard=1/gen=1"))
+          .repartition(col("cell_id"))
+          .sortWithinPartitions(col("cell_id"))
+          .write.mode("overwrite").parquet(s"$idx/shard1_compact")
+        val compactIsolated = listing(Seq(0, 2, 3)) == before
+        val afterCompact = codesAt(Seq(s"$idx/sharded/shard=0",
+          s"$idx/sharded/shard=2", s"$idx/sharded/shard=3",
+          s"$idx/shard1_compact"))
+        val eq2 = surfacesAgree(surface(afterCompact), servedSharded,
+          "compact_serve_identical")
+        val cover = shardedAll.agg(
+          count(lit(1)).as("n_sharded"),
+          (count(lit(1)) === countDistinct(col("vec_id"))).as("ids_unique"))
+        corpus.agg(
+            count(when(pmod(col("vec_id"), lit(10)) =!= 9, 1)).as("n_base"),
+            count(when(pmod(col("vec_id"), lit(10)) === 9 &&
+              pmod(col("vec_id"), lit(nShards)) === 1, 1))
+              .as("n_shard1_batch"))
+          .crossJoin(cover)
+          .crossJoin(eq1)
+          .crossJoin(eq2)
+          .crossJoin(s.range(1).select(
+            lit(scatter).as("scatter_gather_plan"),
+            lit(appendIsolated).as("append_isolated"),
+            lit(compactIsolated).as("compact_isolated")))
+          .select(col("n_base"), col("n_shard1_batch"), col("n_sharded"),
+            col("ids_unique"), col("serve_matches_unsharded"),
+            col("compact_serve_identical"), col("scatter_gather_plan"),
+            col("append_isolated"), col("compact_isolated"))
+      },
+      Some("""SELECT
+             |  CAST(count(CASE WHEN vec_id % 10 <> 9 THEN 1 END) AS BIGINT)
+             |    AS n_base,
+             |  CAST(count(CASE WHEN vec_id % 10 = 9 AND vec_id % 4 = 1
+             |    THEN 1 END) AS BIGINT) AS n_shard1_batch,
+             |  CAST(count(CASE WHEN vec_id % 10 <> 9 THEN 1 END) +
+             |    count(CASE WHEN vec_id % 10 = 9 AND vec_id % 4 = 1
+             |    THEN 1 END) AS BIGINT) AS n_sharded,
+             |  true AS ids_unique, true AS serve_matches_unsharded,
+             |  true AS compact_serve_identical, true AS scatter_gather_plan,
+             |  true AS append_isolated, true AS compact_isolated
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
+
+    // Serve-only sibling of q97, benched (the q68_ann_serve split
+    // applied to the sharded layout): the timed path is EXACTLY what a
+    // query costs against an already-persisted sharded index — probe,
+    // ADC over the shard-partitioned codes, and Catalyst's own
+    // scatter-gather merge (TakeOrderedAndProject, plan-asserted: k
+    // rows per partition to the driver, never a global sort). Benched
+    // NEXT TO q68_ann_serve over the same logical content, so the
+    // price of the sharded layout is a visible round-over-round number
+    // instead of an assumption. Layout prewarmed untimed by Bench
+    // beside the shared q68 index.
+    QueryDef(
+      "q97_sharded_serve",
+      (s, dir) => {
+        import graft.operators.ProductQuantizer
+        val idx = ensureAnnServeIndex(s, dir)
+        val shDir = ensureShardedServeLayout(s, dir)
+        val coarseF = s.read.parquet(s"$idx/coarse")
+        val booksF = s.read.parquet(s"$idx/books")
+        val query = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).limit(1)
+        val sharded = s.read.parquet(shDir)
+          .select(col("cell_id"), col("vec_id"), col("codes"))
+        val top = ProductQuantizer.ivfPqTopK(query, "embedding", 8,
+          coarseF, booksF, sharded, "vec_id", nProbe = 4, k = 10)
+        val planStr = top.queryExecution.executedPlan.toString
+        val scatter = planStr.contains("TakeOrderedAndProject")
+        require(scatter,
+          "q97_sharded_serve: the merge did not plan as " +
+            "TakeOrderedAndProject — per-shard local top-k degraded to " +
+            "a global sort")
+        top.agg(
+            (count(lit(1)) <= 10).as("k_bounded"),
+            (countDistinct(col("cell_id")) <= 4).as("cells_ok"),
+            (count(when(col("adc_dist").isNull || isnan(col("adc_dist")), 1))
+              === 0).as("finite_ok"),
+            (count(when(col("adc_dist") < -1e-9, 1)) === 0).as("nonneg_ok"))
+          .crossJoin(s.range(1).select(
+            lit(scatter).as("scatter_gather_plan")))
+          .select(col("k_bounded"), col("cells_ok"), col("finite_ok"),
+            col("nonneg_ok"), col("scatter_gather_plan"))
+      },
+      Some("""SELECT true AS k_bounded, true AS cells_ok,
+             |  true AS finite_ok, true AS nonneg_ok,
+             |  true AS scatter_gather_plan""".stripMargin),
       bench = true),
 
     // The drift loop's STEADY STATE, timed: one quiet q84-shaped
