@@ -1971,9 +1971,11 @@ object LlmOps {
     //     every candidate by shard;
     //   - maintenance is per-shard INDEPENDENT: appending a batch
     //     slice to one shard and compacting that shard's generations
-    //     touch ONLY that subtree (byte-level listing snapshots of the
-    //     other shards asserted unchanged), so a 1000-executor rebuild
-    //     runs S ways parallel with 1/S blast radius.
+    //     touch ONLY that subtree ((path, size) listing snapshots of
+    //     the other shards asserted unchanged — part-file names are
+    //     per-job unique, so any rewrite changes the listing), so a
+    //     1000-executor rebuild runs S ways parallel with 1/S blast
+    //     radius.
     // Model RETRAINS stay global (the q90 fold machinery): per-shard
     // retraining would break score comparability across shards — the
     // same ADC-comparability argument that keeps serving on the old

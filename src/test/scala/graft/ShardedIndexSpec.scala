@@ -16,7 +16,8 @@ import org.scalatest.funsuite.AnyFunSuite
   *     never a global sort or a hand-rolled by-shard window;
   *   - maintenance is per-shard independent: appending a batch slice
   *     to one shard and compacting that shard leave the other shards'
-  *     subtrees byte-identical (listing snapshots);
+  *     subtrees untouched ((path, size) listing snapshots; part-file
+  *     names are per-job unique, so any rewrite changes the listing);
   *   - coverage is closed-form (base + the appended slice, ids unique).
   */
 class ShardedIndexSpec extends AnyFunSuite {
@@ -52,9 +53,9 @@ class ShardedIndexSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("scatter_gather_plan"),
       "the sharded top-k must plan as TakeOrderedAndProject")
     assert(row.getAs[Boolean]("append_isolated"),
-      "appending shard 1's slice must leave shards 0/2/3 byte-identical")
+      "appending shard 1's slice must leave shards 0/2/3 untouched")
     assert(row.getAs[Boolean]("compact_isolated"),
-      "compacting shard 1 must leave shards 0/2/3 byte-identical")
+      "compacting shard 1 must leave shards 0/2/3 untouched")
   }
 
   test("q97_sharded_serve: bounded scatter-gather serve over the " +
