@@ -449,6 +449,153 @@ object Semantic {
            |UNION ALL SELECT 4, vec_id, rel_u, mmr_u FROM s4
            |UNION ALL SELECT 5, vec_id, rel_u, mmr_u FROM s5
            |ORDER BY rank""".stripMargin
-      })
+      }),
+
+    // LATE-INTERACTION MAXSIM RERANK (round 14): multi-vector retrieval
+    // in the ColBERT shape (Khattab & Zaharia, SIGIR'20) — a document
+    // is a BAG of chunk vectors, and its score against a multi-chunk
+    // query is MaxSim: for each query chunk, the best-matching document
+    // chunk's dot product, summed over query chunks. This is the
+    // scoring that single-vector pooling cannot express (a long
+    // document matching three different query aspects in three
+    // different sections scores on all three, not on their average) —
+    // the hard-negative-mining / rerank shape a training-data pipeline
+    // runs after first-stage retrieval.
+    //
+    // Two-stage, like q96: stage 1 is single-vector retrieval on the
+    // POOLED vectors (pooled = sum of chunk vectors, so the pooled dot
+    // is computable from the same sparse rows) → top-m candidates;
+    // stage 2 computes real MaxSim only on those m. Scale shape:
+    // stage 1 is a corpus-scale groupBy + a ≤16-row broadcast join
+    // (the query's pooled buckets); stage 2 touches m documents'
+    // chunk rows — O(m · chunks² ) pairs, independent of corpus size.
+    //
+    // Everything is INTEGER-exact end to end (signed feature hashing:
+    // bucket = first md5 hex digit of the token, sign = second digit's
+    // high bit; chunk vectors are ±1 count sums), and both engines
+    // share md5 — so the oracle is VALUE-exact on the final ranking,
+    // not a contract row: DuckDB recomputes the identical pipeline
+    // relationally and the driver hash-compares the top-10.
+    // Missing (qchunk, dchunk) bucket overlaps are true dot-0 pairs:
+    // the pair frame is materialized (candidate chunks × query chunks)
+    // and LEFT-joined so a qchunk whose best dot is negative still
+    // maxes against the 0 of a disjoint chunk — dropping that frame
+    // silently inflates negative-only scores, the classic relational
+    // MaxSim bug, pinned in MaxSimSpec by an independent in-process
+    // replica.
+    QueryDef(
+      "q98_maxsim_rerank",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tok = docs.select(col("doc_id"),
+          posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "w")))
+        val feat = tok.select(
+          col("doc_id"),
+          floor(col("pos") / lit(32)).cast("long").as("chunk"),
+          conv(substring(md5(col("w")), 1, 1), 16, 10).cast("long")
+            .as("bucket"),
+          when(conv(substring(md5(col("w")), 2, 1), 16, 10).cast("int") < 8,
+            lit(1L)).otherwise(lit(-1L)).as("sgn"))
+        val cv = feat.groupBy(col("doc_id"), col("chunk"), col("bucket"))
+          .agg(sum(col("sgn")).as("v"))
+        val qid = docs.agg(min(col("doc_id"))).collect()(0).getLong(0)
+        val pool = cv.groupBy(col("doc_id"), col("bucket"))
+          .agg(sum(col("v")).as("pv"))
+        // ≤ 16 buckets by construction: the limit stamps the provable
+        // bound into the plan for the broadcast side
+        val qpool = pool.filter(col("doc_id") === qid)
+          .select(col("bucket"), col("pv").as("qpv"))
+          .limit(16)
+        val cand = pool.filter(col("doc_id") =!= qid)
+          .join(broadcast(qpool), "bucket")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("pv") * col("qpv")).as("s1"))
+          .orderBy(col("s1").desc, col("doc_id").asc)
+          .limit(50)
+          .select(col("doc_id"))
+        val qcv = cv.filter(col("doc_id") === qid)
+          .select(col("chunk").as("qchunk"), col("bucket"),
+            col("v").as("qv"))
+        val nq = qcv.select(col("qchunk")).distinct().count()
+        require(nq >= 1 && nq <= 4096,
+          s"q98: query doc $qid has $nq chunks — outside (0, 4096]; " +
+            "pick a different query or raise the stamp deliberately")
+        val qchunks = qcv.select(col("qchunk")).distinct().limit(4096)
+        val dcv = cv.join(broadcast(cand), "doc_id")
+        val dots0 = dcv.join(broadcast(qcv), "bucket")
+          .groupBy(col("doc_id"), col("chunk"), col("qchunk"))
+          .agg(sum(col("v") * col("qv")).as("dot"))
+        val pairs = dcv.select(col("doc_id"), col("chunk")).distinct()
+          .crossJoin(broadcast(qchunks))
+        pairs
+          .join(dots0, Seq("doc_id", "chunk", "qchunk"), "left")
+          .select(col("doc_id"), col("qchunk"),
+            coalesce(col("dot"), lit(0L)).as("dot"))
+          .groupBy(col("doc_id"), col("qchunk"))
+          .agg(max(col("dot")).as("mx"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("mx")).as("maxsim"))
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("maxsim").cast("long").as("maxsim"))
+          .orderBy(col("maxsim").desc, col("doc_id").asc)
+          .limit(10)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |tok AS (
+             |  SELECT doc_id, unnest(w) AS tk,
+             |         unnest(range(len(w))) AS pos
+             |  FROM d),
+             |feat AS (
+             |  SELECT doc_id, CAST(floor(pos / 32.0) AS BIGINT) AS chunk,
+             |    strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1
+             |      AS bucket,
+             |    CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 2, 1))
+             |      - 1 < 8 THEN 1 ELSE -1 END AS sgn
+             |  FROM tok),
+             |cv AS (
+             |  SELECT doc_id, chunk, bucket, CAST(sum(sgn) AS BIGINT) AS v
+             |  FROM feat GROUP BY 1, 2, 3),
+             |qid AS (SELECT min(doc_id) AS qid FROM documents),
+             |pool AS (
+             |  SELECT doc_id, bucket, CAST(sum(v) AS BIGINT) AS pv
+             |  FROM cv GROUP BY 1, 2),
+             |qpool AS (
+             |  SELECT bucket, pv AS qpv FROM pool CROSS JOIN qid
+             |  WHERE doc_id = qid),
+             |cand AS (
+             |  SELECT p.doc_id
+             |  FROM pool p JOIN qpool q USING (bucket) CROSS JOIN qid
+             |  WHERE p.doc_id <> qid.qid
+             |  GROUP BY p.doc_id
+             |  ORDER BY CAST(sum(p.pv * q.qpv) AS BIGINT) DESC, p.doc_id
+             |  LIMIT 50),
+             |qcv AS (
+             |  SELECT chunk AS qchunk, bucket, v AS qv
+             |  FROM cv CROSS JOIN qid WHERE doc_id = qid.qid),
+             |dcv AS (SELECT cv.* FROM cv JOIN cand USING (doc_id)),
+             |dchunks AS (SELECT DISTINCT doc_id, chunk FROM dcv),
+             |qchunks AS (SELECT DISTINCT qchunk FROM qcv),
+             |pairs AS (
+             |  SELECT doc_id, chunk, qchunk
+             |  FROM dchunks CROSS JOIN qchunks),
+             |dots0 AS (
+             |  SELECT dcv.doc_id, dcv.chunk, q.qchunk,
+             |         CAST(sum(dcv.v * q.qv) AS BIGINT) AS dot
+             |  FROM dcv JOIN qcv q USING (bucket)
+             |  GROUP BY 1, 2, 3),
+             |dots AS (
+             |  SELECT p.doc_id, p.qchunk, coalesce(d.dot, 0) AS dot
+             |  FROM pairs p LEFT JOIN dots0 d
+             |    ON d.doc_id = p.doc_id AND d.chunk = p.chunk
+             |   AND d.qchunk = p.qchunk),
+             |mx AS (
+             |  SELECT doc_id, qchunk, max(dot) AS m
+             |  FROM dots GROUP BY 1, 2)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |       CAST(sum(m) AS BIGINT) AS maxsim
+             |FROM mx GROUP BY doc_id
+             |ORDER BY maxsim DESC, doc_id LIMIT 10""".stripMargin),
+      bench = true)
   )
 }
