@@ -71,7 +71,7 @@ object Bench {
     if (set.exists(q => q.name == "q68_ann_serve" || q.name == "q68_ann_append" ||
         q.name == "q84_quiet_trigger" || q.name == "q89_adopt_trigger" ||
         q.name == "q95_filtered_serve" || q.name == "q96_refine_serve" ||
-        q.name == "q97_sharded_serve"))
+        q.name == "q97_sharded_serve" || q.name == "q99_stack_serve"))
       try {
         graft.queries.LlmOps.ensureAnnServeIndex(spark, sfDir)
         // adoption-template fixture (on top of the shared index) so
@@ -90,6 +90,12 @@ object Bench {
         // scatter-gather serve path, never the layout derivation
         if (set.exists(_.name == "q97_sharded_serve"))
           graft.queries.LlmOps.ensureShardedServeLayout(spark, sfDir)
+        // the composed stack layout (+ the raw fetch layout it refines
+        // from) so q99_stack_serve times only the stacked query path
+        if (set.exists(_.name == "q99_stack_serve")) {
+          graft.queries.LlmOps.ensureStackServeLayout(spark, sfDir)
+          graft.queries.LlmOps.ensureRefineServeLayout(spark, sfDir)
+        }
       }
       catch {
         case scala.util.control.NonFatal(e) =>

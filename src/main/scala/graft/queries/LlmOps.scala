@@ -568,6 +568,30 @@ object LlmOps {
     shDir
   }
 
+  /** The q99_stack_serve layout, derived once per process beside the
+    * shared q68 index: the full serving stack's storage — codes
+    * carrying the metadata column, hash-sharded by vec_id,
+    * cell-clustered and label-sorted within partitions. One layout
+    * serves all three layers at once: the shard partitioning (q97),
+    * the label pushdown (q95), and the candidate source for the
+    * refine stage (q96, which fetches from the sibling `raw_sorted`).
+    */
+  def ensureStackServeLayout(s: SparkSession, dir: String): String = {
+    val idx = ensureAnnServeIndex(s, dir)
+    val stackDir = s"$idx/codes_stack"
+    if (!new java.io.File(s"$stackDir/_SUCCESS").exists()) {
+      s.read.parquet(s"$idx/codes")
+        .select(col("cell_id"), col("vec_id"), col("codes"))
+        .join(t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label")), "vec_id")
+        .withColumn("shard", pmod(col("vec_id"), lit(4)).cast("int"))
+        .repartition(col("shard"), col("cell_id"))
+        .sortWithinPartitions(col("cell_id"), col("label"))
+        .write.partitionBy("shard").mode("overwrite").parquet(stackDir)
+    }
+    stackDir
+  }
+
   def ensureAnnServeIndex(s: SparkSession, dir: String): String =
     serveIndexCache.computeIfAbsent(dir, _ => {
       val e = t(s, dir, "embeddings")
@@ -2139,6 +2163,95 @@ object LlmOps {
       Some("""SELECT true AS k_bounded, true AS cells_ok,
              |  true AS finite_ok, true AS nonneg_ok,
              |  true AS scatter_gather_plan""".stripMargin),
+      bench = true),
+
+    // THE SERVING STACK COMPOSED (round 14): the production query a
+    // 100 TB vector store actually answers — "top-k nearest WHERE
+    // label = L, exact-reranked" — with all three round-14 layers on
+    // one layout: the SHARD partitioning (q97, independent
+    // maintenance), the LABEL pushdown (q95, predicate reaches the
+    // pruned scan), and the REFINE stage (q96, exact re-rank of the
+    // ≤ m candidates fetched rowgroup-pruned from the id-sorted raw
+    // vectors). Timed body = exactly that pipeline against the
+    // prewarmed layouts; both pushdowns and the scatter-gather merge
+    // are plan-asserted, refusing on any layer silently degrading.
+    // The composition THEOREM — the stacked answer is id-for-id
+    // identical to the same two stages over q95's unsharded
+    // codes_meta layout (same postings, same probes, same doubles,
+    // same total order) — is pinned in StackServeSpec rather than
+    // recomputed here, so the benched number prices ONE stack, not
+    // two.
+    QueryDef(
+      "q99_stack_serve",
+      (s, dir) => {
+        import graft.operators.ProductQuantizer
+        val idx = ensureAnnServeIndex(s, dir)
+        val stackDir = ensureStackServeLayout(s, dir)
+        val rawDir = ensureRefineServeLayout(s, dir)
+        val coarseF = s.read.parquet(s"$idx/coarse")
+        val booksF = s.read.parquet(s"$idx/books")
+        val query = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).limit(1)
+        val lbl = 3
+        val filtered = s.read.parquet(stackDir)
+          .filter(col("label") === lbl)
+          .select(col("cell_id"), col("vec_id"), col("codes"))
+        val fplan = filtered.queryExecution.executedPlan.toString
+        val labelPushed = fplan.contains("PushedFilters") &&
+          fplan.contains(s"EqualTo(label,$lbl)")
+        require(labelPushed,
+          "q99_stack_serve: the label predicate did not reach the " +
+            "codes_stack scan — the filter layer degraded to a full read")
+        val cands = ProductQuantizer.ivfPqScores(query, "embedding", 8,
+            coarseF, booksF, filtered, "vec_id", nProbe = 4)
+          .orderBy(col("adc_dist").asc, col("vec_id").asc)
+          .limit(40)
+        val scatter = cands.queryExecution.executedPlan.toString
+          .contains("TakeOrderedAndProject")
+        require(scatter,
+          "q99_stack_serve: the candidate top-m did not plan as " +
+            "TakeOrderedAndProject — the scatter-gather merge degraded")
+        val candIds = cands.select(col("vec_id")).collect()
+          .map(_.getLong(0)).toSeq
+        require(candIds.nonEmpty && candIds.size <= 40,
+          s"q99_stack_serve: stage 1 returned ${candIds.size} " +
+            "candidates — outside (0, 40]")
+        val fetched = s.read.parquet(rawDir)
+          .filter(col("vec_id") >= candIds.min &&
+            col("vec_id") <= candIds.max &&
+            col("vec_id").isin(candIds: _*))
+        val rplan = fetched.queryExecution.executedPlan.toString
+        val fetchPruned = rplan.contains("PushedFilters") &&
+          rplan.contains("GreaterThanOrEqual(vec_id") &&
+          rplan.contains("LessThanOrEqual(vec_id")
+        require(fetchPruned,
+          "q99_stack_serve: the candidate id range did not reach the " +
+            "raw_sorted scan — the refine fetch degraded to a full read")
+        val refined = ProductQuantizer.exactRerank(
+          fetched.select(col("vec_id")), fetched,
+          "vec_id", "embedding", query, "embedding", 10)
+        refined
+          .join(s.read.parquet(stackDir)
+            .select(col("vec_id"), col("label")), "vec_id")
+          .agg(
+            (count(lit(1)) <= 10).as("k_bounded"),
+            (count(when(col("label") =!= lbl, 1)) === 0).as("all_labeled"),
+            (count(when(col("exact_dist").isNull ||
+              isnan(col("exact_dist")), 1)) === 0).as("finite_ok"),
+            (count(when(col("exact_dist") < -1e-9, 1)) === 0)
+              .as("nonneg_ok"))
+          .crossJoin(s.range(1).select(
+            lit(labelPushed).as("label_pushed"),
+            lit(scatter).as("scatter_gather_plan"),
+            lit(fetchPruned).as("fetch_pruned")))
+          .select(col("k_bounded"), col("all_labeled"), col("finite_ok"),
+            col("nonneg_ok"), col("label_pushed"),
+            col("scatter_gather_plan"), col("fetch_pruned"))
+      },
+      Some("""SELECT true AS k_bounded, true AS all_labeled,
+             |  true AS finite_ok, true AS nonneg_ok,
+             |  true AS label_pushed, true AS scatter_gather_plan,
+             |  true AS fetch_pruned""".stripMargin),
       bench = true),
 
     // The drift loop's STEADY STATE, timed: one quiet q84-shaped
