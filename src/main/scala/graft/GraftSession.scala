@@ -48,6 +48,13 @@ object GraftSession {
       // file is needed (ad hoc pools get weight 1 / minShare 0, which
       // is the 50/50 share the isolation wants).
       .config("spark.scheduler.mode", "FAIR")
+      // Plan-string metadata is truncated at 100 chars by default,
+      // which cuts a 40-id In(vec_id, [...]) pushdown out of
+      // "PushedFilters: [...]" — and the serve-path plan guards
+      // (q96/q99 fetch_pruned) must be able to REQUIRE that the
+      // In-list itself reached the scan, not just the range bracket.
+      // Plan rendering cost is per-explain, not per-row.
+      .config("spark.sql.maxMetadataStringLength", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       // Long-lived-driver hygiene (BENCH_r10 finding): Spark frees
       // broadcast/RDD/shuffle blocks via ContextCleaner, which only

@@ -498,6 +498,23 @@ object LlmOps {
       tpl
     })
 
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-(JVM, layout-dir) derivation guard (r14 advice): the
+    * ensure*ServeLayout helpers were unsynchronized check-then-write
+    * on _SUCCESS, so two concurrent callers in one process could both
+    * run the overwrite write into the same directory. computeIfAbsent
+    * serializes them exactly the way serveIndexCache serializes the
+    * index build itself; the _SUCCESS probe inside keeps the
+    * cross-process idempotence the marker provided.
+    */
+  private def ensureLayout(layoutDir: String)(derive: => Unit): String =
+    layoutCache.computeIfAbsent(layoutDir, _ => {
+      if (!new java.io.File(s"$layoutDir/_SUCCESS").exists()) derive
+      layoutDir
+    })
+
   /** The q95_filtered_serve pre-filter layout, derived once per
     * process beside the shared q68 index: codes with the label column
     * joined on, cell-clustered, label-sorted within partitions so
@@ -510,17 +527,15 @@ object LlmOps {
     */
   def ensureFilteredServeLayout(s: SparkSession, dir: String): String = {
     val idx = ensureAnnServeIndex(s, dir)
-    val metaDir = s"$idx/codes_meta"
-    if (!new java.io.File(s"$metaDir/_SUCCESS").exists()) {
+    ensureLayout(s"$idx/codes_meta") {
       s.read.parquet(s"$idx/codes")
         .select(col("cell_id"), col("vec_id"), col("codes"))
         .join(t(s, dir, "embeddings")
           .select(col("vec_id"), col("label")), "vec_id")
         .repartition(col("cell_id"))
         .sortWithinPartitions(col("cell_id"), col("label"))
-        .write.mode("overwrite").parquet(metaDir)
+        .write.mode("overwrite").parquet(s"$idx/codes_meta")
     }
-    metaDir
   }
 
   /** The q96_refine_serve stage-2 layout, derived once per process
@@ -533,16 +548,14 @@ object LlmOps {
     */
   def ensureRefineServeLayout(s: SparkSession, dir: String): String = {
     val idx = ensureAnnServeIndex(s, dir)
-    val rawDir = s"$idx/raw_sorted"
-    if (!new java.io.File(s"$rawDir/_SUCCESS").exists()) {
+    ensureLayout(s"$idx/raw_sorted") {
       t(s, dir, "embeddings")
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"))
         .repartitionByRange(8, col("vec_id"))
         .sortWithinPartitions(col("vec_id"))
-        .write.mode("overwrite").parquet(rawDir)
+        .write.mode("overwrite").parquet(s"$idx/raw_sorted")
     }
-    rawDir
   }
 
   /** The q97_sharded_serve layout, derived once per process beside the
@@ -556,16 +569,15 @@ object LlmOps {
     */
   def ensureShardedServeLayout(s: SparkSession, dir: String): String = {
     val idx = ensureAnnServeIndex(s, dir)
-    val shDir = s"$idx/codes_sharded"
-    if (!new java.io.File(s"$shDir/_SUCCESS").exists()) {
+    ensureLayout(s"$idx/codes_sharded") {
       s.read.parquet(s"$idx/codes")
         .select(col("cell_id"), col("vec_id"), col("codes"))
         .withColumn("shard", pmod(col("vec_id"), lit(4)).cast("int"))
         .repartition(col("shard"), col("cell_id"))
         .sortWithinPartitions(col("cell_id"))
-        .write.partitionBy("shard").mode("overwrite").parquet(shDir)
+        .write.partitionBy("shard").mode("overwrite")
+        .parquet(s"$idx/codes_sharded")
     }
-    shDir
   }
 
   /** The q99_stack_serve layout, derived once per process beside the
@@ -578,8 +590,7 @@ object LlmOps {
     */
   def ensureStackServeLayout(s: SparkSession, dir: String): String = {
     val idx = ensureAnnServeIndex(s, dir)
-    val stackDir = s"$idx/codes_stack"
-    if (!new java.io.File(s"$stackDir/_SUCCESS").exists()) {
+    ensureLayout(s"$idx/codes_stack") {
       s.read.parquet(s"$idx/codes")
         .select(col("cell_id"), col("vec_id"), col("codes"))
         .join(t(s, dir, "embeddings")
@@ -587,9 +598,9 @@ object LlmOps {
         .withColumn("shard", pmod(col("vec_id"), lit(4)).cast("int"))
         .repartition(col("shard"), col("cell_id"))
         .sortWithinPartitions(col("cell_id"), col("label"))
-        .write.partitionBy("shard").mode("overwrite").parquet(stackDir)
+        .write.partitionBy("shard").mode("overwrite")
+        .parquet(s"$idx/codes_stack")
     }
-    stackDir
   }
 
   def ensureAnnServeIndex(s: SparkSession, dir: String): String =
@@ -1951,13 +1962,26 @@ object LlmOps {
           .filter(col("vec_id") >= candIds.min &&
             col("vec_id") <= candIds.max &&
             col("vec_id").isin(candIds: _*))
+        // default plan-string truncation (100 chars) cuts a 40-id
+        // In-list out of "PushedFilters: [...]"; the assert below must
+        // see it under ANY session (Verify's minimal builder included)
+        s.conf.set("spark.sql.maxMetadataStringLength", "10000")
         val plan = fetched.queryExecution.executedPlan.toString
+        // the [min,max] bracket typically spans nearly the whole id
+        // space (ANN candidates scatter) — the In-list is what actually
+        // exactifies the rowgroup pruning, so it must be REQUIRED in
+        // PushedFilters too, not just the range (r14 advice). Catalyst
+        // rewrites a 1-element isin to EqualTo, hence the split token.
+        val inTok =
+          if (candIds.size == 1) "EqualTo(vec_id" else "In(vec_id"
         val pruned = plan.contains("PushedFilters") &&
           plan.contains("GreaterThanOrEqual(vec_id") &&
-          plan.contains("LessThanOrEqual(vec_id")
+          plan.contains("LessThanOrEqual(vec_id") &&
+          plan.contains(inTok)
         require(pruned,
-          "q96_refine_serve: the candidate id range did not reach the " +
-            "raw_sorted scan — stage 2 degrades to a full raw-vector read")
+          "q96_refine_serve: the candidate id range + In-list did not " +
+            "reach the raw_sorted scan — stage 2 degrades to a full " +
+            "raw-vector read")
         // candidates = the fetched rows' own ids: stage 1 already ran
         // (the collect above); re-using its DataFrame here would run
         // the probe+top-m job a second time inside the semi join
@@ -2062,9 +2086,14 @@ object LlmOps {
               Seq("vec_id"), "full")
             .agg((count(when(col("da").isNull || col("db").isNull ||
               abs(col("da") - col("db")) > 1e-9, 1)) === 0).as(as))
-        val servedSharded = surface(shardedAll)
-        val eq1 = surfacesAgree(servedSharded, surface(refAll),
-          "serve_matches_unsharded")
+        // pre-compact serve surface, MATERIALIZED before the swap: the
+        // compaction below rewrites shard 1 in place, and a lazy plan
+        // over the sharded tree would otherwise execute against the
+        // post-swap listing (stale file-index reads of swept gen dirs,
+        // or — worse — eq2 degenerating to post-vs-post)
+        val servedSharded = surface(shardedAll).localCheckpoint(true)
+        val eq1b = surfacesAgree(servedSharded, surface(refAll), "ok")
+          .collect()(0).getBoolean(0)
         val planStr = ProductQuantizer.ivfPqTopK(query, "embedding", 8,
             coarseF, booksF, shardedAll, "vec_id", nProbe = 4, k = 10)
           .queryExecution.executedPlan.toString
@@ -2073,20 +2102,26 @@ object LlmOps {
           "q97_sharded_index: the sharded top-k did not plan as " +
             "TakeOrderedAndProject — the scatter-gather merge degraded " +
             "to a global sort")
-        // compact ONLY shard 1 (its two generations → one clustered
-        // epoch outside the tree), other shards again byte-untouched
+        // compact ONLY shard 1: its two generations fold into a NEW gen
+        // dir INSIDE the shard's own subtree, then the superseded gens
+        // are swept — the swap a real shard compaction performs. The
+        // epoch lands in-tree precisely so compact_isolated is
+        // FALSIFIABLE (r14 advice: the previous out-of-tree location
+        // made the other-shard snapshot unchanged by construction)
         codesAt(Seq(s"$idx/sharded/shard=1/gen=0",
             s"$idx/sharded/shard=1/gen=1"))
           .repartition(col("cell_id"))
           .sortWithinPartitions(col("cell_id"))
-          .write.mode("overwrite").parquet(s"$idx/shard1_compact")
+          .write.mode("overwrite").parquet(s"$idx/sharded/shard=1/gen=2")
+        for (g <- 0 to 1)
+          wipeDirRec(new java.io.File(s"$idx/sharded/shard=1/gen=$g"))
         val compactIsolated = listing(Seq(0, 2, 3)) == before
-        val afterCompact = codesAt(Seq(s"$idx/sharded/shard=0",
-          s"$idx/sharded/shard=2", s"$idx/sharded/shard=3",
-          s"$idx/shard1_compact"))
+        // fresh post-swap read (fresh file index over the swapped tree)
+        val afterCompact = s.read.parquet(s"$idx/sharded")
+          .select(col("cell_id"), col("vec_id"), col("codes"))
         val eq2 = surfacesAgree(surface(afterCompact), servedSharded,
           "compact_serve_identical")
-        val cover = shardedAll.agg(
+        val cover = afterCompact.agg(
           count(lit(1)).as("n_sharded"),
           (count(lit(1)) === countDistinct(col("vec_id"))).as("ids_unique"))
         corpus.agg(
@@ -2095,9 +2130,9 @@ object LlmOps {
               pmod(col("vec_id"), lit(nShards)) === 1, 1))
               .as("n_shard1_batch"))
           .crossJoin(cover)
-          .crossJoin(eq1)
           .crossJoin(eq2)
           .crossJoin(s.range(1).select(
+            lit(eq1b).as("serve_matches_unsharded"),
             lit(scatter).as("scatter_gather_plan"),
             lit(appendIsolated).as("append_isolated"),
             lit(compactIsolated).as("compact_isolated")))
@@ -2220,13 +2255,22 @@ object LlmOps {
           .filter(col("vec_id") >= candIds.min &&
             col("vec_id") <= candIds.max &&
             col("vec_id").isin(candIds: _*))
+        // see q96_refine_serve: untruncated plan metadata so the
+        // In-list is visible to the require under any session config
+        s.conf.set("spark.sql.maxMetadataStringLength", "10000")
         val rplan = fetched.queryExecution.executedPlan.toString
+        // as in q96_refine_serve: the In-list is the real pruner — the
+        // range bracket alone usually spans nearly the whole table
+        val rInTok =
+          if (candIds.size == 1) "EqualTo(vec_id" else "In(vec_id"
         val fetchPruned = rplan.contains("PushedFilters") &&
           rplan.contains("GreaterThanOrEqual(vec_id") &&
-          rplan.contains("LessThanOrEqual(vec_id")
+          rplan.contains("LessThanOrEqual(vec_id") &&
+          rplan.contains(rInTok)
         require(fetchPruned,
-          "q99_stack_serve: the candidate id range did not reach the " +
-            "raw_sorted scan — the refine fetch degraded to a full read")
+          "q99_stack_serve: the candidate id range + In-list did not " +
+            "reach the raw_sorted scan — the refine fetch degraded to " +
+            "a full read")
         val refined = ProductQuantizer.exactRerank(
           fetched.select(col("vec_id")), fetched,
           "vec_id", "embedding", query, "embedding", 10)

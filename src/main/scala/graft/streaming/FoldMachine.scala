@@ -100,9 +100,16 @@ final class FoldMachine(
     // 300 s daemon hang the cap exists to prevent
     val gateGen = rec.getAs[Long]("gate_gen")
     if (gated && gateGen > 0) {
-      val gate = new java.io.File(s"$idx/log/gen=$gateGen/_SUCCESS")
+      // Hadoop FileSystem, not java.io.File (r14 consistency pass):
+      // the gate probes the same durable tree Handoff's done markers
+      // live on, so the cross-cluster shape runs this exact code;
+      // local paths resolve to the local FS and behave identically
+      val gate = new org.apache.hadoop.fs.Path(
+        s"$idx/log/gen=$gateGen/_SUCCESS")
+      val gateFs =
+        gate.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
-      while (!gate.exists()) {
+      while (!gateFs.exists(gate)) {
         if (System.nanoTime() > deadline)
           throw new IllegalStateException(
             s"$label fold gate timed out waiting for gen $gateGen")
