@@ -104,6 +104,19 @@ object Bench {
               s"per-query): ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
 
+    // chunk-vector + pooled layouts (documents-derived, independent of
+    // the q68 index) so q98_maxsim_serve times only the serve path —
+    // same swallow-and-surface-per-query discipline as above
+    if (set.exists(_.name == "q98_maxsim_serve"))
+      try graft.queries.Semantic.ensureMaxSimServeLayout(spark, sfDir)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[bench] untimed MaxSim layout pre-build failed (will " +
+              s"surface per-query): ${e.getClass.getSimpleName}: " +
+              s"${e.getMessage}")
+      }
+
     def once(q: graft.queries.QueryDef): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {

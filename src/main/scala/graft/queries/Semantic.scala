@@ -93,6 +93,196 @@ object Semantic {
       .withColumn(rank, row_number().over(Window.orderBy(order: _*)))
   }
 
+  /** Stage-0 featurization shared by q98_maxsim_rerank (from-raw) and
+    * the q98_maxsim_serve layout build (persisted once): token-position
+    * chunks of 32, signed md5 feature hashing into 16 buckets, integer
+    * ±1 sums — (doc_id, chunk, bucket, v). Integer-exact and
+    * md5-deterministic, which is what keeps BOTH the from-raw pipeline
+    * and the persisted layouts VALUE-exact against the DuckDB oracle
+    * (and each other: one implementation, no drift).
+    */
+  private[graft] def chunkVectors(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "w")))
+      .select(
+        col("doc_id"),
+        floor(col("pos") / lit(32)).cast("long").as("chunk"),
+        conv(substring(md5(col("w")), 1, 1), 16, 10).cast("long")
+          .as("bucket"),
+        when(conv(substring(md5(col("w")), 2, 1), 16, 10).cast("int") < 8,
+          lit(1L)).otherwise(lit(-1L)).as("sgn"))
+      .groupBy(col("doc_id"), col("chunk"), col("bucket"))
+      .agg(sum(col("sgn")).as("v"))
+
+  /** The MaxSim scoring tail shared by q98_maxsim_rerank and
+    * q98_maxsim_serve: Σ_qchunk max_dchunk ⟨v, qv⟩ over candidate chunk
+    * vectors `dcv` (doc_id, chunk, bucket, v) against query chunk
+    * vectors `qcv` (qchunk, bucket, qv), with missing (qchunk, dchunk)
+    * bucket overlaps scored as true dot-0 pairs via the materialized
+    * pair frame — dropping that frame silently inflates negative-only
+    * scores, the classic relational MaxSim bug, pinned in MaxSimSpec
+    * by an independent in-process replica. Returns the top-k
+    * (doc_id, maxsim), integer-exact.
+    */
+  private[queries] def maxSimTopK(
+      dcv: DataFrame, qcv: DataFrame, qchunks: DataFrame, k: Int): DataFrame = {
+    val dots0 = dcv.join(broadcast(qcv), "bucket")
+      .groupBy(col("doc_id"), col("chunk"), col("qchunk"))
+      .agg(sum(col("v") * col("qv")).as("dot"))
+    val pairs = dcv.select(col("doc_id"), col("chunk")).distinct()
+      .crossJoin(broadcast(qchunks))
+    pairs
+      .join(dots0, Seq("doc_id", "chunk", "qchunk"), "left")
+      .select(col("doc_id"), col("qchunk"),
+        coalesce(col("dot"), lit(0L)).as("dot"))
+      .groupBy(col("doc_id"), col("qchunk"))
+      .agg(max(col("dot")).as("mx"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("mx")).as("maxsim"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("maxsim").cast("long").as("maxsim"))
+      .orderBy(col("maxsim").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  private val maxSimLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The q98_maxsim_serve layouts, derived ONCE per (process, dir) from
+    * the documents table — the batch featurization job a
+    * late-interaction store runs at INGEST, so queries never touch raw
+    * text (the r14 `weak`: q98's stage 1 re-derived corpus-scale chunk
+    * vectors from text per query, measured data-linear at 3.74×/10×):
+    *
+    *   - `chunks`: (doc_id, chunk, bucket, v) id-range-partitioned and
+    *     id-sorted, so the stage-2 candidate fetch (an In-list of ≤ m
+    *     doc ids) and the query's own featurization read are
+    *     rowgroup-pruned scans — the q96 raw_sorted pattern;
+    *   - `pooled`: (cell, doc_id, bucket, pv) — per-doc pooled bucket
+    *     sums carrying a coarse CELL key, cell-clustered so the stage-1
+    *     probe is a pruned scan of nProbe cells, not a corpus scan.
+    *
+    * The cell key is the DETERMINISTIC sign pattern of pooled buckets
+    * 0–3 (the q44_semdedup key: SQL-replicable, so the serve query
+    * keeps a VALUE-exact DuckDB oracle; at scale the key swaps for a
+    * trained IVF cell id exactly as q60 swaps q44's — same serve
+    * stages, untouched). A bucket with no mass counts as sign+ (pv=0).
+    */
+  def ensureMaxSimServeLayout(s: SparkSession, dir: String): String =
+    maxSimLayoutCache.computeIfAbsent(dir, _ => {
+      val ms = graft.RunPaths.scratch(
+        "graft_q98srv_" + graft.RunPaths.keyFor(dir))
+      if (!new java.io.File(s"$ms/pooled/_SUCCESS").exists()) {
+        chunkVectors(t(s, dir, "documents"))
+          .repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions(col("doc_id"), col("chunk"))
+          .write.mode("overwrite").parquet(s"$ms/chunks")
+        // pooled derives from the STORED chunks (read-back, the q68
+        // persist-first discipline), so the two layouts are provably
+        // views of one artifact
+        val pool = s.read.parquet(s"$ms/chunks")
+          .groupBy(col("doc_id"), col("bucket"))
+          .agg(sum(col("v")).as("pv"))
+        val cells = pool.groupBy(col("doc_id"))
+          .agg((lit(15) - coalesce(sum(when(
+              col("bucket") < 4 && col("pv") < 0,
+              expr("shiftleft(1, cast(bucket as int))"))
+            .otherwise(lit(0))), lit(0))).cast("int").as("cell"))
+        pool.join(cells, "doc_id")
+          .repartition(col("cell"))
+          .sortWithinPartitions(col("cell"), col("doc_id"))
+          .write.mode("overwrite").parquet(s"$ms/pooled")
+      }
+      ms
+    })
+
+  /** The q98_maxsim_serve pipeline against the persisted layouts,
+    * parameterized on nProbe so the equivalence theorem — probing ALL
+    * 16 cells reproduces the from-raw q98_maxsim_rerank ranking
+    * id-for-id (MaxSimServeSpec) — is checkable while the registered
+    * and benched query runs the probe-bounded production shape.
+    *
+    * Serve shape: ≤16-row query-pool read (rowgroup-pruned by doc_id),
+    * driver-side probe ranking over the 16 sign cells (Hamming to the
+    * query's cell — the IVF probe argmin, closed-form here), a PRUNED
+    * scan of the probed pooled cells for stage-1 top-50 (plan-required
+    * In(cell) pushdown), an In-list rowgroup-pruned fetch of the ≤50
+    * candidates' chunk rows (plan-required, the q96 pattern), and the
+    * integer-exact MaxSim tail over those rows. No step reads text;
+    * no step scans unprobed cells.
+    */
+  def maxSimServe(s: SparkSession, dir: String, nProbe: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val ms = ensureMaxSimServeLayout(s, dir)
+    // untruncated plan metadata so the In-list pushdown requires below
+    // can see their filters under any session config
+    s.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    val pooled = s.read.parquet(s"$ms/pooled")
+    val chunks = s.read.parquet(s"$ms/chunks")
+    val qid = pooled.agg(min(col("doc_id"))).collect()(0).getLong(0)
+    // the query's pooled vector: ≤16 rows, the per-query "model"
+    // (driver-scale by construction, like any ADC LUT)
+    val qRows = chunks.filter(col("doc_id") === qid)
+      .groupBy(col("bucket")).agg(sum(col("v")).as("qpv"))
+      .collect()
+    require(qRows.nonEmpty && qRows.length <= 16,
+      s"q98_maxsim_serve: query doc $qid pooled to ${qRows.length} " +
+        "buckets — outside (0, 16]; the chunks layout is corrupt")
+    val qpv = qRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qcell = (0 until 4)
+      .map(i => if (qpv.getOrElse(i.toLong, 0L) >= 0L) 1 << i else 0).sum
+    // probe ranking over the 16 sign cells: Hamming distance to the
+    // query's cell, ties on the cell id — closed-form and driver-side
+    // because the cell universe is a constant, exactly as an IVF probe
+    // ranks a broadcast centroid table
+    val probed = (0 until 16)
+      .sortBy(c => (Integer.bitCount(c ^ qcell), c)).take(nProbe)
+    val probedPool = pooled.filter(col("cell")
+      .isin(probed.map(c => c: java.lang.Integer): _*))
+    val pplan = probedPool.queryExecution.executedPlan.toString
+    val cellTok = if (nProbe == 1) "EqualTo(cell" else "In(cell"
+    require(pplan.contains("PushedFilters") && pplan.contains(cellTok),
+      "q98_maxsim_serve: the probe cell list did not reach the pooled " +
+        "scan — stage 1 degrades to a corpus-scale pooled read")
+    val qpool = qRows.map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.toDF("bucket", "qpv")
+    val cand = probedPool.filter(col("doc_id") =!= qid)
+      .join(broadcast(qpool), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("pv") * col("qpv")).as("s1"))
+      .orderBy(col("s1").desc, col("doc_id").asc)
+      .limit(50)
+    val candIds = cand.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSeq
+    require(candIds.nonEmpty && candIds.size <= 50,
+      s"q98_maxsim_serve: stage 1 returned ${candIds.size} candidates " +
+        "— outside (0, 50]")
+    val fetched = chunks
+      .filter(col("doc_id") >= candIds.min &&
+        col("doc_id") <= candIds.max &&
+        col("doc_id").isin(candIds: _*))
+    val fplan = fetched.queryExecution.executedPlan.toString
+    val inTok =
+      if (candIds.size == 1) "EqualTo(doc_id" else "In(doc_id"
+    require(fplan.contains("PushedFilters") &&
+      fplan.contains("GreaterThanOrEqual(doc_id") &&
+      fplan.contains("LessThanOrEqual(doc_id") &&
+      fplan.contains(inTok),
+      "q98_maxsim_serve: the candidate doc-id In-list did not reach " +
+        "the chunks scan — stage 2 degrades to a corpus-scale read")
+    val qcv = chunks.filter(col("doc_id") === qid)
+      .select(col("chunk").as("qchunk"), col("bucket"), col("v").as("qv"))
+    val nq = qcv.select(col("qchunk")).distinct().count()
+    require(nq >= 1 && nq <= 4096,
+      s"q98_maxsim_serve: query doc $qid has $nq chunks — outside " +
+        "(0, 4096]")
+    val qchunks = qcv.select(col("qchunk")).distinct().limit(4096)
+    maxSimTopK(
+      fetched.select(col("doc_id"), col("chunk"), col("bucket"), col("v")),
+      qcv, qchunks, k)
+  }
+
   /** Reciprocal-rank fusion of two rank lists `(id, r_lex)` / `(id,
     * r_den)`: full-outer join so an id ranked by only one modality
     * still scores, rrf = Σ 1/(k + rank). Exposed for unit testing.
@@ -487,17 +677,7 @@ object Semantic {
       "q98_maxsim_rerank",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val tok = docs.select(col("doc_id"),
-          posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "w")))
-        val feat = tok.select(
-          col("doc_id"),
-          floor(col("pos") / lit(32)).cast("long").as("chunk"),
-          conv(substring(md5(col("w")), 1, 1), 16, 10).cast("long")
-            .as("bucket"),
-          when(conv(substring(md5(col("w")), 2, 1), 16, 10).cast("int") < 8,
-            lit(1L)).otherwise(lit(-1L)).as("sgn"))
-        val cv = feat.groupBy(col("doc_id"), col("chunk"), col("bucket"))
-          .agg(sum(col("sgn")).as("v"))
+        val cv = chunkVectors(docs)
         val qid = docs.agg(min(col("doc_id"))).collect()(0).getLong(0)
         val pool = cv.groupBy(col("doc_id"), col("bucket"))
           .agg(sum(col("v")).as("pv"))
@@ -522,23 +702,7 @@ object Semantic {
             "pick a different query or raise the stamp deliberately")
         val qchunks = qcv.select(col("qchunk")).distinct().limit(4096)
         val dcv = cv.join(broadcast(cand), "doc_id")
-        val dots0 = dcv.join(broadcast(qcv), "bucket")
-          .groupBy(col("doc_id"), col("chunk"), col("qchunk"))
-          .agg(sum(col("v") * col("qv")).as("dot"))
-        val pairs = dcv.select(col("doc_id"), col("chunk")).distinct()
-          .crossJoin(broadcast(qchunks))
-        pairs
-          .join(dots0, Seq("doc_id", "chunk", "qchunk"), "left")
-          .select(col("doc_id"), col("qchunk"),
-            coalesce(col("dot"), lit(0L)).as("dot"))
-          .groupBy(col("doc_id"), col("qchunk"))
-          .agg(max(col("dot")).as("mx"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("mx")).as("maxsim"))
-          .select(col("doc_id").cast("long").as("doc_id"),
-            col("maxsim").cast("long").as("maxsim"))
-          .orderBy(col("maxsim").desc, col("doc_id").asc)
-          .limit(10)
+        maxSimTopK(dcv, qcv, qchunks, 10)
       },
       Some("""WITH d AS (
              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -566,6 +730,110 @@ object Semantic {
              |cand AS (
              |  SELECT p.doc_id
              |  FROM pool p JOIN qpool q USING (bucket) CROSS JOIN qid
+             |  WHERE p.doc_id <> qid.qid
+             |  GROUP BY p.doc_id
+             |  ORDER BY CAST(sum(p.pv * q.qpv) AS BIGINT) DESC, p.doc_id
+             |  LIMIT 50),
+             |qcv AS (
+             |  SELECT chunk AS qchunk, bucket, v AS qv
+             |  FROM cv CROSS JOIN qid WHERE doc_id = qid.qid),
+             |dcv AS (SELECT cv.* FROM cv JOIN cand USING (doc_id)),
+             |dchunks AS (SELECT DISTINCT doc_id, chunk FROM dcv),
+             |qchunks AS (SELECT DISTINCT qchunk FROM qcv),
+             |pairs AS (
+             |  SELECT doc_id, chunk, qchunk
+             |  FROM dchunks CROSS JOIN qchunks),
+             |dots0 AS (
+             |  SELECT dcv.doc_id, dcv.chunk, q.qchunk,
+             |         CAST(sum(dcv.v * q.qv) AS BIGINT) AS dot
+             |  FROM dcv JOIN qcv q USING (bucket)
+             |  GROUP BY 1, 2, 3),
+             |dots AS (
+             |  SELECT p.doc_id, p.qchunk, coalesce(d.dot, 0) AS dot
+             |  FROM pairs p LEFT JOIN dots0 d
+             |    ON d.doc_id = p.doc_id AND d.chunk = p.chunk
+             |   AND d.qchunk = p.qchunk),
+             |mx AS (
+             |  SELECT doc_id, qchunk, max(dot) AS m
+             |  FROM dots GROUP BY 1, 2)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |       CAST(sum(m) AS BIGINT) AS maxsim
+             |FROM mx GROUP BY doc_id
+             |ORDER BY maxsim DESC, doc_id LIMIT 10""".stripMargin),
+      bench = true),
+
+    // MAXSIM SERVE (round 15 — the r14 verdict's lead item): the same
+    // late-interaction rerank answered from PERSISTED layouts instead
+    // of a per-query corpus featurization. q98_maxsim_rerank re-derives
+    // corpus-scale chunk vectors from raw text on every query — the
+    // priced batch-rerank pipeline, measured data-linear (3.74× at
+    // 10×); this entry is the serve path: chunk vectors and pooled
+    // vectors are written ONCE at ingest (ensureMaxSimServeLayout,
+    // Bench prewarms untimed), and the timed body is
+    //   - a rowgroup-pruned ≤16-row read of the query's pooled vector,
+    //   - a pruned scan of nProbe=4 of 16 sign cells for stage-1
+    //     top-50 (In(cell) plan-required — the q95 pushdown discipline
+    //     applied to the probe),
+    //   - an In-list rowgroup-pruned fetch of the ≤50 candidates'
+    //     chunk rows (plan-required, the q96 fetch discipline),
+    //   - the integer-exact MaxSim tail over those rows.
+    // No step touches text; no step scans unprobed cells. The cell key
+    // is the deterministic pooled-sign pattern (SQL-replicable), so
+    // unlike the k-means serve family this entry keeps a VALUE-exact
+    // oracle: DuckDB recomputes the identical probe ranking, stage-1
+    // integer sums, and MaxSim tail, and the driver hash-compares the
+    // top-10. The equivalence vs the from-raw pipeline is a THEOREM at
+    // full probe width (probing all 16 cells reproduces
+    // q98_maxsim_rerank id-for-id — pinned in MaxSimServeSpec); the
+    // benched nProbe=4 approximation is replicated exactly by the
+    // oracle rather than asserted away.
+    QueryDef(
+      "q98_maxsim_serve",
+      (s, dir) => maxSimServe(s, dir, nProbe = 4, k = 10),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |tok AS (
+             |  SELECT doc_id, unnest(w) AS tk,
+             |         unnest(range(len(w))) AS pos
+             |  FROM d),
+             |feat AS (
+             |  SELECT doc_id, CAST(floor(pos / 32.0) AS BIGINT) AS chunk,
+             |    strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1
+             |      AS bucket,
+             |    CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 2, 1))
+             |      - 1 < 8 THEN 1 ELSE -1 END AS sgn
+             |  FROM tok),
+             |cv AS (
+             |  SELECT doc_id, chunk, bucket, CAST(sum(sgn) AS BIGINT) AS v
+             |  FROM feat GROUP BY 1, 2, 3),
+             |qid AS (SELECT min(doc_id) AS qid FROM documents),
+             |pool AS (
+             |  SELECT doc_id, bucket, CAST(sum(v) AS BIGINT) AS pv
+             |  FROM cv GROUP BY 1, 2),
+             |cells AS (
+             |  SELECT doc_id,
+             |    15 - CAST(coalesce(sum(CASE WHEN bucket < 4 AND pv < 0
+             |      THEN (1 << bucket) ELSE 0 END), 0) AS INT) AS cell
+             |  FROM pool GROUP BY doc_id),
+             |qcell AS (
+             |  SELECT ce.cell AS qc FROM cells ce CROSS JOIN qid
+             |  WHERE ce.doc_id = qid.qid),
+             |probed AS (
+             |  SELECT CAST(u.c AS INT) AS cell
+             |  FROM (SELECT unnest(range(16)) AS c) u CROSS JOIN qcell
+             |  ORDER BY bit_count(xor(CAST(u.c AS BIGINT),
+             |                         CAST(qc AS BIGINT))), u.c
+             |  LIMIT 4),
+             |qpool AS (
+             |  SELECT bucket, pv AS qpv FROM pool CROSS JOIN qid
+             |  WHERE doc_id = qid),
+             |cand AS (
+             |  SELECT p.doc_id
+             |  FROM pool p
+             |  JOIN cells ce USING (doc_id)
+             |  JOIN probed pr ON ce.cell = pr.cell
+             |  JOIN qpool q USING (bucket)
+             |  CROSS JOIN qid
              |  WHERE p.doc_id <> qid.qid
              |  GROUP BY p.doc_id
              |  ORDER BY CAST(sum(p.pv * q.qpv) AS BIGINT) DESC, p.doc_id
