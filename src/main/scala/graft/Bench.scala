@@ -71,7 +71,8 @@ object Bench {
     if (set.exists(q => q.name == "q68_ann_serve" || q.name == "q68_ann_append" ||
         q.name == "q84_quiet_trigger" || q.name == "q89_adopt_trigger" ||
         q.name == "q95_filtered_serve" || q.name == "q96_refine_serve" ||
-        q.name == "q97_sharded_serve" || q.name == "q99_stack_serve"))
+        q.name == "q97_sharded_serve" || q.name == "q99_stack_serve" ||
+        q.name == "q100_batch_serve"))
       try {
         graft.queries.LlmOps.ensureAnnServeIndex(spark, sfDir)
         // adoption-template fixture (on top of the shared index) so

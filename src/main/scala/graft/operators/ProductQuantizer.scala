@@ -10,8 +10,10 @@ import graft.functions.{LutSumF, VectorFns}
   * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011): split
   * each d-dim vector into `m` subvectors, k-means each subspace
   * independently, and store a vector as `m` small centroid ids. The
-  * codes table is ~32× smaller than the float vectors (8 bytes vs 256
-  * for d=64), which is what makes 100 TB of embeddings scannable:
+  * codes table is ~8× smaller than the float vectors at the house
+  * geometry (HouseM byte-range ids vs 256 B of floats for d=64; the
+  * ratio is the recall/size knob — see [[HouseM]]), which is what
+  * makes 100 TB of embeddings scannable:
   * queries score CODES, not vectors, via an asymmetric-distance lookup
   * table (ADC) built from the query alone.
   *
@@ -39,6 +41,27 @@ import graft.functions.{LutSumF, VectorFns}
   * invariants, not coordinates.
   */
 object ProductQuantizer {
+
+  /** House IVF-PQ geometry for the shared graft index family — every
+    * index the q68/q95–q100 serve stack, the streaming lifecycle, and
+    * the audits build. MEASURED, not assumed (tools/pq_tune_r15.json:
+    * sf0.1, 25 queries, exhaustive-ADC recall@10 — the quantizer's own
+    * ceiling with probing removed): the r14 geometry m=8/every=40
+    * scored 0.252; m=16 at the same codebook budget 0.412; doubling
+    * the codebook (every=20 → ksub up to 250, still byte-codable)
+    * lifted that to 0.504; m=32 on the doubled codebook 0.744 — 3.0×
+    * the r14 ceiling. The stated cost is code width: 32 byte-range
+    * ids per vector instead of 8, still 8× smaller than the 256 B raw
+    * floats — and the index build time is measured FLAT at test SF
+    * (the encode's broadcast-join fan-out is not the bottleneck
+    * there). Also measured and REJECTED: a third Lloyd iteration
+    * (flat) and an OPQ-style deterministic Hadamard rotation (neutral
+    * at every m — the synthetic corpus has no coordinate correlation
+    * for a rotation to spread; tools/PqTune keeps the rotation path
+    * for corpora that do).
+    */
+  val HouseM = 32
+  val HouseEvery = 20
 
   /** Explode vectors into (id, sub_id, sv: array<double>) subvectors.
     * Subvector length is size(vec)/m; a ragged trailing remainder (d not
@@ -302,10 +325,90 @@ object ProductQuantizer {
       .select(col(idCol), col("cell_id"), col("adc_dist"))
   }
 
+  /** BATCH IVF-PQ serving (q100_batch_serve): a whole query TABLE
+    * answered in ONE declarative plan instead of Q driver round-trips.
+    * Stages, all inside a single job graph:
+    *
+    *   1. probe selection per query: queries × broadcast centroids
+    *     (Q·K rows), per-query rank window → nProbe cells each. The
+    *     only per-query state is Q·nProbe (query-residual) rows.
+    *   2. per-(query, cell) LUTs: the same subvector/codebook
+    *     arithmetic as [[ivfPqLutRows]], keyed by (query, cell) — the
+    *     LUT table is Q·nProbe rows of m·ksub doubles and rides a
+    *     broadcast (≈1 MB per 64 queries at house settings; past
+    *     broadcast range the identical plan runs as a shuffle join on
+    *     cell_id, still one job).
+    *   3. scoring: codes ⋈ LUTs on cell_id — the codes scan never
+    *     shuffles; each code row fans out only to the queries that
+    *     probed its cell (the ADC work itself, Σ_q occupancy(probed)).
+    *   4. per-query top-k via [[graft.functions.TopKNearest]] — a
+    *     bounded-buffer partial aggregate whose map side reduces each
+    *     partition to ≤ k rows per query BEFORE the exchange; the
+    *     batch counterpart of the single-query TakeOrderedAndProject.
+    *
+    * Rankings use the same (adc_dist, id) total order as [[ivfPqTopK]]
+    * and the same arithmetic path (argmin probes, zip_with residuals,
+    * sorted-by-code LUT arrays, LutSumF fold), so for any qid the
+    * batch answer equals the single-query answer — BatchServeSpec pins
+    * this per query. Returns (qidCol, rank, idCol, adc_dist).
+    */
+  def ivfPqTopKBatch(
+      queries: DataFrame,
+      qidCol: String,
+      vecCol: String,
+      m: Int,
+      coarse: DataFrame,
+      books: DataFrame,
+      codes: DataFrame,
+      idCol: String,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    val qs = queries.select(col(qidCol).as("__qid"), col(vecCol).as("qv"))
+    val l2 = VectorFns.normSq(col("cv")) -
+      lit(2.0) * VectorFns.dot(col("cv"), col("qv")) +
+      VectorFns.normSq(col("qv"))
+    // per-query probe ranking: the window partitions by query id, so
+    // no single-partition exchange — Q·K rows total, model-scale × Q
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("qd").asc, col("cell_id").asc)
+    val probes = qs.crossJoin(broadcast(coarse))
+      .withColumn("qd", l2)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nProbe)
+      .select(col("__qid"), col("cell_id"),
+        zip_with(col("qv"), col("cv"), (x, c) => x.cast("double") - c)
+          .as("qr"))
+      .withColumn("__pk", struct(col("__qid"), col("cell_id")))
+    val qsv = subvectors(probes, "__pk", "qr", m)
+      .select(col("__pk"), col("sub_id"), col("sv").as("qsv"))
+    val luts = books.join(qsv, "sub_id")
+      .select(col("__pk"), col("code"),
+        (VectorFns.normSq(col("qsv")) -
+          lit(2.0) * VectorFns.dot(col("qsv"), col("cv")) +
+          VectorFns.normSq(col("cv"))).as("d"))
+      .groupBy(col("__pk"))
+      .agg(transform(array_sort(collect_list(struct(col("code"), col("d")))),
+        s => s.getField("d")).as("lut"))
+      .select(col("__pk.__qid").as("__qid"),
+        col("__pk.cell_id").as("cell_id"), col("lut"))
+    val scored = codes.join(broadcast(luts), "cell_id")
+      .select(col("__qid"), col(idCol),
+        LutSumF(col("codes"), col("lut")).as("adc_dist"))
+    val topk = udaf(new graft.functions.TopKNearest(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.DistId]())
+    scored.groupBy(col("__qid"))
+      .agg(topk(col("adc_dist"), col(idCol)).as("top"))
+      .select(col("__qid").as(qidCol),
+        posexplode(col("top")).as(Seq("__pos", "__t")))
+      .select(col(qidCol), (col("__pos") + 1).cast("int").as("rank"),
+        col("__t.id").as(idCol), col("__t.dist").as("adc_dist"))
+  }
+
   /** Exact re-rank (the FAISS-style "refine" stage): re-score an ADC
     * candidate set against the RAW vectors and return the exact top-k.
     * Two-stage retrieval is how a 100 TB store buys back the recall the
-    * quantizer gave away: stage 1 scans CODES (32× smaller) for a
+    * quantizer gave away: stage 1 scans CODES (~8× smaller) for a
     * candidate set of m ≈ 4k ids, stage 2 fetches only those m raw
     * vectors and ranks them by true squared L2.
     *

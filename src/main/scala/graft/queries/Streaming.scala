@@ -634,6 +634,44 @@ object Streaming {
              |  CAST(10 AS BIGINT) AS n_results
              |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
 
+    // THE LIFECYCLE, SHARDED (r15, verdict #5): the q90 fold machine
+    // run over the q97 sharded layout — per-shard FoldMachines,
+    // per-shard switch logs, independently-running per-shard gap
+    // folds, ONE global model generation (per-shard retrains would
+    // put incomparable codebooks behind one scatter-gather top-k).
+    // The new protocol decision pinned here is CROSS-SHARD ADOPTION
+    // ORDERING: per-shard adoptions are deliberately unsynchronized
+    // (S fold workers, 1/S blast radius), so the global serving
+    // pointer is a barrier-on-read — the newest retrain adopted by
+    // ALL shards' switch logs, base while any shard lags. The mixed
+    // window is CONSTRUCTED (shard 0's belt adopts while shard 1
+    // holds) and the rule's old-pointer answer contract-asserted,
+    // with shard 1's subtree proven byte-untouched by shard 0's
+    // fold+adopt; ptr_reads_bounded now holds PER SHARD; the final
+    // union serving must equal a one-shot re-encode under the global
+    // retrained model, row-identical. Slicing invariance is pinned in
+    // ShardedLifecycleSpec (same harness at the coarser slicing).
+    QueryDef(
+      "q97_sharded_lifecycle",
+      (s, dir) => graft.streaming.StreamOps.shardedLifecycle(s, dir),
+      Some("""SELECT CAST(5 AS BIGINT) AS n_triggers,
+             |  true AS drift_fires_once,
+             |  true AS clean_quiet,
+             |  true AS ptr_reads_bounded_per_shard,
+             |  true AS shard0_adopted_first,
+             |  true AS shard1_isolated_during_belt,
+             |  true AS mixed_window_serves_old,
+             |  true AS all_shards_adopted,
+             |  true AS adopted_once_each,
+             |  true AS scatter_gather_plan,
+             |  CAST(count(*) +
+             |    2 * count(CASE WHEN vec_id % 10 = 8 THEN 1 END) AS BIGINT)
+             |    AS n_index,
+             |  true AS ids_unique,
+             |  true AS same_as_oneshot,
+             |  CAST(10 AS BIGINT) AS n_results
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
+
     // FROZEN CONTRAST FIXTURE (r13 task 8): q86's inline switch path
     // (gap re-encoded synchronously by the switching trigger) is
     // superseded by q90's FoldMachine — kept only so the latency

@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.ProductQuantizer.HouseM
+
 /** THE canonical serving-path state machine for the streaming index
   * family: gap folding and pointer adoption taken off the trigger
   * (q90_stream_retrain_fold is its registered end-to-end exercise;
@@ -124,7 +126,7 @@ final class FoldMachine(
         if (foldSleepMsPerGen > 0) Thread.sleep(foldSleepMsPerGen)
         graft.operators.ProductQuantizer.ivfPqEncodeWith(
             spark.read.parquet(s"$idx/arrived/gen=$gg"),
-            "vec_id", "embedding", 8, coarseR, booksR)
+            "vec_id", "embedding", HouseM, coarseR, booksR)
           .write.mode("overwrite").parquet(s"$rdir/fold/gen=$gg")
       }
     ()

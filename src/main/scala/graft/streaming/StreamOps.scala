@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.ProductQuantizer.HouseM
+
 /** Structured Streaming over the bounded `events` table: the stream is
   * driven to completion with processAllAvailable() against a memory sink,
   * so results are batch-equivalent and can face the same DuckDB oracle as
@@ -693,7 +695,7 @@ object StreamOps {
         // gen 0 is the base build; micro-batch id b lands as gen b+1.
         // overwrite per generation keeps re-runs idempotent.
         ProductQuantizer.ivfPqEncodeWith(
-            batch, "vec_id", "embedding", 8, coarseF, booksF)
+            batch, "vec_id", "embedding", HouseM, coarseF, booksF)
           .write.mode("overwrite").parquet(s"$idx/codes/gen=${id + 1}")
         ()
       }
@@ -701,7 +703,7 @@ object StreamOps {
     try q.processAllAvailable() finally q.stop()
     val stored = spark.read.parquet(s"$idx/codes")
     def serve(codes: DataFrame): DataFrame = ProductQuantizer.ivfPqTopK(
-      query, "embedding", 8, coarseF, booksF,
+      query, "embedding", HouseM, coarseF, booksF,
       codes.select(col("cell_id"), col("vec_id"), col("codes")), "vec_id",
       nProbe = 4, k = 10)
     val top = serve(stored)
@@ -711,7 +713,7 @@ object StreamOps {
       spark.read.parquet(s"$idx/codes/gen=0")
         .select(col("cell_id"), col("vec_id"), col("codes"))
         .unionByName(ProductQuantizer.ivfPqEncodeWith(
-          arriving, "vec_id", "embedding", 8, coarseF, booksF)))
+          arriving, "vec_id", "embedding", HouseM, coarseF, booksF)))
     val same = top.select(col("vec_id"), col("adc_dist").as("d_s"))
       .join(oneShot.select(col("vec_id"), col("adc_dist").as("d_b")),
         Seq("vec_id"), "full")
@@ -771,7 +773,7 @@ object StreamOps {
     val gens = spark.read.parquet(s"$idx/codes")
       .select(col("cell_id"), col("vec_id"), col("codes"))
     def serve(codes: DataFrame): DataFrame = ProductQuantizer.ivfPqTopK(
-      query, "embedding", 8, coarseF, booksF,
+      query, "embedding", HouseM, coarseF, booksF,
       codes.select(col("cell_id"), col("vec_id"), col("codes")), "vec_id",
       nProbe = 4, k = 10)
     // delete set: every id ≡ 3 (mod 7) PLUS the raw top-1 (one
@@ -908,7 +910,7 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val gen = id + 1
         ProductQuantizer.ivfPqEncodeWith(
-            batch, "vec_id", "embedding", 8, coarseF, booksF)
+            batch, "vec_id", "embedding", HouseM, coarseF, booksF)
           .write.mode("overwrite").parquet(s"$idx/codes/gen=$gen")
         val before = servingParts()
         val folded = before.length >= k
@@ -943,10 +945,10 @@ object StreamOps {
     // under the same frozen models — folding must be invisible
     val oneShot = codeCols(ProductQuantizer.ivfPqEncodeWith(
         base.unionByName(spark.read.parquet(splitDir)),
-        "vec_id", "embedding", 8, coarseF, booksF))
+        "vec_id", "embedding", HouseM, coarseF, booksF))
     val same = sameCodeRows(serving, oneShot, "fold_invisible")
     val served = ProductQuantizer.ivfPqTopK(
-      query, "embedding", 8, coarseF, booksF, serving, "vec_id",
+      query, "embedding", HouseM, coarseF, booksF, serving, "vec_id",
       nProbe = 4, k = 10)
     val onDisk = servingParts().length.toLong
     val log = spark.read.parquet(s"$idx/log")
@@ -1127,7 +1129,7 @@ object StreamOps {
           val t0 = System.nanoTime()
           val gen = genOffset + id + 1
           ProductQuantizer.ivfPqEncodeWith(
-              batch, "vec_id", "embedding", 8, coarseF, booksF)
+              batch, "vec_id", "embedding", HouseM, coarseF, booksF)
             .write.mode("overwrite").parquet(s"$idx/codes/gen=$gen")
           val adopted = adoptIfReady()
           val parts = servingParts()
@@ -1177,10 +1179,10 @@ object StreamOps {
       .reduce(_.unionByName(_))
     val oneShot = codeCols(ProductQuantizer.ivfPqEncodeWith(
         base.unionByName(spark.read.parquet(splitDir)),
-        "vec_id", "embedding", 8, coarseF, booksF))
+        "vec_id", "embedding", HouseM, coarseF, booksF))
     val same = sameCodeRows(serving, oneShot, "fold_invisible")
     val served = ProductQuantizer.ivfPqTopK(
-      query, "embedding", 8, coarseF, booksF, serving, "vec_id",
+      query, "embedding", HouseM, coarseF, booksF, serving, "vec_id",
       nProbe = 4, k = 10)
     val finalParts = servingParts().length.toLong
     val log = spark.read.parquet(s"$idx/log")
@@ -1284,7 +1286,7 @@ object StreamOps {
     }
 
     def serve(codes: DataFrame): DataFrame = ProductQuantizer.ivfPqTopK(
-      query, "embedding", 8, coarseF, booksF, codes, "vec_id",
+      query, "embedding", HouseM, coarseF, booksF, codes, "vec_id",
       nProbe = 4, k = 10)
     // q70/q75 injected the raw top-1 id into the delete set so RAW
     // serving provably surfaced a deleted id — that control is
@@ -1309,7 +1311,7 @@ object StreamOps {
           val gen = genOffset + id + 1
           if (op == "add")
             ProductQuantizer.ivfPqEncodeWith(
-                batch, "vec_id", "embedding", 8, coarseF, booksF)
+                batch, "vec_id", "embedding", HouseM, coarseF, booksF)
               .write.mode("overwrite").parquet(s"$idx/codes/gen=$gen")
           else
             batch.select(col("vec_id"))
@@ -1394,7 +1396,7 @@ object StreamOps {
     val redelivered = base.filter(pmod(col("vec_id"), lit(14)) === 3)
     val oneShot = codeCols(ProductQuantizer.ivfPqEncodeWith(
         base.unionByName(arriving).unionByName(redelivered),
-        "vec_id", "embedding", 8, coarseF, booksF))
+        "vec_id", "embedding", HouseM, coarseF, booksF))
       .join(deletes, Seq("vec_id"), "left_anti")
       .distinct() // redelivered survivors would be exact duplicates;
                   // none survive (redelivery ⊆ deletes), belt only
@@ -1537,7 +1539,7 @@ object StreamOps {
         .reduce(_.unionByName(_)).distinct())
     }
     def serve(codes: DataFrame): DataFrame = ProductQuantizer.ivfPqTopK(
-      query, "embedding", 8, coarseF, booksF, codes, "vec_id",
+      query, "embedding", HouseM, coarseF, booksF, codes, "vec_id",
       nProbe = 4, k = 10)
 
     val deletes = base.filter(pmod(col("vec_id"), lit(7)) === 3)
@@ -1553,7 +1555,7 @@ object StreamOps {
           val gen = genOffset + id + 1
           if (op == "add")
             ProductQuantizer.ivfPqEncodeWith(
-                batch, "vec_id", "embedding", 8, coarseF, booksF)
+                batch, "vec_id", "embedding", HouseM, coarseF, booksF)
               .write.mode("overwrite").parquet(s"$idx/codes/gen=$gen")
           else
             batch.select(col("vec_id"), lit(gen).as("del_gen"))
@@ -1663,11 +1665,11 @@ object StreamOps {
     // full delete set) ∪ the re-delivered PURGED half — encoded under
     // the same frozen models
     val expected = codeCols(ProductQuantizer.ivfPqEncodeWith(
-        base.unionByName(arriving), "vec_id", "embedding", 8,
+        base.unionByName(arriving), "vec_id", "embedding", HouseM,
         coarseF, booksF))
       .join(deletes, Seq("vec_id"), "left_anti")
       .unionByName(codeCols(ProductQuantizer.ivfPqEncodeWith(
-        redelivD1, "vec_id", "embedding", 8, coarseF, booksF)))
+        redelivD1, "vec_id", "embedding", HouseM, coarseF, booksF)))
     val same = sameCodeRows(living, expected, "lifecycle_invisible")
     val deadCheck = living.join(redelivD3.select(col("vec_id")),
         Seq("vec_id"), "left_semi")
@@ -1815,7 +1817,7 @@ object StreamOps {
         .reduce(_.unionByName(_)).distinct())
     }
     def serve(codes: DataFrame): DataFrame = ProductQuantizer.ivfPqTopK(
-      query, "embedding", 8, coarseF, booksF, codes, "vec_id",
+      query, "embedding", HouseM, coarseF, booksF, codes, "vec_id",
       nProbe = 4, k = 10)
 
     val deletes = base.filter(pmod(col("vec_id"), lit(7)) === 3)
@@ -1831,7 +1833,7 @@ object StreamOps {
           val gen = genOffset + id + 1
           if (op == "add")
             ProductQuantizer.ivfPqEncodeWith(
-                batch, "vec_id", "embedding", 8, coarseF, booksF)
+                batch, "vec_id", "embedding", HouseM, coarseF, booksF)
               .write.mode("overwrite").parquet(s"$idx/codes/gen=$gen")
           else
             batch.select(col("vec_id"), lit(gen).as("del_gen"))
@@ -1949,11 +1951,11 @@ object StreamOps {
     // expected live set, closed form: (everything delivered minus the
     // full delete set) ∪ the re-delivered PURGED half R
     val expected = codeCols(ProductQuantizer.ivfPqEncodeWith(
-        base.unionByName(arriving), "vec_id", "embedding", 8,
+        base.unionByName(arriving), "vec_id", "embedding", HouseM,
         coarseF, booksF))
       .join(deletes, Seq("vec_id"), "left_anti")
       .unionByName(codeCols(ProductQuantizer.ivfPqEncodeWith(
-        redelivR, "vec_id", "embedding", 8, coarseF, booksF)))
+        redelivR, "vec_id", "embedding", HouseM, coarseF, booksF)))
     val same = sameCodeRows(living, expected, "lifecycle_invisible")
     val deadCheck = living.join(redelivD3.select(col("vec_id")),
         Seq("vec_id"), "left_semi")
@@ -2058,7 +2060,7 @@ object StreamOps {
         .foreachBatch { (batch: DataFrame, id: Long) =>
           val gen = genOffset + id + 1
           ProductQuantizer.ivfPqEncodeWith(
-              batch, "vec_id", "embedding", 8, coarseF, booksF)
+              batch, "vec_id", "embedding", HouseM, coarseF, booksF)
             .write.mode("overwrite").parquet(s"$idx/codes/gen=$gen")
           // the trigger's whole input is stored state: base occupancy
           // from build time, generation occupancy from the codes just
@@ -2301,7 +2303,7 @@ object StreamOps {
         .select(col("cell_id"), col("vec_id"), col("codes")))(_.unionByName(_))
     val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
     val served = ProductQuantizer.ivfPqTopK(
-      query, "embedding", 8,
+      query, "embedding", HouseM,
       LlmOps.modelScaleStamp(spark.read.parquet(s"$modelIdx/coarse"),
         "q84 serving coarse-centroid table"),
       spark.read.parquet(s"$modelIdx/books"),
@@ -2494,7 +2496,7 @@ object StreamOps {
           .foreach { gg =>
             ProductQuantizer.ivfPqEncodeWith(
                 spark.read.parquet(s"$idx/arrived/gen=$gg"),
-                "vec_id", "embedding", 8, coarseR, booksR)
+                "vec_id", "embedding", HouseM, coarseR, booksR)
               .write.mode("overwrite").parquet(s"$rdir/fold/gen=$gg")
           }
         // the durable pointer flip, LAST (persist-first ordering)
@@ -2525,7 +2527,7 @@ object StreamOps {
           val (coarseF, booksF) = frozenModels(ptr)
           ProductQuantizer.ivfPqEncodeWith(
               spark.read.parquet(s"$idx/arrived/gen=$gen"),
-              "vec_id", "embedding", 8, coarseF, booksF)
+              "vec_id", "embedding", HouseM, coarseF, booksF)
             .write.mode("overwrite").parquet(s"$idx/append/gen=$gen")
           // 4. PSI gate from STORED state (1-row statistic)
           val psi = IndexDrift.occupancyPsiFromOccupancies(
@@ -2646,12 +2648,12 @@ object StreamOps {
       .reduceOption(_.unionByName(_))
       .map(raws => codeCols(spark.read.parquet(s"$ptr/codes/gen=0"))
         .unionByName(codeCols(ProductQuantizer.ivfPqEncodeWith(
-          raws, "vec_id", "embedding", 8, coarseP, booksP))))
+          raws, "vec_id", "embedding", HouseM, coarseP, booksP))))
       .getOrElse(codeCols(spark.read.parquet(s"$ptr/codes/gen=0")))
     val same = sameCodeRows(serving, oneShot, "same_as_oneshot_fold")
     val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
     val served = ProductQuantizer.ivfPqTopK(
-      query, "embedding", 8, coarseP, booksP, serving, "vec_id",
+      query, "embedding", HouseM, coarseP, booksP, serving, "vec_id",
       nProbe = 4, k = 10)
 
     val log = spark.read.parquet(s"$idx/log")
@@ -2846,7 +2848,7 @@ object StreamOps {
           val (coarseF, booksF) = frozenModels(ptr)
           ProductQuantizer.ivfPqEncodeWith(
               spark.read.parquet(s"$idx/arrived/gen=$gen"),
-              "vec_id", "embedding", 8, coarseF, booksF)
+              "vec_id", "embedding", HouseM, coarseF, booksF)
             .write.mode("overwrite").parquet(s"$idx/append/gen=$gen")
           // 4. PSI gate from STORED state (1-row statistic)
           val psi = IndexDrift.occupancyPsiFromOccupancies(
@@ -2990,12 +2992,12 @@ object StreamOps {
       .reduceOption(_.unionByName(_))
       .map(raws => codeCols(spark.read.parquet(s"$ptr/codes/gen=0"))
         .unionByName(codeCols(ProductQuantizer.ivfPqEncodeWith(
-          raws, "vec_id", "embedding", 8, coarseP, booksP))))
+          raws, "vec_id", "embedding", HouseM, coarseP, booksP))))
       .getOrElse(codeCols(spark.read.parquet(s"$ptr/codes/gen=0")))
     val same = sameCodeRows(serving, oneShot, "same_as_oneshot_fold")
     val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
     val served = ProductQuantizer.ivfPqTopK(
-      query, "embedding", 8, coarseP, booksP, serving, "vec_id",
+      query, "embedding", HouseM, coarseP, booksP, serving, "vec_id",
       nProbe = 4, k = 10)
 
     val log = spark.read.parquet(s"$idx/log")
@@ -3080,7 +3082,7 @@ object StreamOps {
       .reduceOption(_.unionByName(_))
       .map(raws => codeCols(spark.read.parquet(s"$pd/codes/gen=0"))
         .unionByName(codeCols(ProductQuantizer.ivfPqEncodeWith(
-          raws, "vec_id", "embedding", 8, cF, bF))))
+          raws, "vec_id", "embedding", HouseM, cF, bF))))
       .getOrElse(codeCols(spark.read.parquet(s"$pd/codes/gen=0")))
     (serving, oneShot, pd, auditReads)
   }
@@ -3162,7 +3164,7 @@ object StreamOps {
       val (cF, bF) = models(pd)
       ProductQuantizer.ivfPqEncodeWith(
           spark.read.parquet(s"$idx/arrived/gen=$g"),
-          "vec_id", "embedding", 8, cF, bF)
+          "vec_id", "embedding", HouseM, cF, bF)
         .write.mode("overwrite").parquet(s"$idx/append/gen=$g")
     }
 
@@ -3180,7 +3182,7 @@ object StreamOps {
     val (cP, bP) = models(p6)
     val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
     val served = ProductQuantizer.ivfPqTopK(
-      query, "embedding", 8, cP, bP, s6, "vec_id", nProbe = 4, k = 10)
+      query, "embedding", HouseM, cP, bP, s6, "vec_id", nProbe = 4, k = 10)
 
     s2.agg(count(lit(1)).as("n_asof_2"))
       .crossJoin(sameCodeRows(s2, o2, "asof_2_exact"))
@@ -3312,7 +3314,7 @@ object StreamOps {
       val (cF, bF) = fm.frozenModels(pd)
       ProductQuantizer.ivfPqEncodeWith(
           spark.read.parquet(s"$idx/arrived/gen=$g"),
-          "vec_id", "embedding", 8, cF, bF)
+          "vec_id", "embedding", HouseM, cF, bF)
         .write.mode("overwrite").parquet(s"$idx/append/gen=$g")
       if (g % 2 == 1 && g <= 7) {
         retrainH.submit(g, spark.range(1).select(lit(g).as("gen")))
@@ -3373,11 +3375,11 @@ object StreamOps {
       .reduceOption(_.unionByName(_))
       .map(raws => codeCols(spark.read.parquet(s"$ptr/codes/gen=0"))
         .unionByName(codeCols(ProductQuantizer.ivfPqEncodeWith(
-          raws, "vec_id", "embedding", 8, cP, bP))))
+          raws, "vec_id", "embedding", HouseM, cP, bP))))
       .getOrElse(codeCols(spark.read.parquet(s"$ptr/codes/gen=0")))
     val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
     val served = ProductQuantizer.ivfPqTopK(
-      query, "embedding", 8, cP, bP, serving, "vec_id", nProbe = 4, k = 10)
+      query, "embedding", HouseM, cP, bP, serving, "vec_id", nProbe = 4, k = 10)
 
     spark.range(1)
       .select(lit(9L).as("n_triggers"),
@@ -3520,6 +3522,357 @@ object StreamOps {
         max(col("valid_from")).as("last_change_ts"))
       .orderBy("event_type")
   }
+
+  /** SHARDED streamed lifecycle (r15, verdict #5): the
+    * drift→retrain→fold→adopt machine run over the q97 sharded layout —
+    * per-shard [[FoldMachine]]s, per-shard switch logs, per-shard gap
+    * folds running independently — under ONE global model generation
+    * (q97's stance: retrains stay global so ADC distances remain
+    * comparable across the scatter-gather merge; a per-shard retrain
+    * would put incomparable codebooks behind one top-k).
+    *
+    * CROSS-SHARD ADOPTION ORDERING — the protocol decision this
+    * harness exists to pin: per-shard folds and adoptions are
+    * deliberately UNSYNCHRONIZED (that is the parallelism the sharding
+    * buys: S fold workers, 1/S blast radius each), so there is a
+    * window where shard A's switch log says "retrained" while shard
+    * B's still says "base". Merging across that window would score
+    * code rows under two different codebook sets — incomparable. The
+    * global serving rule is therefore a BARRIER ON READ: serve every
+    * shard at the newest retrain request adopted by ALL shards'
+    * switch logs (the base pointer while any shard lags). Each shard's
+    * own pointer derivation stays O(1) in its switch history (the
+    * `ptr_reads_bounded` contract, now PER SHARD); the global rule
+    * reads S pointers — shard-count-scale, never history-scale. The
+    * global retrain request record is swept only at the LAST shard's
+    * adoption (the cross-shard close), mirroring how a per-shard
+    * closeCycle sweeps per-shard scaffolding at its own adoption.
+    *
+    * Harness (deterministic; the global retrain is gated on arrivals
+    * completing so the mixed window is CONSTRUCTED, not raced):
+    * per-shard base codes under the global base model; clean arrivals
+    * (2 files), one drifted arrival (fires ONE global retrain request
+    * fanned out per shard), one clean GAP arrival while the retrain is
+    * pending (the generation the snapshot misses — what the folds are
+    * for); then shard 0's maintenance belt runs to adoption while
+    * shard 1 HOLDS (mixed window: global rule must keep serving the
+    * base pointer — contract-asserted — and shard 1's subtree must be
+    * byte-untouched by shard 0's fold/adopt); shard 1 catches up, the
+    * global pointer flips, the global request record is swept; a post
+    * arrival appends per shard on the retrained pointers, quietly.
+    * Final contract: the union serving equals a one-shot re-encode of
+    * base + every arrival under the global retrained model,
+    * row-identical, unique ids, TakeOrderedAndProject merge.
+    *
+    * `filesPerTrigger` slices the clean phase's 2 files into 2 or 1
+    * micro-batches — ShardedLifecycleSpec re-runs at the coarser
+    * slicing and the one-shot equality (slicing-independent by
+    * construction) pins slicing invariance transitively.
+    */
+  def shardedLifecycle(spark: SparkSession, sfDir: String,
+      filesPerTrigger: Int = 1): DataFrame = {
+    import graft.operators.{IndexDrift, ProductQuantizer}
+    import graft.queries.LlmOps
+    val nShards = 2
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val all = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val base = all.filter(!pmod(col("vec_id"), lit(10)).isin(8, 9))
+    val clean = all.filter(pmod(col("vec_id"), lit(10)) === 8)
+    val idSpan = all.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
+    val driftSrc = IndexDrift
+      .shifted(all.filter(pmod(col("vec_id"), lit(10)) === 9),
+        "vec_id", "embedding")
+      .select((col("vec_id") + lit(idSpan)).as("vec_id"), col("embedding"))
+    val idx = graft.RunPaths.scratch(
+      s"graft_q97lc_${graft.RunPaths.keyFor(sfDir)}_f$filesPerTrigger")
+    val mDir = s"$idx/model"
+    def shardDir(i: Int) = s"$idx/shard=$i"
+    def sliceOf(df: DataFrame, i: Int): DataFrame =
+      df.filter(pmod(col("vec_id"), lit(nShards)) === i)
+
+    wipeDir(new java.io.File(idx))
+    // global base model (+ base_occ for the PSI gate); per-shard base
+    // code generations under it — the q97 layout with a lifecycle
+    LlmOps.buildFrozenIndex(spark, sfDir, base, mDir,
+      "q97 lifecycle frozen coarse-centroid table")
+    val (coarse0, books0) = (LlmOps.modelScaleStamp(
+      spark.read.parquet(s"$mDir/coarse"),
+      "q97 lifecycle frozen coarse-centroid table"),
+      spark.read.parquet(s"$mDir/books"))
+    for (i <- 0 until nShards)
+      ProductQuantizer.ivfPqEncodeWith(
+          sliceOf(base, i), "vec_id", "embedding", HouseM, coarse0, books0)
+        .write.mode("overwrite").parquet(s"${shardDir(i)}/codes/gen=0")
+
+    // ---- the global retrain + its per-shard fan-out -------------------
+    // ONE training job over the full snapshot; each shard's worker then
+    // waits for it, round-trips the global models into its own subtree
+    // (parquet double round-trip is exact, so every shard's floats are
+    // bit-identical to the global ones), and encodes ITS slice of the
+    // snapshot — per-shard artifacts self-consistent under one model
+    val arrivalsDone = new java.io.File(s"$idx/_ARRIVALS_DONE")
+    val globalH = new Handoff(spark, s"$idx/greq",
+      g => s"$idx/retrain_g/req=$g/_DONE", "graft-q97lc-global")({
+      (reqGen, _) =>
+        val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+        while (!arrivalsDone.exists()) { // harness gate (scaffolding)
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException("q97lc global retrain gate")
+          Thread.sleep(100)
+        }
+        val snapshot = (1L to reqGen)
+          .flatMap(g => (0 until nShards).map(i =>
+            spark.read.parquet(s"${shardDir(i)}/arrived/gen=$g")))
+          .foldLeft(base)(_.unionByName(_))
+          .localCheckpoint(true)
+        LlmOps.buildFrozenIndex(spark, sfDir, snapshot,
+          s"$idx/retrain_g/req=$reqGen",
+          "q97 lifecycle retrained coarse-centroid table")
+        ()
+    })
+    val shardRetrainH = (0 until nShards).map { i =>
+      new Handoff(spark, s"${shardDir(i)}/req",
+        g => s"${shardDir(i)}/retrain/req=$g/_RETRAIN_DONE",
+        s"graft-q97lc-retrain-s$i")({ (reqGen, _) =>
+        val gdir = s"$idx/retrain_g/req=$reqGen"
+        val done = new org.apache.hadoop.fs.Path(s"$gdir/_DONE")
+        val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+        while (!fs.exists(done)) {
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"q97lc shard $i timed out waiting for the global retrain")
+          Thread.sleep(100)
+        }
+        val rdir = s"${shardDir(i)}/retrain/req=$reqGen"
+        for (part <- Seq("coarse", "books", "base_occ"))
+          spark.read.parquet(s"$gdir/$part")
+            .write.mode("overwrite").parquet(s"$rdir/$part")
+        val (cR, bR) = (LlmOps.modelScaleStamp(
+          spark.read.parquet(s"$rdir/coarse"), "q97 lifecycle shard model"),
+          spark.read.parquet(s"$rdir/books"))
+        ProductQuantizer.ivfPqEncodeWith(
+            sliceOf(codeSnapshotRaws(spark, idx, nShards, base, reqGen), i),
+            "vec_id", "embedding", HouseM, cR, bR)
+          .write.mode("overwrite").parquet(s"$rdir/codes/gen=0")
+        ()
+      })
+    }
+    val fms = (0 until nShards).map(i =>
+      new FoldMachine(spark, shardDir(i), shardRetrainH(i),
+        s"graft-q97lc-fold-s$i", "q97 lifecycle shard model",
+        gated = false))
+
+    // global serving pointer: the newest request adopted by ALL shards
+    // — Long.MinValue (base) while any shard lags. S pointer reads,
+    // shard-count-scale by construction.
+    def globalAdopted(): Option[Long] = {
+      val m = fms.map(_.adopted().maxOption.getOrElse(Long.MinValue)).min
+      if (m > Long.MinValue) Some(m) else None
+    }
+
+    def drive(srcDir: String, phase: String): Unit = {
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger.toString)
+        .parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val gen = (0 until nShards)
+            .map(i => genDirs(spark, s"${shardDir(i)}/arrived", "gen=")
+              .maxOption.getOrElse(0L)).max + 1
+          val reads0 = fms.map(_.recordReads())
+          val b = batch.select(col("vec_id"), col("embedding"))
+            .localCheckpoint(true)
+          // 1. per-shard raw persist + maintenance + pointer append
+          for (i <- 0 until nShards) {
+            sliceOf(b, i).write.mode("overwrite")
+              .parquet(s"${shardDir(i)}/arrived/gen=$gen")
+            fms(i).maintain(gen)
+            val (ptr, _) = fms(i).pointer(mDir)
+            val (cF, bF) = fms(i).frozenModels(ptr)
+            ProductQuantizer.ivfPqEncodeWith(
+                spark.read.parquet(s"${shardDir(i)}/arrived/gen=$gen"),
+                "vec_id", "embedding", HouseM, cF, bF)
+              .write.mode("overwrite")
+              .parquet(s"${shardDir(i)}/append/gen=$gen")
+          }
+          // 2. the drift gate is GLOBAL (one statistic over the whole
+          //    batch against the globally-served model's occupancy)
+          val gptr = globalAdopted()
+            .map(r => s"$idx/retrain_g/req=$r").getOrElse(mDir)
+          val psi = IndexDrift.occupancyPsiFromOccupancies(
+              spark.read.parquet(s"$gptr/base_occ"),
+              IndexDrift.occupancyOfCodes(
+                codeCols(spark.read.parquet(s"${shardDir(0)}/append/gen=$gen"))
+                  .unionByName(codeCols(spark.read
+                    .parquet(s"${shardDir(1)}/append/gen=$gen")))),
+              LlmOps.modelScaleStamp(spark.read.parquet(s"$gptr/coarse"),
+                "q97 lifecycle gate coarse table"))
+            .select(col("psi")).collect()(0).getDouble(0)
+          val fired = psi > 0.75
+          val maxAd = globalAdopted().getOrElse(Long.MinValue)
+          val pending = globalH.requests().filter(r => r > maxAd && r < gen)
+          globalH.rearm(pending)
+          val requested = fired && pending.isEmpty
+          if (requested) {
+            globalH.submit(gen, spark.range(1).select(lit(gen).as("gen")))
+            // fan-out: one request record per shard, same id — each
+            // shard's FoldMachine sees its own retrainH
+            shardRetrainH.foreach(_.submit(gen,
+              spark.range(1).select(lit(gen).as("gen"))))
+          }
+          spark.range(1)
+            .select(lit(gen).as("gen"), lit(phase).as("phase"),
+              lit(fired).as("retrain_fired"),
+              lit(requested).as("retrain_requested"),
+              lit(fms(0).recordReads() - reads0(0)).as("ptr_reads_s0"),
+              lit(fms(1).recordReads() - reads0(1)).as("ptr_reads_s1"))
+            .write.mode("overwrite").parquet(s"$idx/log/gen=$gen")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // clean (2 files → 2 triggers at filesPerTrigger=1, 1 at 2)
+    val cleanDir = s"$idx/src/clean"
+    for ((r, i) <- Seq(8, 18).zipWithIndex)
+      clean.filter(pmod(col("vec_id"), lit(20)) === r)
+        .coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(cleanDir)
+    drive(cleanDir, "clean")
+    // drift: fires the one global retrain (gated on arrivals done)
+    val driftDir = s"$idx/src/drift"
+    driftSrc.coalesce(1).write.mode("overwrite").parquet(driftDir)
+    drive(driftDir, "drift")
+    // gap: a clean arrival the snapshot will NOT cover — the fold's job
+    val gapDir = s"$idx/src/gap"
+    clean.select((col("vec_id") + lit(2L * idSpan)).as("vec_id"),
+        col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(gapDir)
+    drive(gapDir, "gap")
+    arrivalsDone.createNewFile()
+    globalH.joinAll()
+    shardRetrainH.foreach(_.joinAll())
+
+    def belt(i: Int): Unit = {
+      val maxGen = genDirs(spark, s"${shardDir(i)}/arrived", "gen=").max
+      var quiet = false
+      var rounds = 0
+      while (!quiet && rounds < 8) {
+        fms(i).joinAll()
+        val (req, inflight, adopted) = fms(i).maintain(maxGen + 1)
+        quiet = !req && !inflight && !adopted
+        rounds += 1
+      }
+      fms(i).joinAll()
+    }
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    def listing(i: Int): Set[(String, Long)] =
+      walk(new java.io.File(shardDir(i)))
+        .map(f => (f.getPath, f.length())).toSet
+
+    // THE MIXED WINDOW: shard 0 folds + adopts; shard 1 holds
+    val shard1Before = listing(1)
+    belt(0)
+    val shard0Adopted = fms(0).adopted().nonEmpty
+    val shard1Untouched = listing(1) == shard1Before
+    // global rule must keep serving the base pointer while shard 1 lags
+    val mixedWindowServesOld = globalAdopted().isEmpty
+    belt(1)
+    val allAdopted = globalAdopted()
+    // the cross-shard close: the global request record is subsumed only
+    // when EVERY shard's switch log carries the adoption
+    allAdopted.foreach(r =>
+      globalH.requests().filter(_ <= r).foreach(globalH.sweepRequest))
+
+    // post: a clean arrival on the retrained pointers, quiet per shard
+    val postDir = s"$idx/src/post"
+    clean.select((col("vec_id") + lit(3L * idSpan)).as("vec_id"),
+        col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(postDir)
+    drive(postDir, "post")
+
+    // ---- serving, derived per shard from the per-shard records --------
+    val rr = allAdopted.getOrElse(
+      throw new IllegalStateException("q97lc: shards never all adopted"))
+    val shardServing = (0 until nShards).map { i =>
+      val (ptr, folded) = fms(i).pointer(mDir)
+      require(ptr != mDir, s"q97lc: shard $i pointer never flipped")
+      val folds = genDirs(spark, s"$ptr/fold", "gen=")
+        .map(g => codeCols(spark.read.parquet(s"$ptr/fold/gen=$g")))
+      val appends = genDirs(spark, s"${shardDir(i)}/append", "gen=")
+        .filter(_ > folded)
+        .map(g => codeCols(spark.read.parquet(s"${shardDir(i)}/append/gen=$g")))
+      (folds ++ appends)
+        .foldLeft(codeCols(spark.read.parquet(s"$ptr/codes/gen=0")))(
+          _.unionByName(_))
+    }
+    val serving = shardServing.reduce(_.unionByName(_))
+    // one-shot contrast under the GLOBAL retrained model: snapshot
+    // codes + a single re-encode of every post-snapshot raw
+    val gdir = s"$idx/retrain_g/req=$rr"
+    val (cG, bG) = (LlmOps.modelScaleStamp(spark.read.parquet(s"$gdir/coarse"),
+      "q97 lifecycle oneshot coarse table"), spark.read.parquet(s"$gdir/books"))
+    val lateRaws = (0 until nShards).flatMap(i =>
+      genDirs(spark, s"${shardDir(i)}/arrived", "gen=").filter(_ > rr)
+        .map(g => spark.read.parquet(s"${shardDir(i)}/arrived/gen=$g")))
+    val oneShot = lateRaws.reduceOption(_.unionByName(_))
+      .map(raws => codeCols(spark.read.parquet(s"$gdir/codes/gen=0"))
+        .unionByName(codeCols(ProductQuantizer.ivfPqEncodeWith(
+          raws, "vec_id", "embedding", HouseM, cG, bG))))
+      .getOrElse(codeCols(spark.read.parquet(s"$gdir/codes/gen=0")))
+    val query = e.filter(col("vec_id") === 0).select(col("embedding")).limit(1)
+    val topk = ProductQuantizer.ivfPqTopK(
+      query, "embedding", HouseM, cG, bG, serving, "vec_id",
+      nProbe = 4, k = 10)
+    val scatter = topk.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject")
+
+    val log = spark.read.parquet(s"$idx/log")
+    log.agg(
+        count(lit(1)).as("n_triggers"),
+        (count(when(col("retrain_fired"), 1)) === 1 &&
+          count(when(col("phase") === "drift" && !col("retrain_fired"), 1))
+            === 0).as("drift_fires_once"),
+        (count(when(col("phase").isin("clean", "gap", "post") &&
+          col("retrain_fired"), 1)) === 0).as("clean_quiet"),
+        (max(col("ptr_reads_s0")) <= 1 && max(col("ptr_reads_s1")) <= 1)
+          .as("ptr_reads_bounded_per_shard"))
+      .crossJoin(spark.range(1).select(
+        lit(shard0Adopted).as("shard0_adopted_first"),
+        lit(shard1Untouched).as("shard1_isolated_during_belt"),
+        lit(mixedWindowServesOld).as("mixed_window_serves_old"),
+        lit(allAdopted.contains(rr)).as("all_shards_adopted"),
+        lit(fms.forall(_.adopted() == Seq(rr))).as("adopted_once_each"),
+        lit(scatter).as("scatter_gather_plan")))
+      .crossJoin(serving.agg(count(lit(1)).as("n_index"),
+        (count(lit(1)) === countDistinct(col("vec_id"))).as("ids_unique")))
+      .crossJoin(sameCodeRows(serving, oneShot, "same_as_oneshot"))
+      .crossJoin(topk.agg(count(lit(1)).as("n_results")))
+      .select(col("n_triggers"), col("drift_fires_once"),
+        col("clean_quiet"), col("ptr_reads_bounded_per_shard"),
+        col("shard0_adopted_first"), col("shard1_isolated_during_belt"),
+        col("mixed_window_serves_old"), col("all_shards_adopted"),
+        col("adopted_once_each"), col("scatter_gather_plan"),
+        col("n_index"), col("ids_unique"), col("same_as_oneshot"),
+        col("n_results"))
+  }
+
+  /** Base + every arrived generation ≤ reqGen across all shards — the
+    * snapshot a global retrain trains on and each shard's worker
+    * re-slices for its own snapshot codes. */
+  private def codeSnapshotRaws(
+      spark: SparkSession, idx: String, nShards: Int, base: DataFrame,
+      reqGen: Long): DataFrame =
+    (1L to reqGen)
+      .flatMap(g => (0 until nShards).map(i =>
+        spark.read.parquet(s"$idx/shard=$i/arrived/gen=$g")))
+      .foldLeft(base)(_.unionByName(_))
 }
 
 /** Emitted once per (touched user, micro-batch); `ver` increases per

@@ -2,6 +2,8 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
+import graft.operators.ProductQuantizer.HouseM
+
 /** The catch-up recursion under SUSTAINED pressure, measured (VERDICT
   * r13 task 4): q90's geometric-shrink claim — "the residual shrinks
   * whenever folds outpace arrivals" — is proven mechanically by the
@@ -167,7 +169,7 @@ object FoldCatchupRehearsal {
       val (coarseF, booksF) = fm.frozenModels(ptr)
       graft.operators.ProductQuantizer.ivfPqEncodeWith(
           spark.read.parquet(s"$idx/arrived/gen=$gen"),
-          "vec_id", "embedding", 8, coarseF, booksF)
+          "vec_id", "embedding", HouseM, coarseF, booksF)
         .write.mode("overwrite").parquet(s"$idx/append/gen=$gen")
       spark.range(1).select(lit(gen).as("gen"))
         .write.mode("overwrite").parquet(s"$idx/log/gen=$gen")

@@ -86,7 +86,9 @@ object PqTune {
       ("m16_e20_i2", e0, 16, 20, 2),
       ("m16_e20_i3", e0, 16, 20, 3),
       ("m16_e40_i2_rot", eR, 16, 40, 2),
-      ("m16_e20_i2_rot", eR, 16, 20, 2))
+      ("m16_e20_i2_rot", eR, 16, 20, 2),
+      ("m32_e20_i2", e0, 32, 20, 2),
+      ("m32_e20_i2_rot", eR, 32, 20, 2))
 
     val out = variants.map { case (label, data, m, every, iters) =>
       val coarse = graft.queries.LlmOps.ivfCentroids(spark, sfDir, data)

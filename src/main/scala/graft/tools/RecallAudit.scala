@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
 import graft.operators.ProductQuantizer
+import graft.operators.ProductQuantizer.HouseM
 
 /** The offline recall audit the ANN scaladocs keep referencing, made
   * real: measured recall@k of the served IVF-PQ index across the
@@ -74,13 +75,13 @@ object RecallAudit {
         .orderBy(col("d").asc, col("vec_id").asc).limit(k))
       var adc4Hits = -1
       for (p <- probes) {
-        val got = ids(ProductQuantizer.ivfPqTopK(query, "embedding", 8,
+        val got = ids(ProductQuantizer.ivfPqTopK(query, "embedding", HouseM,
           coarse, books, codesX, "vec_id", nProbe = p, k = k))
         val hits = got.intersect(gt).size
         perMethod(s"ivfpq_p$p") += hits.toDouble / gt.size
         if (p == 4) adc4Hits = hits
       }
-      val cands = ProductQuantizer.ivfPqScores(query, "embedding", 8,
+      val cands = ProductQuantizer.ivfPqScores(query, "embedding", HouseM,
           coarse, books, codesX, "vec_id", nProbe = 4)
         .orderBy(col("adc_dist").asc, col("vec_id").asc).limit(4 * k)
         .select(col("vec_id"))

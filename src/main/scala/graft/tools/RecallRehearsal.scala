@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
 import graft.operators.{IndexDrift, ProductQuantizer}
+import graft.operators.ProductQuantizer.{HouseEvery, HouseM}
 
 /** Recall-decay rehearsal for the frozen-model ANN index (VERDICT r8/r9
   * item: "when does freezing break?").
@@ -73,14 +74,14 @@ object RecallRehearsal {
     val coarse0 = graft.queries.LlmOps.ivfCentroids(spark, dir, base)
     coarse0.write.mode("overwrite").parquet(s"$idx/coarse")
     ProductQuantizer.ivfPqTrainBooks(
-        base, "vec_id", "embedding", m = 8, coarse0, every = 40, iters = 2)
+        base, "vec_id", "embedding", m = HouseM, coarse0, every = HouseEvery, iters = 2)
       .write.mode("overwrite").parquet(s"$idx/books")
     val coarseF = spark.read.parquet(s"$idx/coarse").localCheckpoint(true)
     val booksF = spark.read.parquet(s"$idx/books").localCheckpoint(true)
 
     def frozenCodes(df: DataFrame): DataFrame =
       ProductQuantizer.ivfPqEncodeWith(
-        df, "vec_id", "embedding", 8, coarseF, booksF)
+        df, "vec_id", "embedding", HouseM, coarseF, booksF)
 
     /** Mean recall@k of IVF-PQ serving vs exact top-k over `corpusDf`,
       * for the given query rows.
@@ -102,7 +103,7 @@ object RecallRehearsal {
               VectorFns.normSq(col("qv"))).as("d"))
           .orderBy(col("d").asc, col("vec_id").asc).limit(k)
         val served = ProductQuantizer.ivfPqTopK(
-          q, "embedding", 8, coarse, books, cc, "vec_id",
+          q, "embedding", HouseM, coarse, books, cc, "vec_id",
           nProbe = 4, k = k)
         served.select(col("vec_id"))
           .join(exact.select(col("vec_id")), "vec_id")
@@ -131,7 +132,7 @@ object RecallRehearsal {
     def retrained(corpusDf: DataFrame): (DataFrame, DataFrame, DataFrame) = {
       val c = graft.queries.LlmOps.ivfCentroids(spark, dir, corpusDf)
       val (codes, books) = ProductQuantizer.ivfPqEncode(
-        corpusDf, "vec_id", "embedding", m = 8, c, every = 40, iters = 2)
+        corpusDf, "vec_id", "embedding", m = HouseM, c, every = HouseEvery, iters = 2)
       (c, books, codes)
     }
     val mergedIn = base.unionByName(appends)

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ProductQuantizer
+import graft.operators.ProductQuantizer.HouseM
+
+/** q100_batch_serve — a query TABLE answered in one declarative plan.
+  * Contracts named here:
+  *
+  *   - BATCH ≡ SINGLE, per query: for EVERY qid in the batch, the
+  *     batch answer's (id, adc_dist) sequence equals the single-query
+  *     ivfPqTopK answer over the same frozen models and codes. Both
+  *     paths pick probes by the same (distance, cell_id) order, build
+  *     LUT arrays through the same sorted-by-code collect, and fold
+  *     with the same LutSumF — so this is arithmetic identity (ids
+  *     exact, distances within reassociation tolerance), not a recall
+  *     tendency.
+  *   - the registered query's structural contracts hold (every
+  *     requested query served, k-bounded, contiguous ranks, finite
+  *     non-negative sums, two-phase partial top-k in the plan).
+  */
+class BatchServeSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("batch ≡ single-query serving for every query in the batch") {
+    val idx = graft.queries.LlmOps.ensureAnnServeIndex(spark, sf)
+    val coarseF = spark.read.parquet(s"$idx/coarse")
+    val booksF = spark.read.parquet(s"$idx/books")
+    val codes = spark.read.parquet(s"$idx/codes")
+      .select(col("cell_id"), col("vec_id"), col("codes"))
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") =!= 0)
+      .filter(pmod(col("vec_id"), lit(13)) === 1)
+      .orderBy(col("vec_id")).limit(64)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val qids = queries.select("qid").collect().map(_.getLong(0)).toSeq
+    assert(qids.nonEmpty)
+
+    val batch = ProductQuantizer.ivfPqTopKBatch(queries, "qid",
+        "embedding", HouseM, coarseF, booksF, codes, "vec_id",
+        nProbe = 4, k = 10)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(1))
+          .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      }
+
+    for (qid <- qids) {
+      val single = ProductQuantizer.ivfPqTopK(
+          emb.filter(col("vec_id") === qid).select(col("embedding"))
+            .limit(1),
+          "embedding", HouseM, coarseF, booksF, codes, "vec_id",
+          nProbe = 4, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val b = batch.getOrElse(qid, Seq.empty)
+      assert(b.map(_._1) == single.map(_._1),
+        s"qid=$qid: batch ids ${b.map(_._1)} != single ${single.map(_._1)}")
+      assert(b.zip(single).forall { case ((_, x), (_, y)) =>
+        math.abs(x - y) <= 1e-9 },
+        s"qid=$qid: batch distances diverge from single-query serving")
+    }
+  }
+
+  test("registered q100_batch_serve contracts hold") {
+    val row = SparkEntry.queries("q100_batch_serve")(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_queries") >= 1L)
+    for (c <- Seq("all_served", "k_bounded", "ranks_contiguous",
+        "finite_ok", "nonneg_ok", "batch_partial_agg"))
+      assert(row.getAs[Boolean](c), s"$c must hold")
+  }
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.operators.ProductQuantizer.HouseM
+
 /** q97 — hash-sharded index under shared frozen models. Contracts
   * named here:
   *
@@ -76,7 +78,7 @@ class ShardedIndexSpec extends AnyFunSuite {
     val query = Tables.load(spark, sf, "embeddings")
       .filter(col("vec_id") === 0).select(col("embedding")).limit(1)
     def top(codes: org.apache.spark.sql.DataFrame): Seq[Long] =
-      ProductQuantizer.ivfPqTopK(query, "embedding", 8, coarseF, booksF,
+      ProductQuantizer.ivfPqTopK(query, "embedding", HouseM, coarseF, booksF,
           codes.select(col("cell_id"), col("vec_id"), col("codes")),
           "vec_id", nProbe = 4, k = 10)
         .select("vec_id").collect().map(_.getLong(0)).toSeq

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.ProductQuantizer
+import graft.operators.ProductQuantizer.HouseM
 
 /** q99 — the composed serving stack (shard partitioning + label
   * pushdown + exact refine on one layout). Contracts named here:
@@ -52,7 +53,7 @@ class StackServeSpec extends AnyFunSuite {
     val lbl = 3
 
     def pipeline(codesSrc: DataFrame): Seq[(Long, Double)] = {
-      val cands = ProductQuantizer.ivfPqScores(query, "embedding", 8,
+      val cands = ProductQuantizer.ivfPqScores(query, "embedding", HouseM,
           coarseF, booksF,
           codesSrc.select(col("cell_id"), col("vec_id"), col("codes")),
           "vec_id", nProbe = 4)
