@@ -72,7 +72,7 @@ object Bench {
         q.name == "q84_quiet_trigger" || q.name == "q89_adopt_trigger" ||
         q.name == "q95_filtered_serve" || q.name == "q96_refine_serve" ||
         q.name == "q97_sharded_serve" || q.name == "q99_stack_serve" ||
-        q.name == "q100_batch_serve"))
+        q.name == "q100_batch_serve" || q.name == "q95_policy_serve"))
       try {
         graft.queries.LlmOps.ensureAnnServeIndex(spark, sfDir)
         // adoption-template fixture (on top of the shared index) so
@@ -83,6 +83,10 @@ object Bench {
         // only the pruned scan + probe, never the layout derivation
         if (set.exists(_.name == "q95_filtered_serve"))
           graft.queries.LlmOps.ensureFilteredServeLayout(spark, sfDir)
+        // + the per-(label, cell) occupancy stats the probe policy
+        // walks, so q95_policy_serve times only the policy + serve
+        if (set.exists(_.name == "q95_policy_serve"))
+          graft.queries.LlmOps.ensureFilteredOccStats(spark, sfDir)
         // id-sorted raw vectors so q96_refine_serve times only the
         // two-stage query path, never the layout derivation
         if (set.exists(_.name == "q96_refine_serve"))

@@ -539,6 +539,26 @@ object LlmOps {
     }
   }
 
+  /** Per-(label, cell) occupancy statistics beside the q95 layout —
+    * the driver-scale input (≤ labels × K rows) the label-aware probe
+    * policy walks at serve time. Derived from the codes_meta layout
+    * itself (read-back, so the stats can never disagree with the
+    * postings they describe) and persisted label-sorted so a
+    * one-label read is pushdown-pruned.
+    */
+  def ensureFilteredOccStats(s: SparkSession, dir: String): String = {
+    val metaDir = ensureFilteredServeLayout(s, dir)
+    val idx = ensureAnnServeIndex(s, dir)
+    ensureLayout(s"$idx/codes_meta_occ") {
+      s.read.parquet(metaDir)
+        .groupBy(col("label"), col("cell_id"))
+        .agg(count(lit(1)).as("n"))
+        .coalesce(1)
+        .sortWithinPartitions(col("label"), col("cell_id"))
+        .write.mode("overwrite").parquet(s"$idx/codes_meta_occ")
+    }
+  }
+
   /** The q96_refine_serve stage-2 layout, derived once per process
     * beside the shared q68 index: the raw vectors range-partitioned and
     * sorted by vec_id, so the refine stage's candidate fetch (an
@@ -1856,6 +1876,100 @@ object LlmOps {
       Some("""SELECT true AS k_bounded, true AS all_labeled,
              |  true AS cells_ok, true AS finite_ok, true AS nonneg_ok,
              |  true AS filter_pushed""".stripMargin),
+      bench = true),
+
+    // THE PROBE POLICY SERVED (round 15): q95_filtered_serve probes a
+    // FIXED 4 cells whatever the predicate — which starves selective
+    // labels structurally (a probed cell holds only s·n/K matching
+    // rows; measured: 0.140 recall at ~1 % selectivity). This entry is
+    // the same filtered serve under [[labelAwareNProbe]]: the
+    // per-(label, cell) occupancy statistics persisted BESIDE the
+    // layout (ensureFilteredOccStats — derived from the postings
+    // themselves, label-sorted for a pruned one-label read) are walked
+    // in query-affinity order until the rows an unfiltered nProbe=4
+    // probe pays are spent, so a selective label probes MORE cells at
+    // the SAME scanned-row budget. Measured beating fixed-nProbe at
+    // every selectivity at equal budget (SCALING.md r15 table,
+    // tools/filtered_recall_audit_r15.json: 0.928 vs 0.140 at ~1 %).
+    // The policy decision itself is driver-side over model-scale
+    // inputs (≤ labels·K occupancy rows + K centroids — the same
+    // scale as any LUT build); the scan it dispatches is doubly
+    // pruned (label equality + probed-cell In-list, both
+    // plan-REQUIRED). Budget adherence is contract-asserted from the
+    // same stats the decision read.
+    QueryDef(
+      "q95_policy_serve",
+      (s, dir) => {
+        import graft.operators.ProductQuantizer
+        val lbl = 3
+        val metaDir = ensureFilteredServeLayout(s, dir)
+        val occDir = ensureFilteredOccStats(s, dir)
+        val idx = ensureAnnServeIndex(s, dir)
+        val coarseF = s.read.parquet(s"$idx/coarse")
+        val booksF = s.read.parquet(s"$idx/books")
+        s.conf.set("spark.sql.maxMetadataStringLength", "10000")
+        // model-scale driver reads: occupancy stats + centroids + the
+        // query vector (the per-query "model", like any LUT build)
+        val occAll = s.read.parquet(occDir).collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        val nCorpus = occAll.map(_._3).sum
+        val cents = coarseF.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val nCells = cents.length
+        require(nCells > 0 && nCorpus > 0,
+          "q95_policy_serve: empty occupancy stats — layout corrupt")
+        val budgetRows = 4L * nCorpus / nCells
+        val query = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).limit(1)
+        val qv = query.collect()(0).getSeq[Float](0)
+          .map(_.toDouble).toArray
+        val occL = occAll.filter(_._1 == lbl)
+          .map(t3 => t3._2 -> t3._3).toMap
+        val ranked = cents
+          .map { case (cid, cv) =>
+            (cid, cv.zip(qv).map { case (c, x) => (x - c) * (x - c) }.sum)
+          }
+          .sortBy { case (cid, d) => (d, cid) }.map(_._1)
+        val rankedOcc = ranked.map(c => occL.getOrElse(c, 0L))
+        val p = labelAwareNProbe(rankedOcc.toIndexedSeq, budgetRows,
+          minProbe = 4, maxProbe = nCells)
+        val probedCells = ranked.take(p)
+        val rowsSpent = rankedOcc.take(p).sum
+        val filtered = s.read.parquet(metaDir)
+          .filter(col("label") === lbl &&
+            col("cell_id").isin(probedCells.map(Long.box): _*))
+        val plan = filtered.queryExecution.executedPlan.toString
+        val cellTok =
+          if (p == 1) "EqualTo(cell_id" else "In(cell_id"
+        val pushed = plan.contains("PushedFilters") &&
+          plan.contains(s"EqualTo(label,$lbl)") &&
+          plan.contains(cellTok)
+        require(pushed,
+          "q95_policy_serve: label + probed-cell predicates did not " +
+            "reach the codes_meta scan — the policy's pruned read " +
+            "degraded to a full codes read")
+        val top = ProductQuantizer.ivfPqTopK(query, "embedding", HouseM,
+          coarseF, booksF, filtered, "vec_id", nProbe = p, k = 10)
+        top.join(filtered.select(col("vec_id"), col("label")), "vec_id")
+          .agg(
+            (count(lit(1)) <= 10).as("k_bounded"),
+            (count(when(col("label") =!= lbl, 1)) === 0).as("all_labeled"),
+            (countDistinct(col("cell_id")) <= p).as("cells_ok"),
+            (count(when(col("adc_dist").isNull || isnan(col("adc_dist")), 1))
+              === 0).as("finite_ok"),
+            (count(when(col("adc_dist") < -1e-9, 1)) === 0).as("nonneg_ok"))
+          .crossJoin(s.range(1).select(
+            lit(pushed).as("filter_pushed"),
+            lit(p >= 4).as("policy_at_least_floor"),
+            lit(rowsSpent <= budgetRows || p == 4).as("budget_respected")))
+          .select(col("k_bounded"), col("all_labeled"), col("cells_ok"),
+            col("finite_ok"), col("nonneg_ok"), col("filter_pushed"),
+            col("policy_at_least_floor"), col("budget_respected"))
+      },
+      Some("""SELECT true AS k_bounded, true AS all_labeled,
+             |  true AS cells_ok, true AS finite_ok, true AS nonneg_ok,
+             |  true AS filter_pushed, true AS policy_at_least_floor,
+             |  true AS budget_respected""".stripMargin),
       bench = true),
 
     // TWO-STAGE RETRIEVAL (round 14): ADC candidates → exact re-rank —
