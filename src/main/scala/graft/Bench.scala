@@ -87,9 +87,10 @@ object Bench {
         // walks, so q95_policy_serve times only the policy + serve
         if (set.exists(_.name == "q95_policy_serve"))
           graft.queries.LlmOps.ensureFilteredOccStats(spark, sfDir)
-        // id-sorted raw vectors so q96_refine_serve times only the
-        // two-stage query path, never the layout derivation
-        if (set.exists(_.name == "q96_refine_serve"))
+        // id-sorted raw vectors so q96_refine_serve / q100's batch
+        // refine time only the query path, never the layout derivation
+        if (set.exists(q => q.name == "q96_refine_serve" ||
+            q.name == "q100_batch_serve"))
           graft.queries.LlmOps.ensureRefineServeLayout(spark, sfDir)
         // shard-partitioned codes so q97_sharded_serve times only the
         // scatter-gather serve path, never the layout derivation

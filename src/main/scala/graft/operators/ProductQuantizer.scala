@@ -405,6 +405,47 @@ object ProductQuantizer {
         col("__t.id").as(idCol), col("__t.dist").as("adc_dist"))
   }
 
+  /** Batch exact re-rank — the refine stage of [[ivfPqTopKBatch]]'s
+    * pipeline, still with NO per-query driver loop: the (query,
+    * candidate) pairs and the query vectors both ride broadcasts, the
+    * raw-vector side is ONE scan map-side-filtered by the candidate
+    * hash join (never shuffled), and the per-query exact top-k is the
+    * same bounded-buffer partial aggregate as stage 1. The scan-shape
+    * tradeoff vs the single-query path is deliberate and documented:
+    * one query prunes rowgroups with a literal In-list
+    * (q96_refine_serve); Q queries' candidates blanket the id space,
+    * so the batch fetch is one full raw scan AMORTIZED over all Q
+    * queries — scan/Q per query, which is the batch win the entry
+    * exists to price. Returns (qidCol, rank, idCol, exact_dist).
+    */
+  def exactRerankBatch(
+      candidates: DataFrame,
+      raw: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int): DataFrame = {
+    val qs = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("qv"))
+    val cand = candidates.select(col(qidCol).as("__cqid"), col(idCol))
+    val topk = udaf(new graft.functions.TopKNearest(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.DistId]())
+    raw.join(broadcast(cand), idCol)
+      .join(broadcast(qs), col("__cqid") === col("__qid"))
+      .select(col("__qid"), col(idCol),
+        (VectorFns.normSq(col(vecCol)) -
+          lit(2.0) * VectorFns.dot(col(vecCol), col("qv")) +
+          VectorFns.normSq(col("qv"))).as("exact_dist"))
+      .groupBy(col("__qid"))
+      .agg(topk(col("exact_dist"), col(idCol)).as("top"))
+      .select(col("__qid").as(qidCol),
+        posexplode(col("top")).as(Seq("__pos", "__t")))
+      .select(col(qidCol), (col("__pos") + 1).cast("int").as("rank"),
+        col("__t.id").as(idCol), col("__t.dist").as("exact_dist"))
+  }
+
   /** Exact re-rank (the FAISS-style "refine" stage): re-score an ADC
     * candidate set against the RAW vectors and return the exact top-k.
     * Two-stage retrieval is how a 100 TB store buys back the recall the

@@ -2457,23 +2457,33 @@ object LlmOps {
     // the driver the bottleneck long before the cluster sweats. This
     // entry serves a query TABLE (≤64 queries: the mod-13 residue
     // class, 39 at sf0.01 — above the ≥32 bar) through ONE declarative
-    // plan: per-query probe windows, per-(query, cell) broadcast LUTs,
-    // one codes join, and a bounded-buffer per-query top-k aggregation
-    // (functions.TopKNearest — map-side partial keeps ≤ k rows per
-    // query per partition, the batch counterpart of
-    // TakeOrderedAndProject). The no-per-query-loop property is
-    // plan-REQUIRED: the top-k must appear as a two-phase (partial →
-    // merge) aggregate, and the whole pipeline is one DataFrame by
-    // construction — no collect between stages. Batch ≡ single-query
-    // serving per qid is pinned in BatchServeSpec (same probes, same
-    // LUT arrays, same fold, same total order). Contracts here are
-    // model-independent: every requested query served, ≤ k rows each,
-    // contiguous ranks, finite non-negative ADC sums.
+    // two-stage plan with zero driver round-trips between stages:
+    //   - stage 1 (ADC): per-query probe windows, per-(query, cell)
+    //     broadcast LUTs, one codes join, bounded-buffer per-query
+    //     top-m (functions.TopKNearest — map-side partial keeps ≤ m
+    //     rows per query per partition, the batch counterpart of
+    //     TakeOrderedAndProject);
+    //   - stage 2 (refine): the (query, candidate) pairs ride a
+    //     broadcast back onto ONE raw-vector scan (never shuffled,
+    //     map-side filtered by the hash join), exact squared-L2, and
+    //     the same bounded per-query top-k. The single-query path
+    //     prunes rowgroups with a literal In-list; Q queries'
+    //     candidates blanket the id space, so the batch fetch is one
+    //     full scan AMORTIZED over all Q queries — scan/Q per query,
+    //     which is the batch win this entry prices.
+    // The no-per-query-loop property is plan-REQUIRED: the top-k must
+    // appear as a two-phase (partial → merge) aggregate. Batch ≡
+    // single-query serving per qid — both stages — is pinned in
+    // BatchServeSpec (same probes, same LUT arrays, same folds, same
+    // total orders). Contracts here are model-independent: every
+    // requested query served, ≤ k rows each, contiguous ranks, finite
+    // non-negative exact distances.
     QueryDef(
       "q100_batch_serve",
       (s, dir) => {
         import graft.operators.ProductQuantizer
         val idx = ensureAnnServeIndex(s, dir)
+        val rawDir = ensureRefineServeLayout(s, dir)
         val coarseF = s.read.parquet(s"$idx/coarse")
         val booksF = s.read.parquet(s"$idx/books")
         val codes = s.read.parquet(s"$idx/codes")
@@ -2483,20 +2493,24 @@ object LlmOps {
           .filter(pmod(col("vec_id"), lit(13)) === 1)
           .orderBy(col("vec_id")).limit(64)
           .select(col("vec_id").as("qid"), col("embedding"))
-        val res = ProductQuantizer.ivfPqTopKBatch(queries, "qid",
-          "embedding", HouseM, coarseF, booksF, codes, "vec_id",
-          nProbe = 4, k = 10)
+        val cands = ProductQuantizer.ivfPqTopKBatch(queries, "qid",
+            "embedding", HouseM, coarseF, booksF, codes, "vec_id",
+            nProbe = 4, k = 40)
+          .select(col("qid"), col("vec_id"))
+        val res = ProductQuantizer.exactRerankBatch(cands,
+          s.read.parquet(rawDir), "vec_id", "embedding",
+          queries, "qid", "embedding", 10)
         val plan = res.queryExecution.executedPlan.toString
         val twoPhase = plan.contains("partial_topknearest")
         require(twoPhase,
           "q100_batch_serve: the per-query top-k did not plan as a " +
             "two-phase partial aggregate — the batch merge degraded " +
-            "(every ADC-scored row would cross the exchange)")
+            "(every scored row would cross the exchange)")
         val perQ = res.groupBy(col("qid"))
           .agg(count(lit(1)).as("n"), max(col("rank")).as("mr"),
-            count(when(col("adc_dist").isNull ||
-              isnan(col("adc_dist")), 1)).as("bad"),
-            count(when(col("adc_dist") < -1e-9, 1)).as("neg"))
+            count(when(col("exact_dist").isNull ||
+              isnan(col("exact_dist")), 1)).as("bad"),
+            count(when(col("exact_dist") < -1e-9, 1)).as("neg"))
         perQ.agg(
             count(lit(1)).as("n_queries"),
             (max(col("n")) <= 10).as("k_bounded"),

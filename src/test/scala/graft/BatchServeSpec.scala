@@ -33,12 +33,15 @@ class BatchServeSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("batch ≡ single-query serving for every query in the batch") {
+  test("batch ≡ single-query serving for every query in the batch — " +
+      "both stages (ADC and refine)") {
     val idx = graft.queries.LlmOps.ensureAnnServeIndex(spark, sf)
+    val rawDir = graft.queries.LlmOps.ensureRefineServeLayout(spark, sf)
     val coarseF = spark.read.parquet(s"$idx/coarse")
     val booksF = spark.read.parquet(s"$idx/books")
     val codes = spark.read.parquet(s"$idx/codes")
       .select(col("cell_id"), col("vec_id"), col("codes"))
+    val raw = spark.read.parquet(rawDir)
     val emb = Tables.load(spark, sf, "embeddings")
     val queries = emb.filter(col("vec_id") =!= 0)
       .filter(pmod(col("vec_id"), lit(13)) === 1)
@@ -47,29 +50,42 @@ class BatchServeSpec extends AnyFunSuite {
     val qids = queries.select("qid").collect().map(_.getLong(0)).toSeq
     assert(qids.nonEmpty)
 
-    val batch = ProductQuantizer.ivfPqTopKBatch(queries, "qid",
-        "embedding", HouseM, coarseF, booksF, codes, "vec_id",
-        nProbe = 4, k = 10)
-      .collect()
+    def grouped(df: org.apache.spark.sql.DataFrame) = df.collect()
       .groupBy(_.getLong(0))
       .map { case (q, rows) =>
         q -> rows.sortBy(_.getInt(1))
           .map(r => (r.getLong(2), r.getDouble(3))).toSeq
       }
+    val batchAdc = grouped(ProductQuantizer.ivfPqTopKBatch(queries,
+      "qid", "embedding", HouseM, coarseF, booksF, codes, "vec_id",
+      nProbe = 4, k = 10))
+    val cands = ProductQuantizer.ivfPqTopKBatch(queries, "qid",
+        "embedding", HouseM, coarseF, booksF, codes, "vec_id",
+        nProbe = 4, k = 40)
+      .select(col("qid"), col("vec_id"))
+    val batchRef = grouped(ProductQuantizer.exactRerankBatch(cands,
+      raw, "vec_id", "embedding", queries, "qid", "embedding", 10))
+
+    def close(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Boolean =
+      a.map(_._1) == b.map(_._1) &&
+        a.zip(b).forall { case ((_, x), (_, y)) => math.abs(x - y) <= 1e-9 }
 
     for (qid <- qids) {
-      val single = ProductQuantizer.ivfPqTopK(
-          emb.filter(col("vec_id") === qid).select(col("embedding"))
-            .limit(1),
-          "embedding", HouseM, coarseF, booksF, codes, "vec_id",
-          nProbe = 4, k = 10)
+      val query = emb.filter(col("vec_id") === qid)
+        .select(col("embedding")).limit(1)
+      val singleAdc = ProductQuantizer.ivfPqTopK(query, "embedding",
+          HouseM, coarseF, booksF, codes, "vec_id", nProbe = 4, k = 10)
         .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
-      val b = batch.getOrElse(qid, Seq.empty)
-      assert(b.map(_._1) == single.map(_._1),
-        s"qid=$qid: batch ids ${b.map(_._1)} != single ${single.map(_._1)}")
-      assert(b.zip(single).forall { case ((_, x), (_, y)) =>
-        math.abs(x - y) <= 1e-9 },
-        s"qid=$qid: batch distances diverge from single-query serving")
+      assert(close(batchAdc.getOrElse(qid, Seq.empty), singleAdc),
+        s"qid=$qid: batch ADC diverges from single-query serving")
+      val singleCands = ProductQuantizer.ivfPqTopK(query, "embedding",
+          HouseM, coarseF, booksF, codes, "vec_id", nProbe = 4, k = 40)
+        .select(col("vec_id"))
+      val singleRef = ProductQuantizer.exactRerank(singleCands,
+          raw, "vec_id", "embedding", query, "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(close(batchRef.getOrElse(qid, Seq.empty), singleRef),
+        s"qid=$qid: batch refine diverges from single-query refine")
     }
   }
 
