@@ -125,7 +125,7 @@ object Semantic {
     * by an independent in-process replica. Returns the top-k
     * (doc_id, maxsim), integer-exact.
     */
-  private[queries] def maxSimTopK(
+  private[graft] def maxSimTopK(
       dcv: DataFrame, qcv: DataFrame, qchunks: DataFrame, k: Int): DataFrame = {
     val dots0 = dcv.join(broadcast(qcv), "bucket")
       .groupBy(col("doc_id"), col("chunk"), col("qchunk"))
