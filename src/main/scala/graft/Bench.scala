@@ -111,9 +111,10 @@ object Bench {
       }
 
     // chunk-vector + pooled layouts (documents-derived, independent of
-    // the q68 index) so q98_maxsim_serve times only the serve path —
-    // same swallow-and-surface-per-query discipline as above
-    if (set.exists(_.name == "q98_maxsim_serve"))
+    // the q68 index) so q98_maxsim_serve / q101_batch_maxsim time only
+    // the serve path — same swallow-and-surface discipline as above
+    if (set.exists(q => q.name == "q98_maxsim_serve" ||
+        q.name == "q101_batch_maxsim"))
       try graft.queries.Semantic.ensureMaxSimServeLayout(spark, sfDir)
       catch {
         case scala.util.control.NonFatal(e) =>

@@ -283,6 +283,142 @@ object Semantic {
       qcv, qchunks, k)
   }
 
+  /** The MaxSim tail generalized over a QUERY column — the batch
+    * counterpart of [[maxSimTopK]] (q101_batch_maxsim): every stage
+    * carries `qid`, so one plan scores all queries' candidate sets at
+    * once, and the per-query top-k is the bounded-buffer partial
+    * aggregate (functions.TopKNearest on negated integer scores — the
+    * (maxsim desc, doc_id asc) order expressed in the aggregator's
+    * (dist asc, id asc) total order; integer-valued doubles negate
+    * exactly below 2^53). Returns (qid, rank, doc_id, maxsim).
+    */
+  private[graft] def maxSimTopKBatch(
+      dcv: DataFrame, qcv: DataFrame, qchunks: DataFrame, k: Int): DataFrame = {
+    val dots0 = dcv.join(broadcast(qcv), Seq("qid", "bucket"))
+      .groupBy(col("qid"), col("doc_id"), col("chunk"), col("qchunk"))
+      .agg(sum(col("v") * col("qv")).as("dot"))
+    val pairs = dcv.select(col("qid"), col("doc_id"), col("chunk"))
+      .distinct()
+      .join(broadcast(qchunks), "qid")
+    val scored = pairs
+      .join(dots0, Seq("qid", "doc_id", "chunk", "qchunk"), "left")
+      .select(col("qid"), col("doc_id"), col("qchunk"),
+        coalesce(col("dot"), lit(0L)).as("dot"))
+      .groupBy(col("qid"), col("doc_id"), col("qchunk"))
+      .agg(max(col("dot")).as("mx"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("mx")).as("maxsim"))
+    val topk = udaf(new graft.functions.TopKNearest(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.DistId]())
+    scored.groupBy(col("qid"))
+      .agg(topk((-col("maxsim")).cast("double"), col("doc_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("__pos", "__t")))
+      .select(col("qid").cast("long").as("qid"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__t.id").as("doc_id"),
+        (-col("__t.dist")).cast("long").as("maxsim"))
+  }
+
+  /** BATCH MaxSim serving (q101_batch_maxsim): a query TABLE of doc
+    * ids answered through the SAME persisted layouts as
+    * [[maxSimServe]] in ONE declarative two-stage plan — no per-query
+    * driver loop:
+    *
+    *   - query featurization: one In-list rowgroup-pruned read of the
+    *     qids' chunk rows (plan-REQUIRED), pooled per (qid, bucket) —
+    *     ≤ Q·16 rows, the per-batch "model", collected once;
+    *   - per-query probe ranking over the 16-cell universe
+    *     (driver-side Hamming, Q·16 comparisons), unioned into one
+    *     pushdown In(cell) restriction of the pooled scan
+    *     (plan-REQUIRED) with the (qid, cell) probe pairs riding a
+    *     broadcast — so every query scans only ITS probed cells;
+    *   - stage-1 integer scores per (qid, doc), per-query top-50 via
+    *     the bounded-buffer aggregate (plan-REQUIRED two-phase);
+    *   - stage-2: the (qid, candidate) pairs broadcast onto ONE chunks
+    *     scan (the q100 amortization shape: Q queries' candidates
+    *     blanket the id space, so the fetch is one scan amortized
+    *     over the batch) and the batch MaxSim tail.
+    *
+    * Everything stays integer/md5-deterministic, so the whole BATCH
+    * answer is VALUE-exact against DuckDB. Batch independence — a
+    * query's rows are identical whatever else is in the batch — is
+    * pinned in MaxSimBatchSpec.
+    */
+  def maxSimServeBatch(s: SparkSession, dir: String, qids: Seq[Long],
+      nProbe: Int, k: Int): DataFrame = {
+    import s.implicits._
+    require(qids.nonEmpty, "q101: empty query table")
+    val ms = ensureMaxSimServeLayout(s, dir)
+    s.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    val pooled = s.read.parquet(s"$ms/pooled")
+    val chunks = s.read.parquet(s"$ms/chunks")
+    val qcvAll = chunks.filter(col("doc_id").isin(qids.map(Long.box): _*))
+    val qplan = qcvAll.queryExecution.executedPlan.toString
+    val qTok = if (qids.size == 1) "EqualTo(doc_id" else "In(doc_id"
+    require(qplan.contains("PushedFilters") && qplan.contains(qTok),
+      "q101: the query-id In-list did not reach the chunks scan — " +
+        "query featurization degraded to a corpus-scale read")
+    // per-(qid, bucket) pooled sums: ≤ Q·16 rows — the batch "model"
+    val qpoolRows = qcvAll.groupBy(col("doc_id").as("qid"), col("bucket"))
+      .agg(sum(col("v")).as("qpv")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val served = qpoolRows.map(_._1).distinct
+    require(served.length == qids.length,
+      s"q101: only ${served.length} of ${qids.length} query docs have " +
+        "chunk rows — the layout is missing queries")
+    // per-query sign cell + Hamming probe ranking (driver-side over
+    // the constant 16-cell universe, as in maxSimServe)
+    val qpvByQid = qpoolRows.groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(r => r._2 -> r._3).toMap }
+    val probedPairs = qids.flatMap { q =>
+      val qpv = qpvByQid(q)
+      val qcell = (0 until 4)
+        .map(i => if (qpv.getOrElse(i.toLong, 0L) >= 0L) 1 << i else 0).sum
+      (0 until 16).sortBy(c => (Integer.bitCount(c ^ qcell), c))
+        .take(nProbe).map(c => (q, c))
+    }
+    val unionCells = probedPairs.map(_._2).distinct
+    val probedPool = pooled.filter(col("cell")
+      .isin(unionCells.map(c => c: java.lang.Integer): _*))
+    val pplan = probedPool.queryExecution.executedPlan.toString
+    val cellTok =
+      if (unionCells.size == 1) "EqualTo(cell" else "In(cell"
+    require(pplan.contains("PushedFilters") && pplan.contains(cellTok),
+      "q101: the union probe-cell list did not reach the pooled scan " +
+        "— stage 1 degrades to a corpus-scale pooled read")
+    val probeDf = probedPairs.toDF("qid", "cell")
+    val qpoolDf = qpoolRows.toSeq.toDF("qid", "bucket", "qpv")
+    val topm = udaf(new graft.functions.TopKNearest(50),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.DistId]())
+    val cands = probedPool
+      .join(broadcast(probeDf), "cell")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(broadcast(qpoolDf), Seq("qid", "bucket"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("pv") * col("qpv")).as("s1"))
+      .groupBy(col("qid"))
+      .agg(topm((-col("s1")).cast("double"), col("doc_id")).as("top"))
+      .select(col("qid"), explode(col("top").getField("id")).as("doc_id"))
+    // stage 2: one chunks scan, map-side filtered by the broadcast
+    // candidate pairs (the q100 amortization shape)
+    val dcv = chunks.join(broadcast(cands), "doc_id")
+      .select(col("qid"), col("doc_id"), col("chunk"), col("bucket"),
+        col("v"))
+    val qcv = qcvAll.select(col("doc_id").as("qid"),
+      col("chunk").as("qchunk"), col("bucket"), col("v").as("qv"))
+    val qchunks = qcv.select(col("qid"), col("qchunk")).distinct()
+      .limit(qids.size * 4096)
+    val res = maxSimTopKBatch(dcv, qcv, qchunks, k)
+      .orderBy(col("qid"), col("rank"))
+    val plan = res.queryExecution.executedPlan.toString
+    require(plan.contains("partial_topknearest"),
+      "q101: the per-query top-k did not plan as a two-phase partial " +
+        "aggregate — the batch merge degraded")
+    res
+  }
+
   /** Reciprocal-rank fusion of two rank lists `(id, r_lex)` / `(id,
     * r_den)`: full-outer join so an id ranked by only one modality
     * still scores, rrf = Σ 1/(k + rank). Exposed for unit testing.
@@ -864,6 +1000,122 @@ object Semantic {
              |       CAST(sum(m) AS BIGINT) AS maxsim
              |FROM mx GROUP BY doc_id
              |ORDER BY maxsim DESC, doc_id LIMIT 10""".stripMargin),
+      bench = true),
+
+    // BATCH MAXSIM (round 15, the q100 discipline applied to the
+    // late-interaction family): a query TABLE (the mod-37 doc-id
+    // residue, ≤8 queries) served through the SAME persisted layouts
+    // as q98_maxsim_serve in ONE declarative two-stage plan — In-list
+    // pruned query featurization, per-query Hamming probe ranking
+    // fanned into one pushdown-pruned pooled scan with broadcast
+    // (qid, cell) probe pairs, bounded-buffer per-query top-50, one
+    // amortized chunks scan for all candidates, and the batch MaxSim
+    // tail with per-query bounded top-10. Three plan properties
+    // require-refused (query In-list, probe-cell In-list, two-phase
+    // partial top-k). Because every stage stays integer/md5-exact and
+    // the cell key deterministic, the ENTIRE BATCH output
+    // (qid, rank, doc_id, maxsim) is VALUE-exact against DuckDB —
+    // a per-row hash of 8 queries' rankings, not a contract row.
+    // Batch independence (a query's rows identical whatever else is
+    // in the batch) is pinned in MaxSimBatchSpec.
+    QueryDef(
+      "q101_batch_maxsim",
+      (s, dir) => {
+        val ms = ensureMaxSimServeLayout(s, dir)
+        val qids = s.read.parquet(s"$ms/pooled")
+          .select(col("doc_id")).distinct()
+          .filter(pmod(col("doc_id"), lit(37)) === 1)
+          .orderBy(col("doc_id")).limit(8)
+          .collect().map(_.getLong(0)).toSeq
+        maxSimServeBatch(s, dir, qids, nProbe = 4, k = 10)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |tok AS (
+             |  SELECT doc_id, unnest(w) AS tk,
+             |         unnest(range(len(w))) AS pos
+             |  FROM d),
+             |feat AS (
+             |  SELECT doc_id, CAST(floor(pos / 32.0) AS BIGINT) AS chunk,
+             |    strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1
+             |      AS bucket,
+             |    CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 2, 1))
+             |      - 1 < 8 THEN 1 ELSE -1 END AS sgn
+             |  FROM tok),
+             |cv AS (
+             |  SELECT doc_id, chunk, bucket, CAST(sum(sgn) AS BIGINT) AS v
+             |  FROM feat GROUP BY 1, 2, 3),
+             |qids AS (
+             |  SELECT DISTINCT doc_id AS qid FROM cv
+             |  WHERE doc_id % 37 = 1 ORDER BY qid LIMIT 8),
+             |pool AS (
+             |  SELECT doc_id, bucket, CAST(sum(v) AS BIGINT) AS pv
+             |  FROM cv GROUP BY 1, 2),
+             |cells AS (
+             |  SELECT doc_id,
+             |    15 - CAST(coalesce(sum(CASE WHEN bucket < 4 AND pv < 0
+             |      THEN (1 << bucket) ELSE 0 END), 0) AS INT) AS cell
+             |  FROM pool GROUP BY doc_id),
+             |qpool AS (
+             |  SELECT q.qid, p.bucket, p.pv AS qpv
+             |  FROM pool p JOIN qids q ON p.doc_id = q.qid),
+             |qcell AS (
+             |  SELECT q.qid, ce.cell AS qc
+             |  FROM cells ce JOIN qids q ON ce.doc_id = q.qid),
+             |probed AS (
+             |  SELECT qid, CAST(u.c AS INT) AS cell
+             |  FROM (SELECT unnest(range(16)) AS c) u CROSS JOIN qcell
+             |  QUALIFY row_number() OVER (PARTITION BY qid
+             |    ORDER BY bit_count(xor(CAST(u.c AS BIGINT),
+             |                           CAST(qc AS BIGINT))), u.c) <= 4),
+             |cand0 AS (
+             |  SELECT pr.qid, p.doc_id, CAST(sum(p.pv * qp.qpv) AS BIGINT)
+             |    AS s1
+             |  FROM pool p
+             |  JOIN cells ce ON ce.doc_id = p.doc_id
+             |  JOIN probed pr ON pr.cell = ce.cell
+             |  JOIN qpool qp ON qp.qid = pr.qid AND qp.bucket = p.bucket
+             |  WHERE p.doc_id <> pr.qid
+             |  GROUP BY pr.qid, p.doc_id),
+             |cand AS (
+             |  SELECT qid, doc_id FROM cand0
+             |  QUALIFY row_number() OVER (PARTITION BY qid
+             |    ORDER BY s1 DESC, doc_id) <= 50),
+             |qcv AS (
+             |  SELECT q.qid, c.chunk AS qchunk, c.bucket, c.v AS qv
+             |  FROM cv c JOIN qids q ON c.doc_id = q.qid),
+             |dcv AS (
+             |  SELECT ca.qid, c.doc_id, c.chunk, c.bucket, c.v
+             |  FROM cv c JOIN cand ca ON ca.doc_id = c.doc_id),
+             |dchunks AS (SELECT DISTINCT qid, doc_id, chunk FROM dcv),
+             |qchunks AS (SELECT DISTINCT qid, qchunk FROM qcv),
+             |pairs AS (
+             |  SELECT dc.qid, dc.doc_id, dc.chunk, qc.qchunk
+             |  FROM dchunks dc JOIN qchunks qc ON qc.qid = dc.qid),
+             |dots0 AS (
+             |  SELECT dv.qid, dv.doc_id, dv.chunk, q.qchunk,
+             |         CAST(sum(dv.v * q.qv) AS BIGINT) AS dot
+             |  FROM dcv dv JOIN qcv q
+             |    ON q.qid = dv.qid AND q.bucket = dv.bucket
+             |  GROUP BY 1, 2, 3, 4),
+             |dots AS (
+             |  SELECT p.qid, p.doc_id, p.qchunk, coalesce(dd.dot, 0) AS dot
+             |  FROM pairs p LEFT JOIN dots0 dd
+             |    ON dd.qid = p.qid AND dd.doc_id = p.doc_id
+             |   AND dd.chunk = p.chunk AND dd.qchunk = p.qchunk),
+             |mx AS (
+             |  SELECT qid, doc_id, qchunk, max(dot) AS m
+             |  FROM dots GROUP BY 1, 2, 3),
+             |scored AS (
+             |  SELECT qid, doc_id, CAST(sum(m) AS BIGINT) AS maxsim
+             |  FROM mx GROUP BY 1, 2)
+             |SELECT CAST(qid AS BIGINT) AS qid,
+             |  CAST(row_number() OVER (PARTITION BY qid
+             |    ORDER BY maxsim DESC, doc_id) AS INT) AS rank,
+             |  CAST(doc_id AS BIGINT) AS doc_id, maxsim
+             |FROM scored
+             |QUALIFY rank <= 10
+             |ORDER BY qid, rank""".stripMargin),
       bench = true)
   )
 }
