@@ -325,6 +325,24 @@ object ProductQuantizer {
       .select(col(idCol), col("cell_id"), col("adc_dist"))
   }
 
+  /** Cap under which the batch-serve helpers HINT a broadcast. The
+    * LUT side is the only per-query state that is individually large
+    * (m·ksub doubles ≈ 64 KB per (query, cell) row at house geometry),
+    * so an unconditional hint — which Spark honors regardless of size
+    * — would drive the driver out of memory at the "thousands of
+    * queries per run" scale the batch entries exist for (r15 advice).
+    * Past the cap the hint is simply omitted: the static plan falls
+    * back to a shuffle join and AQE remains free to re-pick broadcast
+    * from observed sizes.
+    */
+  val MaxHintedBroadcastBytes: Long = 256L << 20
+
+  /** `df` with a broadcast hint iff the caller-estimated size is under
+    * [[MaxHintedBroadcastBytes]].
+    */
+  private def hintIfSmall(df: DataFrame, estBytes: Long): DataFrame =
+    if (estBytes <= MaxHintedBroadcastBytes) broadcast(df) else df
+
   /** BATCH IVF-PQ serving (q100_batch_serve): a whole query TABLE
     * answered in ONE declarative plan instead of Q driver round-trips.
     * Stages, all inside a single job graph:
@@ -334,10 +352,13 @@ object ProductQuantizer {
     *     only per-query state is Q·nProbe (query-residual) rows.
     *   2. per-(query, cell) LUTs: the same subvector/codebook
     *     arithmetic as [[ivfPqLutRows]], keyed by (query, cell) — the
-    *     LUT table is Q·nProbe rows of m·ksub doubles and rides a
-    *     broadcast (≈1 MB per 64 queries at house settings; past
-    *     broadcast range the identical plan runs as a shuffle join on
-    *     cell_id, still one job).
+    *     LUT table is Q·nProbe rows of m·ksub doubles. It rides a
+    *     broadcast only while Q·nProbe·lutBytes stays under
+    *     [[MaxHintedBroadcastBytes]] (≈1 MB per 64 queries at house
+    *     settings); for larger batches the hint is omitted, the join
+    *     plans as a shuffle on cell_id, and AQE may still re-pick
+    *     broadcast from the observed size — the driver is never forced
+    *     to hold an arbitrarily large LUT table.
     *   3. scoring: codes ⋈ LUTs on cell_id — the codes scan never
     *     shuffles; each code row fans out only to the queries that
     *     probed its cell (the ADC work itself, Σ_q occupancy(probed)).
@@ -351,6 +372,11 @@ object ProductQuantizer {
     * sorted-by-code LUT arrays, LutSumF fold), so for any qid the
     * batch answer equals the single-query answer — BatchServeSpec pins
     * this per query. Returns (qidCol, rank, idCol, adc_dist).
+    *
+    * `knownQ`/`knownLutLen`: the batch size and flat-codebook length
+    * used to size-gate the LUT broadcast; pass them when the caller
+    * already knows them, else they are counted here (both cheap: the
+    * query table is per-run input, the codebook model-scale).
     */
   def ivfPqTopKBatch(
       queries: DataFrame,
@@ -362,7 +388,13 @@ object ProductQuantizer {
       codes: DataFrame,
       idCol: String,
       nProbe: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      knownQ: Long = -1L,
+      knownLutLen: Long = -1L): DataFrame = {
+    val nQ = if (knownQ >= 0) knownQ else queries.count()
+    val lutLen = if (knownLutLen >= 0) knownLutLen else books.count()
+    // 8 B per double + array/row overhead, per (query, cell) LUT row
+    val lutBytes = nQ * nProbe * (lutLen * 8 + 64)
     val qs = queries.select(col(qidCol).as("__qid"), col(vecCol).as("qv"))
     val l2 = VectorFns.normSq(col("cv")) -
       lit(2.0) * VectorFns.dot(col("cv"), col("qv")) +
@@ -391,7 +423,7 @@ object ProductQuantizer {
         s => s.getField("d")).as("lut"))
       .select(col("__pk.__qid").as("__qid"),
         col("__pk.cell_id").as("cell_id"), col("lut"))
-    val scored = codes.join(broadcast(luts), "cell_id")
+    val scored = codes.join(hintIfSmall(luts, lutBytes), "cell_id")
       .select(col("__qid"), col(idCol),
         LutSumF(col("codes"), col("lut")).as("adc_dist"))
     val topk = udaf(new graft.functions.TopKNearest(k),
@@ -407,7 +439,11 @@ object ProductQuantizer {
 
   /** Batch exact re-rank — the refine stage of [[ivfPqTopKBatch]]'s
     * pipeline, still with NO per-query driver loop: the (query,
-    * candidate) pairs and the query vectors both ride broadcasts, the
+    * candidate) pairs and the query vectors ride broadcasts while the
+    * batch stays under [[MaxHintedBroadcastBytes]] (size-gated on Q —
+    * r15 advice: an unconditional hint is honored at ANY size and
+    * would OOM the driver at the thousands-of-queries scale; past the
+    * gate the hint is omitted and AQE picks the strategy), the
     * raw-vector side is ONE scan map-side-filtered by the candidate
     * hash join (never shuffled), and the per-query exact top-k is the
     * same bounded-buffer partial aggregate as stage 1. The scan-shape
@@ -417,6 +453,11 @@ object ProductQuantizer {
     * so the batch fetch is one full raw scan AMORTIZED over all Q
     * queries — scan/Q per query, which is the batch win the entry
     * exists to price. Returns (qidCol, rank, idCol, exact_dist).
+    *
+    * `knownQ`: batch size for the broadcast gates (counted from
+    * `queries` when not passed). Per-query sizes are conservative
+    * constants — ≤4 KB of candidate pairs and ≤1 KB of query vector —
+    * so the gate errs toward shuffling, never toward an oversized hint.
     */
   def exactRerankBatch(
       candidates: DataFrame,
@@ -426,14 +467,16 @@ object ProductQuantizer {
       queries: DataFrame,
       qidCol: String,
       qvecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      knownQ: Long = -1L): DataFrame = {
+    val nQ = if (knownQ >= 0) knownQ else queries.count()
     val qs = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("qv"))
     val cand = candidates.select(col(qidCol).as("__cqid"), col(idCol))
     val topk = udaf(new graft.functions.TopKNearest(k),
       org.apache.spark.sql.catalyst.encoders
         .ExpressionEncoder[graft.functions.DistId]())
-    raw.join(broadcast(cand), idCol)
-      .join(broadcast(qs), col("__cqid") === col("__qid"))
+    raw.join(hintIfSmall(cand, nQ * 4096), idCol)
+      .join(hintIfSmall(qs, nQ * 1024), col("__cqid") === col("__qid"))
       .select(col("__qid"), col(idCol),
         (VectorFns.normSq(col(vecCol)) -
           lit(2.0) * VectorFns.dot(col(vecCol), col("qv")) +

@@ -220,7 +220,14 @@ object Semantic {
     s.conf.set("spark.sql.maxMetadataStringLength", "10000")
     val pooled = s.read.parquet(s"$ms/pooled")
     val chunks = s.read.parquet(s"$ms/chunks")
-    val qid = pooled.agg(min(col("doc_id"))).collect()(0).getLong(0)
+    // qid from the DOCUMENTS table, not the pooled layout (r15 advice):
+    // the oracle and the from-raw q98_maxsim_rerank both pick
+    // min(doc_id) over documents, and a min-id document with empty
+    // text has no chunk rows — pooled-min would silently pick a
+    // DIFFERENT query doc there, while this choice fails loudly at the
+    // qRows require below, exactly like the from-raw path.
+    val qid = t(s, dir, "documents").agg(min(col("doc_id")))
+      .collect()(0).getLong(0)
     // the query's pooled vector: ≤16 rows, the per-query "model"
     // (driver-scale by construction, like any ADC LUT)
     val qRows = chunks.filter(col("doc_id") === qid)
@@ -408,8 +415,20 @@ object Semantic {
         col("v"))
     val qcv = qcvAll.select(col("doc_id").as("qid"),
       col("chunk").as("qchunk"), col("bucket"), col("v").as("qv"))
+    // per-query chunk bound, checked LOUDLY (r15 advice): the previous
+    // global limit(Q·4096) was unordered, so one over-long query doc
+    // could nondeterministically evict ANOTHER query's chunks and
+    // silently corrupt batch scores; this mirrors maxSimServe's
+    // single-query require instead (Q rows, driver-scale)
+    val oversize = qcv.groupBy(col("qid"))
+      .agg(countDistinct(col("qchunk")).as("nc"))
+      .filter(col("nc") > 4096 || col("nc") < 1)
+      .collect()
+    require(oversize.isEmpty,
+      s"q101: query docs ${oversize.map(_.getLong(0)).mkString(",")} " +
+        "have chunk counts outside (0, 4096] — over-long query docs " +
+        "fail loudly, never truncate the batch")
     val qchunks = qcv.select(col("qid"), col("qchunk")).distinct()
-      .limit(qids.size * 4096)
     val res = maxSimTopKBatch(dcv, qcv, qchunks, k)
       .orderBy(col("qid"), col("rank"))
     val plan = res.queryExecution.executedPlan.toString
