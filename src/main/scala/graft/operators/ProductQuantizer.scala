@@ -44,7 +44,8 @@ object ProductQuantizer {
 
   /** House IVF-PQ geometry for the shared graft index family — every
     * index the q68/q95–q100 serve stack, the streaming lifecycle, and
-    * the audits build. MEASURED, not assumed (tools/pq_tune_r15.json:
+    * the audits build. MEASURED, not assumed (tools/pq_tune_r16.json —
+    * the complete 9-variant artifact, re-run per the r15 verdict:
     * sf0.1, 25 queries, exhaustive-ADC recall@10 — the quantizer's own
     * ceiling with probing removed): the r14 geometry m=8/every=40
     * scored 0.252; m=16 at the same codebook budget 0.412; doubling
