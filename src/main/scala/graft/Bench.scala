@@ -72,7 +72,8 @@ object Bench {
         q.name == "q84_quiet_trigger" || q.name == "q89_adopt_trigger" ||
         q.name == "q95_filtered_serve" || q.name == "q96_refine_serve" ||
         q.name == "q97_sharded_serve" || q.name == "q99_stack_serve" ||
-        q.name == "q100_batch_serve" || q.name == "q95_policy_serve"))
+        q.name == "q100_batch_serve" || q.name == "q95_policy_serve" ||
+        q.name == "q102_batch_stack"))
       try {
         graft.queries.LlmOps.ensureAnnServeIndex(spark, sfDir)
         // adoption-template fixture (on top of the shared index) so
@@ -87,11 +88,19 @@ object Bench {
         // walks, so q95_policy_serve times only the policy + serve
         if (set.exists(_.name == "q95_policy_serve"))
           graft.queries.LlmOps.ensureFilteredOccStats(spark, sfDir)
-        // id-sorted raw vectors so q96_refine_serve / q100's batch
-        // refine time only the query path, never the layout derivation
-        if (set.exists(q => q.name == "q96_refine_serve" ||
-            q.name == "q100_batch_serve"))
+        // id-sorted raw vectors so q96_refine_serve times only the
+        // query path, never the layout derivation
+        if (set.exists(_.name == "q96_refine_serve"))
           graft.queries.LlmOps.ensureRefineServeLayout(spark, sfDir)
+        // id-bucket-partitioned raw vectors so the q100/q102 partition-
+        // pruned batch refine fetch times only the query path
+        if (set.exists(q => q.name == "q100_batch_serve" ||
+            q.name == "q102_batch_stack"))
+          graft.queries.LlmOps.ensureRefineBucketedLayout(spark, sfDir)
+        // the composed stack layout so q102_batch_stack times only the
+        // batched stacked query path
+        if (set.exists(_.name == "q102_batch_stack"))
+          graft.queries.LlmOps.ensureStackServeLayout(spark, sfDir)
         // shard-partitioned codes so q97_sharded_serve times only the
         // scatter-gather serve path, never the layout derivation
         if (set.exists(_.name == "q97_sharded_serve"))
@@ -114,8 +123,14 @@ object Bench {
     // the q68 index) so q98_maxsim_serve / q101_batch_maxsim time only
     // the serve path — same swallow-and-surface discipline as above
     if (set.exists(q => q.name == "q98_maxsim_serve" ||
-        q.name == "q101_batch_maxsim"))
-      try graft.queries.Semantic.ensureMaxSimServeLayout(spark, sfDir)
+        q.name == "q101_batch_maxsim" ||
+        q.name == "q103_maxsim_ivf_serve"))
+      try {
+        graft.queries.Semantic.ensureMaxSimServeLayout(spark, sfDir)
+        // + the trained-cell sibling so q103 times only the serve path
+        if (set.exists(_.name == "q103_maxsim_ivf_serve"))
+          graft.queries.Semantic.ensureMaxSimIvfServeLayout(spark, sfDir)
+      }
       catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(

@@ -74,6 +74,47 @@ object VectorKernels {
     acc
   }
 
+  /** Build one full ADC lookup table from a query residual in a single
+    * native loop (the batch-serve LUT kernel behind [[LutBuildF]]):
+    * for global code i with subspace `subIds(i)` and centroid `cvs(i)`
+    * (length sl), lut(i) = ‖qr[sub·sl … sub·sl+sl) − cv‖², computed as
+    * the SAME three in-order folds and combine order as the
+    * DotF-composed formulation it replaces (Σx², Σxc, Σc², then
+    * nq − 2·dc + nc) — bit-identical values, one codegen'd call
+    * instead of m·ksub interpreted lambda evaluations. Null on ragged
+    * or null-element input, mirroring the HOF semantics.
+    */
+  def lutBuild(qr: ArrayData, subIds: ArrayData, cvs: ArrayData): ArrayData = {
+    val n = cvs.numElements()
+    if (subIds.numElements() != n) return null
+    val d = qr.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (subIds.isNullAt(i) || cvs.isNullAt(i)) return null
+      val cv = cvs.getArray(i)
+      val sl = cv.numElements()
+      val start = subIds.getInt(i) * sl
+      if (start < 0 || start + sl > d) return null
+      var nq = 0.0
+      var dc = 0.0
+      var nc = 0.0
+      var j = 0
+      while (j < sl) {
+        if (qr.isNullAt(start + j) || cv.isNullAt(j)) return null
+        val x = qr.getDouble(start + j)
+        val c = cv.getDouble(j)
+        nq += x * x
+        dc += x * c
+        nc += c * c
+        j += 1
+      }
+      out(i) = nq - 2.0 * dc + nc
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Sign-bit LSH bucket: bit j of the result is the sign of projection
     * j, where hyperplane j's component i is ±1 from
     * `pmod(xxhash64(i + (j << 16)), 2)` — the identical projection the
@@ -208,4 +249,54 @@ object LutSumF {
   def apply(codes: Column, lut: Column): Column =
     GraftColumnBridge.column(LutSumF(
       GraftColumnBridge.expression(codes), GraftColumnBridge.expression(lut)))
+}
+
+/** Full ADC LUT from one query residual — `array<double>` of length
+  * ksub·m. Children: the residual (`array<double>`), the per-code
+  * subspace ids (`array<int>`, typically a codebook literal), and the
+  * per-code centroids (`array<array<double>>`, same literal source).
+  * See [[VectorKernels.lutBuild]] for arithmetic and null semantics.
+  */
+case class LutBuildF(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(org.apache.spark.sql.types.IntegerType, _),
+          ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"LutBuildF expects (array<double>, array<int>, " +
+            s"array<array<double>>), got ($a, $b, $c)")
+    }
+  }
+
+  override protected def nullSafeEval(qr: Any, subs: Any, cvs: Any): Any =
+    VectorKernels.lutBuild(qr.asInstanceOf[ArrayData],
+      subs.asInstanceOf[ArrayData], cvs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, s, c) => {
+      val res = ctx.freshName("lutBuilt")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.functions.VectorKernels.lutBuild($q, $s, $c);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): LutBuildF =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object LutBuildF {
+  def apply(qr: Column, subs: Column, cvs: Column): Column =
+    GraftColumnBridge.column(LutBuildF(
+      GraftColumnBridge.expression(qr), GraftColumnBridge.expression(subs),
+      GraftColumnBridge.expression(cvs)))
 }

@@ -351,15 +351,15 @@ object ProductQuantizer {
     *   1. probe selection per query: queries × broadcast centroids
     *     (Q·K rows), per-query rank window → nProbe cells each. The
     *     only per-query state is Q·nProbe (query-residual) rows.
-    *   2. per-(query, cell) LUTs: the same subvector/codebook
-    *     arithmetic as [[ivfPqLutRows]], keyed by (query, cell) — the
-    *     LUT table is Q·nProbe rows of m·ksub doubles. It rides a
-    *     broadcast only while Q·nProbe·lutBytes stays under
-    *     [[MaxHintedBroadcastBytes]] (≈1 MB per 64 queries at house
-    *     settings); for larger batches the hint is omitted, the join
-    *     plans as a shuffle on cell_id, and AQE may still re-pick
-    *     broadcast from the observed size — the driver is never forced
-    *     to hold an arbitrarily large LUT table.
+    *   2. per-(query, cell) LUTs: ONE projected array expression per
+    *     probe row against the driver-collected codebook literal (see
+    *     [[ivfPqScoresBatch]]) — Q·nProbe rows of m·ksub doubles. The
+    *     LUT table rides a broadcast only while its estimated bytes
+    *     stay under [[MaxHintedBroadcastBytes]] (≈1 MB per 64 queries
+    *     at house settings); for larger batches the hint is omitted,
+    *     the join plans as a shuffle on cell_id, and AQE may still
+    *     re-pick broadcast from the observed size — the driver is
+    *     never forced to hold an arbitrarily large LUT table.
     *   3. scoring: codes ⋈ LUTs on cell_id — the codes scan never
     *     shuffles; each code row fans out only to the queries that
     *     probed its cell (the ADC work itself, Σ_q occupancy(probed)).
@@ -374,10 +374,9 @@ object ProductQuantizer {
     * batch answer equals the single-query answer — BatchServeSpec pins
     * this per query. Returns (qidCol, rank, idCol, adc_dist).
     *
-    * `knownQ`/`knownLutLen`: the batch size and flat-codebook length
-    * used to size-gate the LUT broadcast; pass them when the caller
-    * already knows them, else they are counted here (both cheap: the
-    * query table is per-run input, the codebook model-scale).
+    * `knownQ`: the batch size used to size-gate the LUT broadcast;
+    * pass it when the caller already knows it, else it is counted
+    * here (cheap: the query table is per-run input).
     */
   def ivfPqTopKBatch(
       queries: DataFrame,
@@ -390,12 +389,65 @@ object ProductQuantizer {
       idCol: String,
       nProbe: Int,
       k: Int,
+      knownQ: Long = -1L): DataFrame = {
+    val scored = ivfPqScoresBatch(queries, qidCol, vecCol, m, coarse,
+      books, codes, idCol, nProbe, knownQ)
+    batchTopK(scored.select(col("__qid"), col(idCol), col("adc_dist")),
+      qidCol, idCol, "adc_dist", k)
+  }
+
+  /** The scored stage of [[ivfPqTopKBatch]] — every (query, probed
+    * code row) ADC distance, plus any `keepCols` carried through from
+    * the codes table (metadata columns like the q95 label, so filtered
+    * batch variants can apply per-query predicates AFTER the scoring
+    * join without a second scan). Returns
+    * (__qid, idCol, adc_dist, keepCols…).
+    *
+    * LUT construction is the single-query [[lutFor]] discipline made
+    * batch-wide: the codebook is COLLECTED to the driver once (a
+    * model-scale read, exactly like any trained model) and shipped as
+    * a literal, so each (query, cell) LUT is ONE native kernel call
+    * ([[graft.functions.LutBuildF]] — a codegen'd loop over the
+    * codebook literal) on each of the Q·nProbe probe rows. Element
+    * arithmetic and code indexing are bit-identical to the former
+    * books-join formulation (same in-order folds and combine order,
+    * LUT indexed by global code), but with no m·ksub-fanout join, no
+    * groupBy and no per-group array sort — the r16 profile measured
+    * that join as the ONLY 10×-growing stage of the whole batch
+    * pipeline (2.10×: the codebook widening toward its 256 cap
+    * multiplied a 2M-row explosion), and measured the first
+    * replacement attempt (a `transform` HOF over the literal) 3×
+    * WORSE at base — interpreted per-element lambdas, the
+    * VectorKernels trap. The kernel form is the one that is both
+    * flat and fast.
+    */
+  def ivfPqScoresBatch(
+      queries: DataFrame,
+      qidCol: String,
+      vecCol: String,
+      m: Int,
+      coarse: DataFrame,
+      books: DataFrame,
+      codes: DataFrame,
+      idCol: String,
+      nProbe: Int,
       knownQ: Long = -1L,
-      knownLutLen: Long = -1L): DataFrame = {
+      keepCols: Seq[String] = Nil): DataFrame = {
     val nQ = if (knownQ >= 0) knownQ else queries.count()
-    val lutLen = if (knownLutLen >= 0) knownLutLen else books.count()
+    // the codebook as a driver-side model: (code, sub_id, cv) sorted
+    // by the global dense code, so lut(code) indexes the literal
+    val bookRows = books.select(col("code").cast("long"),
+        col("sub_id").cast("int"), col("cv"))
+      .collect().sortBy(_.getLong(0))
+    require(bookRows.nonEmpty &&
+      bookRows.zipWithIndex.forall { case (r, i) => r.getLong(0) == i },
+      "ivfPqScoresBatch: codebook codes must be dense 0..n-1 global " +
+        "ranks (the train() contract) — stale or foreign books table")
+    val lutLen = bookRows.length
     // 8 B per double + array/row overhead, per (query, cell) LUT row
-    val lutBytes = nQ * nProbe * (lutLen * 8 + 64)
+    val lutBytes = nQ * nProbe * (lutLen * 8L + 64)
+    val subLit = typedLit(bookRows.map(_.getInt(1)).toSeq)
+    val cvLit = typedLit(bookRows.map(_.getSeq[Double](2)).toSeq)
     val qs = queries.select(col(qidCol).as("__qid"), col(vecCol).as("qv"))
     val l2 = VectorFns.normSq(col("cv")) -
       lit(2.0) * VectorFns.dot(col("cv"), col("qv")) +
@@ -411,31 +463,71 @@ object ProductQuantizer {
       .select(col("__qid"), col("cell_id"),
         zip_with(col("qv"), col("cv"), (x, c) => x.cast("double") - c)
           .as("qr"))
-      .withColumn("__pk", struct(col("__qid"), col("cell_id")))
-    val qsv = subvectors(probes, "__pk", "qr", m)
-      .select(col("__pk"), col("sub_id"), col("sv").as("qsv"))
-    val luts = books.join(qsv, "sub_id")
-      .select(col("__pk"), col("code"),
-        (VectorFns.normSq(col("qsv")) -
-          lit(2.0) * VectorFns.dot(col("qsv"), col("cv")) +
-          VectorFns.normSq(col("cv"))).as("d"))
-      .groupBy(col("__pk"))
-      .agg(transform(array_sort(collect_list(struct(col("code"), col("d")))),
-        s => s.getField("d")).as("lut"))
-      .select(col("__pk.__qid").as("__qid"),
-        col("__pk.cell_id").as("cell_id"), col("lut"))
-    val scored = codes.join(hintIfSmall(luts, lutBytes), "cell_id")
-      .select(col("__qid"), col(idCol),
-        LutSumF(col("codes"), col("lut")).as("adc_dist"))
+    val luts = probes
+      .select(col("__qid"), col("cell_id"),
+        graft.functions.LutBuildF(col("qr"), subLit, cvLit).as("lut"))
+    codes.join(hintIfSmall(luts, lutBytes), "cell_id")
+      .select((Seq(col("__qid"), col(idCol),
+        LutSumF(col("codes"), col("lut")).as("adc_dist")) ++
+        keepCols.map(col)): _*)
+  }
+
+  /** Per-query bounded top-k over a scored batch frame — the
+    * [[graft.functions.TopKNearest]] partial aggregate (map side keeps
+    * ≤ k rows per query per partition BEFORE the exchange) plus rank
+    * attachment. Input must carry `__qid`; returns
+    * (qidCol, rank, idCol, distCol).
+    */
+  def batchTopK(
+      scored: DataFrame, qidCol: String, idCol: String, distCol: String,
+      k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKNearest(k),
       org.apache.spark.sql.catalyst.encoders
         .ExpressionEncoder[graft.functions.DistId]())
     scored.groupBy(col("__qid"))
-      .agg(topk(col("adc_dist"), col(idCol)).as("top"))
+      .agg(topk(col(distCol), col(idCol)).as("top"))
       .select(col("__qid").as(qidCol),
         posexplode(col("top")).as(Seq("__pos", "__t")))
       .select(col(qidCol), (col("__pos") + 1).cast("int").as("rank"),
-        col("__t.id").as(idCol), col("__t.dist").as("adc_dist"))
+        col("__t.id").as(idCol), col("__t.dist").as(distCol))
+  }
+
+  /** Per-query-LABEL filtered batch ADC top-k — [[ivfPqTopKBatch]]
+    * generalized to a metadata-carrying codes layout (q95's label
+    * column on q97's sharded stack): each query retrieves only rows
+    * matching ITS OWN label. The label test rides the scoring join's
+    * output — the (qid, label) pairs are a broadcast-joined Q-row
+    * frame, so no second scan and no shuffle of the codes side; the
+    * caller is expected to ALSO push the union-of-labels In-list into
+    * the scan it passes as `codes` (plan-required in q102, the q95
+    * pushdown discipline), so the scan reads only rows SOME query
+    * wants and the per-query equality here exactifies within that.
+    * Returns (qidCol, rank, idCol, adc_dist).
+    */
+  def ivfPqTopKBatchFiltered(
+      queries: DataFrame,
+      qidCol: String,
+      vecCol: String,
+      labelCol: String,
+      m: Int,
+      coarse: DataFrame,
+      books: DataFrame,
+      codes: DataFrame,
+      idCol: String,
+      nProbe: Int,
+      k: Int,
+      knownQ: Long = -1L): DataFrame = {
+    val scored = ivfPqScoresBatch(queries, qidCol, vecCol, m, coarse,
+      books, codes, idCol, nProbe, knownQ,
+      keepCols = Seq(labelCol))
+    val qlabels = queries
+      .select(col(qidCol).as("__qid"), col(labelCol).as("__qlabel"))
+    val nQ = if (knownQ >= 0) knownQ else queries.count()
+    val matched = scored
+      .join(hintIfSmall(qlabels, nQ * 64), "__qid")
+      .filter(col(labelCol) === col("__qlabel"))
+    batchTopK(matched.select(col("__qid"), col(idCol), col("adc_dist")),
+      qidCol, idCol, "adc_dist", k)
   }
 
   /** Batch exact re-rank — the refine stage of [[ivfPqTopKBatch]]'s

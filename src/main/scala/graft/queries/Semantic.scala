@@ -290,6 +290,148 @@ object Semantic {
       qcv, qchunks, k)
   }
 
+  /** The TRAINED-IVF variant of the MaxSim serve layout (r15 verdict
+    * #4): the sign-cell key caps probe selectivity at 1/16 of the
+    * corpus — fine for a VALUE-exact oracle, wrong for a 100 TB store
+    * where the probe should confine the scan to nProbe of HUNDREDS of
+    * cells. This derives, beside the sign layout and from the SAME
+    * stored chunks (read-back discipline — the two layouts are
+    * provably views of one artifact):
+    *
+    *   - `ivf_cents`: k-means centroids over the densified 16-dim
+    *     pooled vectors (operators.KMeans, the trainer every IVF index
+    *     uses; init every 20th doc, capped at 256 cells — at sf0.1
+    *     that is ~250 cells, 15× the sign key's probe resolution);
+    *   - `pooled_ivf`: the pooled rows carrying their trained cell id,
+    *     cell-clustered and cell-sorted so an In(cell_id) probe is a
+    *     pushdown-pruned scan.
+    *
+    * MaxSimIvfSwapSpec proved the swap preserves the full-probe
+    * ranking; this makes the trained key a PERSISTED serving layout
+    * (q103_maxsim_ivf_serve) instead of a spec construction. The
+    * models are persist-first and read back (the q68 self-consistency
+    * pattern), since k-means floats are not bit-stable.
+    */
+  def ensureMaxSimIvfServeLayout(s: SparkSession, dir: String): String =
+    maxSimLayoutCache.computeIfAbsent(dir + "#ivf", _ => {
+      val ms = ensureMaxSimServeLayout(s, dir)
+      if (!new java.io.File(s"$ms/pooled_ivf/_SUCCESS").exists()) {
+        val pool = s.read.parquet(s"$ms/chunks")
+          .groupBy(col("doc_id"), col("bucket"))
+          .agg(sum(col("v")).as("pv"))
+        val dense = pool.groupBy(col("doc_id"))
+          .agg(transform(sequence(lit(0L), lit(15L)), b =>
+            coalesce(element_at(
+              map_from_entries(
+                collect_list(struct(col("bucket"), col("pv")))),
+              b), lit(0L)).cast("double")).as("pvec"))
+          .localCheckpoint(true)
+        val n = dense.count()
+        val every = math.max(20L, (n + 255) / 256).toInt
+        graft.operators.KMeans.fit(dense, "doc_id", "pvec",
+            graft.operators.KMeans.initEvery(dense, "doc_id", "pvec",
+              every), iters = 2)
+          .write.mode("overwrite").parquet(s"$ms/ivf_cents")
+        val centsF = s.read.parquet(s"$ms/ivf_cents")
+        pool
+          .join(graft.operators.KMeans.assign(dense, "doc_id", "pvec",
+            centsF).select(col("doc_id"), col("cell_id")), "doc_id")
+          .repartition(col("cell_id"))
+          .sortWithinPartitions(col("cell_id"), col("doc_id"))
+          .write.mode("overwrite").parquet(s"$ms/pooled_ivf")
+      }
+      ms
+    })
+
+  /** [[maxSimServe]] against the TRAINED-IVF layout
+    * (q103_maxsim_ivf_serve): identical stages — ≤16-row query-pool
+    * read, probe ranking against the centroid table (collected like
+    * any trained model: K rows of 16 doubles), a pushdown-pruned scan
+    * of the nProbe probed cells for stage-1 top-50, an In-list
+    * rowgroup-pruned fetch of the candidates' chunk rows, and the
+    * integer-exact MaxSim tail. Only the CELL KEY differs: trained
+    * k-means cells whose count grows with the corpus (capped 256), so
+    * probe selectivity is nProbe/K instead of the sign key's hard
+    * 1/16 floor. Returns the (doc_id, maxsim) top-k, the probed cell
+    * ids, and the two plan booleans for the caller's contract row.
+    */
+  def maxSimServeIvf(s: SparkSession, dir: String, nProbe: Int, k: Int)
+      : (DataFrame, Seq[Long], Boolean, Boolean) = {
+    import s.implicits._
+    val ms = ensureMaxSimIvfServeLayout(s, dir)
+    s.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    val pooled = s.read.parquet(s"$ms/pooled_ivf")
+    val chunks = s.read.parquet(s"$ms/chunks")
+    val qid = t(s, dir, "documents").agg(min(col("doc_id")))
+      .collect()(0).getLong(0)
+    val qRows = chunks.filter(col("doc_id") === qid)
+      .groupBy(col("bucket")).agg(sum(col("v")).as("qpv"))
+      .collect()
+    require(qRows.nonEmpty && qRows.length <= 16,
+      s"q103: query doc $qid pooled to ${qRows.length} buckets — " +
+        "outside (0, 16]; the chunks layout is corrupt")
+    val qpv = qRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qvec = Array.tabulate(16)(b => qpv.getOrElse(b.toLong, 0L).toDouble)
+    // probe ranking against the trained centroids — a K-row model
+    // read, exactly as an IVF probe ranks a broadcast centroid table
+    val cents = s.read.parquet(s"$ms/ivf_cents").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(cents.nonEmpty, "q103: empty trained centroid table")
+    val probed = cents
+      .map { case (cid, cv) =>
+        (cid, cv.zip(qvec).map { case (c, x) => (x - c) * (x - c) }.sum)
+      }
+      .sortBy { case (cid, d) => (d, cid) }
+      .take(nProbe).map(_._1).toSeq
+    val probedPool = pooled.filter(col("cell_id")
+      .isin(probed.map(Long.box): _*))
+    val pplan = probedPool.queryExecution.executedPlan.toString
+    val cellTok =
+      if (probed.size == 1) "EqualTo(cell_id" else "In(cell_id"
+    val cellsPushed = pplan.contains("PushedFilters") &&
+      pplan.contains(cellTok)
+    require(cellsPushed,
+      "q103: the trained probe cell list did not reach the pooled_ivf " +
+        "scan — stage 1 degrades to a corpus-scale pooled read")
+    val qpool = qRows.map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.toDF("bucket", "qpv")
+    val cand = probedPool.filter(col("doc_id") =!= qid)
+      .join(broadcast(qpool), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("pv") * col("qpv")).as("s1"))
+      .orderBy(col("s1").desc, col("doc_id").asc)
+      .limit(50)
+    val candIds = cand.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSeq
+    require(candIds.nonEmpty && candIds.size <= 50,
+      s"q103: stage 1 returned ${candIds.size} candidates — outside " +
+        "(0, 50]")
+    val fetched = chunks
+      .filter(col("doc_id") >= candIds.min &&
+        col("doc_id") <= candIds.max &&
+        col("doc_id").isin(candIds: _*))
+    val fplan = fetched.queryExecution.executedPlan.toString
+    val inTok =
+      if (candIds.size == 1) "EqualTo(doc_id" else "In(doc_id"
+    val fetchPruned = fplan.contains("PushedFilters") &&
+      fplan.contains("GreaterThanOrEqual(doc_id") &&
+      fplan.contains("LessThanOrEqual(doc_id") &&
+      fplan.contains(inTok)
+    require(fetchPruned,
+      "q103: the candidate doc-id In-list did not reach the chunks " +
+        "scan — stage 2 degrades to a corpus-scale read")
+    val qcv = chunks.filter(col("doc_id") === qid)
+      .select(col("chunk").as("qchunk"), col("bucket"), col("v").as("qv"))
+    val nq = qcv.select(col("qchunk")).distinct().count()
+    require(nq >= 1 && nq <= 4096,
+      s"q103: query doc $qid has $nq chunks — outside (0, 4096]")
+    val qchunks = qcv.select(col("qchunk")).distinct().limit(4096)
+    val top = maxSimTopK(
+      fetched.select(col("doc_id"), col("chunk"), col("bucket"), col("v")),
+      qcv, qchunks, k)
+    (top, probed, cellsPushed, fetchPruned)
+  }
+
   /** The MaxSim tail generalized over a QUERY column — the batch
     * counterpart of [[maxSimTopK]] (q101_batch_maxsim): every stage
     * carries `qid`, so one plan scores all queries' candidate sets at
@@ -334,12 +476,14 @@ object Semantic {
     *
     *   - query featurization: one In-list rowgroup-pruned read of the
     *     qids' chunk rows (plan-REQUIRED), pooled per (qid, bucket) —
-    *     ≤ Q·16 rows, the per-batch "model", collected once;
-    *   - per-query probe ranking over the 16-cell universe
-    *     (driver-side Hamming, Q·16 comparisons), unioned into one
-    *     pushdown In(cell) restriction of the pooled scan
-    *     (plan-REQUIRED) with the (qid, cell) probe pairs riding a
-    *     broadcast — so every query scans only ITS probed cells;
+    *     ≤ Q·16 rows, the per-batch "model", kept in the plan;
+    *   - per-query probe ranking over the 16-cell universe as a
+    *     per-query Hamming rank WINDOW inside the plan (r16: the
+    *     former driver-side per-query loop capped the batch at toy
+    *     sizes), unioned into one pushdown In(cell) restriction of
+    *     the pooled scan (plan-REQUIRED, a ≤16-int driver read of the
+    *     materialized probe pairs) with the (qid, cell) pairs riding
+    *     a broadcast — so every query scans only ITS probed cells;
     *   - stage-1 integer scores per (qid, doc), per-query top-50 via
     *     the bounded-buffer aggregate (plan-REQUIRED two-phase);
     *   - stage-2: the (qid, candidate) pairs broadcast onto ONE chunks
@@ -366,36 +510,52 @@ object Semantic {
     require(qplan.contains("PushedFilters") && qplan.contains(qTok),
       "q101: the query-id In-list did not reach the chunks scan — " +
         "query featurization degraded to a corpus-scale read")
-    // per-(qid, bucket) pooled sums: ≤ Q·16 rows — the batch "model"
-    val qpoolRows = qcvAll.groupBy(col("doc_id").as("qid"), col("bucket"))
-      .agg(sum(col("v")).as("qpv")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val served = qpoolRows.map(_._1).distinct
-    require(served.length == qids.length,
-      s"q101: only ${served.length} of ${qids.length} query docs have " +
-        "chunk rows — the layout is missing queries")
-    // per-query sign cell + Hamming probe ranking (driver-side over
-    // the constant 16-cell universe, as in maxSimServe)
-    val qpvByQid = qpoolRows.groupBy(_._1)
-      .map { case (q, rs) => q -> rs.map(r => r._2 -> r._3).toMap }
-    val probedPairs = qids.flatMap { q =>
-      val qpv = qpvByQid(q)
-      val qcell = (0 until 4)
-        .map(i => if (qpv.getOrElse(i.toLong, 0L) >= 0L) 1 << i else 0).sum
-      (0 until 16).sortBy(c => (Integer.bitCount(c ^ qcell), c))
-        .take(nProbe).map(c => (q, c))
-    }
-    val unionCells = probedPairs.map(_._2).distinct
+    // per-(qid, bucket) pooled sums: ≤ Q·16 rows — the batch "model",
+    // kept IN THE PLAN (r16, the r15 verdict's task 5: the previous
+    // driver-side per-query Hamming ranking was a Q×cells loop that
+    // capped the batch at toy sizes); materialized once since it
+    // feeds three consumers (guards, probe ranking, stage-1 join)
+    val qpoolDf = qcvAll.groupBy(col("doc_id").as("qid"), col("bucket"))
+      .agg(sum(col("v")).as("qpv"))
+      .localCheckpoint(true)
+    // the two loud per-query guards (served coverage + the chunk-count
+    // bound) from ONE Q-row driver read
+    val guardRows = qcvAll.groupBy(col("doc_id"))
+      .agg(countDistinct(col("chunk")).as("nc")).collect()
+    require(guardRows.length == qids.length,
+      s"q101: only ${guardRows.length} of ${qids.length} query docs " +
+        "have chunk rows — the layout is missing queries")
+    // per-query sign cell (missing buckets count as sign+, exactly
+    // maxSimServe's closed form) and Hamming probe ranking — now a
+    // per-query rank WINDOW over the 16-cell universe inside the
+    // plan, the ivfPqScoresBatch probe-selection shape
+    val qcellDf = qpoolDf.groupBy(col("qid"))
+      .agg((lit(15) - coalesce(sum(when(
+          col("bucket") < 4 && col("qpv") < 0,
+          expr("shiftleft(1, cast(bucket as int))"))
+        .otherwise(lit(0))), lit(0))).cast("int").as("qcell"))
+    val cellU = s.range(16).select(col("id").cast("int").as("cell"))
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("__ham").asc, col("cell").asc)
+    val probeDf = qcellDf.crossJoin(broadcast(cellU))
+      .withColumn("__ham",
+        expr("bit_count(cast(cell as bigint) ^ cast(qcell as bigint))"))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nProbe)
+      .select(col("qid"), col("cell"))
+      .localCheckpoint(true) // Q·nProbe rows: cell collect + probe join
+    // the union cell list for the pushdown — a ≤16-int driver read of
+    // the materialized probe pairs (the q100 bucket-list discipline)
+    val unionCells = probeDf.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
     val probedPool = pooled.filter(col("cell")
       .isin(unionCells.map(c => c: java.lang.Integer): _*))
     val pplan = probedPool.queryExecution.executedPlan.toString
     val cellTok =
-      if (unionCells.size == 1) "EqualTo(cell" else "In(cell"
+      if (unionCells.length == 1) "EqualTo(cell" else "In(cell"
     require(pplan.contains("PushedFilters") && pplan.contains(cellTok),
       "q101: the union probe-cell list did not reach the pooled scan " +
         "— stage 1 degrades to a corpus-scale pooled read")
-    val probeDf = probedPairs.toDF("qid", "cell")
-    val qpoolDf = qpoolRows.toSeq.toDF("qid", "bucket", "qpv")
     val topm = udaf(new graft.functions.TopKNearest(50),
       org.apache.spark.sql.catalyst.encoders
         .ExpressionEncoder[graft.functions.DistId]())
@@ -419,11 +579,9 @@ object Semantic {
     // global limit(Q·4096) was unordered, so one over-long query doc
     // could nondeterministically evict ANOTHER query's chunks and
     // silently corrupt batch scores; this mirrors maxSimServe's
-    // single-query require instead (Q rows, driver-scale)
-    val oversize = qcv.groupBy(col("qid"))
-      .agg(countDistinct(col("qchunk")).as("nc"))
-      .filter(col("nc") > 4096 || col("nc") < 1)
-      .collect()
+    // single-query require instead (the Q-row guard read above)
+    val oversize = guardRows
+      .filter(r => r.getLong(1) > 4096 || r.getLong(1) < 1)
     require(oversize.isEmpty,
       s"q101: query docs ${oversize.map(_.getLong(0)).mkString(",")} " +
         "have chunk counts outside (0, 4096] — over-long query docs " +
@@ -1022,8 +1180,9 @@ object Semantic {
       bench = true),
 
     // BATCH MAXSIM (round 15, the q100 discipline applied to the
-    // late-interaction family): a query TABLE (the mod-37 doc-id
-    // residue, ≤8 queries) served through the SAME persisted layouts
+    // late-interaction family; r16 raised the batch to Q=32 by moving
+    // the probe ranking into the plan): a query TABLE (the mod-7
+    // doc-id residue, ≤32 queries) served through the SAME persisted layouts
     // as q98_maxsim_serve in ONE declarative two-stage plan — In-list
     // pruned query featurization, per-query Hamming probe ranking
     // fanned into one pushdown-pruned pooled scan with broadcast
@@ -1043,8 +1202,8 @@ object Semantic {
         val ms = ensureMaxSimServeLayout(s, dir)
         val qids = s.read.parquet(s"$ms/pooled")
           .select(col("doc_id")).distinct()
-          .filter(pmod(col("doc_id"), lit(37)) === 1)
-          .orderBy(col("doc_id")).limit(8)
+          .filter(pmod(col("doc_id"), lit(7)) === 1)
+          .orderBy(col("doc_id")).limit(32)
           .collect().map(_.getLong(0)).toSeq
         maxSimServeBatch(s, dir, qids, nProbe = 4, k = 10)
       },
@@ -1066,7 +1225,7 @@ object Semantic {
              |  FROM feat GROUP BY 1, 2, 3),
              |qids AS (
              |  SELECT DISTINCT doc_id AS qid FROM cv
-             |  WHERE doc_id % 37 = 1 ORDER BY qid LIMIT 8),
+             |  WHERE doc_id % 7 = 1 ORDER BY qid LIMIT 32),
              |pool AS (
              |  SELECT doc_id, bucket, CAST(sum(v) AS BIGINT) AS pv
              |  FROM cv GROUP BY 1, 2),
@@ -1135,6 +1294,55 @@ object Semantic {
              |FROM scored
              |QUALIFY rank <= 10
              |ORDER BY qid, rank""".stripMargin),
+      bench = true),
+
+    // MAXSIM OVER TRAINED IVF CELLS (round 16 — r15 verdict #4): the
+    // q98 serve pipeline against the trained-K-cell layout
+    // (ensureMaxSimIvfServeLayout) instead of the 16-sign-cell
+    // universe. The sign key is the VALUE-exact oracle mode and stays
+    // q98/q101's; its cost is a hard 1/16 probe-selectivity floor —
+    // at 100 TB a probe must confine the scan to nProbe of HUNDREDS
+    // of cells, which is exactly what the trained key buys (~250
+    // cells at sf0.1, nProbe=4 → 1.6% of the corpus scanned vs the
+    // sign key's 25%). MaxSimIvfSwapSpec proved the swap preserves
+    // the full-probe ranking as a spec construction; this entry makes
+    // it a PERSISTED layout with a benched serve path. Because
+    // k-means floats are not bit-stable across JVMs, the oracle is a
+    // contract row (the q24_ivf_train discipline), with the probe
+    // CONTAINMENT recomputed falsifiably from the layout: every
+    // result doc's trained cell must be among the probed cells. The
+    // full-probe theorem (all-cells probe ≡ the from-raw rerank
+    // ranking id-for-id, trained key) is re-proven in MaxSimServeSpec.
+    QueryDef(
+      "q103_maxsim_ivf_serve",
+      (s, dir) => {
+        val (top, probed, cellsPushed, fetchPruned) =
+          maxSimServeIvf(s, dir, nProbe = 4, k = 10)
+        val ms = ensureMaxSimIvfServeLayout(s, dir)
+        val t10 = top.localCheckpoint(true) // k rows, reused 2×
+        val cellsOf = s.read.parquet(s"$ms/pooled_ivf")
+          .select(col("doc_id"), col("cell_id")).distinct()
+        val leak = t10.join(cellsOf, "doc_id")
+          .filter(!col("cell_id").isin(probed.map(Long.box): _*))
+          .agg(count(lit(1)).as("n_leaked"))
+        t10.agg(
+            (count(lit(1)) >= 1).as("nonempty"),
+            (count(lit(1)) <= 10).as("k_bounded"),
+            (count(when(col("maxsim").isNull, 1)) === 0).as("finite_ok"))
+          .crossJoin(leak)
+          .crossJoin(t(s, dir, "documents")
+            .agg(count(lit(1)).as("n_docs")))
+          .select(col("n_docs"), col("nonempty"), col("k_bounded"),
+            col("finite_ok"),
+            (col("n_leaked") === 0).as("in_probe_ok"),
+            lit(cellsPushed).as("cells_pushed"),
+            lit(fetchPruned).as("fetch_pruned"))
+      },
+      Some("""SELECT count(*) AS n_docs, true AS nonempty,
+             |  true AS k_bounded, true AS finite_ok,
+             |  true AS in_probe_ok, true AS cells_pushed,
+             |  true AS fetch_pruned
+             |FROM documents""".stripMargin),
       bench = true)
   )
 }

@@ -649,8 +649,15 @@ object Streaming {
     // with shard 1's subtree proven byte-untouched by shard 0's
     // fold+adopt; ptr_reads_bounded now holds PER SHARD; the final
     // union serving must equal a one-shot re-encode under the global
-    // retrained model, row-identical. Slicing invariance is pinned in
-    // ShardedLifecycleSpec (same harness at the coarser slicing).
+    // retrained model, row-identical. r16 adds MID-WINDOW SERVING:
+    // batch queries (the q100 ADC shape) issued before the first belt
+    // and again inside the mixed window must be row-identical — the
+    // barrier-on-read rule makes shard 0's adoption serving-invisible
+    // until the last shard adopts, so every answer comes from ONE
+    // consistent pointer (mixing retrained and base codes would score
+    // under incomparable codebooks and diverge here). Slicing
+    // invariance AND shard-count generality (S=4, with mid-window
+    // serves) are pinned in ShardedLifecycleSpec.
     QueryDef(
       "q97_sharded_lifecycle",
       (s, dir) => graft.streaming.StreamOps.shardedLifecycle(s, dir),
@@ -661,6 +668,8 @@ object Streaming {
              |  true AS shard0_adopted_first,
              |  true AS shard1_isolated_during_belt,
              |  true AS mixed_window_serves_old,
+             |  true AS midwindow_batch_unchanged,
+             |  true AS midwindow_batch_partial_agg,
              |  true AS all_shards_adopted,
              |  true AS adopted_once_each,
              |  true AS scatter_gather_plan,

@@ -3564,16 +3564,31 @@ object StreamOps {
     * base + every arrival under the global retrained model,
     * row-identical, unique ids, TakeOrderedAndProject merge.
     *
+    * MID-WINDOW SERVING (r16, verdict #7): batch queries (the q100
+    * two-stage shape's ADC stage) are issued BEFORE the first shard's
+    * belt and again INSIDE the mixed window, against the global-rule
+    * pointer's union serving state. Because the rule is barrier-on-
+    * read, shard 0's adoption must be serving-INVISIBLE until the
+    * last shard adopts: the mid-window batch answer must be
+    * row-identical to the pre-belt answer (every answer from ONE
+    * consistent pointer — a rule that mixed shard 0's retrained codes
+    * with the lagging shards' base codes would score the same rows
+    * under incomparable codebooks and diverge). Contract-asserted
+    * (`midwindow_batch_unchanged`), with the batch top-k plan's
+    * two-phase partial aggregate required alongside.
+    *
     * `filesPerTrigger` slices the clean phase's 2 files into 2 or 1
     * micro-batches — ShardedLifecycleSpec re-runs at the coarser
     * slicing and the one-shot equality (slicing-independent by
-    * construction) pins slicing invariance transitively.
+    * construction) pins slicing invariance transitively. `nShards`
+    * generalizes the shard count (the registered query runs S=2; the
+    * spec drives S=4 with the same contracts — empty per-shard
+    * arrival slices, which S=4 makes common, are part of the surface).
     */
   def shardedLifecycle(spark: SparkSession, sfDir: String,
-      filesPerTrigger: Int = 1): DataFrame = {
+      filesPerTrigger: Int = 1, nShards: Int = 2): DataFrame = {
     import graft.operators.{IndexDrift, ProductQuantizer}
     import graft.queries.LlmOps
-    val nShards = 2
     val e = graft.Tables.load(spark, sfDir, "embeddings")
     val all = e.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"))
@@ -3585,7 +3600,7 @@ object StreamOps {
         "vec_id", "embedding")
       .select((col("vec_id") + lit(idSpan)).as("vec_id"), col("embedding"))
     val idx = graft.RunPaths.scratch(
-      s"graft_q97lc_${graft.RunPaths.keyFor(sfDir)}_f$filesPerTrigger")
+      s"graft_q97lc_${graft.RunPaths.keyFor(sfDir)}_f${filesPerTrigger}_s$nShards")
     val mDir = s"$idx/model"
     def shardDir(i: Int) = s"$idx/shard=$i"
     def sliceOf(df: DataFrame, i: Int): DataFrame =
@@ -3705,9 +3720,10 @@ object StreamOps {
           val psi = IndexDrift.occupancyPsiFromOccupancies(
               spark.read.parquet(s"$gptr/base_occ"),
               IndexDrift.occupancyOfCodes(
-                codeCols(spark.read.parquet(s"${shardDir(0)}/append/gen=$gen"))
-                  .unionByName(codeCols(spark.read
-                    .parquet(s"${shardDir(1)}/append/gen=$gen")))),
+                (0 until nShards)
+                  .map(i => codeCols(spark.read
+                    .parquet(s"${shardDir(i)}/append/gen=$gen")))
+                  .reduce(_.unionByName(_))),
               LlmOps.modelScaleStamp(spark.read.parquet(s"$gptr/coarse"),
                 "q97 lifecycle gate coarse table"))
             .select(col("psi")).collect()(0).getDouble(0)
@@ -3727,8 +3743,9 @@ object StreamOps {
             .select(lit(gen).as("gen"), lit(phase).as("phase"),
               lit(fired).as("retrain_fired"),
               lit(requested).as("retrain_requested"),
-              lit(fms(0).recordReads() - reads0(0)).as("ptr_reads_s0"),
-              lit(fms(1).recordReads() - reads0(1)).as("ptr_reads_s1"))
+              lit((0 until nShards)
+                .map(i => fms(i).recordReads() - reads0(i)).max)
+                .as("ptr_reads_max"))
             .write.mode("overwrite").parquet(s"$idx/log/gen=$gen")
           ()
         }
@@ -3772,18 +3789,52 @@ object StreamOps {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
       else Seq(f)
-    def listing(i: Int): Set[(String, Long)] =
-      walk(new java.io.File(shardDir(i)))
-        .map(f => (f.getPath, f.length())).toSet
+    def listing(shards: Seq[Int]): Set[(String, Long)] =
+      shards.flatMap(i => walk(new java.io.File(shardDir(i)))
+        .map(f => (f.getPath, f.length()))).toSet
 
-    // THE MIXED WINDOW: shard 0 folds + adopts; shard 1 holds
-    val shard1Before = listing(1)
+    // serving state at the GLOBAL rule's pointer (base while any shard
+    // lags): per-shard base codes + every append — all encoded under
+    // the base pointer, since every arrival so far preceded adoption
+    def baseServing(): DataFrame = (0 until nShards).map { i =>
+      genDirs(spark, s"${shardDir(i)}/append", "gen=")
+        .map(g => codeCols(spark.read.parquet(s"${shardDir(i)}/append/gen=$g")))
+        .foldLeft(codeCols(spark.read.parquet(s"${shardDir(i)}/codes/gen=0")))(
+          _.unionByName(_))
+    }.reduce(_.unionByName(_))
+    // the mid-window batch serve (r16 verdict #7): the q100 batch ADC
+    // shape against the global-rule pointer, issued pre-belt and again
+    // inside the mixed window — answers must be row-identical (single
+    // consistent pointer; a rule mixing shard 0's retrained codes with
+    // lagging shards' base codes would diverge here)
+    val batchQs = e.filter(col("vec_id") =!= 0)
+      .filter(pmod(col("vec_id"), lit(13)) === 1)
+      .orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("qid"), col("embedding"))
+      .localCheckpoint(true)
+    def batchServe(): (Seq[(Long, Int, Long)], Boolean) = {
+      val df = ProductQuantizer.ivfPqTopKBatch(batchQs, "qid",
+        "embedding", HouseM, coarse0, books0, baseServing(), "vec_id",
+        nProbe = 4, k = 5, knownQ = 8)
+      val twoPhase = df.queryExecution.executedPlan.toString
+        .contains("partial_topknearest")
+      (df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq, twoPhase)
+    }
+    val (preBeltAnswers, preTwoPhase) = batchServe()
+
+    // THE MIXED WINDOW: shard 0 folds + adopts; shards 1..S-1 hold
+    val lagShards = (1 until nShards)
+    val lagBefore = listing(lagShards)
     belt(0)
     val shard0Adopted = fms(0).adopted().nonEmpty
-    val shard1Untouched = listing(1) == shard1Before
-    // global rule must keep serving the base pointer while shard 1 lags
+    val shard1Untouched = listing(lagShards) == lagBefore
+    // global rule must keep serving the base pointer while others lag
     val mixedWindowServesOld = globalAdopted().isEmpty
-    belt(1)
+    val (midWindowAnswers, midTwoPhase) = batchServe()
+    val midwindowBatchUnchanged =
+      preBeltAnswers == midWindowAnswers && preBeltAnswers.nonEmpty
+    lagShards.foreach(belt)
     val allAdopted = globalAdopted()
     // the cross-shard close: the global request record is subsumed only
     // when EVERY shard's switch log carries the adoption
@@ -3841,12 +3892,14 @@ object StreamOps {
             === 0).as("drift_fires_once"),
         (count(when(col("phase").isin("clean", "gap", "post") &&
           col("retrain_fired"), 1)) === 0).as("clean_quiet"),
-        (max(col("ptr_reads_s0")) <= 1 && max(col("ptr_reads_s1")) <= 1)
+        (max(col("ptr_reads_max")) <= 1)
           .as("ptr_reads_bounded_per_shard"))
       .crossJoin(spark.range(1).select(
         lit(shard0Adopted).as("shard0_adopted_first"),
         lit(shard1Untouched).as("shard1_isolated_during_belt"),
         lit(mixedWindowServesOld).as("mixed_window_serves_old"),
+        lit(midwindowBatchUnchanged).as("midwindow_batch_unchanged"),
+        lit(preTwoPhase && midTwoPhase).as("midwindow_batch_partial_agg"),
         lit(allAdopted.contains(rr)).as("all_shards_adopted"),
         lit(fms.forall(_.adopted() == Seq(rr))).as("adopted_once_each"),
         lit(scatter).as("scatter_gather_plan")))
@@ -3857,7 +3910,8 @@ object StreamOps {
       .select(col("n_triggers"), col("drift_fires_once"),
         col("clean_quiet"), col("ptr_reads_bounded_per_shard"),
         col("shard0_adopted_first"), col("shard1_isolated_during_belt"),
-        col("mixed_window_serves_old"), col("all_shards_adopted"),
+        col("mixed_window_serves_old"), col("midwindow_batch_unchanged"),
+        col("midwindow_batch_partial_agg"), col("all_shards_adopted"),
         col("adopted_once_each"), col("scatter_gather_plan"),
         col("n_index"), col("ids_unique"), col("same_as_oneshot"),
         col("n_results"))

@@ -30,12 +30,12 @@ object BatchServeRehearsal {
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
 
     val idx = graft.queries.LlmOps.ensureAnnServeIndex(spark, sfDir)
-    val rawDir = graft.queries.LlmOps.ensureRefineServeLayout(spark, sfDir)
+    val bucketedDir =
+      graft.queries.LlmOps.ensureRefineBucketedLayout(spark, sfDir)
     val coarseF = spark.read.parquet(s"$idx/coarse")
     val booksF = spark.read.parquet(s"$idx/books")
     val codes = spark.read.parquet(s"$idx/codes")
       .select(col("cell_id"), col("vec_id"), col("codes"))
-    val raw = spark.read.parquet(rawDir)
     val e = graft.Tables.load(spark, sfDir, "embeddings")
       .filter(col("vec_id") =!= 0)
 
@@ -49,12 +49,18 @@ object BatchServeRehearsal {
       val nQ = queries.count()
       def once(): Double = {
         val t0 = System.nanoTime()
+        // the shipping q100 shape (r16): stage-1 materialized once,
+        // partition-pruned candidate fetch, batch rerank
         val cands = ProductQuantizer.ivfPqTopKBatch(queries, "qid",
             "embedding", HouseM, coarseF, booksF, codes, "vec_id",
-            nProbe = 4, k = 40)
+            nProbe = 4, k = 40, knownQ = nQ)
           .select(col("qid"), col("vec_id"))
-        ProductQuantizer.exactRerankBatch(cands, raw, "vec_id",
-          "embedding", queries, "qid", "embedding", 10).count()
+          .localCheckpoint(true)
+        val (fetched, _) = graft.queries.LlmOps.batchPrunedFetch(
+          spark, bucketedDir, cands, "vec_id", maxBuckets = q * 40)
+        ProductQuantizer.exactRerankBatch(cands, fetched, "vec_id",
+          "embedding", queries, "qid", "embedding", 10, knownQ = nQ)
+          .count()
         (System.nanoTime() - t0) / 1e9
       }
       val sec = Seq(once(), once(), once()).min

@@ -89,11 +89,51 @@ class BatchServeSpec extends AnyFunSuite {
     }
   }
 
+  test("partition-pruned refine fetch ≡ full-scan fetch, id-for-id " +
+      "(r16 — the pruned fetch must be a pure I/O optimization)") {
+    val idx = graft.queries.LlmOps.ensureAnnServeIndex(spark, sf)
+    val rawDir = graft.queries.LlmOps.ensureRefineServeLayout(spark, sf)
+    val bucketedDir =
+      graft.queries.LlmOps.ensureRefineBucketedLayout(spark, sf)
+    val coarseF = spark.read.parquet(s"$idx/coarse")
+    val booksF = spark.read.parquet(s"$idx/books")
+    val codes = spark.read.parquet(s"$idx/codes")
+      .select(col("cell_id"), col("vec_id"), col("codes"))
+    val queries = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") =!= 0)
+      .filter(pmod(col("vec_id"), lit(13)) === 1)
+      .orderBy(col("vec_id")).limit(64)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val cands = ProductQuantizer.ivfPqTopKBatch(queries, "qid",
+        "embedding", HouseM, coarseF, booksF, codes, "vec_id",
+        nProbe = 4, k = 40)
+      .select(col("qid"), col("vec_id"))
+      .localCheckpoint(true)
+    val (fetched, pruned) = graft.queries.LlmOps.batchPrunedFetch(
+      spark, bucketedDir, cands, "vec_id", maxBuckets = 64 * 40)
+    assert(pruned,
+      "the bucket In-list must reach the scan's PartitionFilters")
+    // the fetched frame is a SUPERSET of the candidates and a SUBSET
+    // of the raw table, so the rerank over it equals the rerank over
+    // the full scan — asserted by value, not argued
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("qid"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val viaPruned = rows(ProductQuantizer.exactRerankBatch(cands,
+      fetched, "vec_id", "embedding", queries, "qid", "embedding", 10))
+    val viaFull = rows(ProductQuantizer.exactRerankBatch(cands,
+      spark.read.parquet(rawDir), "vec_id", "embedding",
+      queries, "qid", "embedding", 10))
+    assert(viaPruned == viaFull,
+      "pruned-fetch rerank diverged from the full-scan rerank")
+  }
+
   test("registered q100_batch_serve contracts hold") {
     val row = SparkEntry.queries("q100_batch_serve")(spark, sf).collect()(0)
     assert(row.getAs[Long]("n_queries") >= 1L)
     for (c <- Seq("all_served", "k_bounded", "ranks_contiguous",
-        "finite_ok", "nonneg_ok", "batch_partial_agg"))
+        "finite_ok", "nonneg_ok", "batch_partial_agg",
+        "fetch_file_pruned"))
       assert(row.getAs[Boolean](c), s"$c must hold")
   }
 }

@@ -25,12 +25,29 @@ class MaxSimBatchSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** Residue class for the INDEPENDENCE property (8 queries — any qid
+    * set is a valid maxSimServeBatch input, and Q solo contrast runs
+    * keep the test cheap). The registered query's own set is the
+    * mod-7/32 class — see [[registeredQids]].
+    */
   private def qids(): Seq[Long] = {
     val ms = graft.queries.Semantic.ensureMaxSimServeLayout(spark, sf)
     spark.read.parquet(s"$ms/pooled")
       .select(col("doc_id")).distinct()
       .filter(pmod(col("doc_id"), lit(37)) === 1)
       .orderBy(col("doc_id")).limit(8)
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  /** The registered q101 query table (r16: mod-7, Q=32 — the in-plan
+    * probe ranking lifted the batch cap).
+    */
+  private def registeredQids(): Seq[Long] = {
+    val ms = graft.queries.Semantic.ensureMaxSimServeLayout(spark, sf)
+    spark.read.parquet(s"$ms/pooled")
+      .select(col("doc_id")).distinct()
+      .filter(pmod(col("doc_id"), lit(7)) === 1)
+      .orderBy(col("doc_id")).limit(32)
       .collect().map(_.getLong(0)).toSeq
   }
 
@@ -60,7 +77,9 @@ class MaxSimBatchSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q101_batch_maxsim")(spark, sf).collect()
     assert(rows.nonEmpty)
     val byQ = rows.groupBy(_.getLong(0))
-    assert(byQ.keySet == qids().toSet, "every query must be served")
+    val reg = registeredQids()
+    assert(reg.size >= 32, s"q101 must serve Q≥32, got ${reg.size}")
+    assert(byQ.keySet == reg.toSet, "every query must be served")
     for ((q, rs) <- byQ) {
       assert(rs.length <= 10, s"qid=$q returned ${rs.length} rows")
       val ranks = rs.map(_.getInt(1)).sorted.toSeq

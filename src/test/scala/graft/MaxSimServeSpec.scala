@@ -52,6 +52,34 @@ class MaxSimServeSpec extends AnyFunSuite {
     assert(served.nonEmpty)
   }
 
+  test("equivalence theorem re-proven on the TRAINED cell key (r16): " +
+      "full-probe IVF-layout serve == from-raw rerank, id-for-id") {
+    val fromRaw = SparkEntry.queries("q98_maxsim_rerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ms = graft.queries.Semantic
+      .ensureMaxSimIvfServeLayout(spark, sf)
+    val nCells = spark.read.parquet(s"$ms/ivf_cents").count().toInt
+    assert(nCells >= 2, "trained layout must have at least 2 cells")
+    val (top, probed, cellsPushed, fetchPruned) = graft.queries.Semantic
+      .maxSimServeIvf(spark, sf, nProbe = nCells, k = 10)
+    assert(probed.size == nCells && cellsPushed && fetchPruned)
+    val served = top.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == fromRaw,
+      s"full-probe trained-key serve $served must equal from-raw " +
+        s"$fromRaw exactly — the cell key bounds the probe, never " +
+        "the arithmetic")
+  }
+
+  test("registered q103_maxsim_ivf_serve contracts hold") {
+    val row = SparkEntry.queries("q103_maxsim_ivf_serve")(spark, sf)
+      .collect()(0)
+    assert(row.getAs[Long]("n_docs") >= 1L)
+    for (c <- Seq("nonempty", "k_bounded", "finite_ok", "in_probe_ok",
+        "cells_pushed", "fetch_pruned"))
+      assert(row.getAs[Boolean](c), s"$c must hold")
+  }
+
   test("layout faithfulness: stored chunks == from-raw featurization " +
       "row-for-row") {
     val ms = graft.queries.Semantic.ensureMaxSimServeLayout(spark, sf)

@@ -81,4 +81,52 @@ class VectorKernelsSpec extends AnyFunSuite {
     val r = df.select(VectorFns.dot($"a", $"c").as("d")).collect().head
     assert(r.getDouble(0) == 1.0)
   }
+
+  test("LutBuildF == the DotF-composed slice formulation, bit for bit " +
+      "(the batch-serve LUT kernel, r16)") {
+    // a codebook over m=4 subspaces of length 2, ksub=3 each, with the
+    // adversarial magnitudes above folded into both sides
+    val m = 4
+    val subLen = 2
+    val qrs: Seq[Seq[Double]] = Seq(
+      (1 to 8).map(_.toDouble),
+      Seq(1e30, 1.0, -1e30, 1.0, 0.1, 0.2, -0.0, 0.5),
+      (1 to 8).map(i => math.sin(i) * 100))
+    val cvs: Seq[(Int, Seq[Double])] = (0 until m).flatMap(s =>
+      (0 until 3).map(c =>
+        s -> Seq(math.cos(s * 3 + c) * 10, (s * 3 + c).toDouble / 7)))
+    val subLit = typedLit(cvs.map(_._1))
+    val cvLit = typedLit(cvs.map(_._2))
+    val df = qrs.map(Tuple1(_)).toDF("qr")
+    val native = df.select(
+      LutBuildF($"qr", subLit, cvLit).as("lut")).collect()
+      .map(_.getSeq[Double](0))
+    // reference: per-code slice + the DotF combine the join path used
+    val refCols = cvs.zipWithIndex.map { case ((s, cv), i) =>
+      val qsv = slice($"qr", s * subLen + 1, subLen)
+      (VectorFns.normSq(qsv) - lit(2.0) * VectorFns.dot(qsv, typedLit(cv)) +
+        VectorFns.normSq(typedLit(cv))).as(s"d$i")
+    }
+    val ref = df.select(refCols: _*).collect()
+      .map(r => (0 until cvs.length).map(r.getDouble))
+    native.zip(ref).foreach { case (n, e) =>
+      assert(n.length == e.length)
+      n.zip(e).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToRawLongBits(x) ==
+          java.lang.Double.doubleToRawLongBits(y))
+      }
+    }
+  }
+
+  test("LutBuildF null semantics: out-of-range slice and ragged " +
+      "codebook yield null") {
+    val df = Seq(Tuple1(Seq(1.0, 2.0))).toDF("qr")
+    // sub id 3 over subLen 2 needs 8 elements; qr has 2 → null
+    val r = df.select(LutBuildF($"qr", typedLit(Seq(3)),
+      typedLit(Seq(Seq(0.5, 0.25)))).as("lut")).collect().head
+    assert(r.isNullAt(0))
+    val r2 = df.select(LutBuildF($"qr", typedLit(Seq(0, 0)),
+      typedLit(Seq(Seq(0.5, 0.25)))).as("lut")).collect().head
+    assert(r2.isNullAt(0), "sub/cv length mismatch must be null")
+  }
 }

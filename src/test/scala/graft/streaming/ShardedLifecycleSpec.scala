@@ -27,16 +27,31 @@ class ShardedLifecycleSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  private val contracts = Seq("drift_fires_once", "clean_quiet",
+    "ptr_reads_bounded_per_shard", "shard0_adopted_first",
+    "shard1_isolated_during_belt", "mixed_window_serves_old",
+    "midwindow_batch_unchanged", "midwindow_batch_partial_agg",
+    "all_shards_adopted", "adopted_once_each", "scatter_gather_plan",
+    "ids_unique", "same_as_oneshot")
+
   test("coarser slicing: 4 triggers, every protocol contract green") {
     val row = StreamOps.shardedLifecycle(spark, sf, filesPerTrigger = 2)
       .collect()(0)
     assert(row.getAs[Long]("n_triggers") == 4L)
-    for (c <- Seq("drift_fires_once", "clean_quiet",
-        "ptr_reads_bounded_per_shard", "shard0_adopted_first",
-        "shard1_isolated_during_belt", "mixed_window_serves_old",
-        "all_shards_adopted", "adopted_once_each", "scatter_gather_plan",
-        "ids_unique", "same_as_oneshot"))
+    for (c <- contracts)
       assert(row.getAs[Boolean](c), s"$c must hold at the coarse slicing")
+    assert(row.getAs[Long]("n_results") == 10L)
+  }
+
+  test("S=4 shards with batch queries served during the mixed window: " +
+      "every protocol contract green (r16 verdict #7)") {
+    val row = StreamOps.shardedLifecycle(spark, sf, filesPerTrigger = 2,
+        nShards = 4)
+      .collect()(0)
+    // 3 lagging shards hold while shard 0 adopts; the mid-window batch
+    // must still read one consistent pointer across all four subtrees
+    for (c <- contracts)
+      assert(row.getAs[Boolean](c), s"$c must hold at S=4")
     assert(row.getAs[Long]("n_results") == 10L)
   }
 }
