@@ -64,6 +64,28 @@ object ProductQuantizer {
   val HouseM = 32
   val HouseEvery = 20
 
+  /** House SERVING operating point — the nProbe the benched serve
+    * entries (q68/q96/q97/q99/q100/q102) run at. PICKED FROM THE
+    * MEASURED CURVE, not assumed (r15 verdict #3; the r15 entries
+    * hardcoded nProbe=4, which delivers 0.276 recall@10 against the
+    * quantizer's 0.712 exhaustive ceiling — a point nobody would
+    * ship). tools/recall_audit_r16.json (sf0.1, 25 queries, K=50
+    * cells, k=10): p=4 → 0.276 ADC / 0.284 refined; p=12 → 0.472 /
+    * 0.528 (the minimum ≥0.5 point); **p=16 → 0.564 ADC / 0.652
+    * refined**; p=24 → 0.644 / 0.816; exhaustive 0.712 / 0.992.
+    * Measured single-query latency moves 0.302 s → 0.346 s (+15 %) —
+    * the fixed costs dominate at test SF, while at scale the probed
+    * fraction is nProbe/K of the postings (16/256 = 6 % at the
+    * codebook cap, vs this corpus's under-cap K=50). p=16 is adopted
+    * because the ADC-ONLY serve entries (q68, q97_sharded) clear 0.5
+    * without the refine tier, and the refined entries ride the
+    * steepest part of the refine curve (0.652) at the same scan
+    * budget. The q95 policy's row budget derives from this same
+    * constant, so filtered serving holds the unfiltered operating
+    * point's I/O cost by construction.
+    */
+  val HouseNProbe = 16
+
   /** Explode vectors into (id, sub_id, sv: array<double>) subvectors.
     * Subvector length is size(vec)/m; a ragged trailing remainder (d not
     * divisible by m) is dropped by slice semantics — callers use m | d.

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{MinHashSignature, SimHash64, RollingHash64, TextFns, VectorFns, WordNgrams, WordShingles}
 import graft.operators.{DedupCluster, IndexDrift, KMeans, ProductQuantizer}
-import graft.operators.ProductQuantizer.{HouseEvery, HouseM}
+import graft.operators.ProductQuantizer.{HouseEvery, HouseM, HouseNProbe}
 
 /** LLM-training-pipeline operators (SURVEY §2.2 Q21–Q26 + north-star
   * extensions): deduplication (exact / fingerprint / MinHash-LSH /
@@ -1734,7 +1734,7 @@ object LlmOps {
           .select(col("embedding")).limit(1)
         val top = ProductQuantizer.ivfPqTopK(
           query, "embedding", HouseM, coarseF, booksF, stored, "vec_id",
-          nProbe = 4, k = 10)
+          nProbe = HouseNProbe, k = 10)
         // contracts are all falsifiable by a broken serve path: a full
         // top-k, probed cells bounded by nProbe, finite ADC sums, and
         // non-negative ADC distances (each LUT entry is a squared
@@ -1745,7 +1745,7 @@ object LlmOps {
         // id+distance equality against independently-derived servings.
         top.agg(
             count(lit(1)).as("n_results"),
-            (countDistinct(col("cell_id")) <= 4).as("cells_ok"),
+            (countDistinct(col("cell_id")) <= HouseNProbe).as("cells_ok"),
             (count(when(col("adc_dist").isNull || isnan(col("adc_dist")), 1)) === 0)
               .as("finite_ok"),
             (count(when(col("adc_dist") < -1e-9, 1)) === 0).as("nonneg_ok"))
@@ -1980,7 +1980,7 @@ object LlmOps {
     // per-(label, cell) occupancy statistics persisted BESIDE the
     // layout (ensureFilteredOccStats — derived from the postings
     // themselves, label-sorted for a pruned one-label read) are walked
-    // in query-affinity order until the rows an unfiltered nProbe=4
+    // in query-affinity order until the rows an unfiltered HouseNProbe
     // probe pays are spent, so a selective label probes MORE cells at
     // the SAME scanned-row budget. Measured beating fixed-nProbe at
     // every selectivity at equal budget (SCALING.md r15 table,
@@ -2012,7 +2012,7 @@ object LlmOps {
         val nCells = cents.length
         require(nCells > 0 && nCorpus > 0,
           "q95_policy_serve: empty occupancy stats — layout corrupt")
-        val budgetRows = 4L * nCorpus / nCells
+        val budgetRows = HouseNProbe.toLong * nCorpus / nCells
         val query = t(s, dir, "embeddings").filter(col("vec_id") === 0)
           .select(col("embedding")).limit(1)
         val qv = query.collect()(0).getSeq[Float](0)
@@ -2197,7 +2197,7 @@ object LlmOps {
         val query = t(s, dir, "embeddings").filter(col("vec_id") === 0)
           .select(col("embedding")).limit(1)
         val cands = ProductQuantizer.ivfPqTopK(query, "embedding", HouseM,
-          coarseF, booksF, codes, "vec_id", nProbe = 4, k = 40)
+          coarseF, booksF, codes, "vec_id", nProbe = HouseNProbe, k = 40)
         val candIds = cands.select(col("vec_id")).collect()
           .map(_.getLong(0)).toSeq
         require(candIds.nonEmpty && candIds.size <= 40,
@@ -2424,7 +2424,7 @@ object LlmOps {
         val sharded = s.read.parquet(shDir)
           .select(col("cell_id"), col("vec_id"), col("codes"))
         val top = ProductQuantizer.ivfPqTopK(query, "embedding", HouseM,
-          coarseF, booksF, sharded, "vec_id", nProbe = 4, k = 10)
+          coarseF, booksF, sharded, "vec_id", nProbe = HouseNProbe, k = 10)
         val planStr = top.queryExecution.executedPlan.toString
         val scatter = planStr.contains("TakeOrderedAndProject")
         require(scatter,
@@ -2433,7 +2433,7 @@ object LlmOps {
             "a global sort")
         top.agg(
             (count(lit(1)) <= 10).as("k_bounded"),
-            (countDistinct(col("cell_id")) <= 4).as("cells_ok"),
+            (countDistinct(col("cell_id")) <= HouseNProbe).as("cells_ok"),
             (count(when(col("adc_dist").isNull || isnan(col("adc_dist")), 1))
               === 0).as("finite_ok"),
             (count(when(col("adc_dist") < -1e-9, 1)) === 0).as("nonneg_ok"))
@@ -2485,7 +2485,7 @@ object LlmOps {
           "q99_stack_serve: the label predicate did not reach the " +
             "codes_stack scan — the filter layer degraded to a full read")
         val cands = ProductQuantizer.ivfPqScores(query, "embedding", HouseM,
-            coarseF, booksF, filtered, "vec_id", nProbe = 4)
+            coarseF, booksF, filtered, "vec_id", nProbe = HouseNProbe)
           .orderBy(col("adc_dist").asc, col("vec_id").asc)
           .limit(40)
         val scatter = cands.queryExecution.executedPlan.toString
@@ -2596,7 +2596,7 @@ object LlmOps {
         // rerank's candidate broadcast (stage 1 executes exactly once)
         val cands = ProductQuantizer.ivfPqTopKBatch(queries, "qid",
             "embedding", HouseM, coarseF, booksF, codes, "vec_id",
-            nProbe = 4, k = 40, knownQ = 64)
+            nProbe = HouseNProbe, k = 40, knownQ = 64)
           .select(col("qid"), col("vec_id"))
           .localCheckpoint(true)
         val (fetched, pruned) = batchPrunedFetch(s, bucketedDir, cands,
@@ -2703,7 +2703,7 @@ object LlmOps {
             "codes_stack scan — the filter layer degraded to a full read")
         val cands = ProductQuantizer.ivfPqTopKBatchFiltered(queries,
             "qid", "embedding", "label", HouseM, coarseF, booksF,
-            filtered, "vec_id", nProbe = 4, k = 40, knownQ = 32)
+            filtered, "vec_id", nProbe = HouseNProbe, k = 40, knownQ = 32)
           .select(col("qid"), col("vec_id"))
           .localCheckpoint(true)
         val (fetched, pruned) = batchPrunedFetch(s, bucketedDir, cands,
