@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// per-test durations in the report (-oD) — the suite wall-time budget
+// (SCALING.md r16) is maintained from these, not guessed
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // Forked run/runMain output goes straight to stdout (no "[info] " prefix)
 // so the driver can parse Bench's single JSON line. Scope explicitly to
 // Compile — the bare `run / outputStrategy` key does not reach `runMain`

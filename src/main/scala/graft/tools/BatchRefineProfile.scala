@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.ProductQuantizer
-import graft.operators.ProductQuantizer.HouseM
+import graft.operators.ProductQuantizer.{HouseM, HouseNProbe}
 
 /** Stage-level profile of q100_batch_serve's 10× growth (r16 lead
   * item): the r15 rehearsal measured the full two-stage pipeline at
@@ -14,19 +14,20 @@ import graft.operators.ProductQuantizer.HouseM
   * candidate broadcast, or the query-table derivation. Times each
   * component min-of-3 on a base dir and its 10× blowup.
   *
-  * Usage: runMain graft.tools.BatchRefineProfile [sfDir] [blowupDir]
+  * Usage: runMain graft.tools.BatchRefineProfile [sfDir] [blowupDir] [factor]
   */
 object BatchRefineProfile {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val blowDir = args.lift(1).getOrElse("/tmp/graft_blowup_x10")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.GraftSession.builder(s"local[$cpus]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
 
-    ScaleRehearsal.buildBlowup(spark, sfDir, 10, blowDir)
+    ScaleRehearsal.buildBlowup(spark, sfDir, factor, blowDir)
 
     def profile(dir: String): Seq[(String, Double)] = {
       val idx = graft.queries.LlmOps.ensureAnnServeIndex(spark, dir)
@@ -51,7 +52,7 @@ object BatchRefineProfile {
       }
       val stage1 = ProductQuantizer.ivfPqTopKBatch(queriesDf, "qid",
           "embedding", HouseM, coarseF, booksF, codes, "vec_id",
-          nProbe = 4, k = 40)
+          nProbe = HouseNProbe, k = 40)
         .select(col("qid"), col("vec_id"))
       // candidates pre-materialized: isolates the pure fetch+rerank
       // cost from the stage-1 re-execution the broadcast pays
@@ -80,7 +81,7 @@ object BatchRefineProfile {
             graft.queries.LlmOps.ensureRefineBucketedLayout(spark, dir)
           val c = ProductQuantizer.ivfPqTopKBatch(queriesDf, "qid",
               "embedding", HouseM, coarseF, booksF, codes, "vec_id",
-              nProbe = 4, k = 40, knownQ = 64)
+              nProbe = HouseNProbe, k = 40, knownQ = 64)
             .select(col("qid"), col("vec_id"))
             .localCheckpoint(true)
           val (fetched, _) = graft.queries.LlmOps.batchPrunedFetch(
@@ -92,7 +93,7 @@ object BatchRefineProfile {
         time("full_two_stage") {
           val c = ProductQuantizer.ivfPqTopKBatch(queriesDf, "qid",
               "embedding", HouseM, coarseF, booksF, codes, "vec_id",
-              nProbe = 4, k = 40)
+              nProbe = HouseNProbe, k = 40)
             .select(col("qid"), col("vec_id"))
           ProductQuantizer.exactRerankBatch(c, raw, "vec_id", "embedding",
             queriesDf, "qid", "embedding", 10, knownQ = 64).count()
@@ -105,7 +106,7 @@ object BatchRefineProfile {
       s"${graft.JsonText.quote(l)}:{" +
         s""""base_sec":$b,"scaled_sec":$s,"factor":${s / b}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"batch_refine_profile","data_factor":10,"stages":$json,"sf":${graft.JsonText.quote(sfDir)}}""")
+    println(s"""{"metric":"batch_refine_profile","data_factor":$factor,"stages":$json,"sf":${graft.JsonText.quote(sfDir)}}""")
     spark.stop()
   }
 }
