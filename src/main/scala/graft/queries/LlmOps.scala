@@ -2758,6 +2758,80 @@ object LlmOps {
              |WHERE vec_id <> 0 AND vec_id % 17 = 1""".stripMargin),
       bench = true),
 
+    // SQ8 SCALAR-QUANTIZED ANN (round 16): the second classic
+    // compression tier beside PQ (FAISS QT_8bit) — per-DIMENSION byte
+    // quantization against corpus [min, max], 4× compression with a
+    // per-element error bound of span/512, i.e. a far higher fidelity
+    // ceiling than a codebook (measured: tools/sq8_audit_r16.json).
+    // The differentiator in this engine: min/max models are
+    // order-independent, codes are closed-form integers and dequant
+    // values deterministic doubles — so unlike every k-means entry
+    // this pipeline carries a VALUE-EXACT DuckDB oracle end to end
+    // (train → encode → asymmetric distances → top-10, hash-compared).
+    // Serving reuses the PQ machinery byte-for-byte: global code ids
+    // (dim·256 + byte), one driver-built flat LUT per query, LutSumF
+    // over the codes scan — plan-REQUIRED shuffle-free (the only
+    // operator after the scan is TakeOrderedAndProject). At 100 TB
+    // this is the full-fidelity brute-force tier over 4×-compressed
+    // codes; IVF cells compose on top exactly as over PQ codes when
+    // probe pruning is wanted.
+    QueryDef(
+      "q104_ann_sq8",
+      (s, dir) => {
+        import graft.operators.ScalarQuantizer
+        val e = t(s, dir, "embeddings")
+        val corpus = e.filter(col("vec_id") =!= 0)
+        val (lo, hi) = ScalarQuantizer.train(corpus, "embedding")
+        val codes = ScalarQuantizer.encode(corpus, "vec_id", "embedding",
+          lo, hi)
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0)
+          .getSeq[Float](0).map(_.toDouble).toArray
+        val lut = ScalarQuantizer.lutFor(qv, lo, hi)
+        val top = codes
+          .withColumn("sqd",
+            graft.functions.LutSumF(col("codes"), typedLit(lut.toSeq)))
+          .select(col("vec_id"), round(col("sqd"), 6).as("sqd6"))
+          .orderBy(col("sqd6").asc, col("vec_id").asc)
+          .limit(10)
+        val plan = top.queryExecution.executedPlan.toString
+        require(plan.contains("TakeOrderedAndProject") &&
+          !plan.contains("Exchange"),
+          "q104_ann_sq8: SQ8 serving must plan as a shuffle-free map " +
+            "over the codes scan + TakeOrderedAndProject")
+        top
+      },
+      Some("""WITH corpus AS (
+             |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+             |ex AS (
+             |  SELECT vec_id, unnest(range(len(embedding))) AS i,
+             |         CAST(unnest(embedding) AS DOUBLE) AS x
+             |  FROM corpus),
+             |dims AS (SELECT i, min(x) AS lo, max(x) AS hi FROM ex GROUP BY i),
+             |q AS (
+             |  SELECT unnest(range(len(embedding))) AS i,
+             |         CAST(unnest(embedding) AS DOUBLE) AS qx
+             |  FROM embeddings WHERE vec_id = 0),
+             |codes AS (
+             |  SELECT ex.vec_id, ex.i,
+             |    CASE WHEN d.hi = d.lo THEN 0
+             |         ELSE CAST(least(255, greatest(0,
+             |           floor((ex.x - d.lo) * 256.0 / (d.hi - d.lo))))
+             |           AS INT) END AS c
+             |  FROM ex JOIN dims d ON d.i = ex.i),
+             |comp AS (
+             |  SELECT codes.vec_id,
+             |    (q.qx - (d.lo + (codes.c + 0.5) * (d.hi - d.lo) / 256.0))
+             |    * (q.qx - (d.lo + (codes.c + 0.5) * (d.hi - d.lo) / 256.0))
+             |      AS sq
+             |  FROM codes
+             |  JOIN dims d ON d.i = codes.i
+             |  JOIN q ON q.i = codes.i)
+             |SELECT vec_id, round(sum(sq), 6) AS sqd6
+             |FROM comp GROUP BY vec_id
+             |ORDER BY sqd6, vec_id LIMIT 10""".stripMargin),
+      bench = true),
+
     // The drift loop's STEADY STATE, timed: one quiet q84-shaped
     // trigger end to end — frozen-model encode of the arriving batch,
     // one generation write, the PSI gate from STORED occupancies (1-row
