@@ -2832,6 +2832,81 @@ object LlmOps {
              |ORDER BY sqd6, vec_id LIMIT 10""".stripMargin),
       bench = true),
 
+    // IVF × SQ8 (round 16): the composition q104's scaladoc promises
+    // ("IVF cells compose over SQ8 codes exactly as over PQ codes"),
+    // made a query instead of prose — trained coarse cells bound the
+    // probe, SQ8 byte codes carry the fidelity, and serving scans only
+    // the HouseNProbe probed cells' codes. Because trained centroids
+    // are float-summation-order dependent, the oracle is a contract
+    // row (the q24_ivf discipline) — but the contract carries the
+    // composition's defining THEOREM, recomputed falsifiably: the
+    // asymmetric SQ distance of a row is independent of WHICH cells
+    // were probed (probing selects rows, never changes arithmetic), so
+    // every served row's distance must EXACTLY equal its distance
+    // under a no-probe full scan. A fused or cell-conditioned distance
+    // path would diverge here.
+    QueryDef(
+      "q105_ann_ivfsq",
+      (s, dir) => {
+        import graft.operators.{KMeans, ScalarQuantizer}
+        val e = t(s, dir, "embeddings")
+        val corpus = e.filter(col("vec_id") =!= 0)
+        val cents = ivfCentroids(s, dir, corpus)
+        val assigned = KMeans.assign(corpus, "vec_id", "embedding", cents)
+          .select(col("vec_id"), col("cell_id"))
+        val (lo, hi) = ScalarQuantizer.train(corpus, "embedding")
+        val codes = ScalarQuantizer.encode(corpus, "vec_id", "embedding",
+            lo, hi)
+          .join(assigned, "vec_id")
+          .localCheckpoint(true) // reused by probed serve + full-scan check
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")).limit(1)
+        val qv = q.collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+        // probe ranking over the trained centroid table (model-scale,
+        // the IVF shape): top-HouseNProbe cells by squared L2
+        val l2 = graft.functions.VectorFns.normSq(col("cv")) -
+          lit(2.0) * graft.functions.VectorFns.dot(col("cv"), col("qv")) +
+          graft.functions.VectorFns.normSq(col("qv"))
+        val probed = cents.crossJoin(broadcast(q))
+          .withColumn("qd", l2)
+          .orderBy(col("qd").asc, col("cell_id").asc)
+          .limit(HouseNProbe)
+          .select(col("cell_id")).collect().map(_.getLong(0)).toSeq
+        require(probed.nonEmpty && probed.size <= HouseNProbe,
+          s"q105_ann_ivfsq: probe selection returned ${probed.size} cells")
+        val lut = ScalarQuantizer.lutFor(qv, lo, hi)
+        val lutL = typedLit(lut.toSeq)
+        val top = codes
+          .filter(col("cell_id").isin(probed.map(Long.box): _*))
+          .withColumn("sqd", graft.functions.LutSumF(col("codes"), lutL))
+          .orderBy(col("sqd").asc, col("vec_id").asc)
+          .limit(10)
+          .localCheckpoint(true) // 10 rows, reused by both contracts
+        // the composition theorem: served distances must equal the
+        // no-probe full-scan distances EXACTLY for the same ids
+        val full = codes
+          .withColumn("sqd_full", graft.functions.LutSumF(col("codes"), lutL))
+          .select(col("vec_id"), col("sqd_full"))
+        top.join(full, "vec_id")
+          .agg(
+            count(lit(1)).as("n_results"),
+            (count(when(col("sqd") =!= col("sqd_full"), 1)) === 0)
+              .as("dist_probe_independent"),
+            (countDistinct(col("cell_id")) <= HouseNProbe).as("cells_ok"),
+            (count(when(col("sqd").isNull || isnan(col("sqd")), 1)) === 0)
+              .as("finite_ok"),
+            (count(when(col("sqd") < 0, 1)) === 0).as("nonneg_ok"))
+          .select(least(col("n_results"), lit(10L)).as("n_results"),
+            (col("n_results") >= 1).as("nonempty"),
+            col("dist_probe_independent"), col("cells_ok"),
+            col("finite_ok"), col("nonneg_ok"))
+      },
+      Some("""SELECT CAST(least(10, count(*)) AS BIGINT) AS n_results,
+             |  true AS nonempty, true AS dist_probe_independent,
+             |  true AS cells_ok, true AS finite_ok, true AS nonneg_ok
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin),
+      bench = true),
+
     // The drift loop's STEADY STATE, timed: one quiet q84-shaped
     // trigger end to end — frozen-model encode of the arriving batch,
     // one generation write, the PSI gate from STORED occupancies (1-row
