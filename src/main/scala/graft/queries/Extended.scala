@@ -88,6 +88,34 @@ object Extended {
         }
     }.flatten
 
+  /** Once-per-(JVM, dir) derivation of the q74 summary cube, which
+    * BOTH q74 entries consume from one scratch path: an unguarded
+    * per-construction overwrite raced when the registry is constructed
+    * concurrently (WindowGuardSpec's r16 parallel sweep caught one
+    * entry reading parquet footers mid-overwrite by its sibling).
+    * computeIfAbsent serializes the derivation exactly like the
+    * ensure*ServeLayout guards; content is identical from either
+    * entry, so first-wins is correct.
+    */
+  private val q74SummaryCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureQ74Summary(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    q74SummaryCache.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.functions._
+      val sumPath = graft.RunPaths.scratch(
+        "graft_q74_summary_" + graft.RunPaths.keyFor(dir))
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_partkey")).as("sum_l_partkey"),
+          min(col("l_quantity")).as("min_l_quantity"),
+          max(col("l_quantity")).as("max_l_quantity"))
+        .write.mode("overwrite").parquet(sumPath)
+      sumPath
+    })
+
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------- as-of join
@@ -644,15 +672,7 @@ object Extended {
       (s, dir) => {
         import org.apache.spark.sql.functions._
         val factPath = s"$dir/lineitem.parquet"
-        val sumPath = graft.RunPaths.scratch(
-          "graft_q74_summary_" + graft.RunPaths.keyFor(dir))
-        s.read.parquet(factPath)
-          .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
-          .agg(count(lit(1)).as("cnt"),
-            sum(col("l_partkey")).as("sum_l_partkey"),
-            min(col("l_quantity")).as("min_l_quantity"),
-            max(col("l_quantity")).as("max_l_quantity"))
-          .write.mode("overwrite").parquet(sumPath)
+        val sumPath = ensureQ74Summary(s, dir)
         graft.plans.SummaryRewriteRule.register(factPath,
           graft.plans.SummaryRewriteRule.SummaryDef(sumPath,
             dims = Set("l_returnflag", "l_linestatus", "l_linenumber"),
@@ -694,15 +714,7 @@ object Extended {
       (s, dir) => {
         import org.apache.spark.sql.functions._
         val factPath = s"$dir/lineitem.parquet"
-        val sumPath = graft.RunPaths.scratch(
-          "graft_q74_summary_" + graft.RunPaths.keyFor(dir))
-        s.read.parquet(factPath)
-          .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
-          .agg(count(lit(1)).as("cnt"),
-            sum(col("l_partkey")).as("sum_l_partkey"),
-            min(col("l_quantity")).as("min_l_quantity"),
-            max(col("l_quantity")).as("max_l_quantity"))
-          .write.mode("overwrite").parquet(sumPath)
+        val sumPath = ensureQ74Summary(s, dir)
         graft.plans.SummaryRewriteRule.register(factPath,
           graft.plans.SummaryRewriteRule.SummaryDef(sumPath,
             dims = Set("l_returnflag", "l_linestatus", "l_linenumber"),
