@@ -115,6 +115,67 @@ object VectorKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Centered SQ8 quantize + deterministic ±1 JL projection in one pass
+    * — the map-only form of the explode→broadcast-join→(vec_id, j)
+    * aggregate pipeline in `Sampling.jlReducedVectors` (which shuffled
+    * n·k partial rows and re-ran the whole subtree per consumer). For
+    * each output dim j: r_j = Σ_i c_i·sgn(i, j), where
+    * c_i = clamp₀²⁵⁵⌊(v_i − mn_i)·255/(mx_i − mn_i)⌋ − 128 (a
+    * zero-span dim yields c_i = 0 − 128 = −128, matching
+    * `when(mx = mn, 0L).otherwise(clamp) − 128L`) and sgn is the
+    * md5-derived sign matrix.
+    *
+    * Bit-exactness contract with the SQL formulation it replaces (and
+    * the DuckDB oracle): the code is
+    * `when(mx = mn, 0L).otherwise(greatest(0, least(255,
+    * floor((v − mn)·255.0/(mx − mn)) as long)) − 128L` — evaluated
+    * here in the same IEEE double order: diff = v − mn (v widened
+    * float→double first), scaled = diff · 255.0, q = scaled / span,
+    * floor, long-clamp, − 128. The per-j accumulation is a LONG sum of
+    * exact products (|c| ≤ 128, d ≤ 2^45), so any summation order is
+    * exact; index order is used. Output is array<double> of integer
+    * values, exactly `cast(r as double)`.
+    *
+    * Null/ragged semantics: null vector → null (nullSafeEval); a null
+    * element or a vector longer than the model → null (loud, visible
+    * degradation — the pipeline's data is fixed-width).
+    */
+  def jlProject(v: ArrayData, mn: Array[Double], mx: Array[Double],
+      signs: Array[Byte], k: Int, vFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    if (n > mn.length) return null
+    val acc = new Array[Long](k)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      val lo = mn(i)
+      val hi = mx(i)
+      val c: Long =
+        if (hi == lo) 0L - 128L
+        else {
+          val q = math.floor((x - lo) * 255.0 / (hi - lo))
+          // floor(double) cast to long, then clamp at long — the exact
+          // greatest(0, least(255, cast(floor(..) as long))) order.
+          // NaN casts to 0L like Spark's double→long cast.
+          val ql = if (q.isNaN) 0L else if (q > Long.MaxValue) Long.MaxValue
+            else if (q < Long.MinValue) Long.MinValue else q.toLong
+          math.max(0L, math.min(255L, ql)) - 128L
+        }
+      var j = 0
+      val base = i * k
+      while (j < k) {
+        acc(j) += c * signs(base + j)
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) { out(j) = acc(j).toDouble; j += 1 }
+    ArrayData.toArrayData(out)
+  }
+
   /** Sign-bit LSH bucket: bit j of the result is the sign of projection
     * j, where hyperplane j's component i is ±1 from
     * `pmod(xxhash64(i + (j << 16)), 2)` — the identical projection the
@@ -299,4 +360,51 @@ object LutBuildF {
     GraftColumnBridge.column(LutBuildF(
       GraftColumnBridge.expression(qr), GraftColumnBridge.expression(subs),
       GraftColumnBridge.expression(cvs)))
+}
+
+/** One-pass SQ8-quantize + ±1 JL projection of a vector (see
+  * [[VectorKernels.jlProject]]). The per-dim [mn, mx] model and the
+  * d×k sign matrix are plan constants (driver-derived: the model from
+  * one narrow aggregate, the signs from data-independent md5), so the
+  * projection is a pure map over the corpus scan — no explode, no
+  * broadcast join, no (vec_id, j) shuffle. `signs` is row-major
+  * (dim-i-major) ±1 bytes.
+  */
+case class JlProjectF(child: Expression, mn: Array[Double], mx: Array[Double],
+    signs: Array[Byte], k: Int) extends UnaryExpression {
+  require(mn.length == mx.length, "JlProjectF: model length mismatch")
+  require(signs.length == mn.length * k, "JlProjectF: sign matrix size mismatch")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val vFloat = VectorKernels.elemKind(child.dataType, "input")
+
+  // literals for codegen: referenced objects, serialized with the plan
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.jlProject(v.asInstanceOf[ArrayData], mn, mx, signs, k, vFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("jlMn", mn, "double[]")
+    val mxRef = ctx.addReferenceObj("jlMx", mx, "double[]")
+    val sgRef = ctx.addReferenceObj("jlSigns", signs, "byte[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val res = ctx.freshName("jlRed")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.functions.VectorKernels.jlProject($v, $mnRef, $mxRef, $sgRef, $k, $vFloat);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JlProjectF =
+    copy(child = newChild)
+}
+
+object JlProjectF {
+  def apply(v: Column, mn: Array[Double], mx: Array[Double],
+      signs: Array[Byte], k: Int): Column =
+    GraftColumnBridge.column(JlProjectF(
+      GraftColumnBridge.expression(v), mn, mx, signs, k))
 }

@@ -356,6 +356,57 @@ object Sampling {
     * (vec_id, j) partial agg; reassembly = one shuffle on vec_id.
     */
   def jlReducedVectors(emb: DataFrame, k: Int): DataFrame = {
+    // Per-dim [mn, mx] — ONE narrow aggregate, collected as the model
+    // (d rows of three scalars — driver-scale, the exact
+    // ScalarQuantizer.train discipline). The projection itself is then
+    // a pure MAP over the corpus scan via the codegen'd JlProjectF
+    // kernel: the previous formulation exploded every vector (n·d
+    // rows), broadcast-joined the stats AND the n·d×k sign matrix, and
+    // shuffled n·k partial sums through two aggregates — ~10 exchanges
+    // per consumer, with the whole subtree re-run per reference (the
+    // q56 pair stage reads it twice). Same bits: the kernel evaluates
+    // the identical IEEE clamp/floor order per element and an exact
+    // long accumulation per output dim (|c| ≤ 128, so no order
+    // sensitivity) — parity with the retained SQL reference
+    // formulation is pinned in JlKernelSpec.
+    val st = emb
+      .select(posexplode(col("embedding")))
+      .select((col("pos") + 1).as("i"), col("col").cast("double").as("v"))
+      .groupBy("i").agg(min("v").as("mn"), max("v").as("mx"))
+      .collect()
+    require(st.nonEmpty, "jlReducedVectors: empty corpus")
+    val d = st.map(_.getAs[Number](0).intValue).max
+    val mn = new Array[Double](d)
+    val mx = new Array[Double](d)
+    st.foreach { r =>
+      mn(r.getAs[Number](0).intValue - 1) = r.getDouble(1)
+      mx(r.getAs[Number](0).intValue - 1) = r.getDouble(2)
+    }
+    // Data-independent md5 sign matrix, derived on the driver with the
+    // identical hash the SQL formulation (and the q56 oracle) uses:
+    // sgn(i, j) = +1 iff the first hex char of md5("<j>_<i>") is 0-7
+    // (i 1-based dim, j 0-based output dim). Row-major by i.
+    val mdd = java.security.MessageDigest.getInstance("MD5")
+    val signs = new Array[Byte](d * k)
+    for (i <- 1 to d; j <- 0 until k) {
+      val h = mdd.digest(s"${j}_${i}".getBytes("UTF-8"))
+      signs((i - 1) * k + j) = if (((h(0) >> 4) & 0xf) <= 7) 1 else -1
+      mdd.reset()
+    }
+    emb
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"),
+        graft.functions.JlProjectF(col("embedding"), mn, mx, signs, k).as("rv"))
+      .select(col("vec_id"), col("rv"), VectorFns.normSq(col("rv")).as("n2"))
+  }
+
+  /** The original explode→broadcast-join→aggregate formulation of
+    * [[jlReducedVectors]] — retained as the independently-derived
+    * reference the JlProjectF kernel is spec'd against (JlKernelSpec
+    * pins row-for-row equality on real corpora). Not on any query
+    * path.
+    */
+  private[graft] def jlReducedVectorsSql(emb: DataFrame, k: Int): DataFrame = {
     val ex = emb
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), (col("pos") + 1).as("i"),
@@ -409,12 +460,23 @@ object Sampling {
     val b = withN.select(
       col("vec_id").as("vec_b"), col("rv").as("rb"), col("n2").as("nb"))
       .limit(math.min(maxExact, Int.MaxValue.toLong).toInt)
-    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+    // The quadratic stage's parallelism comes from the STREAMED side's
+    // partitioning — and a declared-small index is typically one scan
+    // partition, which would funnel every pair through a single task
+    // (measured: the whole q56 cost). An explicit repartition (exempt
+    // from AQE coalescing, unlike a keyless exchange it might shrink
+    // back to one partition) spreads the n²/2 enumeration across the
+    // session's cores; the shuffle moves only the ≤ maxExact reduced
+    // rows. The dot is computed ONCE per pair and reused by both
+    // output columns (it was previously two independent DotF calls).
+    val parts = math.max(1, emb.sparkSession.sparkContext.defaultParallelism)
+    a.repartition(parts)
+      .join(broadcast(b), col("vec_a") < col("vec_b"))
       .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("d", VectorFns.dot(col("ra"), col("rb")))
       .select(col("vec_a"), col("vec_b"),
-        VectorFns.dot(col("ra"), col("rb")).cast("long").as("dot_red"),
-        round(VectorFns.dot(col("ra"), col("rb")) /
-          (sqrt(col("na")) * sqrt(col("nb"))), 6).as("cosine_red"))
+        col("d").cast("long").as("dot_red"),
+        round(col("d") / (sqrt(col("na")) * sqrt(col("nb"))), 6).as("cosine_red"))
   }
 
   /** The stored JL index: [[jlReducedVectors]] with zero-norm rows
