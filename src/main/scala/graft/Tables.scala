@@ -30,6 +30,32 @@ object Tables {
     } else spark.read.parquet(path)
   }
 
+  /** Fan a DataFrame out to the session's parallelism before CPU-heavy
+    * per-row work (tokenize / n-gram / hash subtrees) when its current
+    * plan provides FEWER partitions than cores — the single-file /
+    * single-row-group input case (guide §2.5: "one huge unsplittable
+    * file — repartition immediately after the read"). Without this,
+    * everything between the scan and the first exchange runs in one
+    * task no matter how many cores the session has; split-size confs
+    * cannot help because a parquet file with one row group yields rows
+    * in exactly one of its byte-range splits.
+    *
+    * Deliberately CONDITIONAL: at production scale a corpus scan has
+    * orders of magnitude more splits than cores, the condition is
+    * false, and no repartition (and no text-bytes shuffle) is ever
+    * added — the exchange only appears where the input cannot feed the
+    * session's cores. Result-neutral: round-robin redistribution
+    * followed by the operators' own keyed aggregates/windows; every
+    * declared query already orders its output and sums through
+    * order-free representations. (Round-robin repartition local-sorts
+    * its input first — spark.sql.execution.sortBeforeRepartition — so
+    * task retries reproduce the same row placement.)
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   /** Normalize the events `ts` column to TimestampType regardless of how
     * the fixture was encoded: INT64 raw nanos (legacy nanosAsLong read of
     * TIMESTAMP(NANOS)) → truncate to micros; TIMESTAMP_NTZ / anything else

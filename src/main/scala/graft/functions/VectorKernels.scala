@@ -176,6 +176,61 @@ object VectorKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Nearest-centroid argmax — the map-only form of KMeans.assign's
+    * crossJoin(broadcast(cents)) + per-id rank window (which shuffled
+    * and sorted n·k rows per call). Per cell c (iterated in ascending
+    * cell_id order): sim_c = dot(v, cv_c) / (sqrt(normSq v) ·
+    * sqrtNc(c)), with dot/normSq the exact in-order DotF folds and
+    * sqrtNc precomputed per cell (sqrt of the same normSq value the
+    * SQL form recomputed per row — identical bits). Selection
+    * replicates `row_number over (order by sim desc, cell_id)`: a
+    * candidate replaces the incumbent only on Double.compare > 0
+    * (NaN > any non-NaN, ties keep the earlier = lower cell_id), and
+    * a null sim (ragged cv) never replaces — nulls-last. Null vector
+    * → null (nullSafeEval).
+    */
+  def nearestCell(v: ArrayData, cents: Array[Array[Double]],
+      cellIds: Array[Long], sqrtNc: Array[Double], vFloat: Boolean): java.lang.Long = {
+    val n = v.numElements()
+    var nv = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      nv += x * x
+      i += 1
+    }
+    val sv = math.sqrt(nv)
+    var best = cellIds(0)
+    var bestSim: java.lang.Double = cellSim(v, cents(0), sv * sqrtNc(0), vFloat)
+    var c = 1
+    while (c < cents.length) {
+      val s = cellSim(v, cents(c), sv * sqrtNc(c), vFloat)
+      if (s != null && (bestSim == null ||
+          java.lang.Double.compare(s.doubleValue(), bestSim.doubleValue()) > 0)) {
+        best = cellIds(c)
+        bestSim = s
+      }
+      c += 1
+    }
+    best
+  }
+
+  private def cellSim(v: ArrayData, cv: Array[Double], denom: Double,
+      vFloat: Boolean): java.lang.Double = {
+    if (cv == null) return null // null-element centroid — DotF yields null
+    val n = v.numElements()
+    if (cv.length != n) return null // ragged pair — DotF yields null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      acc += x * cv(i)
+      i += 1
+    }
+    acc / denom
+  }
+
   /** Sign-bit LSH bucket: bit j of the result is the sign of projection
     * j, where hyperplane j's component i is ±1 from
     * `pmod(xxhash64(i + (j << 16)), 2)` — the identical projection the
@@ -360,6 +415,58 @@ object LutBuildF {
     GraftColumnBridge.column(LutBuildF(
       GraftColumnBridge.expression(qr), GraftColumnBridge.expression(subs),
       GraftColumnBridge.expression(cvs)))
+}
+
+/** Nearest-centroid cell id for a vector against a plan-constant
+  * centroid table (see [[VectorKernels.nearestCell]]). `cents` is the
+  * per-cell centroid matrix, `cellIds` the matching cell ids (ascending),
+  * `sqrtNc` the precomputed sqrt(normSq(cv)) per cell.
+  */
+case class NearestCellF(child: Expression, cents: Array[Array[Double]],
+    cellIds: Array[Long], sqrtNc: Array[Double]) extends UnaryExpression {
+  require(cents.nonEmpty && cents.length == cellIds.length &&
+    cents.length == sqrtNc.length, "NearestCellF: inconsistent centroid model")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private lazy val vFloat = VectorKernels.elemKind(child.dataType, "input")
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCell(v.asInstanceOf[ArrayData], cents, cellIds, sqrtNc, vFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ncCents", cents, "double[][]")
+    val idRef = ctx.addReferenceObj("ncIds", cellIds, "long[]")
+    val nRef = ctx.addReferenceObj("ncNorms", sqrtNc, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val boxed = ctx.freshName("ncBoxed")
+      s"""
+         |java.lang.Long $boxed = graft.functions.VectorKernels.nearestCell(
+         |  $v, $cRef, $idRef, $nRef, $vFloat);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellF =
+    copy(child = newChild)
+}
+
+object NearestCellF {
+  def apply(v: Column, cents: Array[Array[Double]], cellIds: Array[Long]): Column = {
+    val sqrtNc = cents.map { cv =>
+      if (cv == null) Double.NaN // null-element cell: sim is null anyway
+      else {
+        var acc = 0.0
+        var i = 0
+        while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+        math.sqrt(acc)
+      }
+    }
+    GraftColumnBridge.column(NearestCellF(
+      GraftColumnBridge.expression(v), cents, cellIds, sqrtNc))
+  }
 }
 
 /** One-pass SQ8-quantize + ±1 JL projection of a vector (see

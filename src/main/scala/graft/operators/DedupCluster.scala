@@ -48,15 +48,24 @@ object DedupCluster {
     * as distinct (u, v) rows with u != v (both orientations implied).
     */
   private def largeStar(e: DataFrame): DataFrame = {
+    // min-of-neighborhood as a WINDOW over the node partition (r17):
+    // the previous groupBy(u) + join-back shape paid an aggregate
+    // exchange AND a join exchange per round and re-derived the
+    // symmetric edge stream for both sides; one partition-by-u window
+    // computes the same min with a single exchange. Per-group state is
+    // bounded by the (monotonically star-ifying) node degree. The
+    // round-internal distinct is dropped — duplicate edges cannot
+    // change any min() downstream, and the round's OUTPUT is
+    // distinct'd once in smallStar — so a round pays two window
+    // exchanges + one distinct instead of two aggregates, two joins
+    // and two distincts.
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    val mins = sym.groupBy("u")
-      .agg(min(col("v")).as("mn"))
-      .select(col("u"), least(col("u"), col("mn")).as("m"))
-    sym.filter(col("v") > col("u"))
-      .join(mins, "u")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    sym
+      .withColumn("m", least(col("u"), min(col("v")).over(w)))
+      .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** Small-star: orient edges bigger→smaller, then connect u and all
@@ -66,12 +75,16 @@ object DedupCluster {
     val oriented = e.select(
       greatest(col("u"), col("v")).as("u"),
       least(col("u"), col("v")).as("v"))
-    val withMin = oriented
-      .join(oriented.groupBy("u").agg(min(col("v")).as("m")), "u")
-    val relinked = withMin
-      .select(col("v").as("u"), col("m").as("v"))
-    val centers = withMin.select(col("u"), col("m").as("v"))
-    relinked.union(centers)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    // (v→m) relink and (u→m) center edges fall out of ONE windowed
+    // pass via explode — the previous union of two projections of the
+    // join re-ran its whole subtree per branch
+    oriented
+      .withColumn("m", min(col("v")).over(w))
+      .select(explode(array(
+        struct(col("v").as("u"), col("m").as("v")),
+        struct(col("u"), col("m").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
   }

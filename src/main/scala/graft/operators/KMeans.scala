@@ -58,8 +58,58 @@ object KMeans {
     cents
   }
 
-  /** Nearest-centroid assignment: (cell_id, idCol, vecCol) per vector. */
+  /** Nearest-centroid assignment: (cell_id, idCol, vecCol) per vector.
+    *
+    * Map-only (r17): the centroid table is a trained MODEL — capped at
+    * model scale by every trainer here (LlmOps.ivfCentroids maxCells,
+    * the MaxSim cell caps) — so it is collected once (the same
+    * driver-scale collect ivfCentroids already does) and baked into
+    * the plan as a [[graft.functions.NearestCellF]] argmax constant.
+    * The previous form cross-joined the broadcast centroids and ranked
+    * with a per-id row_number window, which repartitioned AND sorted
+    * n·k rows per call — the dominant shuffle of every k-means
+    * iteration and IVF build at any scale; now the assignment is one
+    * codegen'd expression inside the corpus scan with NO exchange.
+    * Selection semantics are the window's exactly (sim desc, NaN
+    * first, nulls last, ties → lower cell_id; identical IEEE cosine) —
+    * row-for-row parity with the retained [[assignViaWindow]] is
+    * pinned in KMeansSpec.
+    */
   def assign(
+      data: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
+    val rows = cents.select(col("cell_id").cast("long"), col("cv")).collect()
+    if (rows.isEmpty) {
+      // the cross-join form yields an empty result on an empty centroid
+      // table; preserve that degenerate contract
+      return data.select(col(idCol).cast("long").as("cell_id"),
+        col(idCol), col(vecCol)).limit(0)
+    }
+    val sorted = rows.sortBy(_.getLong(0))
+    val cellIds = sorted.map(_.getLong(0))
+    val cvs: Array[Array[Double]] = sorted.map { r =>
+      val s = r.getSeq[Any](1)
+      // a null ELEMENT makes the whole cell's sim null in the window
+      // form (DotF null semantics) — encode as a null cv so the kernel
+      // reproduces "never selected unless every sim is null"
+      if (s == null || s.contains(null)) null
+      else s.map {
+        case f: Float => f.toDouble // exact widening — DotF does the same
+        case d: Double => d
+        case other => throw new IllegalArgumentException(
+          s"KMeans.assign: centroid element of ${other.getClass}")
+      }.toArray
+    }
+    data.select(col(idCol), col(vecCol))
+      .select(
+        graft.functions.NearestCellF(col(vecCol), cvs, cellIds).as("cell_id"),
+        col(idCol), col(vecCol))
+  }
+
+  /** The original crossJoin(broadcast) + rank-window formulation of
+    * [[assign]] — retained as the independently-derived reference the
+    * NearestCellF kernel is spec'd against. Not on any query path.
+    */
+  private[graft] def assignViaWindow(
       data: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cell_id"))
     data.select(col(idCol), col(vecCol))

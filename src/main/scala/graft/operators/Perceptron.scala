@@ -118,16 +118,28 @@ object Perceptron {
       (BiasBucket until buckets.toLong).map(_ -> 0L).toMap
     val mistakes = ArrayBuffer.empty[Long]
 
-    def misclassified(): DataFrame =
-      margins(feat, w)
-        .filter(col("y") * col("m") <= 0)
-        .select(col("doc_id"))
+    // Per-doc margin carried ON EVERY FEATURE ROW via a window over
+    // the doc partition (r17): the persisted layout is already
+    // hash-partitioned by doc_id, so the window adds NO exchange —
+    // only the within-partition sort — whereas the previous
+    // margins-aggregate + doc_id join-back shape ran a separate
+    // margin aggregate and a join per epoch (the sort-merge join
+    // sorted both sides anyway). Same integers: the window sum is the
+    // identical commutative Σ w[bucket]·x per doc.
+    def withMargin(): DataFrame = {
+      val entries = w.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+      val win = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      feat.withColumn("m",
+        sum(element_at(map(entries: _*), col("bucket")) * col("x")).over(win))
+    }
 
     (1 to epochs).foreach { _ =>
       // one collect of <= buckets+1 rows: the summed update vector.
       // Every doc carries exactly one bias row (x = 1), so the bias
       // bucket's plain row count IS the misclassified-doc count.
-      val upd = feat.join(misclassified(), Seq("doc_id"))
+      val upd = withMargin()
+        .filter(col("y") * col("m") <= 0)
         .groupBy("bucket")
         .agg(sum(col("y") * col("x")).as("dw"), count(lit(1)).as("n"))
         .collect()
@@ -138,7 +150,11 @@ object Perceptron {
       }
     }
 
-    val finalErrors = misclassified().count()
+    // misclassified DOCS under the final weights = misclassified BIAS
+    // rows (exactly one per doc), counted map-only on the windowed frame
+    val finalErrors = withMargin()
+      .filter(col("y") * col("m") <= 0 && col("bucket") === BiasBucket)
+      .count()
     feat.unpersist()
     TrainResult(w, mistakes.toSeq, finalErrors)
   }

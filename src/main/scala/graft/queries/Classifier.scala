@@ -371,6 +371,17 @@ object Classifier {
     QueryDef(
       "q45_dsir_weights",
       (s, dir) => {
+        // r17 note: a "collapse target/raw/tot into one aggregate"
+        // rewrite (plus an input fan-out) was built and MEASURED
+        // SLOWER both in-set and solo (1.22 s → 2.01 s solo): on a
+        // one-split input the three subtrees each run single-task but
+        // CONCURRENTLY (independent stages share the idle cores —
+        // guide §2.6), while the fused form serializes one pass behind
+        // an added exchange. At production scale the scan parallelizes
+        // and the duplicate-subtree cost returns, but that form should
+        // be re-derived with a measured win, not kept on faith —
+        // reverted (guide §1.1: a fresh "ideal" plan that measures
+        // slower goes back).
         val tok = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             explode(TextFns.tokens(col("text"))).as("word"))

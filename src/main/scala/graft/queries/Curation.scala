@@ -177,7 +177,10 @@ object Curation {
     * approximation, as in q22_dedup_fingerprint).
     */
   def selfExcise(docs: DataFrame, n: Int): DataFrame = {
-    val grams = docs
+    // fanOut: the tokenize→ngram→hash stream below is the expensive
+    // per-row stage; on a one-split input it would otherwise run in a
+    // single task (no-op on an already-parallel scan)
+    val grams = Tables.fanOut(docs)
       .select(col("doc_id"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
         posexplode(WordNgrams.word_ngrams(col("text"), n)))
@@ -185,13 +188,23 @@ object Curation {
         col("pos").cast("long").as("s"),
         (col("pos") + (n - 1)).cast("long").as("e"),
         xxhash64(col("col")).as("gh"))
-    val dup = grams
-      .groupBy(col("gh"))
-      .agg(min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
-      .filter(col("min_doc") < col("max_doc"))
-      .select(col("gh"), col("min_doc"))
-    val hits = grams.join(dup, "gh")
-      .filter(col("doc_id") =!= col("min_doc"))
+    // min/max doc per gram as a WINDOW over the gram key instead of a
+    // groupBy + join-back (r17): the old shape shuffled the gram
+    // stream for the join AND re-ran the whole tokenize→ngram→hash
+    // subtree to build the aggregate side (Spark cannot share an
+    // uncached subtree across a self-join). One partition-by-gh window
+    // computes the same min/max with ONE pass over the corpus and ONE
+    // exchange; the window partitions by a corpus-cardinality key, so
+    // per-group state is bounded by a gram's document frequency
+    // (WindowGuard-clean). Identical rows: a gram is cross-doc
+    // duplicated iff min < max, and occurrences outside the canonical
+    // (min) doc are kept — same predicate, same columns.
+    val w = Window.partitionBy(col("gh"))
+    val hits = grams
+      .withColumn("min_doc", min(col("doc_id")).over(w))
+      .withColumn("max_doc", max(col("doc_id")).over(w))
+      .filter(col("min_doc") < col("max_doc") &&
+        col("doc_id") =!= col("min_doc"))
       .select(col("doc_id"), col("n_tokens"), col("s"), col("e"))
     excisionReport(hits)
   }

@@ -31,9 +31,52 @@ object MicroProf {
 
     what match {
       case "q56" => profileQ56(spark, sfDir)
+      case "q61" => profileQ61(spark, sfDir)
+      case "q23cc" => profileQ23cc(spark, sfDir)
       case other => sys.error(s"unknown profile target: $other")
     }
     spark.stop()
+  }
+
+  private def profileQ61(spark: SparkSession, sfDir: String): Unit = {
+    (1 to 3).foreach { rnd =>
+      println(s"--- round $rnd ---")
+      val feat0 = time("featurize plan build")(
+        graft.queries.Classifier.perceptronFeatures(
+          graft.Tables.load(spark, sfDir, "documents")))
+      val feat = graft.operators.Perceptron.withBias(feat0)
+        .repartition(col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("featurize materialize (count)")(feat.count())
+      val w0: Map[Long, Long] = (-1L until 32L).map(_ -> 0L).toMap
+      val mis = graft.operators.Perceptron.margins(feat, w0)
+        .filter(col("y") * col("m") <= 0).select(col("doc_id"))
+      time("one epoch (update agg collect)")(
+        feat.join(mis, Seq("doc_id")).groupBy("bucket")
+          .agg(sum(col("y") * col("x")).as("dw"), count(lit(1)).as("n"))
+          .collect())
+      time("final errors count")(
+        graft.operators.Perceptron.margins(feat, w0)
+          .filter(col("y") * col("m") <= 0).count())
+      feat.unpersist()
+      time("full q61 train")(
+        graft.operators.Perceptron.train(feat0, buckets = 32, epochs = 4))
+    }
+  }
+
+  private def profileQ23cc(spark: SparkSession, sfDir: String): Unit = {
+    (1 to 2).foreach { rnd =>
+      println(s"--- round $rnd ---")
+      val pairs = time("verified pairs plan build")(
+        graft.queries.LlmOps.minhashVerifiedPairs(spark, sfDir, 0.8))
+      time("verified pairs count")(pairs.count())
+      val vertices = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id").as("node"))
+      val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      time("connectedComponents full")(
+        graft.operators.DedupCluster.connectedComponents(vertices, edges)
+          .count())
+    }
   }
 
   private def profileQ56(spark: SparkSession, sfDir: String): Unit = {

@@ -53,6 +53,32 @@ class KMeansSpec extends AnyFunSuite {
     assert(c.forall(_.getSeq[Double](1).length == 8))
   }
 
+  test("kernel assign == crossJoin+window reference, synthetic + real corpus") {
+    // r17: assign became a map-only NearestCellF argmax; the retained
+    // window formulation is the reference. Row-for-row equality (same
+    // id -> same cell) on (a) the synthetic clusters with trained
+    // centroids, (b) real sf0.01 float embeddings with ivf-style
+    // trained centroids.
+    def parity(df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
+        cents: org.apache.spark.sql.DataFrame): Unit = {
+      val got = KMeans.assign(df, idCol, vecCol, cents)
+        .select(col(idCol), col("cell_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val want = KMeans.assignViaWindow(df, idCol, vecCol, cents)
+        .select(col(idCol), col("cell_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(got.length == want.length)
+      got.zip(want).foreach { case (g, w) => assert(g == w) }
+    }
+    val df = clustered
+    parity(df, "id", "vec",
+      KMeans.fit(df, "id", "vec", KMeans.initEvery(df, "id", "vec", 30), 2))
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val init = KMeans.initEvery(emb, "vec_id", "embedding", 40)
+    parity(emb, "vec_id", "embedding",
+      KMeans.fit(emb, "vec_id", "embedding", init, 2))
+  }
+
   test("empty cells drop out instead of producing NaN centroids") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(1.0, 0.1)))
