@@ -643,8 +643,13 @@ object LlmOps {
     * immutable once derived (ensureLayout: derive-once, never
     * rewritten in place).
     */
-  private val bucketedDfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // per-SESSION weak map (r16 ADVICE): entries die with the session
+  // instead of pinning file-index memory and stopped-session references
+  // for the JVM lifetime, and a recycled identity hash can never
+  // resurrect a stale handle
+  private val bucketedDfCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
   private[graft] def batchPrunedFetch(
       s: SparkSession, bucketedDir: String, cands: DataFrame,
@@ -656,20 +661,25 @@ object LlmOps {
       s"batch refine fetch: candidate ids touch ${buckets.length} " +
         s"id buckets — outside (0, $maxBuckets]; the candidate stage " +
         "is broken")
-    val handle = bucketedDfCache.computeIfAbsent(
-      System.identityHashCode(s) + "#" + bucketedDir,
-      _ => s.read.parquet(bucketedDir))
+    val handle = bucketedDfCache
+      .computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(bucketedDir, _ => s.read.parquet(bucketedDir))
     val fetched = handle
       .filter(col("id_bucket").isin(buckets.map(Long.box): _*))
     // partition filters are only visible untruncated (memory: plan
     // strings cut at 100 chars by default under Verify's session)
     s.conf.set("spark.sql.maxMetadataStringLength", "10000")
     val plan = fetched.queryExecution.executedPlan.toString
-    // ≤10 buckets render as IN, more as INSET; 1 as EqualTo
-    val pruned = plan.contains("PartitionFilters") &&
-      plan.contains("id_bucket") &&
-      (plan.contains(" IN ") || plan.contains(" INSET ") ||
-        plan.contains("= " + buckets.head))
+    // Anchor the bucket In-list INSIDE the PartitionFilters bracket
+    // (r16 ADVICE: bare ' IN '/'id_bucket' substrings could be
+    // satisfied by a data-side Filter on an unpartitioned rewrite,
+    // passing the guard on exactly the degraded full-table read it
+    // exists to refuse). ≤10 buckets render as In, more as INSET,
+    // 1 as EqualTo — all must appear between 'PartitionFilters: ['
+    // and its closing bracket with id_bucket as the operand.
+    val pruned = raw"PartitionFilters: \[[^\]]*id_bucket[^\]]*(?: IN |INSET|= ${buckets.head})"
+      .r.findFirstIn(plan).isDefined
     (fetched.select(col(idCol), col("embedding")), pruned)
   }
 
@@ -2766,8 +2776,17 @@ object LlmOps {
     // The differentiator in this engine: min/max models are
     // order-independent, codes are closed-form integers and dequant
     // values deterministic doubles — so unlike every k-means entry
-    // this pipeline carries a VALUE-EXACT DuckDB oracle end to end
+    // this pipeline carries a value-level DuckDB oracle end to end
     // (train → encode → asymmetric distances → top-10, hash-compared).
+    // Honest tolerance statement (r16 ADVICE): the compared value is
+    // round(sqd, 6), i.e. ROUND-TO-6 AGREEMENT, not bit-exactness —
+    // LutSumF sums the 64 LUT entries in fixed dimension order while
+    // DuckDB's SUM..GROUP BY accumulates in engine order, so the raw
+    // doubles can differ in low-order bits; a sum landing within the
+    // accumulated ulp error (~2^-40 relative here) of a 0.5e-6
+    // rounding boundary could in principle round apart. The model,
+    // codes and per-dimension LUT values ARE bit-exact (closed-form);
+    // only the final 64-term sum carries the reassociation tolerance.
     // Serving reuses the PQ machinery byte-for-byte: global code ids
     // (dim·256 + byte), one driver-built flat LUT per query, LutSumF
     // over the codes scan — plan-REQUIRED shuffle-free (the only

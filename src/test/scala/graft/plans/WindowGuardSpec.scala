@@ -246,27 +246,38 @@ class WindowGuardSpec extends AnyFunSuite {
   // own (name, dir), the ensure* fixture caches are computeIfAbsent-
   // serialized, Spark sessions schedule concurrent jobs, and the only
   // session-global conf the bodies set (maxMetadataStringLength) is
-  // set to the same value everywhere.
+  // set to the same value everywhere. EXCEPTION (r16 ADVICE): the
+  // summary-rewrite entries (q83_mv_bestmatch / q85_mv_costroute)
+  // mutate the shared SummaryRewriteRule catalog — both
+  // unregister(factPath) then register their own cubes and
+  // plan-require routing to them, so racing them lets one entry
+  // unregister the other's cubes between register and plan
+  // construction. They run SEQUENTIALLY in one future; everything
+  // else stays 8-way parallel.
+  private val catalogMutating = Set("q83_mv_bestmatch", "q85_mv_costroute")
+
   private lazy val sweep: Map[String, (Seq[Window], Seq[Join])] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutor(pool)
-    try {
-      val futures = SparkEntry.registry.map { q =>
-        Future {
-          val df =
-            try q.run(spark, sf)
-            catch { case e: Throwable =>
-              fail(s"${q.name} failed to construct: ${e.getMessage}", e)
-            }
-          val plan = df.queryExecution.optimizedPlan
-          q.name ->
-            (WindowGuard.violations(plan), WindowGuard.crossViolations(plan))
+    def runOne(q: graft.queries.QueryDef): (String, (Seq[Window], Seq[Join])) = {
+      val df =
+        try q.run(spark, sf)
+        catch { case e: Throwable =>
+          fail(s"${q.name} failed to construct: ${e.getMessage}", e)
         }
-      }
-      Await.result(Future.sequence(futures), 30.minutes).toMap
+      val plan = df.queryExecution.optimizedPlan
+      q.name ->
+        (WindowGuard.violations(plan), WindowGuard.crossViolations(plan))
+    }
+    try {
+      val (serial, parallel) =
+        SparkEntry.registry.partition(q => catalogMutating.contains(q.name))
+      val futures: Seq[Future[Seq[(String, (Seq[Window], Seq[Join]))]]] =
+        parallel.map(q => Future(Seq(runOne(q)))) :+ Future(serial.map(runOne))
+      Await.result(Future.sequence(futures), 30.minutes).flatten.toMap
     } finally pool.shutdown()
   }
 
