@@ -231,6 +231,83 @@ object VectorKernels {
     acc / denom
   }
 
+  /** One-pass PQ encode — the map-only form of ProductQuantizer's
+    * subvectors-explode → broadcast-join books → per-(id, sub) rank
+    * window → collect_list reassembly (which shuffled n·m·ksub rows
+    * and regrouped n·m rows per encode call). For subspace s with
+    * subvector sv = v[s·subLen … (s+1)·subLen) (elements widened
+    * float→double): dist(code) = (normSq(sv) − 2.0·dot(sv, cv)) +
+    * normSq(cv) — the exact DotF in-order folds and combine order of
+    * the SQL form, with normSq(cv) precomputed per code (same value
+    * the SQL form recomputed per row, bit-identical). Selection
+    * replicates `row_number over (order by __d asc, code asc)`:
+    * Double.compare < 0 replaces, NaN sorts last, ties keep the lower
+    * code (codes iterated ascending). One DELIBERATE divergence: a
+    * null dist (ragged or null-element cv) is never selected here,
+    * while ASC null ordering ranks nulls FIRST in the window form —
+    * unreachable with trained codebooks (avg() never emits null
+    * elements, lengths are subLen by construction), and preferring a
+    * real distance over a broken codebook row is the defensible
+    * semantics; parity is pinned against real books in the spec.
+    * Output: the selected GLOBAL code per subspace in
+    * sub_id order. Null vector → null; a vector shorter than m·subLen
+    * per the caller's geometry contract yields what slice semantics
+    * gave: subLen is derived from the actual vector length (d/m,
+    * remainder dropped).
+    */
+  def pqEncode(v: ArrayData, m: Int, subCodes: Array[Array[Long]],
+      subCvs: Array[Array[Array[Double]]], subNorms: Array[Array[Double]],
+      vFloat: Boolean): ArrayData = {
+    val d = v.numElements()
+    val subLen = d / m
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      val start = s * subLen
+      // normSq(sv): in-order fold; null element → whole row degrades
+      // like the SQL form's null dist (here: loud null result)
+      var nsv = 0.0
+      var i = 0
+      while (i < subLen) {
+        if (v.isNullAt(start + i)) return null
+        val x = if (vFloat) v.getFloat(start + i).toDouble else v.getDouble(start + i)
+        nsv += x * x
+        i += 1
+      }
+      val codes = subCodes(s)
+      val cvs = subCvs(s)
+      val norms = subNorms(s)
+      if (codes.length == 0) return null // no codebook rows for this sub
+      var best = codes(0)
+      var bestD: java.lang.Double = null
+      var c = 0
+      while (c < codes.length) {
+        val cv = cvs(c)
+        var dNew: java.lang.Double = null
+        if (cv != null && cv.length == subLen) {
+          var dot = 0.0
+          var j = 0
+          while (j < subLen) {
+            val x = if (vFloat) v.getFloat(start + j).toDouble
+              else v.getDouble(start + j)
+            dot += x * cv(j)
+            j += 1
+          }
+          dNew = (nsv - 2.0 * dot) + norms(c)
+        }
+        if (dNew != null && (bestD == null ||
+            java.lang.Double.compare(dNew.doubleValue(), bestD.doubleValue()) < 0)) {
+          best = codes(c)
+          bestD = dNew
+        }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Sign-bit LSH bucket: bit j of the result is the sign of projection
     * j, where hyperplane j's component i is ±1 from
     * `pmod(xxhash64(i + (j << 16)), 2)` — the identical projection the
@@ -415,6 +492,74 @@ object LutBuildF {
     GraftColumnBridge.column(LutBuildF(
       GraftColumnBridge.expression(qr), GraftColumnBridge.expression(subs),
       GraftColumnBridge.expression(cvs)))
+}
+
+/** One-pass PQ encode of a vector against plan-constant per-subspace
+  * codebooks (see [[VectorKernels.pqEncode]]): array<bigint> of m
+  * global code ids in sub_id order. `subCodes(s)`/`subCvs(s)`/
+  * `subNorms(s)` are that subspace's code ids (ascending), centroids
+  * and precomputed normSq values.
+  */
+case class PqEncodeF(child: Expression, m: Int, subCodes: Array[Array[Long]],
+    subCvs: Array[Array[Array[Double]]], subNorms: Array[Array[Double]])
+    extends UnaryExpression {
+  require(m >= 1 && subCodes.length == m && subCvs.length == m &&
+    subNorms.length == m, "PqEncodeF: inconsistent codebook model")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val vFloat = VectorKernels.elemKind(child.dataType, "input")
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.pqEncode(v.asInstanceOf[ArrayData], m, subCodes, subCvs,
+      subNorms, vFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCodes", subCodes, "long[][]")
+    val vRef = ctx.addReferenceObj("pqCvs", subCvs, "double[][][]")
+    val nRef = ctx.addReferenceObj("pqNorms", subNorms, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val res = ctx.freshName("pqCodesOut")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.functions.VectorKernels.pqEncode($v, $m, $cRef, $vRef, $nRef, $vFloat);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeF =
+    copy(child = newChild)
+}
+
+object PqEncodeF {
+  /** Build from collected books rows (sub_id, code, cv) — cv widened
+    * to double exactly as DotF widens floats.
+    */
+  def apply(v: Column, m: Int,
+      books: Array[(Int, Long, Array[Double])]): Column = {
+    val bySub = books.groupBy(_._1)
+    val subCodes = new Array[Array[Long]](m)
+    val subCvs = new Array[Array[Array[Double]]](m)
+    val subNorms = new Array[Array[Double]](m)
+    (0 until m).foreach { s =>
+      val rows = bySub.getOrElse(s, Array.empty).sortBy(_._2)
+      subCodes(s) = rows.map(_._2)
+      subCvs(s) = rows.map(_._3)
+      subNorms(s) = rows.map { r =>
+        if (r._3 == null) Double.NaN // null-element cv: never selected
+        else {
+          var acc = 0.0
+          var i = 0
+          while (i < r._3.length) { acc += r._3(i) * r._3(i); i += 1 }
+          acc
+        }
+      }
+    }
+    GraftColumnBridge.column(PqEncodeF(
+      GraftColumnBridge.expression(v), m, subCodes, subCvs, subNorms))
+  }
 }
 
 /** Nearest-centroid cell id for a vector against a plan-constant

@@ -171,10 +171,49 @@ object ProductQuantizer {
       .select(col("sub_id"), col("code"), col("cv"))
   }
 
+  /** Collect a trained codebook table (sub_id, code, cv) as the
+    * driver-scale model PqEncodeF bakes into the plan — the same
+    * m·ksub-row collect [[lutFor]] already performs per query. cv
+    * floats widen to double exactly as DotF widens them.
+    */
+  private def collectBooks(books: DataFrame): Array[(Int, Long, Array[Double])] =
+    books.select(col("sub_id").cast("int"), col("code").cast("long"), col("cv"))
+      .collect().map { r =>
+        val s = r.getSeq[Any](2)
+        val arr: Array[Double] =
+          if (s == null || s.contains(null)) null
+          else s.map {
+            case d: Double => d
+            case f: Float => f.toDouble
+            case other => throw new IllegalArgumentException(
+              s"codebook element of ${other.getClass}")
+          }.toArray
+        (r.getInt(0), r.getLong(1), arr)
+      }
+
   /** Encode vectors as (idCol, codes: array<bigint>), codes ordered by
     * sub_id and carrying global ids — ready for [[adcTopK]]'s flat LUT.
+    *
+    * Map-only (r17): the codebooks are a trained model (m·ksub ≤
+    * 32·256 rows), so they are collected once and the whole
+    * explode → broadcast-join → per-(id, sub) rank window →
+    * collect_list reassembly pipeline collapses into one codegen'd
+    * [[graft.functions.PqEncodeF]] expression over the vector scan —
+    * the n·m·ksub-row window shuffle is gone from every encode call
+    * (the q84/q68 append path pays this per batch). Row-for-row
+    * parity with the retained [[encodeViaJoin]] is pinned in
+    * ProductQuantizerSpec.
     */
   def encode(data: DataFrame, idCol: String, vecCol: String, m: Int, books: DataFrame): DataFrame =
+    data.select(col(idCol),
+      graft.functions.PqEncodeF(col(vecCol), m, collectBooks(books)).as("codes"))
+
+  /** The original join+window formulation of [[encode]] — retained as
+    * the independently-derived reference the PqEncodeF kernel is
+    * spec'd against. Not on any query path.
+    */
+  private[graft] def encodeViaJoin(
+      data: DataFrame, idCol: String, vecCol: String, m: Int, books: DataFrame): DataFrame =
     assignCells(subvectors(data, idCol, vecCol, m), idCol, books)
       .groupBy(col(idCol))
       .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code")))),
@@ -283,9 +322,11 @@ object ProductQuantizer {
 
   private def encodeResiduals(
       residuals: DataFrame, idCol: String, m: Int, books: DataFrame): DataFrame =
-    encode(residuals, idCol, "rv", m, books)
-      .join(residuals.select(col(idCol), col("cell_id")), idCol)
-      .select(col("cell_id"), col(idCol), col("codes"))
+    // cell_id rides the kernel-encode projection directly (r17): the
+    // previous encode + join-back re-ran the whole residual subtree
+    // (coarse assign + zip_with) on BOTH sides of an id equi-join
+    residuals.select(col("cell_id"), col(idCol),
+      graft.functions.PqEncodeF(col("rv"), m, collectBooks(books)).as("codes"))
 
   /** IVF-PQ serving: rank the nProbe nearest coarse cells (tiny global
     * window over the centroid table), derive the query's PER-CELL

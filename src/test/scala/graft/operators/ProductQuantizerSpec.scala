@@ -88,6 +88,26 @@ class ProductQuantizerSpec extends AnyFunSuite {
     assert(c.forall(_.getSeq[Long](1).forall(x => x >= 0 && x < n)))
   }
 
+  test("kernel encode == join+window reference, synthetic + real corpus") {
+    // r17: encode became a map-only PqEncodeF over plan-constant
+    // codebooks; the retained join+window formulation is the
+    // reference. Row-for-row code-array equality on (a) the synthetic
+    // clusters, (b) real sf0.01 float embeddings, both with trained
+    // books.
+    def parity(df: org.apache.spark.sql.DataFrame, m: Int, every: Int): Unit = {
+      val books = ProductQuantizer.train(df, "vec_id", "embedding", m, every, 2)
+      def canon(out: org.apache.spark.sql.DataFrame) =
+        out.orderBy("vec_id").collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      val got = canon(ProductQuantizer.encode(df, "vec_id", "embedding", m, books))
+      val want = canon(ProductQuantizer.encodeViaJoin(df, "vec_id", "embedding", m, books))
+      assert(got.length == want.length)
+      got.zip(want).foreach { case (g, w) => assert(g == w) }
+    }
+    parity(clustered, 4, 10)
+    parity(graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings"), 8, 20)
+  }
+
   test("ADC top-k on separated clusters returns the query's cluster") {
     val books = ProductQuantizer.train(
       clustered, "vec_id", "embedding", m = 4, every = 10, iters = 2)
