@@ -152,9 +152,24 @@ object ProductQuantizer {
       .select(col("sub_id"), col(idCol).cast("long").as("code"), col("sv").as("cv"))
     var i = 0
     while (i < iters) {
-      books = assignCells(sv, idCol, books)
+      // Each Lloyd iteration assigns via the same map-only PqEncodeF
+      // kernel as [[encode]] (r17): the books of the previous round
+      // are collected (model-scale) and the per-(id, sub) rank-window
+      // shuffle of n·m·ksub rows is gone; the recompute aggregate
+      // reads (sub_id, code, pos, x) straight off the vector scan.
+      // Selected codes are row-for-row the window form's (the
+      // ProductQuantizerSpec parity), subvector values are the same
+      // slice expression, so the avg() groups are identical.
+      val collected = collectBooks(books)
+      val subLen = (size(col(vecCol)) / m).cast("int")
+      books = data
+        .select(col(vecCol),
+          posexplode(graft.functions.PqEncodeF(col(vecCol), m, collected))
+            .as(Seq("sub_id", "code")))
         .select(col("sub_id"), col("code"),
-          posexplode(col("sv")).as(Seq("pos", "x")))
+          posexplode(transform(
+            slice(col(vecCol), col("sub_id") * subLen + 1, subLen),
+            _.cast("double"))).as(Seq("pos", "x")))
         .groupBy(col("sub_id"), col("code"), col("pos"))
         .agg(avg(col("x")).as("mn"))
         .groupBy(col("sub_id"), col("code"))
