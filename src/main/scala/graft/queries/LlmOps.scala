@@ -1017,18 +1017,24 @@ object LlmOps {
     // before training. Shape: explode windows once, aggregate distinct-
     // doc counts per window (map-side combine collapses within-doc
     // repeats), broadcast-free join back on the window key, per-doc
-    // aggregate — two shuffles total, both on the window/doc keys. At
-    // 100 TB the join key would be xxhash64(window) (8 bytes instead of
-    // the string, collisions only perturb a heuristic score); kept as
-    // exact strings here so the oracle is hash-exact.
+    // aggregate. At 100 TB the join key would be xxhash64(window) (8
+    // bytes instead of the string, collisions only perturb a heuristic
+    // score); kept as exact strings here so the oracle is hash-exact.
+    // r17: "occurs in >1 documents" is min(doc_id) ≠ max(doc_id) OVER
+    // a window on the gram key — one corpus pass, one exchange; the
+    // previous countDistinct aggregate + join-back re-ran the whole
+    // tokenize/ngram subtree to build the aggregate side (the
+    // q47_self_excise rewrite, same equality argument).
     QueryDef(
       "q22_dup_ngram_frac",
       (s, dir) => {
         val grams = t(s, dir, "documents")
           .select(col("doc_id"), explode(WordNgrams.word_ngrams(col("text"), 8)).as("g"))
-        val df = grams.groupBy(col("g"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-        grams.join(df, "g")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+        grams
+          .withColumn("mn", min(col("doc_id")).over(w))
+          .withColumn("mx", max(col("doc_id")).over(w))
+          .withColumn("nd", when(col("mn") < col("mx"), 2L).otherwise(1L))
           .groupBy(col("doc_id"))
           .agg(
             count(lit(1)).as("n_windows"),

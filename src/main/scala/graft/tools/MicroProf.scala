@@ -33,6 +33,7 @@ object MicroProf {
       case "q56" => profileQ56(spark, sfDir)
       case "q61" => profileQ61(spark, sfDir)
       case "q23cc" => profileQ23cc(spark, sfDir)
+      case "q23lsh" => profileQ23lsh(spark, sfDir)
       case other => sys.error(s"unknown profile target: $other")
     }
     spark.stop()
@@ -61,6 +62,24 @@ object MicroProf {
       feat.unpersist()
       time("full q61 train")(
         graft.operators.Perceptron.train(feat0, buckets = 32, epochs = 4))
+    }
+  }
+
+  private def profileQ23lsh(spark: SparkSession, sfDir: String): Unit = {
+    import graft.queries.LlmOps
+    (1 to 3).foreach { rnd =>
+      println(s"--- round $rnd ---")
+      val sh = LlmOps.shingledDocs(spark, sfDir)
+      time("shingledDocs noop")(noop(sh))
+      val sig = sh.select(col("doc_id"),
+        graft.functions.MinHashSignature.minhash_band_keys(col("sh"), 16, 8).as("bk"))
+      time("signatures noop")(noop(sig))
+      val cand = LlmOps.lshCandidatePairs(sh, 16, 8)
+      time("candidates noop")(noop(cand))
+      time("verify (full pairs) count")(
+        LlmOps.verifyJaccardPairs(spark, sfDir, cand, 0.8).count())
+      time("full minhashVerifiedPairs count")(
+        LlmOps.minhashVerifiedPairs(spark, sfDir, 0.8).count())
     }
   }
 
