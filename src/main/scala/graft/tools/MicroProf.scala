@@ -34,6 +34,7 @@ object MicroProf {
       case "q61" => profileQ61(spark, sfDir)
       case "q23cc" => profileQ23cc(spark, sfDir)
       case "q23lsh" => profileQ23lsh(spark, sfDir)
+      case "q101" => profileQ101(spark, sfDir)
       case other => sys.error(s"unknown profile target: $other")
     }
     spark.stop()
@@ -80,6 +81,21 @@ object MicroProf {
         LlmOps.verifyJaccardPairs(spark, sfDir, cand, 0.8).count())
       time("full minhashVerifiedPairs count")(
         LlmOps.minhashVerifiedPairs(spark, sfDir, 0.8).count())
+    }
+  }
+
+  private def profileQ101(spark: SparkSession, sfDir: String): Unit = {
+    val ms = graft.queries.Semantic.ensureMaxSimServeLayout(spark, sfDir)
+    val qids = spark.read.parquet(s"$ms/pooled")
+      .select(col("doc_id")).distinct()
+      .filter(pmod(col("doc_id"), lit(7)) === 1)
+      .orderBy(col("doc_id")).limit(32)
+      .collect().map(_.getLong(0)).toSeq
+    (1 to 3).foreach { rnd =>
+      println(s"--- round $rnd ---")
+      time("qids derive + full q101 serve count")(
+        graft.queries.Semantic.maxSimServeBatch(spark, sfDir, qids,
+          nProbe = 4, k = 10).count())
     }
   }
 
