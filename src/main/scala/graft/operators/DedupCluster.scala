@@ -111,17 +111,45 @@ object DedupCluster {
           lit(java.math.BigDecimal.ZERO))).head()
       (r.getLong(0), r.getDecimal(1))
     }
-    var e = edges
-      .select(col("a").as("u"), col("b").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+    // The sketch rides the checkpoint's own execution as observed
+    // metrics (r18): each round previously paid a SECOND job re-reading
+    // the fresh checkpoint just to aggregate two values the
+    // materialization pass already saw. CollectMetrics accumulates
+    // during the eager localCheckpoint job, so intermediate rounds now
+    // run ONE job instead of two. The listener delivering observed
+    // metrics is asynchronous — poll briefly, then fall back to the
+    // explicit aggregate (correctness never depends on the fast path).
+    def checkpointSketched(df: DataFrame)
+        : (DataFrame, Long, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs,
+          count(lit(1)).as("n"),
+          coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO)).as("h"))
+        .localCheckpoint(true)
+      var m = org.apache.spark.sql.GraftColumnBridge.observationGetOrEmpty(obs)
+      val deadline = System.nanoTime() + 2000000000L
+      while (m.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(5)
+        m = org.apache.spark.sql.GraftColumnBridge.observationGetOrEmpty(obs)
+      }
+      if (m.nonEmpty)
+        (ck, m("n").asInstanceOf[Long],
+          m("h").asInstanceOf[java.math.BigDecimal])
+      else {
+        val (c, s) = sketch(ck)
+        (ck, c, s)
+      }
+    }
+    var (e, eCount, eSum) = checkpointSketched(
+      edges
+        .select(col("a").as("u"), col("b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
     var iter = 0
-    var (eCount, eSum) = sketch(e)
     var converged = eCount == 0L
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val (nCount, nSum) = sketch(next)
+      val (next, nCount, nSum) = checkpointSketched(smallStar(largeStar(e)))
       // Both sets are distinct: equal iff same size and no row of next
       // falls outside e. The && short-circuits, so the two-sided
       // anti-join shuffle only runs on the (one) suspected-fixed-point

@@ -26,4 +26,11 @@ object GraftColumnBridge {
   /** Analyzed logical plan of a DataFrame (`logicalPlan` is private[sql]). */
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Non-blocking read of an Observation's metrics (`getOrEmpty` is
+    * private[sql]) — empty until the asynchronous listener delivers the
+    * execution's observed metrics; callers poll briefly and fall back to
+    * an explicit aggregate rather than blocking on `get`.
+    */
+  def observationGetOrEmpty(o: Observation): Map[String, Any] = o.getOrEmpty
 }
