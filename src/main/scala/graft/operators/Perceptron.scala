@@ -110,8 +110,15 @@ object Perceptron {
     // back), so every epoch reuses this layout and only the tiny
     // misclassified-id side moves. The 100 TB form of the same
     // decision is a feature table written bucketed by doc key.
+    // sortWithinPartitions (r18): the per-epoch margin window needs
+    // (hash-partitioned by doc_id, sorted by doc_id) input; persisting
+    // the layout ALREADY SORTED means the one sort is paid at
+    // materialization and every epoch's window (plus the final-errors
+    // pass) reads a pre-sorted InMemoryRelation instead of re-sorting
+    // the whole feature table per epoch (guide §5 — layout reuse).
     val feat = withBias(feat0)
       .repartition(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var w: Map[Long, Long] =

@@ -32,12 +32,46 @@ object MicroProf {
     what match {
       case "q56" => profileQ56(spark, sfDir)
       case "q61" => profileQ61(spark, sfDir)
+      case "q61plan" => q61EpochPlan(spark, sfDir)
       case "q23cc" => profileQ23cc(spark, sfDir)
       case "q23lsh" => profileQ23lsh(spark, sfDir)
       case "q101" => profileQ101(spark, sfDir)
       case other => sys.error(s"unknown profile target: $other")
     }
     spark.stop()
+  }
+
+  /** Dumps the epoch-margin window plan over the persisted layout so the
+    * sort-before-persist claim (r18: no per-epoch Sort) is checkable.
+    */
+  private def q61EpochPlan(spark: SparkSession, sfDir: String): Unit = {
+    val feat0 = graft.queries.Classifier.perceptronFeatures(
+      graft.Tables.load(spark, sfDir, "documents"))
+    def epochPlan(sorted: Boolean): String = {
+      val base = graft.operators.Perceptron.withBias(feat0)
+        .repartition(col("doc_id"))
+      val feat = (if (sorted) base.sortWithinPartitions(col("doc_id"))
+                  else base)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      feat.count()
+      val w0: Map[Long, Long] = (-1L until 32L).map(_ -> 0L).toMap
+      val entries = w0.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+      val m = feat.withColumn("m",
+        sum(element_at(map(entries: _*), col("bucket")) * col("x")).over(win))
+        .filter(col("y") * col("m") <= 0)
+        .groupBy("bucket")
+        .agg(sum(col("y") * col("x")).as("dw"), count(lit(1)).as("n"))
+      val plan = m.queryExecution.executedPlan.toString
+      feat.unpersist()
+      plan
+    }
+    println("=== epoch plan, UNSORTED persist (pre-r18) ===")
+    println(epochPlan(sorted = false))
+    println("=== epoch plan, SORTED persist (r18) ===")
+    println(epochPlan(sorted = true))
   }
 
   private def profileQ61(spark: SparkSession, sfDir: String): Unit = {
