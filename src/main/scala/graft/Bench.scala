@@ -26,17 +26,23 @@ object Bench {
   def formatResults(
       results: Seq[(String, Either[String, Double])], sfDir: String,
       solo: Seq[(String, Double)] = Nil): String = {
+    // 3-decimal seconds (r18, r17 verdict #3): full-precision doubles
+    // made the line ~4.3 KB and the driver's tail capture truncated it
+    // two rounds running (BENCH_r15/r16 parsed: null). Millisecond
+    // precision is far below the measured ±20% ambient noise band, and
+    // the shorter line (~2.6 KB) fits any plausible capture window.
+    def sec3(sec: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))
     val qs = results.map {
-      case (k, Right(sec)) => s"${jsonString(k)}:$sec"
+      case (k, Right(sec)) => s"${jsonString(k)}:${sec3(sec)}"
       case (k, Left(msg))  => s"${jsonString(k)}:{\"err\":${jsonString(msg)}}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(sec)) => sec }.sum
     val nErr = results.count(_._2.isLeft)
     val soloJson =
       if (solo.isEmpty) ""
-      else solo.map { case (k, sec) => s"${jsonString(k)}:$sec" }
+      else solo.map { case (k, sec) => s"${jsonString(k)}:${sec3(sec)}" }
         .mkString(""","solo":{""", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jsonString(sfDir)},"errors":$nErr$soloJson}"""
+    s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"sf":${jsonString(sfDir)},"errors":$nErr$soloJson}"""
   }
 
   private def jsonString(s: String): String = JsonText.quote(s)
@@ -192,7 +198,16 @@ object Bench {
       }
     }
 
-    println(formatResults(results, sfDir, solo))
+    // printed TWICE (r18, r17 verdict #3): the driver captures a bounded
+    // tail of the output, and a single copy of the line has been cut
+    // mid-way by that window two rounds running. Two consecutive copies
+    // mean the window always holds at least one complete line; any JSON
+    // consumer scanning for the result line parses either copy
+    // identically. Additions-only: timing and the line's content are
+    // unchanged.
+    val line = formatResults(results, sfDir, solo)
+    println(line)
+    println(line)
     spark.stop()
   }
 }
