@@ -29,6 +29,16 @@ object GraftSession {
       // before the shuffle (explicit: the default has moved across
       // versions, and at 100 TB this decides shuffle volume)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // Joins accept children co-partitioned on a SUBSET of the join
+      // keys (SPARK-35703; aggregates already default to this via
+      // requireAllClusterKeysForDistribution=false). The MaxSim scoring
+      // tails hash once on (qid, doc_id) and run their dot-0 join and
+      // every downstream aggregate exchange-free on that partitioning;
+      // with the default (true) the 3/4-key join re-shuffles both
+      // sides it is already colocated on. Engine-level and scale-
+      // independent: it only applies where children are ALREADY
+      // compatibly partitioned, so no plan gets new exchanges from it.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // MIN/MAX/COUNT against parquet footers instead of data pages.
       // Effective only on DSv2 parquet scans (the default V1 path
       // instead plans count(*) as an empty-ReadSchema scan, already

@@ -36,6 +36,7 @@ object MicroProf {
       case "q23cc" => profileQ23cc(spark, sfDir)
       case "q23lsh" => profileQ23lsh(spark, sfDir)
       case "q101" => profileQ101(spark, sfDir)
+      case "q101fine" => profileQ101Fine(spark, sfDir)
       case other => sys.error(s"unknown profile target: $other")
     }
     spark.stop()
@@ -130,6 +131,68 @@ object MicroProf {
       time("qids derive + full q101 serve count")(
         graft.queries.Semantic.maxSimServeBatch(spark, sfDir, qids,
           nProbe = 4, k = 10).count())
+    }
+  }
+
+  /** Step-level replica of Semantic.maxSimServeBatch (q101) so the warm
+    * floor attributes to specific driver actions: plan-guard renders,
+    * the two localCheckpoints, the driver collects, and the final
+    * two-stage count. Kept in lockstep with the real implementation by
+    * eye — this is attribution tooling, not a correctness surface.
+    */
+  private def profileQ101Fine(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ms = graft.queries.Semantic.ensureMaxSimServeLayout(spark, sfDir)
+    val qids = spark.read.parquet(s"$ms/pooled")
+      .select(col("doc_id")).distinct()
+      .filter(pmod(col("doc_id"), lit(7)) === 1)
+      .orderBy(col("doc_id")).limit(32)
+      .collect().map(_.getLong(0)).toSeq
+    val nProbe = 4
+    (1 to 3).foreach { rnd =>
+      println(s"--- round $rnd ---")
+      spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+      val pooled = spark.read.parquet(s"$ms/pooled")
+      val chunks = spark.read.parquet(s"$ms/chunks")
+      val qcvAll = chunks.filter(col("doc_id").isin(qids.map(Long.box): _*))
+      val qplan = time("guard 1: qcvAll plan render")(
+        qcvAll.queryExecution.executedPlan.toString)
+      require(qplan.contains("In(doc_id"))
+      val qpoolDf = time("qpool checkpoint")(
+        qcvAll.groupBy(col("doc_id").as("qid"), col("bucket"))
+          .agg(sum(col("v")).as("qpv"))
+          .localCheckpoint(true))
+      val guardRows = time("guard rows collect")(
+        qcvAll.groupBy(col("doc_id"))
+          .agg(countDistinct(col("chunk")).as("nc")).collect())
+      val qcellDf = qpoolDf.groupBy(col("qid"))
+        .agg((lit(15) - coalesce(sum(when(
+            col("bucket") < 4 && col("qpv") < 0,
+            expr("shiftleft(1, cast(bucket as int))"))
+          .otherwise(lit(0))), lit(0))).cast("int").as("qcell"))
+      val cellU = spark.range(16).select(col("id").cast("int").as("cell"))
+      val pw = Window.partitionBy(col("qid"))
+        .orderBy(col("__ham").asc, col("cell").asc)
+      val probeDf = time("probe checkpoint")(
+        qcellDf.crossJoin(broadcast(cellU))
+          .withColumn("__ham",
+            expr("bit_count(cast(cell as bigint) ^ cast(qcell as bigint))"))
+          .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(pw))
+          .filter(col("__rn") <= nProbe)
+          .select(col("qid"), col("cell"))
+          .localCheckpoint(true))
+      val unionCells = time("union cells collect")(
+        probeDf.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).sorted)
+      val probedPool = pooled.filter(col("cell")
+        .isin(unionCells.map(c => c: java.lang.Integer): _*))
+      time("guard 2: probedPool plan render")(
+        probedPool.queryExecution.executedPlan.toString)
+      val res = time("full maxSimServeBatch build")(
+        graft.queries.Semantic.maxSimServeBatch(spark, sfDir, qids,
+          nProbe = nProbe, k = 10))
+      time("final count")(res.count())
     }
   }
 
