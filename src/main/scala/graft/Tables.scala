@@ -44,7 +44,16 @@ object Tables {
     * orders of magnitude more splits than cores, the condition is
     * false, and no repartition (and no text-bytes shuffle) is ever
     * added — the exchange only appears where the input cannot feed the
-    * session's cores. Result-neutral: round-robin redistribution
+    * session's cores.
+    *
+    * CALLER CONTRACT (r17 ADVICE): wrap RAW SCANS ONLY. The partition
+    * probe reads `df.rdd.getNumPartitions` at plan-build time, and with
+    * AQE enabled accessing `.rdd` on a frame with upstream exchanges
+    * forces final-plan materialization — i.e. it EXECUTES those shuffle
+    * stages during query construction. On a scan the probe is free
+    * (split arithmetic, no job). Every current call site wraps a scan.
+    *
+    * Result-neutral: round-robin redistribution
     * followed by the operators' own keyed aggregates/windows; every
     * declared query already orders its output and sums through
     * order-free representations. (Round-robin repartition local-sorts

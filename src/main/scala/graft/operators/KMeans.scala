@@ -73,7 +73,19 @@ object KMeans {
     * Selection semantics are the window's exactly (sim desc, NaN
     * first, nulls last, ties → lower cell_id; identical IEEE cosine) —
     * row-for-row parity with the retained [[assignViaWindow]] is
-    * pinned in KMeansSpec.
+    * pinned in KMeansSpec for DENSE inputs.
+    *
+    * DOCUMENTED DIVERGENCE on null/null-element DATA vectors (r17
+    * ADVICE; the same class PqEncodeF documents for its null-dist
+    * case): when every cell's sim is null for a row, the window form
+    * still emits the lowest cell_id (nulls-last + tiebreak) while the
+    * kernel emits a NULL cell_id, so such rows drop out of any
+    * downstream cell_id equi-join. Unreachable from the trainers here —
+    * they assign the same vectors they trained on, and a trained
+    * centroid table is avg()-derived (never null) — and the kernel's
+    * NULL is the better serving behavior (a vectorless row has no
+    * nearest cell). Pinned, not accidental: KMeansSpec's null-vector
+    * fixture asserts exactly this divergence.
     */
   def assign(
       data: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {

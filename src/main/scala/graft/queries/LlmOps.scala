@@ -667,13 +667,16 @@ object LlmOps {
     * immutable once derived (ensureLayout: derive-once, never
     * rewritten in place).
     */
-  // per-SESSION weak map (r16 ADVICE): entries die with the session
-  // instead of pinning file-index memory and stopped-session references
-  // for the JVM lifetime, and a recycled identity hash can never
-  // resurrect a stale handle
-  private val bucketedDfCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+  // per-SESSION map, evicted on application end (r17 ADVICE): the r16
+  // WeakHashMap could never reclaim anything — its DataFrame values
+  // strongly reference their SparkSession, i.e. the weak key (the
+  // classic value-to-key pitfall) — so eviction is now EXPLICIT via a
+  // SparkListener registered once per session; a stopped session's
+  // handles (and their file-index memory) are dropped deterministically
+  // instead of "when GC notices", and a recycled identity hash still
+  // cannot resurrect a stale handle (keyed on the session object).
+  private val bucketedDfCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
   private[graft] def batchPrunedFetch(
       s: SparkSession, bucketedDir: String, cands: DataFrame,
@@ -686,8 +689,15 @@ object LlmOps {
         s"id buckets — outside (0, $maxBuckets]; the candidate stage " +
         "is broken")
     val handle = bucketedDfCache
-      .computeIfAbsent(s, _ =>
-        new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(s, sess => {
+        sess.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+                : Unit = bucketedDfCache.remove(sess)
+          })
+        new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+      })
       .computeIfAbsent(bucketedDir, _ => s.read.parquet(bucketedDir))
     val fetched = handle
       .filter(col("id_bucket").isin(buckets.map(Long.box): _*))

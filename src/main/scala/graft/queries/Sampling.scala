@@ -374,7 +374,14 @@ object Sampling {
       .select((col("pos") + 1).as("i"), col("col").cast("double").as("v"))
       .groupBy("i").agg(min("v").as("mn"), max("v").as("mx"))
       .collect()
-    require(st.nonEmpty, "jlReducedVectors: empty corpus")
+    // Degenerate contract (r17 ADVICE): an empty corpus yields an empty
+    // (vec_id, rv, n2) frame — the lazy SQL formulation's behavior —
+    // instead of throwing at plan-construction time, so consumers that
+    // merely construct these plans (registry sweeps) keep working.
+    if (st.isEmpty)
+      return emb.limit(0).select(col("vec_id"),
+        lit(null).cast("array<double>").as("rv"),
+        lit(0.0).as("n2"))
     val d = st.map(_.getAs[Number](0).intValue).max
     val mn = new Array[Double](d)
     val mx = new Array[Double](d)

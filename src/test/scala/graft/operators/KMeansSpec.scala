@@ -79,6 +79,36 @@ class KMeansSpec extends AnyFunSuite {
       KMeans.fit(emb, "vec_id", "embedding", init, 2))
   }
 
+  test("null / null-element data vectors: kernel emits NULL cell_id " +
+      "(documented divergence from the window form's lowest-cell pick)") {
+    // r17 ADVICE: pin the intended semantics instead of leaving them
+    // accidental. The window form ranks all-null sims nulls-last and
+    // ties to the LOWEST cell_id; the kernel refuses to assign (NULL),
+    // which is the serving behavior we WANT for a vectorless row.
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array[java.lang.Double](1.0, 0.0)),
+      (2L, null.asInstanceOf[Array[java.lang.Double]]),
+      (3L, Array[java.lang.Double](0.5, null)))
+      .toDF("id", "vec")
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("cell_id", "cv")
+    val kernel = KMeans.assign(df, "id", "vec", cents)
+      .select(col("id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(kernel(1L) === Some(0L))
+    assert(kernel(2L) === None, "null vector must yield NULL cell_id")
+    assert(kernel(3L) === None, "null element must yield NULL cell_id")
+    val window = KMeans.assignViaWindow(df, "id", "vec", cents)
+      .select(col("id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(window(1L) === 0L)
+    // the window form's documented (different) degenerate pick
+    assert(window(2L) === 0L)
+    assert(window(3L) === 0L)
+  }
+
   test("empty cells drop out instead of producing NaN centroids") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(1.0, 0.1)))
