@@ -209,6 +209,39 @@ object Curation {
     excisionReport(hits)
   }
 
+  /** The PRE-AGGREGATE variant of [[selfExcise]]'s dup-gram detection
+    * (r17 verdict #8, the hot-key watch item): the gram stream is
+    * materialized once (in-job localCheckpoint), the per-gram min/max
+    * comes from a map-side-combined AGGREGATE over it (bounded per-task
+    * state on any gram frequency), survivors (min < max) join back
+    * against the same materialized stream. Same rows as the window
+    * form by the identical predicate. Trade measured in r18
+    * (MicroProf q47ab + SCALING.md): the window buffers a hot gram's
+    * full occurrence set in one task but makes ONE pass with one
+    * exchange; this form is skew-immune but pays the checkpoint write
+    * + a second exchange + the join. Kept compiled as the documented
+    * fallback if corpus gram skew ever dominates; not on a query path.
+    */
+  private[graft] def selfExciseViaAgg(docs: DataFrame, n: Int): DataFrame = {
+    val grams = Tables.fanOut(docs)
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        posexplode(WordNgrams.word_ngrams(col("text"), n)))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("long").as("s"),
+        (col("pos") + (n - 1)).cast("long").as("e"),
+        xxhash64(col("col")).as("gh"))
+      .localCheckpoint(true)
+    val dup = grams.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("min_doc") < col("max_doc"))
+      .select(col("gh"), col("min_doc"))
+    val hits = grams.join(dup, "gh")
+      .filter(col("doc_id") =!= col("min_doc"))
+      .select(col("doc_id"), col("n_tokens"), col("s"), col("e"))
+    excisionReport(hits)
+  }
+
   private val contaminationProbes = Seq(
     "table key filter", "row column sort", "stream table hash",
     "quantum flux capacitor")

@@ -34,6 +34,7 @@ object MicroProf {
       case "q61" => profileQ61(spark, sfDir)
       case "q61plan" => q61EpochPlan(spark, sfDir)
       case "q23cc" => profileQ23cc(spark, sfDir)
+      case "q47ab" => profileQ47ab(spark, sfDir)
       case "q23lsh" => profileQ23lsh(spark, sfDir)
       case "q101" => profileQ101(spark, sfDir)
       case "q101fine" => profileQ101Fine(spark, sfDir)
@@ -99,6 +100,25 @@ object MicroProf {
       time("full q61 train")(
         graft.operators.Perceptron.train(feat0, buckets = 32, epochs = 4))
     }
+  }
+
+  /** A/B the two dup-gram shapes (r17 verdict #8): window over the gram
+    * key vs materialize-once + map-side-combined aggregate + join-back.
+    * Both compute identical rows; the loser stays compiled as the
+    * documented skew fallback.
+    */
+  private def profileQ47ab(spark: SparkSession, sfDir: String): Unit = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    (1 to 3).foreach { rnd =>
+      println(s"--- round $rnd ---")
+      time("selfExcise (window form) count")(
+        graft.queries.Curation.selfExcise(docs, 8).count())
+      time("selfExciseViaAgg (ckpt+agg+join) count")(
+        graft.queries.Curation.selfExciseViaAgg(docs, 8).count())
+    }
+    val a = graft.queries.Curation.selfExcise(docs, 8).collect().toSet
+    val b = graft.queries.Curation.selfExciseViaAgg(docs, 8).collect().toSet
+    println(s"[microprof] row parity: ${a == b} (${a.size} rows)")
   }
 
   private def profileQ23lsh(spark: SparkSession, sfDir: String): Unit = {
