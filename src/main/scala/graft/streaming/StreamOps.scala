@@ -455,18 +455,41 @@ object StreamOps {
     * instead of hand-rolled timeout bookkeeping.
     */
   def streamUserStatsTws(spark: SparkSession, sfDir: String): DataFrame =
-    streamUserStatsTwsFrom(spark, eventsStream(_, sfDir))
+    streamUserStatsTwsFrom(spark, eventsStream(_, sfDir),
+      derivedStateParts(spark, sfDir))
+
+  /** Scale-adaptive state-shard count for the RocksDB TWS drives (r18,
+    * r17 verdict #5): a stateful operator instantiates ONE RocksDB
+    * store per partition PER TRIGGER, and tools/StreamFloorSweep
+    * measured that cost as the dominant term of the bounded drives at
+    * BOTH 8 and 32 cores (32→8 shards: 2.7→1.5 s at 32 cpus, 2.6→1.7 s
+    * at 8 cpus). Derived from the stream's INPUT parallelism — the
+    * events scan's split count, floored at 4, capped at the session's
+    * shuffle partitions — never from the local core count: a one-split
+    * test feed gets few shards, a corpus-scale feed (splits >> cores)
+    * keeps the session's full shard count. The probe reads a raw scan's
+    * partition arithmetic (no job), the fanOut discipline inverted.
+    */
+  private def derivedStateParts(spark: SparkSession, sfDir: String): Option[Int] = {
+    val splits = graft.Tables.load(spark, sfDir, "events").rdd.getNumPartitions
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Some(math.min(cap, math.max(4, splits)))
+  }
 
   /** The pipeline behind [[streamUserStatsTws]], parameterized on the
     * event-stream BUILDER so the spec can force scrambled
     * multi-micro-batch arrival and assert batch-equivalence. A builder
     * rather than a DataFrame because the whole pipeline runs on the
     * isolated RocksDB session (see [[rocksDbSession]]) and the source
-    * must be constructed there.
+    * must be constructed there. `stateParts` (None = inherit) sizes the
+    * stateful operator's pinned partition count; the converged output
+    * is partitioning-invariant (commutative state, asserted by the
+    * scrambled-arrival spec), so this is cost-only.
     */
   def streamUserStatsTwsFrom(
-      spark: SparkSession, mkEvents: SparkSession => DataFrame): DataFrame = {
-    val iso = rocksDbSession(spark)
+      spark: SparkSession, mkEvents: SparkSession => DataFrame,
+      stateParts: Option[Int] = None): DataFrame = {
+    val iso = rocksDbSession(spark, stateParts)
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import iso.implicits._
     val ds = mkEvents(iso)
@@ -488,10 +511,22 @@ object StreamOps {
     * switch; the previous mutate-and-restore on the shared conf relied
     * on a strictly-sequential-drives invariant this removes.
     */
-  private def rocksDbSession(spark: SparkSession): SparkSession = {
+  private def rocksDbSession(
+      spark: SparkSession, stateParts: Option[Int] = None): SparkSession = {
     val iso = spark.newSession()
     iso.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // State-shard count (r18, r17 verdict #5): a stateful operator pins
+    // its partition count at checkpoint creation, and each partition is
+    // one RocksDB store instance paid PER TRIGGER —
+    // tools/StreamFloorSweep measures that cost curve. Precedence:
+    // explicit sweep override (sysprop/env) > caller's derived value
+    // (see derivedStateParts) > inherit the session's shuffle
+    // partitions.
+    sys.props.get("graft.stream.stateParts")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_PARTS"))
+      .orElse(stateParts.map(_.toString))
+      .foreach(v => iso.conf.set("spark.sql.shuffle.partitions", v))
     iso
   }
 
@@ -518,7 +553,8 @@ object StreamOps {
     * cutover point.
     */
   def streamUserStatsBootstrap(spark: SparkSession, sfDir: String): DataFrame =
-    streamUserStatsBootstrapFrom(spark, sfDir, eventsStream(_, sfDir))
+    streamUserStatsBootstrapFrom(spark, sfDir, eventsStream(_, sfDir),
+      derivedStateParts(spark, sfDir))
 
   /** The pipeline behind [[streamUserStatsBootstrap]], parameterized on
     * the event stream so the spec can force scrambled multi-micro-batch
@@ -527,8 +563,9 @@ object StreamOps {
     */
   def streamUserStatsBootstrapFrom(
       spark: SparkSession, sfDir: String,
-      mkEvents: SparkSession => DataFrame): DataFrame = {
-    val iso = rocksDbSession(spark)
+      mkEvents: SparkSession => DataFrame,
+      stateParts: Option[Int] = None): DataFrame = {
+    val iso = rocksDbSession(spark, stateParts)
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import iso.implicits._
     def shaped(df: DataFrame): DataFrame =
