@@ -37,7 +37,15 @@ object ScaleSample {
     val names = args.lift(2)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(DefaultSet)
-    val spark: SparkSession = GraftSession.builder(s"local[$cpus]", 32).getOrCreate()
+    val spark: SparkSession = GraftSession.builder(s"local[$cpus]", 32)
+      // measurement-side only: the x16 fixture is still ~10 MB of text,
+      // and default split packing (128 MB + 4 MB open cost) folds its 32
+      // files into 1-2 scan splits — which would measure FILE PACKING,
+      // not operator scaling. Small splits give scans real parallelism
+      // at both core counts; the product session is untouched.
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "65536")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
 
