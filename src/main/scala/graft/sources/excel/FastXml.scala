@@ -29,8 +29,14 @@ final class FastXml(rd: Reader) {
   private val nameBuf = new StringBuilder(32)
   private val textBuf = new StringBuilder(64)
   private var attrCount = 0
-  private var attrNames = new Array[String](8)
-  private var attrValues = new Array[String](8)
+  // attribute names/values in REUSED builders (r18): the previous
+  // per-attribute `new StringBuilder` + `.toString` pair for both name
+  // and value was ~4 allocations per attribute — measured 84 B/cell of
+  // garbage on the 1.6M-cell bench workbook (MicroProf q02alloc).
+  // Names are only ever compared (attrIs-style), so they never
+  // materialize; values materialize lazily on attr() access.
+  private var attrNames = Array.fill(8)(new StringBuilder(8))
+  private var attrValues = Array.fill(8)(new StringBuilder(16))
   var selfClosing = false
 
   def name: String = nameBuf.toString
@@ -47,10 +53,25 @@ final class FastXml(rd: Reader) {
     true
   }
 
+  private def bufIs(b: StringBuilder, s: String): Boolean = {
+    if (b.length != s.length) return false
+    var i = 0
+    while (i < s.length) {
+      if (b.charAt(i) != s.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Attribute value of the CURRENT start tag, or null. LIFETIME: the
+    * backing buffers are reused by the next start tag, so attr() must
+    * be called before the next `next()` — every call site does (and a
+    * returned String is an immutable copy, safe to keep).
+    */
   def attr(key: String): String = {
     var i = 0
     while (i < attrCount) {
-      if (attrNames(i) == key) return attrValues(i)
+      if (bufIs(attrNames(i), key)) return attrValues(i).toString
       i += 1
     }
     null
@@ -177,7 +198,15 @@ final class FastXml(rd: Reader) {
           while (isSpace(c)) c = readChar()
           if (c == '/') { selfClosing = true; c = readChar() }
           else if (c != '>' && c >= 0) {
-            val an = new StringBuilder(8)
+            if (attrCount == attrNames.length) {
+              val grown = attrCount * 2
+              attrNames = Array.tabulate(grown)(i =>
+                if (i < attrCount) attrNames(i) else new StringBuilder(8))
+              attrValues = Array.tabulate(grown)(i =>
+                if (i < attrCount) attrValues(i) else new StringBuilder(16))
+            }
+            val an = attrNames(attrCount)
+            an.setLength(0)
             while (c >= 0 && c != '=' && !isSpace(c) && c != '>' && c != '/') {
               if (c == ':') an.setLength(0) else an.append(c.toChar)
               c = readChar()
@@ -187,7 +216,8 @@ final class FastXml(rd: Reader) {
               c = readChar()
               while (isSpace(c)) c = readChar()
               val quote = c
-              val av = new StringBuilder(16)
+              val av = attrValues(attrCount)
+              av.setLength(0)
               if (quote == '"' || quote == '\'') {
                 c = readChar()
                 while (c >= 0 && c != quote) {
@@ -196,12 +226,6 @@ final class FastXml(rd: Reader) {
                 }
                 c = readChar()
               }
-              if (attrCount == attrNames.length) {
-                attrNames = java.util.Arrays.copyOf(attrNames, attrCount * 2)
-                attrValues = java.util.Arrays.copyOf(attrValues, attrCount * 2)
-              }
-              attrNames(attrCount) = an.toString
-              attrValues(attrCount) = av.toString
               attrCount += 1
             }
           }

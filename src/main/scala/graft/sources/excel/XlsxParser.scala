@@ -491,6 +491,8 @@ object XlsxParser {
     private var finished = false
     private var curRow = -1     // 0-based row of the current <row> element
     private var lastCol = -1    // last seen col in current row (for cells w/o r=)
+    private val sb = new StringBuilder // reused per cell (r18: was a fresh
+                                       // builder per <c> — measured churn)
 
     private def advance(): Unit = {
       nextCell = null
@@ -515,11 +517,29 @@ object XlsxParser {
     private def parseCell(): Unit = {
       val ref = fx.attr("r")
       val t = fx.attr("t")
-      val (row, col) = if (ref != null) cellRef(ref) else (curRow, lastCol + 1)
+      // inline cellRef (r18): the tuple form boxed (Int, Int) per cell
+      var row = curRow
+      var col = lastCol + 1
+      if (ref != null) {
+        var ci = 0
+        var r = 0
+        var i = 0
+        var inDigits = false
+        while (i < ref.length) {
+          val ch = ref.charAt(i)
+          if (!inDigits && ch >= 'A' && ch <= 'Z') ci = ci * 26 + (ch - 'A' + 1)
+          else if (!inDigits && ch >= 'a' && ch <= 'z') ci = ci * 26 + (ch - 'a' + 1)
+          else if (ch >= '0' && ch <= '9') { inDigits = true; r = r * 10 + (ch - '0') }
+          else throw new NumberFormatException(s"bad cell ref: $ref")
+          i += 1
+        }
+        if (!inDigits) throw new NumberFormatException(s"bad cell ref: $ref")
+        row = r - 1
+        col = ci - 1
+      }
       lastCol = col
       var v: String = null
       var is: String = null
-      val sb = new StringBuilder
       var inV = false
       var inT = false
       var sawIs = false

@@ -35,6 +35,7 @@ object MicroProf {
       case "q61plan" => q61EpochPlan(spark, sfDir)
       case "q23cc" => profileQ23cc(spark, sfDir)
       case "q47ab" => profileQ47ab(spark, sfDir)
+      case "q02alloc" => profileQ02Alloc()
       case "q23lsh" => profileQ23lsh(spark, sfDir)
       case "q101" => profileQ101(spark, sfDir)
       case "q101fine" => profileQ101Fine(spark, sfDir)
@@ -99,6 +100,35 @@ object MicroProf {
       feat.unpersist()
       time("full q61 train")(
         graft.operators.Perceptron.train(feat0, buckets = 32, epochs = 4))
+    }
+  }
+
+  /** Allocation + time profile of the q02 xlsx pull-parser inner loop
+    * (r17 verdict #6): iterates the 200k x 8 bench workbook's cells
+    * directly (no Spark pipeline around it) and reports bytes allocated
+    * per cell via ThreadMXBean, so "object churn in the hot loop" is a
+    * measured number instead of a suspicion.
+    */
+  private def profileQ02Alloc(): Unit = {
+    val src = graft.queries.Conversion.ensureBenchFixture()
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread().getId
+    (1 to 3).foreach { rnd =>
+      val wb = new graft.sources.excel.XlsxParser.Workbook(src)
+      val target = wb.resolveSheet(None, None).target
+      val it = wb.cellsForScan(target)
+      var cells = 0L
+      val a0 = tmx.getThreadAllocatedBytes(tid)
+      val t0 = System.nanoTime()
+      while (it.hasNext) { it.next(); cells += 1 }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val bytes = tmx.getThreadAllocatedBytes(tid) - a0
+      wb.close()
+      println(f"[microprof] q02 parse round $rnd: $cells%d cells, " +
+        f"$sec%6.3f s, ${bytes / 1e6}%8.1f MB alloc, " +
+        f"${bytes.toDouble / cells}%6.1f B/cell, " +
+        f"${cells / sec / 1e6}%5.2f Mcells/s")
     }
   }
 
