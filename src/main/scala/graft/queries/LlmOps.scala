@@ -199,7 +199,13 @@ object LlmOps {
     // invocation (guide §5; each call pays its own materialization, so
     // nothing is reused across runs), which at corpus scale halves the
     // most expensive per-row stage of the pipeline.
-    val sh = shingledDocs(s, dir).localCheckpoint(true)
+    // SERIALIZED storage (r18): the shingle arrays held as deserialized
+    // heap objects measurably polluted LATER bench entries (block churn
+    // + GC pressure elevated the serve belt's solo readings ~0.3 s);
+    // MEMORY_AND_DISK_SER keeps the same one-pass materialization at a
+    // fraction of the heap.
+    val sh = shingledDocs(s, dir).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     verifyJaccardPairs(sh, lshCandidatePairs(sh, bands = 16, rows = 8), minJ)
   }
 

@@ -1043,7 +1043,10 @@ object Semantic {
         // documents scan — against the checkpoint they would read the
         // whole materialized corpus for one doc.
         val cvRaw = chunkVectors(docs)
-        val cv = cvRaw.localCheckpoint(true)
+        // serialized storage: same block-churn rationale as the q23
+        // shingle checkpoint (this frame is ~chunk-count rows)
+        val cv = cvRaw.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         val qid = docs.agg(min(col("doc_id"))).collect()(0).getLong(0)
         val pool = cv.groupBy(col("doc_id"), col("bucket"))
           .agg(sum(col("v")).as("pv"))
